@@ -1,0 +1,120 @@
+"""Entity reconstruction: J1 node<->waynode equi-join + J2 way assembly.
+
+Reference semantics:
+  J1 (NodeJoiner.scala:101-192): one tagged-union shuffle joins nodes onto
+     waynode refs by node_id, re-keyed by way_id; ways pass through. Errors
+     if a node_id resolves to != 1 node (:183) or a way_id to > 1 way (:173).
+  J2 (WayBuilder.scala:71-105): group referenced waynodes by way_id, sort by
+     ordinal, build a LineString, serialize WKT into the tag map under
+     "geometry"; ways with < 2 coords are dropped (:95 — F5).
+
+Spark-first re-expression: Catalyst takes two-input joins natively, so the
+tagged-union trick disappears. J1 is a plain inner equi-join (sort-merge or
+shuffled-hash chosen by the planner; AQE splits skewed node_ids). J2 is
+`array_sort(collect_list(struct(ordinal, lon, lat)))` — a single bounded
+groupBy-shuffle on way_id (way fan-in is bounded by OSM's 2000-node way cap,
+so the collected array is small) followed by a broadcast-friendly join back
+to the way tag table.
+
+Geometry stays columnar (xs/ys array<double>) — WKT only on demand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def join_node_coords(nodes: DataFrame, way_nodes: DataFrame) -> DataFrame:
+    """J1: way_nodes ⋈ nodes on node_id -> (way_id, ordinal, lon, lat).
+
+    Equivalent of NodeJoiner's reduce output (ReferencedWayNodeWritable,
+    NodeJoiner.scala:177-189) re-keyed by way_id.
+    """
+    return way_nodes.join(nodes, "node_id", "inner").select(
+        "way_id", "ordinal", "lon", "lat"
+    )
+
+
+def check_unique(df: DataFrame, key: str, what: str) -> None:
+    """Replicates the reference's hard uniqueness errors
+    (NodeJoiner.scala:173,183) as an explicit assertion stage (action)."""
+    dup = (
+        df.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"Found {dup[0]['count']} {what} for {key}={dup[0][key]}, there should only be one."
+        )
+
+
+def assemble_ways(ways: DataFrame, referenced: DataFrame) -> DataFrame:
+    """J2: group referenced waynodes by way_id, ordinal-sort, attach to tags.
+
+    Output: (way_id, tags, xs: array<double>, ys: array<double>, n_pts).
+    Ways with < 2 joined coords are dropped (F5, WayBuilder.scala:95).
+    Duplicate ordinals keep deterministic order via array_sort on the full
+    (ordinal, lon, lat) struct.
+    """
+    pts = (
+        referenced.groupBy("way_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ordinal", "lon", "lat"))
+            ).alias("pts")
+        )
+        .filter(F.size("pts") > 1)
+    )
+    return (
+        pts.join(ways, "way_id", "inner")
+        .select(
+            "way_id",
+            "tags",
+            F.transform("pts", lambda p: p["lon"]).alias("xs"),
+            F.transform("pts", lambda p: p["lat"]).alias("ys"),
+            F.size("pts").alias("n_pts"),
+        )
+    )
+
+
+@F.pandas_udf(T.StringType())
+def _linestring_wkt_udf(xs, ys):
+    import pandas as pd
+
+    from osm_hadoop_spark.functions.geometry import format_linestring_wkt
+
+    return pd.Series(
+        [format_linestring_wkt(x, y) for x, y in zip(xs, ys)], dtype="object"
+    )
+
+
+def with_wkt(ways_geom: DataFrame, col_name: str = "geometry_wkt") -> DataFrame:
+    """Attach the reference-parity WKT serialization (WayBuilder.scala:97-101,
+    JTS WKTWriter format). Edge/output concern only — internal kernels use
+    the columnar xs/ys representation."""
+    return ways_geom.withColumn(col_name, _linestring_wkt_udf("xs", "ys"))
+
+
+def build_ways_geom(documents: DataFrame, tag_keys: list[str] | None = None,
+                    validate: bool = False) -> DataFrame:
+    """documents -> assembled ways: the Phase-1 spine (SURVEY.md section 7).
+
+    scan -> span parse (JVM from_json) -> F1 tag filter -> J1 join -> J2
+    assembly. `validate=True` runs the reference's uniqueness assertions.
+    """
+    from osm_hadoop_spark.sources import spans as S
+
+    nodes = S.parse_nodes(documents)
+    ways = S.parse_ways(documents)
+    way_nodes = S.parse_way_nodes(documents)
+    if tag_keys:
+        ways = S.filter_ways_by_tags(ways, tag_keys)
+        # reference filters waynode emission by the same predicate
+        # (NodeJoiner.scala:110): semi-join prunes refs of filtered-out ways.
+        way_nodes = way_nodes.join(ways.select("way_id"), "way_id", "left_semi")
+    if validate:
+        check_unique(nodes, "node_id", "nodes")
+        check_unique(ways, "way_id", "ways")
+    referenced = join_node_coords(nodes, way_nodes)
+    return assemble_ways(ways, referenced)

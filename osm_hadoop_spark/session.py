@@ -1,0 +1,88 @@
+"""SparkSession factory with the engine's tuned defaults.
+
+Scale posture (100 TB / 1000-executor design, tested on local[N]):
+  - AQE on: runtime partition coalescing + skew-join splitting replace the
+    reference's absent skew handling (SURVEY.md section 4).
+  - Arrow execution for every pandas UDF; batches capped so one Arrow batch
+    of exploded pixels/cells stays comfortably in executor memory.
+  - shuffle.partitions defaults small locally; production submits override
+    (spark-submit --conf), the plans never hardcode partition counts.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def build_pyfiles_zip(dest_dir: str | None = None) -> str:
+    """Package `osm_hadoop_spark` into a zip for executor Python workers.
+
+    This is the spark-submit --py-files artifact demanded by the north rule;
+    `get_spark` also ships it automatically via addPyFile so library users
+    (driver scripts run from any cwd) get importable UDF closures on workers.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    dest_dir = dest_dir or tempfile.mkdtemp(prefix="osm_spark_pyfiles_")
+    zip_path = os.path.join(dest_dir, "osm_hadoop_spark.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "osm_hadoop_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    return zip_path
+
+
+def get_spark(
+    app_name: str = "osm-hadoop-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    # Iceberg catalog when the runtime jar is on the classpath (production);
+    # this container has no Iceberg jar, so the SnapshotCatalog (sources/catalog.py)
+    # transparently falls back to Parquet snapshot directories with the same API.
+    if os.environ.get("OSM_SPARK_ICEBERG_JAR"):
+        b = (
+            b.config("spark.jars", os.environ["OSM_SPARK_ICEBERG_JAR"])
+            .config("spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.local.type", "hadoop")
+            .config(
+                "spark.sql.catalog.local.warehouse",
+                os.environ.get("OSM_SPARK_WAREHOUSE", "/tmp/osm_spark_warehouse"),
+            )
+        )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    spark = b.getOrCreate()
+    # ship the package to executor Python workers (UDFs import it there)
+    spark.sparkContext.addPyFile(build_pyfiles_zip())
+    return spark

@@ -1,0 +1,119 @@
+"""Interleaved-document span parsing (S2 analog).
+
+The reference decodes raw PBF blobs into OSM entities inside every mapper
+(DecodesOsm.scala:17-33, used at NodeJoiner.scala:102-145). Our mandated
+input (BASELINE.json `input_hint`) is an Iceberg/Parquet table
+
+    documents(doc_id: string,
+              spans: array<struct<kind:string, text:string,
+                                  media_ref:string, offset:int>>)
+
+where OSM entity payloads ride inside spans as deterministic JSON
+(FIXTURES.md section 1). Parsing is 100% JVM-side: `posexplode` + `from_json`
+— no Python even in vectorized form, so the scan..parse..filter prefix stays
+inside WholeStageCodegen and Catalyst can push document-level filters into
+the Parquet/Iceberg scan.
+
+The span-sequence invariant (kind, text, media_ref, order) is never touched:
+parsing only READS spans; document-carrying outputs keep the original `spans`
+column byte-identical. `span_sequence_fingerprint` gives an order-sensitive
+per-document hash used by tests and pipeline assertions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DOCUMENTS_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<kind:string, text:string, media_ref:string, offset:int>>"
+)
+
+NODE_PAYLOAD_SCHEMA = "id bigint, lon double, lat double"
+WAY_PAYLOAD_SCHEMA = "id bigint, tags map<string,string>, nds array<bigint>"
+
+
+def exploded_spans(documents: DataFrame) -> DataFrame:
+    """documents -> one row per span, order kept via posexplode (F2 dispatch)."""
+    return documents.select(
+        "doc_id",
+        F.posexplode("spans").alias("span_pos", "span"),
+    ).select(
+        "doc_id",
+        "span_pos",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def parse_nodes(documents: DataFrame) -> DataFrame:
+    """osm.node spans -> nodes(node_id, lon, lat).
+
+    Projection F3 (NodeJoiner.scala:136-141): id/lon/lat only, lon first.
+    """
+    s = exploded_spans(documents).filter(F.col("kind") == "osm.node")
+    p = s.select(F.from_json("text", NODE_PAYLOAD_SCHEMA).alias("n"))
+    # Malformed payloads parse to NULL and are dropped (the reference would
+    # abort the whole job on a corrupt blob; we degrade to row-level drop).
+    return p.select(
+        F.col("n.id").alias("node_id"),
+        F.col("n.lon").alias("lon"),
+        F.col("n.lat").alias("lat"),
+    ).filter(F.col("node_id").isNotNull())
+
+
+def parse_ways(documents: DataFrame) -> DataFrame:
+    """osm.way spans -> ways(way_id, tags) (projection F4)."""
+    s = exploded_spans(documents).filter(F.col("kind") == "osm.way")
+    p = s.select(F.from_json("text", WAY_PAYLOAD_SCHEMA).alias("w"))
+    return p.select(
+        F.col("w.id").alias("way_id"),
+        F.col("w.tags").alias("tags"),
+    ).filter(F.col("way_id").isNotNull())
+
+
+def parse_way_nodes(documents: DataFrame) -> DataFrame:
+    """osm.way spans -> way_nodes(node_id, way_id, ordinal).
+
+    Mirrors the waynode emission with zipWithIndex ordinals
+    (NodeJoiner.scala:114-122); ordinal = position in the way's nd list.
+    """
+    s = exploded_spans(documents).filter(F.col("kind") == "osm.way")
+    p = s.select(F.from_json("text", WAY_PAYLOAD_SCHEMA).alias("w"))
+    return p.filter(F.col("w.id").isNotNull()).select(
+        F.col("w.id").alias("way_id"),
+        F.posexplode("w.nds").alias("ordinal", "node_id"),
+    ).select("node_id", "way_id", "ordinal")
+
+
+def filter_ways_by_tags(ways: DataFrame, tag_keys: list[str]) -> DataFrame:
+    """F1 tag-existence filter (filter/EntityFilters.scala:19-23): keep ways
+    having at least one of `tag_keys` in the tag map."""
+    keys = F.array(*[F.lit(k) for k in tag_keys])
+    return ways.filter(
+        F.exists(F.map_keys("tags"), lambda k: F.array_contains(keys, k))
+    )
+
+
+def span_sequence_fingerprint(documents: DataFrame) -> DataFrame:
+    """Order-sensitive per-document hash of (kind, text, media_ref) — the
+    span-sequence equality invariant checker (BASELINE.json input_hint)."""
+    return documents.select(
+        "doc_id",
+        F.sha2(
+            F.to_json(
+                F.transform(
+                    "spans",
+                    lambda s: F.struct(
+                        s["kind"].alias("kind"),
+                        s["text"].alias("text"),
+                        s["media_ref"].alias("media_ref"),
+                    ),
+                )
+            ),
+            256,
+        ).alias("span_fingerprint"),
+    )

@@ -1,0 +1,111 @@
+"""Phase-1 spine: documents -> parse -> filter -> J1 -> J2 (golden asserts).
+
+Golden values derive from the reference's db-snapshot fixture semantics
+(src/test/resources/data/template/v0_6/db-snapshot.osm; expected WKT per
+FIXTURES.md section 2 / WayBuilder.scala:95-101).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from osm_hadoop_spark.operators.way_assembly import (
+    assemble_ways,
+    build_ways_geom,
+    check_unique,
+    join_node_coords,
+    with_wkt,
+)
+from osm_hadoop_spark.sources import spans as S
+from osm_hadoop_spark.sources.fixtures import DB_SNAPSHOT_EXPECTED_WKT
+
+
+def test_span_parse_counts(db_snapshot_docs):
+    nodes = S.parse_nodes(db_snapshot_docs)
+    ways = S.parse_ways(db_snapshot_docs)
+    way_nodes = S.parse_way_nodes(db_snapshot_docs)
+    assert nodes.count() == 6
+    assert ways.count() == 4
+    assert way_nodes.count() == 3 + 3 + 3 + 1
+
+
+def test_node_projection_values(db_snapshot_docs):
+    rows = {r["node_id"]: (r["lon"], r["lat"]) for r in S.parse_nodes(db_snapshot_docs).collect()}
+    assert rows[1] == (-2.0, -1.0)
+    assert rows[6] == (-12.0, -11.0)
+
+
+def test_tag_filter(db_snapshot_docs):
+    ways = S.parse_ways(db_snapshot_docs)
+    assert S.filter_ways_by_tags(ways, ["highway"]).count() == 4
+    assert S.filter_ways_by_tags(ways, ["building", "waterway"]).count() == 0
+
+
+def test_j1_join(db_snapshot_docs):
+    ref = join_node_coords(
+        S.parse_nodes(db_snapshot_docs), S.parse_way_nodes(db_snapshot_docs)
+    )
+    rows = ref.collect()
+    assert len(rows) == 10
+    w1 = sorted(
+        [(r["ordinal"], r["lon"], r["lat"]) for r in rows if r["way_id"] == 1]
+    )
+    assert w1 == [(0, -2.0, -1.0), (1, -4.0, -3.0), (2, -6.0, -5.0)]
+
+
+def test_j2_golden_wkt(db_snapshot_docs):
+    ways_geom = with_wkt(build_ways_geom(db_snapshot_docs, tag_keys=["highway"]))
+    got = {r["way_id"]: r["geometry_wkt"] for r in ways_geom.collect()}
+    assert got == DB_SNAPSHOT_EXPECTED_WKT  # way 4 dropped (F5)
+
+
+def test_j2_preserves_tags(db_snapshot_docs):
+    ways_geom = build_ways_geom(db_snapshot_docs, tag_keys=["highway"])
+    tags = {r["way_id"]: dict(r["tags"]) for r in ways_geom.collect()}
+    assert tags[1] == {"highway": "residential"}
+    assert tags[2] == {"highway": "trunk"}
+
+
+def test_check_unique_raises(spark):
+    df = spark.createDataFrame([(1, 0.0, 0.0), (1, 1.0, 1.0)], "node_id long, lon double, lat double")
+    with pytest.raises(ValueError, match="nodes"):
+        check_unique(df, "node_id", "nodes")
+
+
+def test_row_count_conservation_synth(synth_docs):
+    """J1 output rows == way_nodes rows when every node_id resolves (FK holds)."""
+    nodes = S.parse_nodes(synth_docs)
+    way_nodes = S.parse_way_nodes(synth_docs)
+    assert join_node_coords(nodes, way_nodes).count() == way_nodes.count()
+
+
+def test_assembly_counts_synth(synth_docs):
+    ways_geom = build_ways_geom(synth_docs)
+    ways = S.parse_ways(synth_docs)
+    # every way has >= 2 nds in the generator, so none is dropped by F5
+    assert ways_geom.count() == ways.count()
+    bad = ways_geom.filter(F.size("xs") != F.col("n_pts")).count()
+    assert bad == 0
+
+
+def test_span_sequence_invariant(synth_docs):
+    """Parsing must not disturb the documents table (span-sequence equality)."""
+    fp_before = S.span_sequence_fingerprint(synth_docs)
+    _ = build_ways_geom(synth_docs).count()
+    fp_after = S.span_sequence_fingerprint(synth_docs)
+    assert fp_before.exceptAll(fp_after).count() == 0
+
+
+def test_ordinal_sort_with_shuffled_input(spark):
+    """J2 must order by ordinal regardless of input row order (WayBuilder.scala:91-93)."""
+    nodes = spark.createDataFrame(
+        [(i, float(i * 10), float(-i)) for i in range(1, 5)],
+        "node_id long, lon double, lat double",
+    )
+    way_nodes = spark.createDataFrame(
+        [(3, 100, 2), (1, 100, 0), (4, 100, 3), (2, 100, 1)],
+        "node_id long, way_id long, ordinal int",
+    )
+    ways = spark.createDataFrame([(100, {"highway": "road"})], "way_id long, tags map<string,string>")
+    out = assemble_ways(ways, join_node_coords(nodes, way_nodes)).collect()
+    assert out[0]["xs"] == [10.0, 20.0, 30.0, 40.0]
+    assert out[0]["ys"] == [-1.0, -2.0, -3.0, -4.0]
