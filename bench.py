@@ -1,0 +1,181 @@
+"""Bench harness.
+
+Default mode: runs the flagship spatial-join + tile-assignment pipeline over
+the synthetic interleaved-document table (BASELINE.json metric: docs/sec)
+plus every `queries()` entry at $SPARK_GRAFT_SF_DIR, and prints ONE JSON
+line:
+    {"metric": ..., "value": <flagship sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+`--flagship-only` prints the flagship JSON only (used by --scaling).
+`--scaling` runs the SAME flagship job at local[8] and local[32] in fresh
+JVMs on the SAME input and writes BENCH/BASELINE.md with throughputs and
+the N->4N scaling efficiency (sandbox evidence for the north rule's
+two-cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+SEED = 42
+CACHE = os.path.join(REPO, ".bench_cache")
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def ensure_docs_parquet(spark, n_docs: int) -> str:
+    """Generate (once) the interleaved-document table; generation is NOT
+    part of the measured pipeline."""
+    path = os.path.join(CACHE, f"docs_n{n_docs}_s{SEED}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        log(f"bench: generating {n_docs} interleaved docs -> {path}")
+        from osm_hadoop_spark.sources.fixtures import gen_documents
+
+        gen_documents(spark, n_docs, seed=SEED, partitions=int(CPUS)).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def flagship_pipeline(spark, docs_path: str):
+    """documents -> span parse -> F1 -> J1 -> J2 -> z14 tile join -> counts.
+
+    The end-to-end semantics of the reference's planet pipeline
+    (SURVEY.md section 3.1) + the north rule's two-stage spatial join."""
+    from pyspark.sql import functions as F
+
+    from osm_hadoop_spark.operators.tile_join import assign_tiles, tile_counts
+    from osm_hadoop_spark.operators.way_assembly import build_ways_geom
+
+    docs = spark.read.parquet(docs_path)
+    ways_geom = build_ways_geom(docs, tag_keys=["highway"])
+    assigned = assign_tiles(ways_geom, zoom=14, tms=False)
+    counts = tile_counts(assigned)
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_tiles"), F.sum("n_ways").alias("n_pairs")
+    )
+
+
+def run_flagship(spark, n_docs: int) -> dict:
+    docs_path = ensure_docs_parquet(spark, n_docs)
+    t0 = time.time()
+    row = flagship_pipeline(spark, docs_path).collect()[0]
+    dt = time.time() - t0
+    return {
+        "elapsed_sec": dt,
+        "docs_per_sec": n_docs / dt,
+        "n_docs": n_docs,
+        "n_tiles": row["n_tiles"],
+        "n_pairs": int(row["n_pairs"]),
+    }
+
+
+def main() -> None:
+    flagship_only = "--flagship-only" in sys.argv
+    if "--scaling" in sys.argv:
+        run_scaling()
+        return
+
+    from osm_hadoop_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    flag = run_flagship(spark, N_DOCS)
+    log(f"bench: flagship {flag}")
+
+    per_query: dict[str, float] = {}
+    if not flagship_only:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "entry_mod", os.path.join(REPO, "__spark_entry__.py")
+        )
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        for name, fn in m.queries().items():
+            t0 = time.time()
+            try:
+                n = fn(spark, SF_DIR).count()
+                per_query[name] = round(time.time() - t0, 3)
+                log(f"bench: {name}: {per_query[name]}s ({n} rows)")
+            except Exception as e:  # report but keep the bench line valid
+                per_query[name] = -1.0
+                log(f"bench: {name} FAILED: {str(e)[:200]}")
+
+    out = {
+        "metric": "spatial_join_tile_assignment_pipeline",
+        "value": round(flag["elapsed_sec"], 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "docs_per_sec": round(flag["docs_per_sec"], 1),
+        "n_docs": flag["n_docs"],
+        "cpus": int(CPUS),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+def run_scaling() -> None:
+    """local[8] vs local[32] on identical input -> BENCH/BASELINE.md."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        log(f"scaling: running flagship at local[{cpus}]")
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flagship-only"],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = p.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+        log(f"scaling: local[{cpus}] -> {results[cpus]['docs_per_sec']} docs/s")
+
+    tp8 = results[8]["docs_per_sec"]
+    tp32 = results[32]["docs_per_sec"]
+    eff = (tp32 / tp8) / 4.0
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = f"""# BENCH — measured throughput & scaling
+
+Flagship pipeline: interleaved documents -> span parse -> tag filter -> J1
+node join -> J2 way assembly -> z14 tile assignment (filter+refine) -> per-
+tile counts. Input: {results[32]["n_docs"]} synthetic interleaved docs
+(seed=42), identical for both runs. Fresh JVM per run.
+
+| parallelism | elapsed (s) | docs/sec |
+|---|---|---|
+| local[8]  (N)  | {results[8]["value"]} | {tp8} |
+| local[32] (4N) | {results[32]["value"]} | {tp32} |
+
+**Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8 per
+BASELINE.json north_rule; sandbox evidence per driver instruction — same
+job, same input, two parallelism levels).
+
+Tiles touched: {results[32]["n_tiles"]}; (way, tile) pairs: {results[32]["n_pairs"]}.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "docs_per_sec_8": tp8,
+        "docs_per_sec_32": tp32,
+    }))
+
+
+if __name__ == "__main__":
+    main()

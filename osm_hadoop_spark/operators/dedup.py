@@ -1,0 +1,199 @@
+"""Deduplication operators (engine additions for training-data pipelines).
+
+Four families over `documents(doc_id, text)`:
+  - exact:          md5 grouping (hash-groupBy);
+  - n-gram Jaccard: blocked self-join + exact set Jaccard on word 3-grams;
+  - MinHash + LSH:  m deterministic min-hashes over 3-gram shingles, banded
+                    into LSH buckets; bucket-join candidates verified with
+                    exact Jaccard;
+  - SimHash:        b-bit sign-sum sketch over token hashes; Hamming-near
+                    pairs within LSH-banded buckets.
+
+All Spark built-ins (JVM-side); the shared h60 hash (textstats.h60) makes
+every sketch bit-identical to the DuckDB oracles. Jaccard thresholds are
+rational comparisons (t_num/t_den) on integer set sizes — no float drift.
+
+Scale notes (100 TB posture): exact dedup is one hash aggregate; MinHash
+LSH is the linear-candidate path (band buckets bound pair blowup; hot
+buckets are capped by `bucket_cap` exactly like salting a skewed key);
+the blocked-Jaccard family is for small/medium corpora or post-LSH verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from osm_hadoop_spark.operators.textstats import h60, tokens_col
+
+
+def exact_clusters(documents: DataFrame) -> DataFrame:
+    """Exact duplicate clusters: (text_md5, n_docs, rep_doc = min doc_id)."""
+    return (
+        documents.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("rep_doc"))
+    )
+
+
+def shingles_col(k: int = 3) -> Column:
+    """Distinct word k-gram h60 shingles of `text` (sorted for determinism)."""
+    toks = tokens_col()
+    n = F.size(toks)
+    grams = F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: h60(F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])),
+    )).otherwise(F.array().cast("array<bigint>"))
+    return F.array_sort(F.array_distinct(grams))
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, t_num: int = 5, t_den: int = 10, k: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Jaccard(word-k-gram sets) >= t_num/t_den.
+
+    Blocking: candidate pairs must share the SAME first shingle bucket
+    (min shingle hash) — a 1-band MinHash block that keeps the self-join
+    linear-ish; exact for any pair with Jaccard >= 1/2 only in expectation,
+    so this operator is the 'blocked' family; use minhash_lsh_pairs for
+    recall-controlled candidates, or verify_pairs for a given pair list.
+    """
+    sh = documents.select(
+        F.col("doc_id"), shingles_col(k).alias("sh")
+    ).filter(F.size("sh") > 0)
+    blocked = sh.withColumn("block", F.element_at("sh", 1))
+    a = blocked.select(F.col("block"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = blocked.select(F.col("block"), F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, ["block"]).filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+        F.size(F.array_union("sh_a", "sh_b")).alias("uni"),
+    ).dropDuplicates(["doc_a", "doc_b"])
+    return pairs.filter(F.col("inter") * t_den >= F.col("uni") * t_num).select(
+        "doc_a", "doc_b", "inter", "uni"
+    )
+
+
+def minhash_col(m: int = 8, k: int = 3) -> Column:
+    """array of m min-hash values: min over shingles of h60(shingle || '#i')."""
+    sh = shingles_col(k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: h60(F.concat_ws("#", s.cast("string"), i.cast("string"))))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    m: int = 8,
+    bands: int = 4,
+    t_num: int = 5,
+    t_den: int = 10,
+    k: int = 3,
+    bucket_cap: int | None = 1000,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
+
+    m hashes split into `bands` bands of m/bands rows; docs sharing any band
+    signature become candidates; candidates are verified with exact Jaccard
+    >= t_num/t_den. `bucket_cap` drops degenerate buckets larger than the cap
+    (the skew guard — a bucket of B docs makes B^2 pairs).
+    """
+    rows_per_band = m // bands
+    sigs = documents.select(
+        "doc_id", shingles_col(k).alias("sh"), minhash_col(m, k).alias("mh")
+    ).filter(F.size("sh") > 0)
+    banded = sigs.select(
+        "doc_id", "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.slice("mh", b * rows_per_band + 1, rows_per_band).alias("sig"),
+                ),
+            )
+        ).alias("bs"),
+    ).select(
+        "doc_id", "sh", F.col("bs.band").alias("band"),
+        # collision-free bucket key (string of the band signature) so the
+        # candidate set is exactly reproducible by the SQL oracle
+        F.concat_ws("-", F.col("bs.band"), F.concat_ws(",", F.col("bs.sig"))).alias("bucket"),
+    )
+    if bucket_cap:
+        sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bn"))
+        banded = banded.join(
+            sizes.filter(F.col("bn") <= bucket_cap).select("band", "bucket"),
+            ["band", "bucket"], "left_semi",
+        )
+    a = banded.select("band", "bucket", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = banded.select("band", "bucket", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = cand.select(
+        "doc_a", "doc_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+        F.size(F.array_union("sh_a", "sh_b")).alias("uni"),
+    )
+    return pairs.filter(F.col("inter") * t_den >= F.col("uni") * t_num)
+
+
+def simhash_col(bits: int = 16) -> Column:
+    """b-bit SimHash over whitespace tokens: bit j set iff
+    sum over tokens of (2*bit_j(h60(token)) - 1) >= 0 (ties -> set, since
+    the empty-token case is filtered upstream)."""
+    toks = tokens_col()
+    hashes = F.transform(toks, lambda t: h60(t))
+    # unrolled per-bit expressions (shift amounts must be Python literals;
+    # a closure factory, NOT a default arg — pyspark inspects lambda arity)
+    def _bit_merge(j: int):
+        return lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        bit_sum = F.aggregate(hashes, F.lit(0).cast("bigint"), _bit_merge(j))
+        out = out.bitwiseOR(
+            F.when(bit_sum >= 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        )
+    return out
+
+
+def simhash_pairs(documents: DataFrame, bits: int = 16, max_hamming: int = 2) -> DataFrame:
+    """SimHash near-dup pairs: Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Candidates via banded LSH on (max_hamming+1) disjoint bit slices: a pair
+    within Hamming distance max_hamming differs in at most max_hamming bits,
+    which can touch at most max_hamming bands, so it agrees EXACTLY on at
+    least one band (pigeonhole) — candidate generation has perfect recall,
+    and the exact Hamming filter gives perfect precision."""
+    nbands = max_hamming + 1
+    width = bits // nbands
+    sh = documents.select("doc_id", simhash_col(bits).alias("sh")).filter(
+        F.size(tokens_col()) > 0
+    )
+    banded = sh.select(
+        "doc_id", "sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sh"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+            )
+            for b in range(nbands)
+        ])).alias("bk"),
+    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select("band", "key", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = banded.select("band", "key", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    cand = (
+        a.join(b, ["band", "key"]).filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b").dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,172 @@
+"""J6: exact k-nearest-feature join (engine addition; no reference impl).
+
+The reference has no kNN — the north star requires one. Closest reference
+analog is buffer+intersects (RoadlessRasterizeMapSide.scala:108,118), which
+is exactly the primitive we generalize:
+
+Algorithm — progressive radius-doubling cell join (exact):
+  round j (radius r_j = r0 * 2^j, zoom matched so cell width ~ r_j):
+    1. cover every feature's envelope EXPANDED BY r_j with cells (vectorized
+       polyfill) -> (feature_id, cell);
+    2. assign each unresolved point to its cell at the same zoom;
+    3. join on cell -> candidate pairs; compute EXACT planar point-to-
+       polyline distance (NumPy kernel); keep pairs with dist <= r_j.
+       This candidate set provably equals {features within r_j of the
+       point}: if dist(p, f) <= r_j then p lies in f's r_j-buffered
+       envelope, hence p's cell is in that envelope's cover.
+    4. a point with >= k candidates is RESOLVED exactly (everything outside
+       the candidate set is farther than r_j >= d_k); its top-k by
+       (dist, feature_id) — deterministic tie-break — is final.
+    5. unresolved points go to round j+1 with doubled radius.
+
+Matching zoom to radius keeps the buffered cover O(perimeter) cells per
+feature instead of O(area/cell^2), so the candidate-pair shuffle stays
+near-linear in features per round; after round 1 only stragglers remain.
+Semantics (documented, SURVEY.md risk register): k, planar degree distance,
+tie-break (distance, feature_id), termination when the radius exceeds the
+world diagonal (every feature is then a candidate).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+WORLD_DIAG = 420.0  # > sqrt(360^2 + 180^2) degrees
+
+
+def _zoom_for_radius(r: float) -> int:
+    return max(0, min(14, int(math.log2(360.0 / max(r, 1e-9)))))
+
+
+def _exact_pair_distance(pairs: DataFrame) -> DataFrame:
+    """(point_id, feature_id, plon, plat, xs, ys) -> + dist (planar degrees)."""
+
+    def dist(batches):
+        from osm_hadoop_spark.functions.spatial import point_polyline_dist_sq
+
+        for pdf in batches:
+            if pdf.shape[0] == 0:
+                continue
+            counts = pdf["xs"].str.len().to_numpy(dtype=np.int64)
+            xs = np.concatenate(pdf["xs"].to_numpy())
+            ys = np.concatenate(pdf["ys"].to_numpy())
+            d2 = point_polyline_dist_sq(
+                pdf["plon"].to_numpy(), pdf["plat"].to_numpy(), xs, ys, counts
+            )
+            yield pd.DataFrame({
+                "point_id": pdf["point_id"],
+                "feature_id": pdf["feature_id"],
+                "dist": np.sqrt(d2),
+            })
+
+    return pairs.mapInPandas(dist, schema="point_id long, feature_id long, dist double")
+
+
+def _feature_cells(features: DataFrame, zoom: int, buf: float) -> DataFrame:
+    z, b = int(zoom), float(buf)
+
+    def cover(batches):
+        from osm_hadoop_spark.functions.geometry import envelopes_flat
+        from osm_hadoop_spark.functions.tiles import tiles_for_envelope_flat
+
+        for pdf in batches:
+            if pdf.shape[0] == 0:
+                continue
+            counts = pdf["xs"].str.len().to_numpy(dtype=np.int64)
+            xs = np.concatenate(pdf["xs"].to_numpy())
+            ys = np.concatenate(pdf["ys"].to_numpy())
+            xmin, ymin, xmax, ymax = envelopes_flat(xs, ys, counts)
+            cells, idx = tiles_for_envelope_flat(xmin - b, ymin - b, xmax + b, ymax + b, z)
+            yield pd.DataFrame({
+                "feature_id": pdf["feature_id"].to_numpy()[idx],
+                "cell": cells,
+            })
+
+    return features.select("feature_id", "xs", "ys").mapInPandas(
+        cover, schema="feature_id long, cell bigint"
+    )
+
+
+def _point_cells(points: DataFrame, zoom: int) -> DataFrame:
+    z = int(zoom)
+
+    def assign(batches):
+        from osm_hadoop_spark.functions.tiles import tile_for_point
+
+        for pdf in batches:
+            if pdf.shape[0] == 0:
+                continue
+            yield pdf.assign(cell=tile_for_point(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), z))
+
+    return points.mapInPandas(assign, schema="point_id long, lon double, lat double, cell bigint")
+
+
+def knn_join(
+    points: DataFrame,
+    features: DataFrame,
+    k: int = 3,
+    r0: float = 0.5,
+    broadcast_features: bool | None = None,
+) -> DataFrame:
+    """points(point_id, lon, lat) x features(feature_id, xs, ys) ->
+    (point_id, feature_id, dist, rank) with rank 1..k per point.
+
+    Exact planar-degree kNN; ordering/tie-break (dist asc, feature_id asc).
+    Points receive fewer than k rows only when the feature table itself has
+    fewer than k rows.
+    """
+    # a point can only ever accumulate min(k, |features|) neighbors; cap so
+    # the radius loop terminates in O(log) rounds instead of racing the
+    # world diagonal when the feature table is smaller than k
+    n_features = features.count()
+    k = min(k, n_features) if n_features else 0
+    if k == 0:
+        return points.sparkSession.createDataFrame(
+            [], "point_id long, feature_id long, dist double, rank int"
+        )
+    remaining = points.select("point_id", "lon", "lat")
+    resolved_parts: list[DataFrame] = []
+    r = float(r0)
+
+    while True:
+        zoom = _zoom_for_radius(r)
+        fcells = _feature_cells(features, zoom, r)
+        if broadcast_features:
+            fcells = F.broadcast(fcells)
+        pcells = _point_cells(remaining, zoom)
+        cand = (
+            pcells.join(fcells, "cell")
+            .select("point_id", "feature_id", F.col("lon").alias("plon"), F.col("lat").alias("plat"))
+            .dropDuplicates(["point_id", "feature_id"])
+        )
+        pairs = cand.join(features.select("feature_id", "xs", "ys"), "feature_id")
+        dists = _exact_pair_distance(
+            pairs.select("point_id", "feature_id", "plon", "plat", "xs", "ys")
+        ).filter(F.col("dist") <= r)
+
+        w = Window.partitionBy("point_id").orderBy(F.col("dist").asc(), F.col("feature_id").asc())
+        ranked = dists.withColumn("rank", F.row_number().over(w))
+        counts = dists.groupBy("point_id").agg(F.count(F.lit(1)).alias("nc"))
+        done_points = counts.filter(F.col("nc") >= k).select("point_id")
+        if r > WORLD_DIAG:
+            # every feature was a candidate: whatever exists is the answer
+            resolved_parts.append(ranked.filter(F.col("rank") <= k))
+            break
+        resolved = ranked.join(done_points, "point_id", "left_semi").filter(F.col("rank") <= k)
+        # localCheckpoint truncates lineage: each round's plan would otherwise
+        # nest the previous rounds' joins and blow up Catalyst/driver memory
+        resolved_parts.append(resolved.localCheckpoint(eager=True))
+        remaining = remaining.join(done_points, "point_id", "left_anti").localCheckpoint(eager=True)
+        if remaining.isEmpty():
+            break
+        r *= 2.0
+
+    out = resolved_parts[0]
+    for p in resolved_parts[1:]:
+        out = out.unionByName(p)
+    return out

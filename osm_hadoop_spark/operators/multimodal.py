@@ -1,0 +1,128 @@
+"""Multimodal column plumbing (engine additions; decode stubbed).
+
+Media travel as opaque `binary` columns with typed metadata structs. The
+Spark-side plumbing — schemas, Arrow batch shape, partition behavior — is
+real and tested; the actual codec work is stubbed deterministically because
+this container ships no image/audio libraries (PIL/ffmpeg absent):
+
+  - decode_metadata: parses the deterministic fake header (see
+    `synth_media_bytes`) — swap `_decode_header` for a real codec probe
+    (PIL.Image.open / av.open) in production;
+  - resize_stub / frame_sample_stub: shape-preserving deterministic
+    transforms standing in for real resize / frame extraction, same UDF
+    signatures a real implementation would use;
+  - attach_media: derives a binary column deterministically from text so
+    the driver's flat documents table can exercise the plumbing end-to-end.
+
+Every op is `mapInPandas`/`pandas_udf` over Arrow binary arrays — the batch
+shape (one buffer per row, zero-copy into numpy via frombuffer) is exactly
+what a real decoder would consume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_MAGIC = b"OSMM"
+HEADER_LEN = 12  # magic(4) + width(2) + height(2) + n_frames(2) + kind(2)
+
+
+def _h60_py(s: str) -> int:
+    """Python twin of textstats.h60 (bigint of first 15 md5 hex chars)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+@F.pandas_udf(T.BinaryType())
+def _synth_media_udf(text: pd.Series) -> pd.Series:
+    out = []
+    for t in text:
+        t = t or ""
+        body = t.encode("utf-8")
+        w = _h60_py(t) % 240 + 16
+        h = _h60_py(t[::-1]) % 180 + 12
+        fr = len(body) % 8 + 1
+        kd = 1
+        header = MEDIA_MAGIC + bytes(
+            [w & 255, w >> 8, h & 255, h >> 8, fr & 255, fr >> 8, kd & 255, kd >> 8]
+        )
+        out.append(header + body)
+    return pd.Series(out)
+
+
+def synth_media_bytes(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a deterministic fake media payload derived from the text:
+    header(magic, w, h, frames, kind) + utf-8 body, where
+    w = h60(text)%240+16, h = h60(reverse(text))%180+12,
+    frames = octet_length(utf8(text))%8+1 — a derivation any SQL engine can
+    recompute, so decode_metadata gets an exact cross-engine oracle."""
+    return documents.withColumn("media", _synth_media_udf(F.coalesce(F.col(text_col), F.lit(""))))
+
+
+def _decode_header(buf: bytes) -> tuple[int, int, int, int]:
+    """STUB decoder — replace with a real codec probe in production."""
+    if buf is None or len(buf) < HEADER_LEN or buf[:4] != MEDIA_MAGIC:
+        raise NotImplementedError(
+            "real media decoding is not available in this environment; "
+            "only the deterministic OSMM stub header is supported"
+        )
+    w = buf[4] | (buf[5] << 8)
+    h = buf[6] | (buf[7] << 8)
+    frames = buf[8] | (buf[9] << 8)
+    kind = buf[10] | (buf[11] << 8)
+    return w, h, frames, kind
+
+
+def decode_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """binary -> typed metadata struct (width, height, n_frames, kind, n_bytes)."""
+
+    def decode(batches):
+        for pdf in batches:
+            metas = []
+            for buf in pdf[media_col]:
+                w, h, fr, kd = _decode_header(bytes(buf))
+                metas.append((w, h, fr, kd, len(buf) - HEADER_LEN))
+            m = pd.DataFrame(metas, columns=["width", "height", "n_frames", "kind", "n_bytes"])
+            out = pdf[[c for c in pdf.columns if c != media_col]].reset_index(drop=True)
+            yield pd.concat([out, m], axis=1)
+
+    cols = [f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields if f.name != media_col]
+    schema = ", ".join(cols + ["width int", "height int", "n_frames int",
+                               "kind int", "n_bytes int"])
+    return df.mapInPandas(decode, schema=schema)
+
+
+@F.pandas_udf(T.BinaryType())
+def resize_stub(media: pd.Series) -> pd.Series:
+    """Deterministic stand-in for image resize: halves the body by taking
+    every other byte (keeps header, halves w/h fields)."""
+    out = []
+    for buf in media:
+        b = bytes(buf)
+        w, h, fr, kd = _decode_header(b)
+        nw, nh = max(w // 2, 1), max(h // 2, 1)
+        header = MEDIA_MAGIC + bytes(
+            [nw & 255, nw >> 8, nh & 255, nh >> 8, fr & 255, fr >> 8, kd & 255, kd >> 8]
+        )
+        out.append(header + b[HEADER_LEN::2])
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.ArrayType(T.BinaryType()))
+def frame_sample_stub(media: pd.Series) -> pd.Series:
+    """Deterministic stand-in for video frame sampling: splits the body into
+    n_frames equal chunks and returns them as an array of frame buffers."""
+    out = []
+    for buf in media:
+        b = bytes(buf)
+        _w, _h, fr, _kd = _decode_header(b)
+        body = b[HEADER_LEN:]
+        step = max(len(body) // fr, 1) if body else 1
+        out.append([body[i * step:(i + 1) * step] for i in range(fr)] if body else [])
+    return pd.Series(out)

@@ -1,0 +1,129 @@
+"""Text analysis operators for training-data pipelines (engine additions).
+
+The reference has no text ops (its only string work is tag equality, SURVEY
+section 2.6); these are the large-scale-pipeline additions the engine is
+required to carry: language ID, quality scoring, token counting, document
+fingerprinting — all over the flat `documents(doc_id, text, ...)` table.
+
+Every operator is pure Spark built-ins (JVM-side, whole-stage codegen): no
+Python in the hot path at all. Each has an exact DuckDB oracle in
+__spark_entry__.py; numeric outputs are integers or integer ratios so the
+cross-engine comparison is bit-exact.
+
+Shared deterministic 60-bit hash (engine-wide convention, also used by
+dedup.py): h60(s) = bigint(first 15 hex chars of md5(s)) — identical in
+Spark (`conv(substr(md5(s),1,15),16,10)`) and DuckDB
+(`cast('0x' || substr(md5(s),1,15) as bigint)`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# whitespace tokenizer (empty text -> 0 tokens)
+_WS = r"\s+"
+# BPE-ish pretokenizer: letter runs, digit runs, single other non-space
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit"],
+    "es": ["el", "la", "de", "que", "y", "los", "un", "por"],
+}
+
+PUNCT_RE = r"[.,;:!?]"
+
+
+def h60(col: Column) -> Column:
+    """The shared 60-bit md5 hash (see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens_col(text: str = "text") -> Column:
+    t = F.trim(F.col(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, _WS)
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish subtoken count per document."""
+    return documents.select(
+        "doc_id",
+        F.size(tokens_col()).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + keep flag.
+
+    Rule (integer-exact): keep iff n_ws_tokens >= 5 AND 100*punct <= 30*tokens
+    AND 100*stop_hits >= 2*tokens (some natural-language signal)."""
+    toks = tokens_col()
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_arr = F.array(*[F.lit(w) for w in all_stop])
+    d = documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), 0)).alias("n_punct"),
+        F.size(F.filter(F.transform(toks, lambda t: F.lower(t)),
+                        lambda t: F.array_contains(stop_arr, t))).alias("n_stop"),
+    )
+    return d.withColumn(
+        "keep",
+        (F.col("n_ws_tokens") >= 5)
+        & (100 * F.col("n_punct") <= 30 * F.col("n_ws_tokens"))
+        & (100 * F.col("n_stop") >= 2 * F.col("n_ws_tokens")),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID: stopword-hit argmax with deterministic
+    tie-break (hit count desc, then language code asc); 'und' when no hits.
+
+    A deterministic engine RULE (not a model): both the Spark plan and the
+    DuckDB oracle compute the identical function of the text."""
+    toks = F.transform(tokens_col(), lambda t: F.lower(t))
+    d = documents.select("doc_id", toks.alias("toks"))
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        d = d.withColumn(
+            f"hits_{lang}",
+            F.size(F.filter("toks", lambda t: F.array_contains(arr, t))),
+        )
+    best = F.greatest(*[F.struct(F.col(f"hits_{k}").alias("h"),
+                                 F.lit(-ord(k[0]) * 256 - ord(k[1])).alias("o"),
+                                 F.lit(k).alias("lang"))
+                        for k in STOPWORDS])
+    return d.select(
+        "doc_id",
+        *[F.col(f"hits_{k}") for k in STOPWORDS],
+        F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+    )
+
+
+def fingerprints(documents: DataFrame, mod: int = 8) -> DataFrame:
+    """Document fingerprinting via word-3-gram mod-p selection (winnowing-
+    style 0-mod-p sketch): select shingle hashes h60 % mod == 0; emit the
+    sketch minimum, size, and the full-text hash."""
+    toks = tokens_col()
+    n = F.size(toks)
+    grams = F.when(n >= 3, F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: h60(F.concat_ws(" ",
+                                  F.element_at(toks, i),
+                                  F.element_at(toks, i + 1),
+                                  F.element_at(toks, i + 2))),
+    )).otherwise(F.array().cast("array<bigint>"))
+    sel = F.filter(grams, lambda h: h % mod == 0)
+    return documents.select(
+        "doc_id",
+        h60(F.col("text")).alias("text_h60"),
+        F.size(sel).alias("n_selected"),
+        F.array_min(sel).alias("min_selected"),
+    )

@@ -1,0 +1,225 @@
+"""J3: way x tile filter-and-refine spatial join, plus A4/A6 aggregations.
+
+Reference semantics (three zoom variants, SURVEY.md J3):
+  - enumerate candidate tiles for the geometry envelope
+    (TmsTileCalculator.tilesForEnvelope, RoadlessRoadCount.scala:144),
+  - refine with an exact intersects test against the tile envelope polygon
+    (OperatorIntersects, :147-149),
+  - emit (tile, payload); reduce = count (A4, :168-206) or bitset
+    OR-composite (A6, RoadlessRasterizeMapSide.scala:142-166).
+  - the z13 path buffers the way first (OperatorBuffer 0.008333 deg, :97,108).
+
+Spark-first shape (the north rule's two-stage partitioned join):
+  stage 1: ONE vectorized mapInPandas = cell cover (NumPy slippy polyfill)
+           + exact refine (segment-box separating-axis / distance kernels)
+           — emits only surviving (cell, way) pairs, so the shuffle carries
+           no false positives;
+  stage 2: native hash aggregate on the packed cell key.
+
+Buffered variant: instead of materializing buffer polygons (shapely-free
+env), a tile intersects buffer(line, d) EXACTLY when dist(line, tile_box)
+<= d — segment-to-box distance kernel; same result set as the reference's
+buffer+intersects, without polygon construction.
+
+Skew: dense cells (urban areas) concentrate pairs. `salted=True` pre-combines
+per (cell, salt) then merges — the explicit salt path demanded by the north
+rule; AQE skew-join handles the join-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm_hadoop_spark.config import TILE_SIZE
+
+
+def _flat_coords(pdf: pd.DataFrame):
+    counts = pdf["xs"].str.len().to_numpy(dtype=np.int64)
+    xs = np.concatenate(pdf["xs"].to_numpy()) if counts.sum() else np.zeros(0)
+    ys = np.concatenate(pdf["ys"].to_numpy()) if counts.sum() else np.zeros(0)
+    return xs, ys, counts
+
+
+def assign_tiles(
+    ways: DataFrame,
+    zoom: int,
+    tms: bool = True,
+    buffer_deg: float = 0.0,
+    refine: bool = True,
+    id_col: str = "way_id",
+) -> DataFrame:
+    """ways(id_col, xs, ys) -> (id_col, tile_id) surviving pairs.
+
+    `refine=False` returns the raw envelope cover (the filter stage only).
+    """
+    zoom = int(zoom)
+    tms_f = bool(tms)
+    buf = float(buffer_deg)
+    do_refine = bool(refine)
+
+    src = ways.select(F.col(id_col).alias("_id"), "xs", "ys")
+
+    def emit(batches):
+        from osm_hadoop_spark.functions.geometry import envelopes_flat
+        from osm_hadoop_spark.functions.spatial import (
+            polyline_box_dist_sq,
+            polyline_box_intersects,
+        )
+        from osm_hadoop_spark.functions.tiles import (
+            tile_bounds,
+            tiles_for_envelope_flat,
+        )
+
+        for pdf in batches:
+            if pdf.shape[0] == 0:
+                continue
+            xs, ys, counts = _flat_coords(pdf)
+            xmin, ymin, xmax, ymax = envelopes_flat(xs, ys, counts)
+            tiles, env_idx = tiles_for_envelope_flat(
+                xmin - buf, ymin - buf, xmax + buf, ymax + buf, zoom, tms=tms_f
+            )
+            ids = pdf["_id"].to_numpy()[env_idx]
+            if do_refine and tiles.shape[0]:
+                bxmin, bymin, bxmax, bymax = tile_bounds(tiles, tms=tms_f)
+                # repeat each way's coords once per its candidate tile
+                pair_counts = counts[env_idx]
+                starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                take = np.repeat(starts[env_idx], pair_counts) + (
+                    np.arange(int(pair_counts.sum()))
+                    - np.repeat(np.concatenate(([0], np.cumsum(pair_counts)[:-1])), pair_counts)
+                )
+                pxs, pys = xs[take], ys[take]
+                if buf > 0:
+                    d2 = polyline_box_dist_sq(pxs, pys, pair_counts, bxmin, bymin, bxmax, bymax)
+                    keep = d2 <= buf * buf
+                else:
+                    keep = polyline_box_intersects(pxs, pys, pair_counts, bxmin, bymin, bxmax, bymax)
+                tiles, ids = tiles[keep], ids[keep]
+            yield pd.DataFrame({"_id": ids, "tile_id": tiles})
+
+    out = src.mapInPandas(emit, schema=f"_id long, tile_id bigint")
+    return out.withColumnRenamed("_id", id_col)
+
+
+def tile_counts(assigned: DataFrame, salted: bool = False, salt_buckets: int = 16) -> DataFrame:
+    """A4: intersecting-way count per tile (RoadlessRoadCount reduce :190-193).
+
+    COUNT is algebraic — Spark's partial aggregation already combines
+    map-side, so salting is never NEEDED for counts; `salted=True` exists to
+    demonstrate/exercise the explicit two-level path on pathological keys.
+    """
+    if not salted:
+        return assigned.groupBy("tile_id").agg(F.count(F.lit(1)).alias("n_ways"))
+    partial = (
+        assigned.withColumn("_salt", F.pmod(F.hash("way_id"), F.lit(salt_buckets)))
+        .groupBy("tile_id", "_salt")
+        .agg(F.count(F.lit(1)).alias("pc"))
+    )
+    return partial.groupBy("tile_id").agg(F.sum("pc").alias("n_ways"))
+
+
+def rasterize_tile_bitsets(
+    ways: DataFrame,
+    zoom: int,
+    buffer_deg: float,
+    tms: bool = True,
+    tile_px: int = TILE_SIZE,
+) -> DataFrame:
+    """Per-(way, tile): burn the buffered way into a tile-local bitmask.
+
+    Reference: RoadlessRasterizeMapSide.scala:99-134 (buffer -> z13 tiles ->
+    TileRasterizer into a 256x256 bitset, snappy-compressed). Here: a pixel
+    is set iff its CENTER lies within `buffer_deg` of the polyline — the
+    exact round-capped buffer region, computed by the point-to-polyline
+    distance kernel (no polygon approximation). Output bitset is packed
+    bits (tile_px*tile_px/8 bytes); shuffle compression replaces Snappy
+    (E15 — spark.shuffle.compress).
+    """
+    zoom = int(zoom)
+    tms_f = bool(tms)
+    buf = float(buffer_deg)
+    npx = int(tile_px)
+
+    assigned = assign_tiles(ways, zoom, tms=tms_f, buffer_deg=buf)
+    paired = assigned.join(ways.select("way_id", "xs", "ys"), "way_id")
+
+    def burn(batches):
+        from osm_hadoop_spark.functions.spatial import point_polyline_dist_sq
+        from osm_hadoop_spark.functions.tiles import tile_bounds
+
+        for pdf in batches:
+            if pdf.shape[0] == 0:
+                continue
+            out_rows = []
+            bxmin, bymin, bxmax, bymax = tile_bounds(
+                pdf["tile_id"].to_numpy(dtype=np.int64), tms=tms_f
+            )
+            for i in range(pdf.shape[0]):
+                xs = np.asarray(pdf["xs"].iloc[i])
+                ys = np.asarray(pdf["ys"].iloc[i])
+                psx = (bxmax[i] - bxmin[i]) / npx
+                psy = (bymax[i] - bymin[i]) / npx
+                cx = bxmin[i] + (np.arange(npx) + 0.5) * psx
+                cy = bymax[i] - (np.arange(npx) + 0.5) * psy  # row 0 = north
+                gx, gy = np.meshgrid(cx, cy)
+                # prune: only evaluate pixels near the geometry's envelope
+                ex0, ex1 = xs.min() - buf, xs.max() + buf
+                ey0, ey1 = ys.min() - buf, ys.max() + buf
+                cand = (gx >= ex0) & (gx <= ex1) & (gy >= ey0) & (gy <= ey1)
+                mask = np.zeros((npx, npx), dtype=bool)
+                if cand.any():
+                    pcx = gx[cand]
+                    pcy = gy[cand]
+                    rep = pcx.shape[0]
+                    d2 = point_polyline_dist_sq(
+                        pcx, pcy,
+                        np.tile(xs, rep), np.tile(ys, rep),
+                        np.full(rep, xs.shape[0], dtype=np.int64),
+                    )
+                    mask[cand] = d2 <= buf * buf
+                out_rows.append({
+                    "tile_id": int(pdf["tile_id"].iloc[i]),
+                    "bitset": np.packbits(mask).tobytes(),
+                })
+            yield pd.DataFrame(out_rows, columns=["tile_id", "bitset"])
+
+    return paired.mapInPandas(burn, schema="tile_id bigint, bitset binary")
+
+
+def or_composite_bitsets(
+    bitsets: DataFrame, salted: bool = True, salt_buckets: int = 8
+) -> DataFrame:
+    """A6: bitwise-OR all way bitmasks per tile
+    (RoadlessRasterizeMapSide.RasterizedTileStack:142-166).
+
+    OR is commutative/associative but pandas UDAFs get no partial agg from
+    Spark — so `salted=True` runs a two-level OR ((tile, salt) partial, then
+    tile final), bounding any single group's fan-in: the explicit
+    salt-the-hot-key path of the north rule.
+    """
+
+    def or_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs = np.stack([np.frombuffer(b, dtype=np.uint8) for b in pdf["bitset"]])
+        return pd.DataFrame({"tile_id": [key[0]], "bitset": [np.bitwise_or.reduce(arrs, axis=0).tobytes()]})
+
+    if not salted:
+        return bitsets.groupBy("tile_id").applyInPandas(
+            or_group, schema="tile_id bigint, bitset binary"
+        )
+
+    def or_group2(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs = np.stack([np.frombuffer(b, dtype=np.uint8) for b in pdf["bitset"]])
+        return pd.DataFrame({"tile_id": [key[0]], "_salt": [key[1]],
+                             "bitset": [np.bitwise_or.reduce(arrs, axis=0).tobytes()]})
+
+    partial = (
+        bitsets.withColumn("_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets)))
+        .groupBy("tile_id", "_salt")
+        .applyInPandas(or_group2, schema="tile_id bigint, _salt int, bitset binary")
+    )
+    return partial.groupBy("tile_id").applyInPandas(
+        or_group, schema="tile_id bigint, bitset binary"
+    )

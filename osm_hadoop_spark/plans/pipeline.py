@@ -1,0 +1,109 @@
+"""Staged pipeline with snapshot checkpoint / resume + lineage metrics.
+
+The reference's restartability model is per-stage SequenceFile
+materialization (NodeJoiner output feeds WayBuilder, SURVEY.md section 3.1);
+ours is per-stage catalog snapshots (Iceberg when available, Parquet
+fallback — sources/catalog.py) carrying row counts, byte sizes and
+per-partition lineage. `Pipeline.run(resume=True)` skips any stage whose
+snapshot already exists — exactly like re-launching the reference's job
+chain after a mid-pipeline failure.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from osm_hadoop_spark.sources.catalog import SnapshotCatalog
+
+
+@dataclass
+class StageResult:
+    name: str
+    skipped: bool
+    seconds: float
+    snapshot: dict | None
+
+
+@dataclass
+class Pipeline:
+    spark: SparkSession
+    catalog: SnapshotCatalog
+    stages: list[tuple[str, Callable[["Pipeline"], DataFrame]]] = field(default_factory=list)
+    partition_by: dict[str, list[str]] = field(default_factory=dict)
+
+    def stage(self, name: str, partition_by: list[str] | None = None):
+        def deco(fn):
+            self.stages.append((name, fn))
+            if partition_by:
+                self.partition_by[name] = partition_by
+            return fn
+        return deco
+
+    def table(self, name: str) -> DataFrame:
+        return self.catalog.read(name)
+
+    def run(self, resume: bool = True) -> list[StageResult]:
+        results = []
+        for name, fn in self.stages:
+            t0 = time.time()
+            if resume and self.catalog.exists(name):
+                results.append(StageResult(name, True, time.time() - t0, None))
+                continue
+            df = fn(self)
+            snap = self.catalog.write(df, name, self.partition_by.get(name))
+            results.append(StageResult(name, False, time.time() - t0, snap))
+        return results
+
+
+def planet_pipeline(spark: SparkSession, catalog: SnapshotCatalog,
+                    documents: DataFrame, tag_keys: list[str] | None = None,
+                    zoom: int = 14) -> Pipeline:
+    """The 4-stage reference planet pipeline as a checkpointed Pipeline:
+    parse -> join -> assemble -> tile-assign/count (SURVEY.md section 3.1),
+    each stage a resumable snapshot."""
+    from osm_hadoop_spark.operators.tile_join import assign_tiles, tile_counts
+    from osm_hadoop_spark.operators.way_assembly import (
+        assemble_ways,
+        join_node_coords,
+    )
+    from osm_hadoop_spark.sources import spans as S
+
+    p = Pipeline(spark, catalog)
+
+    @p.stage("nodes")
+    def _nodes(pl):
+        return S.parse_nodes(documents)
+
+    @p.stage("ways")
+    def _ways(pl):
+        w = S.parse_ways(documents)
+        return S.filter_ways_by_tags(w, tag_keys) if tag_keys else w
+
+    @p.stage("way_nodes")
+    def _way_nodes(pl):
+        wn = S.parse_way_nodes(documents)
+        if tag_keys:
+            wn = wn.join(pl.table("ways").select("way_id"), "way_id", "left_semi")
+        return wn
+
+    @p.stage("referenced")
+    def _referenced(pl):
+        return join_node_coords(pl.table("nodes"), pl.table("way_nodes"))
+
+    @p.stage("ways_geom")
+    def _ways_geom(pl):
+        return assemble_ways(pl.table("ways"), pl.table("referenced"))
+
+    @p.stage("tile_assignments")
+    def _assign(pl):
+        return assign_tiles(pl.table("ways_geom"), zoom=zoom, tms=False)
+
+    @p.stage("tile_counts")
+    def _counts(pl):
+        return tile_counts(pl.table("tile_assignments"))
+
+    return p

@@ -52,15 +52,25 @@ def _u01(v: np.ndarray, salt: int) -> np.ndarray:
     return _mix64(v, salt).astype(np.float64) / float(2**64)
 
 
+_NODES_PER_CELL = 64  # consecutive node ids share a ~0.5-degree cell
+
+
 def node_coords(node_ids: np.ndarray, seed: int = _SEED_DEFAULT, skew: bool = False):
-    """Deterministic (lon, lat) per node id; 20% clustered; skew variant puts
-    50% of nodes into one dense cell (FIXTURES.md section 7)."""
+    """Deterministic, LOCALITY-PRESERVING (lon, lat) per node id.
+
+    Consecutive node ids land in the same ~0.5-degree cell (cell = id/64,
+    cell center hashed onto the globe, offset hashed within the cell), so
+    ways built from contiguous id windows are geographically local like real
+    OSM ways — a world-spanning synthetic way would make fixed-zoom tile
+    covers quadratically explode, which no real workload exhibits.
+    Skew variant relocates 50% of nodes into one dense cell
+    (FIXTURES.md section 7)."""
     nid = np.asarray(node_ids, dtype=np.uint64)
-    lon = _u01(nid, seed * 1000 + 1) * 359.8 - 179.9
-    lat = _u01(nid, seed * 1000 + 2) * 168.0 - 84.0
-    clustered = _mix64(nid, seed * 1000 + 3) % np.uint64(5) == 0
-    lon = np.where(clustered, 10.0 + _u01(nid, seed * 1000 + 4) * 0.5, lon)
-    lat = np.where(clustered, 45.0 + _u01(nid, seed * 1000 + 5) * 0.5, lat)
+    cell = nid // np.uint64(_NODES_PER_CELL)
+    lon = _u01(cell, seed * 1000 + 1) * 358.0 - 179.5
+    lat = _u01(cell, seed * 1000 + 2) * 167.0 - 83.5
+    lon = lon + _u01(nid, seed * 1000 + 4) * 0.1
+    lat = lat + _u01(nid, seed * 1000 + 5) * 0.1
     if skew:
         dense = _mix64(nid, seed * 1000 + 6) % np.uint64(2) == 0  # 50%
         lon = np.where(dense, 2.30 + _u01(nid, seed * 1000 + 7) * 0.05, lon)
@@ -69,13 +79,17 @@ def node_coords(node_ids: np.ndarray, seed: int = _SEED_DEFAULT, skew: bool = Fa
 
 
 def way_nds(way_id: int, n_nodes: int, seed: int = _SEED_DEFAULT, skew: bool = False) -> list[int]:
-    """Deterministic nd list (2..8 node refs) for a way."""
+    """Deterministic nd list (2..8 node refs) for a way: a contiguous window
+    around a hashed base id, so the way is geographically local (see
+    node_coords) while its nodes still live in OTHER documents (J1 remains a
+    genuine cross-document shuffle)."""
     w = np.uint64(way_id)
     n = 2 + int(_mix64(w, seed * 2000 + 1) % np.uint64(7))
-    nds = (
-        _mix64(w + np.arange(n, dtype=np.uint64) * np.uint64(1315423911), seed * 2000 + 2)
-        % np.uint64(n_nodes)
-    ).astype(np.int64) + 1
+    n_cells = max(n_nodes // _NODES_PER_CELL, 1)
+    cell = int(_mix64(w, seed * 2000 + 2) % np.uint64(n_cells))
+    steps = _mix64(w + np.arange(n, dtype=np.uint64) * np.uint64(1315423911),
+                   seed * 2000 + 4) % np.uint64(_NODES_PER_CELL)
+    nds = np.minimum(cell * _NODES_PER_CELL + steps.astype(np.int64), n_nodes - 1) + 1
     out = nds.tolist()
     if skew and int(_mix64(w, seed * 2000 + 3) % np.uint64(10)) < 3:
         out[0] = 1  # viral node 1 appears in ~30% of ways

@@ -1,0 +1,200 @@
+"""Training-data pipeline ops: dedup / textstats / similarity / multimodal.
+
+Run over the driver's flat documents/embeddings tables at sf0.001.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_hadoop_spark.operators.dedup import (
+    exact_clusters,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from osm_hadoop_spark.operators.multimodal import (
+    decode_metadata,
+    frame_sample_stub,
+    resize_stub,
+    synth_media_bytes,
+)
+from osm_hadoop_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    cosine_col,
+)
+from osm_hadoop_spark.operators.textstats import (
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_token_counts(spark, docs):
+    out = token_counts(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    r = {x["doc_id"]: x for x in rows}
+    pdf = docs.toPandas().set_index("doc_id")
+    for did in list(pdf.index)[:50]:
+        text = pdf.loc[did, "text"] or ""
+        assert r[did]["n_ws_tokens"] == len(text.split())
+        assert r[did]["n_chars_measured"] == len(text)
+
+
+def test_token_counts_empty_text(spark):
+    d = spark.createDataFrame([(1, ""), (2, "   "), (3, "one two")],
+                              "doc_id long, text string")
+    got = {r["doc_id"]: r["n_ws_tokens"] for r in token_counts(d).collect()}
+    assert got == {1: 0, 2: 0, 3: 2}
+
+
+def test_quality_scores(spark, docs):
+    out = quality_scores(docs).collect()
+    for r in out[:100]:
+        expected_keep = (
+            r["n_ws_tokens"] >= 5
+            and 100 * r["n_punct"] <= 30 * r["n_ws_tokens"]
+            and 100 * r["n_stop"] >= 2 * r["n_ws_tokens"]
+        )
+        assert r["keep"] == expected_keep
+
+
+def test_lang_id_deterministic_rule(spark):
+    d = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is warm"),
+         (2, "le chat et la porte de la maison"),
+         (3, "der hund und die katze ist nicht da"),
+         (4, "xyzzy qwerty plugh")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(d).collect()}
+    assert got == {1: "en", 2: "fr", 3: "de", 4: "und"}
+
+
+def test_fingerprints_shape(spark, docs):
+    out = fingerprints(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:20]:
+        assert r["text_h60"] is not None and r["text_h60"] >= 0
+        if r["n_selected"] == 0:
+            assert r["min_selected"] is None
+
+
+def test_exact_clusters(spark):
+    d = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    got = {r["text_md5"]: (r["n_docs"], r["rep_doc"]) for r in exact_clusters(d).collect()}
+    assert sorted(v[0] for v in got.values()) == [1, 2]
+    assert min(v[1] for v in got.values() if v[0] == 2) == 1
+
+
+def test_jaccard_and_minhash_find_planted_dups(spark, docs):
+    """Plant two near-duplicates; both families must find them."""
+    base = docs.limit(20)
+    pdf = base.toPandas()
+    text0 = pdf["text"].iloc[0]
+    words = text0.split()
+    words[len(words) // 2] = "PERTURBED"
+    near = " ".join(words)
+    planted = spark.createDataFrame(
+        [(900001, text0, "en", "dup", len(text0)),
+         (900002, near, "en", "dup", len(near))],
+        base.schema,
+    )
+    corpus = base.unionByName(planted)
+    jp = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(corpus, 5, 10).collect()}
+    assert any({a, b} >= {0, 900001} or {a, b} >= {900001, 900002} for a, b in jp)
+    assert (900001, 900002) in jp or (int(pdf["doc_id"].iloc[0]), 900001) in jp
+    mh = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(corpus, m=8, bands=4).collect()}
+    assert (int(pdf["doc_id"].iloc[0]), 900001) in mh  # exact dup always caught
+
+
+def test_simhash_pairs_exact_dup(spark, docs):
+    base = docs.limit(15)
+    text0 = base.toPandas()["text"].iloc[0]
+    planted = spark.createDataFrame(
+        [(900001, text0, "en", "dup", len(text0))], base.schema
+    )
+    corpus = base.unionByName(planted)
+    pairs = simhash_pairs(corpus, bits=16, max_hamming=2).collect()
+    assert any(r["doc_a"] == 0 and r["doc_b"] == 900001 and r["hamming"] == 0
+               for r in pairs)
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    got = brute_force_topk(emb, queries, k=4).collect()
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].apply(np.asarray)).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    ids = pdf["vec_id"].to_numpy()
+    for qi in range(3):
+        qv = mat[qi]
+        scores = mat @ qv / (norms * np.linalg.norm(qv))
+        order = sorted(
+            [(float(-s), int(i)) for s, i in zip(scores, ids) if i != ids[qi]]
+        )[:4]
+        expected = [i for _, i in order]
+        got_q = sorted(
+            [(r["rank"], r["vec_id"]) for r in got if r["query_id"] == ids[qi]]
+        )
+        assert [v for _, v in got_q] == expected
+
+
+def test_ann_lsh_recall(spark, emb):
+    queries = emb.limit(20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = brute_force_topk(emb, queries, k=3).collect()
+    approx = ann_lsh_topk(emb, queries, k=3, dim=64, n_planes=6).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall > 0.25  # 6-plane single-probe on random vectors is coarse
+    # every approx hit must be a real (within-bucket) neighbor of the query
+    assert all(q != v for q, v in approx_set)
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = synth_media_bytes(docs.limit(30))
+    meta = decode_metadata(media.select("doc_id", "media"))
+    rows = meta.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert 16 <= r["width"] < 256 and 12 <= r["height"] < 192
+        assert 1 <= r["n_frames"] <= 8
+    resized = media.select("doc_id", resize_stub("media").alias("media2"))
+    meta2 = {r["doc_id"]: r for r in decode_metadata(
+        resized.withColumnRenamed("media2", "media")).collect()}
+    for r in rows:
+        assert meta2[r["doc_id"]]["width"] == max(r["width"] // 2, 1)
+    frames = media.select("doc_id", frame_sample_stub("media").alias("frames")).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    for fr in frames:
+        assert len(fr["frames"]) == by_id[fr["doc_id"]]["n_frames"]
+
+
+def test_multimodal_decode_rejects_non_stub(spark):
+    d = spark.createDataFrame([(1, bytearray(b"JUNKDATA0123"))], "doc_id long, media binary")
+    with pytest.raises(Exception, match="NotImplementedError|stub|OSMM|decoding"):
+        decode_metadata(d).collect()

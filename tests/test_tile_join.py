@@ -1,0 +1,216 @@
+"""J3 filter-and-refine tile join + A4/A6 + zonal A5 + kNN J6 (oracled)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_hadoop_spark.config import BUFFER_DEG_Z13, ZONAL_BINS
+from osm_hadoop_spark.functions.geometry import parse_wkt_batch
+from osm_hadoop_spark.functions.spatial import (
+    point_polyline_dist_sq,
+    polyline_box_dist_sq,
+    polyline_box_intersects,
+)
+from osm_hadoop_spark.functions.tiles import (
+    tile_bounds,
+    tile_for_point,
+    tiles_for_envelope_flat,
+    unpack_tile,
+)
+from osm_hadoop_spark.operators.knn import knn_join
+from osm_hadoop_spark.operators.tile_join import (
+    assign_tiles,
+    or_composite_bitsets,
+    rasterize_tile_bitsets,
+    tile_counts,
+)
+from osm_hadoop_spark.operators.zonal import (
+    pixels_to_cells,
+    zonal_histogram,
+    zonal_histogram_text,
+)
+from osm_hadoop_spark.sources.fixtures import gen_raster_tiles, gen_ways_tagged
+
+
+@pytest.fixture(scope="module")
+def ways_arrays(spark):
+    pdf = gen_ways_tagged(spark, n=60).toPandas()
+    xs_l, ys_l = [], []
+    for w in pdf["geometry_wkt"]:
+        xs, ys, _ = parse_wkt_batch([w])
+        xs_l.append(xs.tolist())
+        ys_l.append(ys.tolist())
+    pdf = pdf.assign(xs=xs_l, ys=ys_l)
+    return spark.createDataFrame(
+        pdf[["way_id", "highway", "xs", "ys"]],
+        "way_id long, highway string, xs array<double>, ys array<double>",
+    ).cache()
+
+
+def brute_force_tiles(pdf, zoom, tms, buffer_deg):
+    """Oracle: candidate enumeration + exact refine, one way at a time."""
+    out = set()
+    for _, r in pdf.iterrows():
+        xs = np.asarray(r["xs"]); ys = np.asarray(r["ys"])
+        cand, _ = tiles_for_envelope_flat(
+            np.array([xs.min() - buffer_deg]), np.array([ys.min() - buffer_deg]),
+            np.array([xs.max() + buffer_deg]), np.array([ys.max() + buffer_deg]),
+            zoom, tms=tms,
+        )
+        bxmin, bymin, bxmax, bymax = tile_bounds(cand, tms=tms)
+        n = cand.shape[0]
+        counts = np.full(n, xs.shape[0], dtype=np.int64)
+        fx = np.tile(xs, n); fy = np.tile(ys, n)
+        if buffer_deg > 0:
+            keep = polyline_box_dist_sq(fx, fy, counts, bxmin, bymin, bxmax, bymax) <= buffer_deg**2
+        else:
+            keep = polyline_box_intersects(fx, fy, counts, bxmin, bymin, bxmax, bymax)
+        for t in cand[keep]:
+            out.add((int(r["way_id"]), int(t)))
+    return out
+
+
+def test_assign_tiles_matches_oracle_z16(spark, ways_arrays):
+    got = {(r["way_id"], r["tile_id"]) for r in assign_tiles(ways_arrays, 16, tms=True).collect()}
+    expected = brute_force_tiles(ways_arrays.toPandas(), 16, True, 0.0)
+    assert got == expected
+    assert len(got) > len(ways_arrays.toPandas())  # multi-tile ways exist
+
+
+def test_assign_tiles_buffered_z13(spark, ways_arrays):
+    got = {(r["way_id"], r["tile_id"])
+           for r in assign_tiles(ways_arrays, 13, tms=True, buffer_deg=BUFFER_DEG_Z13).collect()}
+    expected = brute_force_tiles(ways_arrays.toPandas(), 13, True, BUFFER_DEG_Z13)
+    assert got == expected
+    unbuffered = {(r["way_id"], r["tile_id"])
+                  for r in assign_tiles(ways_arrays, 13, tms=True).collect()}
+    assert unbuffered <= got  # buffering only adds tiles
+
+
+def test_refine_prunes_candidates(spark, ways_arrays):
+    cover = assign_tiles(ways_arrays, 14, tms=True, refine=False).count()
+    refined = assign_tiles(ways_arrays, 14, tms=True, refine=True).count()
+    assert refined <= cover
+
+
+def test_tile_counts_salted_equals_plain(spark, ways_arrays):
+    assigned = assign_tiles(ways_arrays, 16, tms=True).cache()
+    plain = {(r["tile_id"], r["n_ways"]) for r in tile_counts(assigned).collect()}
+    salted = {(r["tile_id"], r["n_ways"]) for r in tile_counts(assigned, salted=True).collect()}
+    assert plain == salted
+
+
+def test_bitset_burn_and_or_composite(spark):
+    # two ways crossing one z13 tile; composite must equal elementwise OR
+    ways = spark.createDataFrame(
+        [(1, [10.0, 10.02], [45.0, 45.0]), (2, [10.0, 10.0], [44.99, 45.02])],
+        "way_id long, xs array<double>, ys array<double>",
+    )
+    per_way = rasterize_tile_bitsets(ways, 13, BUFFER_DEG_Z13).cache()
+    rows = per_way.collect()
+    assert len(rows) >= 2
+    by_tile = {}
+    for r in rows:
+        arr = np.frombuffer(r["bitset"], dtype=np.uint8)
+        assert arr.shape[0] == 256 * 256 // 8
+        assert arr.any()  # buffered way must set pixels in its tiles
+        by_tile.setdefault(r["tile_id"], []).append(arr)
+    comp = {r["tile_id"]: np.frombuffer(r["bitset"], dtype=np.uint8)
+            for r in or_composite_bitsets(per_way).collect()}
+    for t, arrs in by_tile.items():
+        assert (comp[t] == np.bitwise_or.reduce(np.stack(arrs), axis=0)).all()
+    comp2 = {r["tile_id"]: np.frombuffer(r["bitset"], dtype=np.uint8)
+             for r in or_composite_bitsets(per_way, salted=False).collect()}
+    assert set(comp) == set(comp2)
+    for t in comp:
+        assert (comp[t] == comp2[t]).all()
+
+
+# ---------------------------------------------------------------------------
+# A5 zonal
+# ---------------------------------------------------------------------------
+
+def zonal_oracle(pdf, zoom, quirk):
+    out = {}
+    for _, r in pdf.iterrows():
+        w, h = r["width"], r["height"]
+        vals = np.asarray(r["pixels"], dtype=np.int32).reshape(h, w)
+        for row in range(h):
+            for col in range(w):
+                if quirk:
+                    x = r["origin_x"] + (col + 1) * r["pixel_size_x"]
+                    y = r["origin_y"] - row * r["pixel_size_y"]
+                else:
+                    x = r["origin_x"] + (col + 0.5) * r["pixel_size_x"]
+                    y = r["origin_y"] - (row + 0.5) * r["pixel_size_y"]
+                t = int(tile_for_point(np.array([x]), np.array([y]), zoom)[0])
+                key = (t, int(vals[row, col]))
+                out[key] = out.get(key, 0) + 1
+    return out
+
+
+@pytest.mark.parametrize("quirk", [True, False])
+def test_zonal_histogram_matches_oracle(spark, quirk):
+    rt = gen_raster_tiles(spark)
+    got = {(r["tile_id"], r["val"]): r["cnt"]
+           for r in zonal_histogram(rt, zoom=14, reference_quirk=quirk).collect()}
+    expected = zonal_oracle(rt.toPandas(), 14, quirk)
+    assert got == expected
+    assert max(v for (_, v), _c in zip(got.keys(), got.values())) < ZONAL_BINS
+
+
+def test_zonal_quirk_differs_from_centers(spark):
+    """The E14 x-offset quirk must be observable (different tiling near edges)."""
+    rt = gen_raster_tiles(spark)
+    a = zonal_histogram(rt, reference_quirk=True)
+    b = zonal_histogram(rt, reference_quirk=False)
+    assert a.exceptAll(b).count() > 0
+
+
+def test_zonal_text_shape(spark):
+    rt = gen_raster_tiles(spark)
+    row = zonal_histogram_text(zonal_histogram(rt)).first()
+    v, c = row["bin_text"].split(":")
+    assert int(v) >= 0 and int(c) > 0
+
+
+# ---------------------------------------------------------------------------
+# J6 kNN
+# ---------------------------------------------------------------------------
+
+def test_knn_matches_brute_force(spark, ways_arrays):
+    rng = np.random.default_rng(11)
+    pts = [(int(i), float(lon), float(lat)) for i, (lon, lat) in enumerate(
+        zip(rng.uniform(-12, 12, 25), rng.uniform(-10, 10, 25)))]
+    points = spark.createDataFrame(pts, "point_id long, lon double, lat double")
+    got = knn_join(points, ways_arrays.withColumnRenamed("way_id", "feature_id"), k=3)
+    got_map = {}
+    for r in got.collect():
+        got_map.setdefault(r["point_id"], []).append((r["rank"], r["feature_id"], r["dist"]))
+
+    fpdf = ways_arrays.toPandas()
+    for pid, lon, lat in pts:
+        dists = []
+        for _, fr in fpdf.iterrows():
+            xs = np.asarray(fr["xs"]); ys = np.asarray(fr["ys"])
+            d = float(np.sqrt(point_polyline_dist_sq(
+                np.array([lon]), np.array([lat]), xs, ys,
+                np.array([xs.shape[0]]))[0]))
+            dists.append((d, int(fr["way_id"])))
+        expected = sorted(dists)[:3]
+        got_sorted = sorted(got_map[pid])
+        assert len(got_sorted) == 3
+        for rank, (exp_d, exp_f) in enumerate(expected, start=1):
+            g = got_sorted[rank - 1]
+            assert g[1] == exp_f, (pid, rank, g, expected)
+            assert abs(g[2] - exp_d) < 1e-12
+
+
+def test_knn_fewer_features_than_k(spark):
+    points = spark.createDataFrame([(1, 0.0, 0.0)], "point_id long, lon double, lat double")
+    features = spark.createDataFrame(
+        [(7, [1.0, 2.0], [1.0, 1.0]), (8, [5.0, 6.0], [5.0, 5.0])],
+        "feature_id long, xs array<double>, ys array<double>",
+    )
+    rows = knn_join(points, features, k=5).collect()
+    assert sorted(r["feature_id"] for r in rows) == [7, 8]
