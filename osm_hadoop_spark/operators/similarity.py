@@ -86,15 +86,27 @@ def ann_lsh_topk(
     dim: int = 64,
     n_planes: int = 12,
     seed: int = 42,
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the query's
-    LSH bucket. Rows may be < k for sparse buckets (approximate contract)."""
+    LSH bucket neighborhood.
+
+    Multi-probe: `probes=1` also searches every bucket one sign-flip away
+    from the query's signature (n_planes extra buckets) — the standard
+    recall lever that avoids building multiple hash tables. Rows may be < k
+    for sparse neighborhoods (approximate contract)."""
     b = lsh_bucket_udf(dim, n_planes, seed)
     emb_b = embeddings.withColumn("bucket", b("embedding"))
     q_b = queries.withColumn("bucket", b("q_embedding"))
+    if probes > 0:
+        # enumerate the query bucket plus all 1-bit-flip buckets (JVM-side)
+        flips = F.array(F.col("bucket"), *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)
+        ])
+        q_b = q_b.withColumn("bucket", F.explode(flips))
     joined = emb_b.join(F.broadcast(q_b), "bucket").filter(
         F.col("vec_id") != F.col("query_id")
-    ).select(
+    ).dropDuplicates(["query_id", "vec_id"]).select(
         "query_id", "vec_id", cosine_col("embedding", "q_embedding").alias("score")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())

@@ -50,15 +50,22 @@ def assign_tiles(
     buffer_deg: float = 0.0,
     refine: bool = True,
     id_col: str = "way_id",
+    max_cells_per_geom: int | None = 65536,
 ) -> DataFrame:
     """ways(id_col, xs, ys) -> (id_col, tile_id) surviving pairs.
 
     `refine=False` returns the raw envelope cover (the filter stage only).
+    `max_cells_per_geom` drops geometries whose envelope cover exceeds the
+    cap BEFORE enumeration — the anti-corruption guard for fixed-zoom covers
+    (same rationale as the reference's F6 length guard,
+    WayRasterizer.scala:165-168): one corrupt world-spanning geometry would
+    otherwise materialize millions of candidate pairs inside a single task.
     """
     zoom = int(zoom)
     tms_f = bool(tms)
     buf = float(buffer_deg)
     do_refine = bool(refine)
+    max_cells = max_cells_per_geom
 
     src = ways.select(F.col(id_col).alias("_id"), "xs", "ys")
 
@@ -78,6 +85,24 @@ def assign_tiles(
                 continue
             xs, ys, counts = _flat_coords(pdf)
             xmin, ymin, xmax, ymax = envelopes_flat(xs, ys, counts)
+            if max_cells is not None:
+                import sys
+
+                from osm_hadoop_spark.functions.tiles import _xtile, _ytile
+
+                nx = _xtile(xmax + buf, zoom) - _xtile(xmin - buf, zoom) + 1
+                ny = _ytile(ymin - buf, zoom) - _ytile(ymax + buf, zoom) + 1
+                ok = nx * ny <= max_cells
+                if not ok.all():
+                    print(
+                        f"assign_tiles: dropped {int((~ok).sum())} geometries "
+                        f"exceeding {max_cells} cells at z{zoom}",
+                        file=sys.stderr,
+                    )
+                    keep_coord = np.repeat(ok, counts)
+                    xs, ys, counts = xs[keep_coord], ys[keep_coord], counts[ok]
+                    pdf = pdf.loc[ok].reset_index(drop=True)
+                    xmin, ymin, xmax, ymax = xmin[ok], ymin[ok], xmax[ok], ymax[ok]
             tiles, env_idx = tiles_for_envelope_flat(
                 xmin - buf, ymin - buf, xmax + buf, ymax + buf, zoom, tms=tms_f
             )

@@ -66,13 +66,15 @@ def node_coords(node_ids: np.ndarray, seed: int = _SEED_DEFAULT, skew: bool = Fa
     Skew variant relocates 50% of nodes into one dense cell
     (FIXTURES.md section 7)."""
     nid = np.asarray(node_ids, dtype=np.uint64)
-    cell = nid // np.uint64(_NODES_PER_CELL)
+    cell = (nid - np.uint64(1)) // np.uint64(_NODES_PER_CELL)  # ids are 1-based
     lon = _u01(cell, seed * 1000 + 1) * 358.0 - 179.5
     lat = _u01(cell, seed * 1000 + 2) * 167.0 - 83.5
     lon = lon + _u01(nid, seed * 1000 + 4) * 0.1
     lat = lat + _u01(nid, seed * 1000 + 5) * 0.1
     if skew:
-        dense = _mix64(nid, seed * 1000 + 6) % np.uint64(2) == 0  # 50%
+        # relocate whole CELLS (not single nodes) so ways stay local while
+        # ~50% of all geometry piles into one dense ~0.05-degree area
+        dense = _mix64(cell, seed * 1000 + 6) % np.uint64(2) == 0
         lon = np.where(dense, 2.30 + _u01(nid, seed * 1000 + 7) * 0.05, lon)
         lat = np.where(dense, 48.85 + _u01(nid, seed * 1000 + 8) * 0.05, lat)
     return lon, lat
@@ -89,7 +91,8 @@ def way_nds(way_id: int, n_nodes: int, seed: int = _SEED_DEFAULT, skew: bool = F
     cell = int(_mix64(w, seed * 2000 + 2) % np.uint64(n_cells))
     steps = _mix64(w + np.arange(n, dtype=np.uint64) * np.uint64(1315423911),
                    seed * 2000 + 4) % np.uint64(_NODES_PER_CELL)
-    nds = np.minimum(cell * _NODES_PER_CELL + steps.astype(np.int64), n_nodes - 1) + 1
+    # 1-based ids: cell c owns ids [c*64+1, (c+1)*64] (matches node_coords)
+    nds = np.minimum(cell * _NODES_PER_CELL + steps.astype(np.int64) + 1, n_nodes)
     out = nds.tolist()
     if skew and int(_mix64(w, seed * 2000 + 3) % np.uint64(10)) < 3:
         out[0] = 1  # viral node 1 appears in ~30% of ways

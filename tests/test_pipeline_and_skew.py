@@ -1,0 +1,131 @@
+"""Checkpoint/resume pipeline, skew fixture correctness, streaming smoke."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_hadoop_spark.operators.tile_join import assign_tiles, tile_counts
+from osm_hadoop_spark.operators.way_assembly import build_ways_geom
+from osm_hadoop_spark.plans.pipeline import planet_pipeline
+from osm_hadoop_spark.sources.catalog import SnapshotCatalog
+from osm_hadoop_spark.sources.fixtures import gen_documents
+
+
+def test_pipeline_checkpoint_and_resume(spark, db_snapshot_docs, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path / "warehouse"), use_iceberg=False)
+    p = planet_pipeline(spark, cat, db_snapshot_docs, tag_keys=["highway"], zoom=14)
+    r1 = p.run(resume=True)
+    assert all(not s.skipped for s in r1)
+    assert cat.read("ways_geom").count() == 3
+    # lineage metrics recorded
+    log = cat.snapshot_log("ways_geom")
+    assert log[-1]["rows"] == 3
+    assert log[-1]["bytes"] > 0
+    assert sum(pl["rows"] for pl in log[-1]["partition_lineage"]) == 3
+    # resume: everything skips, outputs unchanged
+    p2 = planet_pipeline(spark, cat, db_snapshot_docs, tag_keys=["highway"], zoom=14)
+    r2 = p2.run(resume=True)
+    assert all(s.skipped for s in r2)
+    assert cat.read("tile_counts").count() == cat.read("tile_assignments").select("tile_id").distinct().count()
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path / "w2"), use_iceberg=False)
+    df1 = spark.range(5).withColumnRenamed("id", "v")
+    df2 = spark.range(9).withColumnRenamed("id", "v")
+    s1 = cat.write(df1, "t")
+    s2 = cat.write(df2, "t")
+    assert s2["parent_id"] == s1["snapshot_id"]
+    assert cat.read("t").count() == 9
+    assert cat.read("t", snapshot_id=s1["snapshot_id"]).count() == 5
+
+
+@pytest.fixture(scope="module")
+def skew_docs(spark):
+    return gen_documents(spark, 3000, seed=42, skew=True).cache()
+
+
+def test_skew_fixture_shape(spark, skew_docs):
+    """Viral node 1 must appear in ~30% of ways (FIXTURES.md section 7)."""
+    from osm_hadoop_spark.sources import spans as S
+
+    wn = S.parse_way_nodes(skew_docs)
+    n_ways = wn.select("way_id").distinct().count()
+    viral_ways = wn.filter(F.col("node_id") == 1).select("way_id").distinct().count()
+    assert 0.2 <= viral_ways / n_ways <= 0.4
+
+
+def test_skew_join_correct_and_salting_invariant(spark, skew_docs):
+    """J1+J3 outputs identical with salting on and off over the skewed table."""
+    ways_geom = build_ways_geom(skew_docs, tag_keys=["highway"]).cache()
+    assert ways_geom.count() > 0
+    assigned = assign_tiles(ways_geom, zoom=13, tms=False).cache()
+    plain = {(r["tile_id"], r["n_ways"]) for r in tile_counts(assigned, salted=False).collect()}
+    salted = {(r["tile_id"], r["n_ways"]) for r in tile_counts(assigned, salted=True, salt_buckets=7).collect()}
+    assert plain == salted
+    # dense cell exists: max tile count should swallow a large share of ways
+    # (~50% of cells relocate to a ~0.05-deg area spanning 1-4 z13 tiles)
+    top = max(n for _, n in plain)
+    assert top > ways_geom.count() * 0.1
+
+
+def test_streaming_tile_counts(spark, tmp_path):
+    """Structured Streaming surface: file source -> windowed tile counts
+    equals the batch computation of the same expression."""
+    import pandas as pd
+
+    from osm_hadoop_spark.sources.fixtures import gen_documents
+    from osm_hadoop_spark.streaming.tiles import (
+        sql_xtile,
+        sql_ytile,
+        streaming_tile_counts,
+    )
+
+    docs = gen_documents(spark, 300, seed=7).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1700000000) + (F.crc32("doc_id") % 120))
+    )
+    src = str(tmp_path / "stream_src")
+    docs.write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = streaming_tile_counts(stream, zoom=10, window="1 minute", watermark="5 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("tile_counts_stream")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT tx, ty, CAST(sum(n_nodes) AS BIGINT) n FROM tile_counts_stream GROUP BY tx, ty"
+    ).collect()
+    got_map = {(r["tx"], r["ty"]): r["n"] for r in got}
+
+    from osm_hadoop_spark.sources import spans as S
+
+    nodes = S.parse_nodes(spark.read.parquet(src))
+    batch = nodes.groupBy(
+        sql_xtile(F.col("lon"), 10).alias("tx"), sql_ytile(F.col("lat"), 10).alias("ty")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    batch_map = {(r["tx"], r["ty"]): r["n"] for r in batch.collect()}
+    assert got_map == batch_map
+
+
+def test_streaming_sql_tile_matches_numpy_kernel(spark):
+    """The streaming SQL slippy expression must agree with the NumPy kernel."""
+    import numpy as np
+
+    from osm_hadoop_spark.functions.tiles import tile_for_point, unpack_tile
+
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-179, 179, 300)
+    lat = rng.uniform(-84, 84, 300)
+    pdf = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon, lat)], "lon double, lat double"
+    )
+    from osm_hadoop_spark.streaming.tiles import sql_xtile, sql_ytile
+
+    rows = pdf.select(sql_xtile(F.col("lon"), 12).alias("tx"),
+                      sql_ytile(F.col("lat"), 12).alias("ty")).collect()
+    _z, ex, ey = unpack_tile(tile_for_point(lon, lat, 12))
+    assert [r["tx"] for r in rows] == ex.tolist()
+    assert [r["ty"] for r in rows] == ey.tolist()
