@@ -57,7 +57,7 @@ def ngram_jaccard_pairs(
     so this operator is the 'blocked' family; use minhash_lsh_pairs for
     recall-controlled candidates, or verify_pairs for a given pair list.
     """
-    sh = documents.select(
+    sh = _spread(documents).select(
         F.col("doc_id"), shingles_col(k).alias("sh")
     ).filter(F.size("sh") > 0)
     blocked = sh.withColumn("block", F.element_at("sh", 1))
@@ -75,13 +75,28 @@ def ngram_jaccard_pairs(
 
 def minhash_col(m: int = 8, k: int = 3) -> Column:
     """array of m min-hash values: min over shingles of h60(shingle || '#i')."""
-    sh = shingles_col(k)
+    return minhash_from(shingles_col(k), m)
+
+
+def minhash_from(sh: Column, m: int = 8) -> Column:
+    """minhash array computed from an ALREADY-MATERIALIZED shingle column —
+    keep the shingle construction behind an exchange (repartition) so
+    Catalyst's projection collapse cannot re-inline the md5-heavy shingle
+    expression once per hash seed (an 8x blowup measured at sf0.1)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda i: F.array_min(
             F.transform(sh, lambda s: h60(F.concat_ws("#", s.cast("string"), i.cast("string"))))
         ),
     )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's parallelism: the documents table often
+    arrives as ONE file/partition; every dedup family is CPU-bound, and the
+    exchange doubles as a projection-collapse barrier (see minhash_from)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
 
 
 def minhash_lsh_pairs(
@@ -101,44 +116,54 @@ def minhash_lsh_pairs(
     (the skew guard — a bucket of B docs makes B^2 pairs).
     """
     rows_per_band = m // bands
-    sigs = documents.select(
-        "doc_id", shingles_col(k).alias("sh"), minhash_col(m, k).alias("mh")
-    ).filter(F.size("sh") > 0)
+    sh_df = (
+        _spread(documents)
+        .select("doc_id", shingles_col(k).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        # ^ exchange barrier: prevents projection collapse from re-inlining
+        #   the shingle expression into each of the m min-hash expressions
+    )
+    sigs = sh_df.select("doc_id", "sh", minhash_from(F.col("sh"), m).alias("mh"))
+    # band rows carry only (doc_id, bucket) — the heavy shingle arrays stay
+    # OUT of the self-join shuffle and are joined back for the (few)
+    # surviving candidate pairs only
     banded = sigs.select(
-        "doc_id", "sh",
+        "doc_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.slice("mh", b * rows_per_band + 1, rows_per_band).alias("sig"),
+                lambda b: F.concat_ws(
+                    "-", b,
+                    # collision-free bucket key (string of the band signature)
+                    # so the candidate set is exactly reproducible by the oracle
+                    F.concat_ws(",", F.slice("mh", b * rows_per_band + 1, rows_per_band)),
                 ),
             )
-        ).alias("bs"),
-    ).select(
-        "doc_id", "sh", F.col("bs.band").alias("band"),
-        # collision-free bucket key (string of the band signature) so the
-        # candidate set is exactly reproducible by the SQL oracle
-        F.concat_ws("-", F.col("bs.band"), F.concat_ws(",", F.col("bs.sig"))).alias("bucket"),
+        ).alias("bucket"),
     )
     if bucket_cap:
-        sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bn"))
+        sizes = banded.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
         banded = banded.join(
-            sizes.filter(F.col("bn") <= bucket_cap).select("band", "bucket"),
-            ["band", "bucket"], "left_semi",
+            sizes.filter(F.col("bn") <= bucket_cap).select("bucket"),
+            ["bucket"], "left_semi",
         )
-    a = banded.select("band", "bucket", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = banded.select("band", "bucket", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    a = banded.select("bucket", F.col("doc_id").alias("doc_a"))
+    b = banded.select("bucket", F.col("doc_id").alias("doc_b"))
     cand = (
-        a.join(b, ["band", "bucket"])
+        a.join(b, ["bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    pairs = cand.select(
-        "doc_a", "doc_b",
-        F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
-        F.size(F.array_union("sh_a", "sh_b")).alias("uni"),
+    pairs = (
+        cand.join(sh_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size(F.array_union("sh_a", "sh_b")).alias("uni"),
+        )
     )
     return pairs.filter(F.col("inter") * t_den >= F.col("uni") * t_num)
 
@@ -147,8 +172,11 @@ def simhash_col(bits: int = 16) -> Column:
     """b-bit SimHash over whitespace tokens: bit j set iff
     sum over tokens of (2*bit_j(h60(token)) - 1) >= 0 (ties -> set, since
     the empty-token case is filtered upstream)."""
-    toks = tokens_col()
-    hashes = F.transform(toks, lambda t: h60(t))
+    return simhash_from_hashes(F.transform(tokens_col(), lambda t: h60(t)), bits)
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
+    """SimHash from a pre-computed token-hash array column."""
     # unrolled per-bit expressions (shift amounts must be Python literals;
     # a closure factory, NOT a default arg — pyspark inspects lambda arity)
     def _bit_merge(j: int):
@@ -173,9 +201,16 @@ def simhash_pairs(documents: DataFrame, bits: int = 16, max_hamming: int = 2) ->
     and the exact Hamming filter gives perfect precision."""
     nbands = max_hamming + 1
     width = bits // nbands
-    sh = documents.select("doc_id", simhash_col(bits).alias("sh")).filter(
-        F.size(tokens_col()) > 0
+    # materialize token hashes behind an exchange first: simhash_col embeds
+    # the token-hash transform once per BIT, and projection collapse would
+    # otherwise recompute the md5s 16x
+    hashed = (
+        _spread(documents)
+        .select("doc_id", F.transform(tokens_col(), lambda t: h60(t)).alias("th"))
+        .filter(F.size("th") > 0)
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
     )
+    sh = hashed.select("doc_id", simhash_from_hashes(F.col("th"), bits).alias("sh"))
     banded = sh.select(
         "doc_id", "sh",
         F.explode(F.array(*[
