@@ -903,6 +903,191 @@ FROM s
     return {"quality_scores": quality, "lang_id": langid, "doc_fingerprint": fingerprint}
 
 
+# ---------------------------------------------------------------------------
+# raster pipeline queries (E4 snap + E5 Bresenham + F8 remap + A2 / A6)
+# ---------------------------------------------------------------------------
+
+
+def _raster_ways(spark, sf_dir):
+    """3-point ways with bit-exact SQL twins: lon/lat = ((k*m) % 900)/1000.0
+    keeps every way inside a 0.9-degree box (d_fast <= ~110 px on the global
+    43200x21600 grid), and the o_orderpriority -> highway remap exercises
+    both the known-class and default-15 branches of F8."""
+    o = _t(spark, sf_dir, "orders")
+    pr = F.col("o_orderpriority")
+    hw = (
+        F.when(pr == "1-URGENT", "motorway")
+        .when(pr == "2-HIGH", "trunk")
+        .when(pr == "3-MEDIUM", "primary")
+        .when(pr == "4-NOT SPECIFIED", "residential")
+        .otherwise("path")  # not in HIGHWAY_CLASS -> default 15
+    )
+
+    def crd(m: int):
+        return ((F.col("o_orderkey") * m) % 900).cast("double") / F.lit(1000.0)
+
+    return o.select(
+        F.col("o_orderkey").alias("way_id"),
+        hw.alias("highway"),
+        F.array(crd(3), crd(7), crd(11)).alias("xs"),
+        F.array(crd(5), crd(13), crd(17)).alias("ys"),
+    )
+
+
+def _q_rasterize_bresenham(spark, sf_dir):
+    # E4+E5+F8 end-to-end: snap, closed-form Bresenham (mapInPandas), class
+    # remap; aggregated to a deterministic (pix, cls) multiset
+    from osm_hadoop_spark.operators.rasterize import rasterize_ways
+
+    px = rasterize_ways(_raster_ways(spark, sf_dir))
+    return px.groupBy("pix", "cls").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select("pix", F.col("cls").cast("bigint").alias("cls"), "n")
+
+
+_RASTER_CLS_CASE = (
+    "CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 "
+    "WHEN '3-MEDIUM' THEN 4 WHEN '4-NOT SPECIFIED' THEN 11 ELSE 15 END"
+)
+
+# DuckDB twin of the reference Bresenham (raster/Rasterizer.java:22-134) via
+# the proved closed form slow_k = slow_1 + floor((2k*d_slow + d_fast)/(2*d_fast))
+# (functions/raster.py; floor toward -inf, ties |dy|==|dx| -> y-fast branch).
+_ORACLE_RASTERIZE = f"""
+WITH w AS (
+  SELECT {_RASTER_CLS_CASE} AS cls,
+    CAST((o_orderkey*3) % 900 AS DOUBLE)/1000.0 AS lon0,
+    CAST((o_orderkey*7) % 900 AS DOUBLE)/1000.0 AS lon1,
+    CAST((o_orderkey*11) % 900 AS DOUBLE)/1000.0 AS lon2,
+    CAST((o_orderkey*5) % 900 AS DOUBLE)/1000.0 AS lat0,
+    CAST((o_orderkey*13) % 900 AS DOUBLE)/1000.0 AS lat1,
+    CAST((o_orderkey*17) % 900 AS DOUBLE)/1000.0 AS lat2
+  FROM orders
+), seg AS (
+  SELECT cls, lon0 AS ax, lat0 AS ay, lon1 AS bx, lat1 AS by FROM w
+  UNION ALL
+  SELECT cls, lon1, lat1, lon2, lat2 FROM w
+), sn AS (
+  SELECT cls,
+    CAST(trunc((ax + 180.0) * 43200 / 360.0) AS BIGINT) AS x1,
+    CAST(trunc((ay + 90.0) * 21600 / 180.0) AS BIGINT) AS y1,
+    CAST(trunc((bx + 180.0) * 43200 / 360.0) AS BIGINT) AS x2,
+    CAST(trunc((by + 90.0) * 21600 / 180.0) AS BIGINT) AS y2
+  FROM seg
+), nm AS (
+  SELECT cls, xfast,
+    CASE WHEN swp THEN x2 ELSE x1 END AS px1,
+    CASE WHEN swp THEN y2 ELSE y1 END AS py1,
+    CASE WHEN swp THEN x1 ELSE x2 END AS px2,
+    CASE WHEN swp THEN y1 ELSE y2 END AS py2
+  FROM (
+    SELECT *, abs(y2-y1) < abs(x2-x1) AS xfast,
+      CASE WHEN abs(y2-y1) < abs(x2-x1) THEN x2 < x1 ELSE y2 < y1 END AS swp
+    FROM sn
+  )
+), dd AS (
+  SELECT cls, xfast,
+    CASE WHEN xfast THEN px2-px1 ELSE py2-py1 END AS dfast,
+    CASE WHEN xfast THEN py2-py1 ELSE px2-px1 END AS dslow,
+    CASE WHEN xfast THEN px1 ELSE py1 END AS fast1,
+    CASE WHEN xfast THEN py1 ELSE px1 END AS slow1
+  FROM nm
+), kk AS (
+  SELECT cls, xfast, dfast, dslow, fast1, slow1,
+    unnest(generate_series(0, dfast)) AS k
+  FROM dd
+), px AS (
+  SELECT cls, xfast, fast1 + k AS fast,
+    slow1 + CASE WHEN dfast = 0 THEN 0
+      ELSE CAST(floor((2.0*k*dslow + dfast) / (2.0*dfast)) AS BIGINT) END AS slow
+  FROM kk
+)
+SELECT ((CASE WHEN xfast THEN fast ELSE slow END) << 32)
+     | ((CASE WHEN xfast THEN slow ELSE fast END) & 4294967295) AS pix,
+  CAST(cls AS BIGINT) AS cls, CAST(count(*) AS BIGINT) AS n
+FROM px GROUP BY 1, 2
+"""
+
+
+def _q_min_class(spark, sf_dir):
+    # A2: SparkRasterizer.scala:101-102 raw-class min (documented divergence
+    # from the canonical A1 precedence argmin)
+    from osm_hadoop_spark.operators.rasterize import min_class
+
+    return min_class(_pixels(spark, sf_dir)).select(
+        "pix", F.col("cls").cast("bigint").alias("cls")
+    )
+
+
+_ORACLE_MIN_CLASS = f"""
+WITH px AS ({_PIXELS_SQL})
+SELECT pix, CAST(min(cls) AS BIGINT) AS cls FROM px GROUP BY pix
+"""
+
+_W_MOD = 1152921504606846976  # 2^60: keeps words positive, 15 hex digits
+
+
+def _q_bitset_or(spark, sf_dir):
+    # A6: per-tile bitwise-OR composite over binary bitsets via the real
+    # salted two-level applyInPandas operator; words packed to big-endian
+    # binary JVM-side (hex/unhex) and unpacked back for the value oracle
+    from osm_hadoop_spark.operators.tile_join import or_composite_bitsets
+
+    li = _t(spark, sf_dir, "lineitem")
+    words = li.select(
+        (F.col("l_orderkey") % 500).cast("bigint").alias("tile_id"),
+        ((F.col("l_partkey") * 2654435761) % _W_MOD).alias("w0"),
+        ((F.col("l_suppkey") * 972663749) % _W_MOD).alias("w1"),
+    )
+
+    def to_bin(c: str):
+        return F.unhex(F.lpad(F.hex(F.col(c)), 16, "0"))
+
+    bits = words.select("tile_id", F.concat(to_bin("w0"), to_bin("w1")).alias("bitset"))
+    composed = or_composite_bitsets(bits, salted=True)
+
+    def from_bin(pos: int):
+        return F.conv(F.hex(F.expr(f"substring(bitset, {pos}, 8)")), 16, 10).cast("bigint")
+
+    return composed.select("tile_id", from_bin(1).alias("w0"), from_bin(9).alias("w1"))
+
+
+_ORACLE_BITSET_OR = f"""
+SELECT CAST(l_orderkey % 500 AS BIGINT) AS tile_id,
+  CAST(bit_or((l_partkey * 2654435761) % {_W_MOD}) AS BIGINT) AS w0,
+  CAST(bit_or((l_suppkey * 972663749) % {_W_MOD}) AS BIGINT) AS w1
+FROM lineitem GROUP BY 1
+"""
+
+
+def _q_buffered_cover(spark, sf_dir):
+    # E6+E9: z13 buffered candidate enumeration (the RoadlessRasterizeMapSide
+    # filter stage, buffer_deg=0.008333) over LOCAL ways so the fixed-zoom
+    # cover stays bounded
+    from osm_hadoop_spark.config import BUFFER_DEG_Z13
+    from osm_hadoop_spark.operators.tile_join import assign_tiles
+
+    assigned = assign_tiles(
+        _local_ways_geom(spark, sf_dir), zoom=13, tms=False,
+        buffer_deg=BUFFER_DEG_Z13, refine=False,
+    )
+    return assigned.groupBy("way_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tiles")
+    )
+
+
+_ORACLE_BUFFERED_COVER = f"""
+WITH p AS ({_LOCAL_WAY_PTS_SQL}),
+env AS (SELECT way_id, min(lon) - 0.008333 AS x0, max(lon) + 0.008333 AS x1,
+               min(lat) - 0.008333 AS y0, max(lat) + 0.008333 AS y1
+        FROM p GROUP BY way_id HAVING count(*) > 1)
+SELECT way_id,
+  ({_duck_xt('x1', 13)} - {_duck_xt('x0', 13)} + 1)
+  * ({_duck_yt('y0', 13)} - {_duck_yt('y1', 13)} + 1) AS n_tiles
+FROM env
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -913,6 +1098,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_point_z14": _q_tile_point,            # J5/E10
         "tile_cover_count_z7": _q_tile_cover,       # E9 (J3 filter stage)
         "tile_refine_z10": _q_tile_refine,          # J3 exact refine (rows-only)
+        "buffered_cover_z13": _q_buffered_cover,    # E6+E9 buffered filter stage
+        "rasterize_bresenham": _q_rasterize_bresenham,  # E4+E5+F8 raster map side
+        "min_class_pixels": _q_min_class,           # A2 (SparkRasterizer variant)
+        "tile_bitset_or": _q_bitset_or,             # A6 bitset OR composite
         "pip_triangles": _q_pip,                    # E8 refine / PIP containment
         "knn_nodes": _q_knn,                        # J6
         "zonal_points_z14": _q_zonal,               # A5/E16
@@ -946,6 +1135,10 @@ def oracle_sql() -> dict[str, str]:
         "pixel_counts": _ORACLE_PIXEL_COUNTS,
         "tile_point_z14": _ORACLE_TILE_POINT,
         "tile_cover_count_z7": _ORACLE_TILE_COVER,
+        "buffered_cover_z13": _ORACLE_BUFFERED_COVER,
+        "rasterize_bresenham": _ORACLE_RASTERIZE,
+        "min_class_pixels": _ORACLE_MIN_CLASS,
+        "tile_bitset_or": _ORACLE_BITSET_OR,
         "pip_triangles": _ORACLE_PIP,
         "knn_nodes": _ORACLE_KNN,
         "zonal_points_z14": _ORACLE_ZONAL,
