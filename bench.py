@@ -28,7 +28,12 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+# scaling evidence uses a bigger input so compute dominates fixed overheads
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "1500000"))
 SEED = 42
+GEN_PARTITIONS = 128  # fixed: identical input layout at every parallelism
+SPLIT_TASKS = 128  # target scan splits — emulates the task count a real
+# multi-TB input produces under the default 128 MB maxPartitionBytes
 CACHE = os.path.join(REPO, ".bench_cache")
 
 
@@ -39,15 +44,27 @@ def log(msg: str) -> None:
 def ensure_docs_parquet(spark, n_docs: int) -> str:
     """Generate (once) the interleaved-document table; generation is NOT
     part of the measured pipeline."""
-    path = os.path.join(CACHE, f"docs_n{n_docs}_s{SEED}")
+    path = os.path.join(CACHE, f"docs_n{n_docs}_s{SEED}_p{GEN_PARTITIONS}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         log(f"bench: generating {n_docs} interleaved docs -> {path}")
         from osm_hadoop_spark.sources.fixtures import gen_documents
 
-        gen_documents(spark, n_docs, seed=SEED, partitions=int(CPUS)).write.mode(
+        gen_documents(spark, n_docs, seed=SEED, partitions=GEN_PARTITIONS).write.mode(
             "overwrite"
         ).parquet(path)
+    # Size file splits so the scan yields ~SPLIT_TASKS tasks. A planet-scale
+    # input gets this for free from the default 128 MB maxPartitionBytes; a
+    # tens-of-MB local fixture would otherwise collapse to 1-2 tasks and
+    # serialize the whole parse stage. Same value at every parallelism ->
+    # identical work, only the executor count varies (the scaling criterion).
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    split = max(256 * 1024, total // SPLIT_TASKS)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(64 * 1024))
     return path
 
 
@@ -124,6 +141,8 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "docs_per_sec": round(flag["docs_per_sec"], 1),
         "n_docs": flag["n_docs"],
+        "n_tiles": flag["n_tiles"],
+        "n_pairs": flag["n_pairs"],
         "cpus": int(CPUS),
     }
     spark.stop()
@@ -134,7 +153,11 @@ def run_scaling() -> None:
     """local[8] vs local[32] on identical input -> BENCH/BASELINE.md."""
     results = {}
     for cpus in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cpus),
+            SPARK_GRAFT_BENCH_DOCS=str(SCALING_DOCS),
+        )
         log(f"scaling: running flagship at local[{cpus}]")
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--flagship-only"],

@@ -57,6 +57,51 @@ def parse_wkt_batch(wkts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return xs, ys, counts
 
 
+def linestrings_to_wkb(xs_list, ys_list) -> list[bytes]:
+    """coords -> WKB LineString bytes, one per row (E2; WayLoader.scala:90,
+    108-109 via JTS WKBWriter).
+
+    JTS WKBWriter defaults to big-endian (XDR): byte 0x00, uint32 type=2,
+    uint32 npoints, then npoints * (float64 x, float64 y). The per-row byte
+    assembly is a NumPy structured dump — no per-coordinate Python."""
+    out: list[bytes] = []
+    for xs, ys in zip(xs_list, ys_list):
+        xs = np.asarray(xs, dtype=">f8")
+        ys = np.asarray(ys, dtype=">f8")
+        n = xs.shape[0]
+        coords = np.empty((n, 2), dtype=">f8")
+        coords[:, 0] = xs
+        coords[:, 1] = ys
+        header = b"\x00" + np.array([2, n], dtype=">u4").tobytes()
+        out.append(header + coords.tobytes())
+    return out
+
+
+def wkb_to_linestrings(wkbs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of `linestrings_to_wkb` (accepts either byte order).
+
+    Returns (xs, ys, counts) flat arrays, same layout as parse_wkt_batch."""
+    per_row = []
+    counts = np.empty(len(wkbs), dtype=np.int64)
+    for i, raw in enumerate(wkbs):
+        big = raw[0] == 0
+        u4, f8 = (">u4", ">f8") if big else ("<u4", "<f8")
+        geom_type, n = np.frombuffer(raw, dtype=u4, count=2, offset=1)
+        if geom_type != 2:
+            raise ValueError(f"not a WKB LineString: type={geom_type}")
+        coords = np.frombuffer(raw, dtype=f8, count=2 * int(n), offset=9)
+        per_row.append(coords.reshape(int(n), 2))
+        counts[i] = n
+    flat = (
+        np.concatenate(per_row) if per_row else np.zeros((0, 2), dtype=np.float64)
+    )
+    return (
+        flat[:, 0].astype(np.float64),
+        flat[:, 1].astype(np.float64),
+        counts,
+    )
+
+
 def linestring_length_flat(
     xs: np.ndarray, ys: np.ndarray, counts: np.ndarray
 ) -> np.ndarray:

@@ -89,6 +89,22 @@ def _linestring_wkt_udf(xs, ys):
     )
 
 
+@F.pandas_udf(T.BinaryType())
+def _linestring_wkb_udf(xs, ys):
+    import pandas as pd
+
+    from osm_hadoop_spark.functions.geometry import linestrings_to_wkb
+
+    return pd.Series(linestrings_to_wkb(xs, ys), dtype="object")
+
+
+def with_wkb(ways_geom: DataFrame, col_name: str = "geometry_wkb") -> DataFrame:
+    """Attach the JTS-big-endian WKB serialization (E2; WayLoader.scala:90,
+    108-109 — the reference's HBase storage codec). Binary column, preferred
+    over WKT for any persisted geometry."""
+    return ways_geom.withColumn(col_name, _linestring_wkb_udf("xs", "ys"))
+
+
 def with_wkt(ways_geom: DataFrame, col_name: str = "geometry_wkt") -> DataFrame:
     """Attach the reference-parity WKT serialization (WayBuilder.scala:97-101,
     JTS WKTWriter format). Edge/output concern only — internal kernels use
@@ -97,22 +113,33 @@ def with_wkt(ways_geom: DataFrame, col_name: str = "geometry_wkt") -> DataFrame:
 
 
 def build_ways_geom(documents: DataFrame, tag_keys: list[str] | None = None,
-                    validate: bool = False) -> DataFrame:
+                    validate: bool = False, cache: bool = True) -> DataFrame:
     """documents -> assembled ways: the Phase-1 spine (SURVEY.md section 7).
 
     scan -> span parse (JVM from_json) -> F1 tag filter -> J1 join -> J2
     assembly. `validate=True` runs the reference's uniqueness assertions.
+
+    Scan economy: osm.way spans are parsed ONCE into (way_id, tags, nds);
+    way_nodes is the explode of the already-filtered relation — same
+    semantics as the reference, which applies the tag filter before waynode
+    emission inside one mapper pass (NodeJoiner.scala:110-122). With
+    `cache=True` the slim parsed relation is persisted (memory, spill to
+    disk), so the documents table is physically scanned twice total (ways +
+    nodes) instead of four times — the difference between 200 TB and 400 TB
+    of input reads at planet scale.
     """
+    from pyspark import StorageLevel
+
     from osm_hadoop_spark.sources import spans as S
 
-    nodes = S.parse_nodes(documents)
-    ways = S.parse_ways(documents)
-    way_nodes = S.parse_way_nodes(documents)
+    wf = S.parse_ways_with_nds(documents)
     if tag_keys:
-        ways = S.filter_ways_by_tags(ways, tag_keys)
-        # reference filters waynode emission by the same predicate
-        # (NodeJoiner.scala:110): semi-join prunes refs of filtered-out ways.
-        way_nodes = way_nodes.join(ways.select("way_id"), "way_id", "left_semi")
+        wf = S.filter_ways_by_tags(wf, tag_keys)
+    if cache:
+        wf = wf.persist(StorageLevel.MEMORY_AND_DISK)
+    ways = wf.select("way_id", "tags")
+    way_nodes = S.explode_way_nodes(wf)
+    nodes = S.parse_nodes(documents)
     if validate:
         check_unique(nodes, "node_id", "nodes")
         check_unique(ways, "way_id", "ways")

@@ -80,15 +80,15 @@ def planet_pipeline(spark: SparkSession, catalog: SnapshotCatalog,
 
     @p.stage("ways")
     def _ways(pl):
-        w = S.parse_ways(documents)
+        # (way_id, tags, nds): carrying nds in the snapshot lets the
+        # way_nodes stage derive refs WITHOUT re-scanning documents — one
+        # documents pass per span kind, total 2 for the whole pipeline.
+        w = S.parse_ways_with_nds(documents)
         return S.filter_ways_by_tags(w, tag_keys) if tag_keys else w
 
     @p.stage("way_nodes")
     def _way_nodes(pl):
-        wn = S.parse_way_nodes(documents)
-        if tag_keys:
-            wn = wn.join(pl.table("ways").select("way_id"), "way_id", "left_semi")
-        return wn
+        return S.explode_way_nodes(pl.table("ways"))
 
     @p.stage("referenced")
     def _referenced(pl):

@@ -75,6 +75,30 @@ def parse_ways(documents: DataFrame) -> DataFrame:
     ).filter(F.col("way_id").isNotNull())
 
 
+def parse_ways_with_nds(documents: DataFrame) -> DataFrame:
+    """osm.way spans -> (way_id, tags, nds): ONE parse serving both the F4
+    way projection and the waynode-ref emission. At planet scale the
+    documents scan dominates; deriving way_nodes by exploding `nds` off this
+    relation (instead of re-parsing documents) halves the osm.way input
+    reads and makes the NodeJoiner.scala:110 filter-before-emit ordering
+    (tag filter THEN waynode emission) structural instead of a semi-join."""
+    s = exploded_spans(documents).filter(F.col("kind") == "osm.way")
+    p = s.select(F.from_json("text", WAY_PAYLOAD_SCHEMA).alias("w"))
+    return p.select(
+        F.col("w.id").alias("way_id"),
+        F.col("w.tags").alias("tags"),
+        F.col("w.nds").alias("nds"),
+    ).filter(F.col("way_id").isNotNull())
+
+
+def explode_way_nodes(ways_with_nds: DataFrame) -> DataFrame:
+    """(way_id, tags, nds) -> way_nodes(node_id, way_id, ordinal); ordinal =
+    position in the nd list (NodeJoiner.scala:114-122)."""
+    return ways_with_nds.select(
+        "way_id", F.posexplode("nds").alias("ordinal", "node_id")
+    ).select("node_id", "way_id", "ordinal")
+
+
 def parse_way_nodes(documents: DataFrame) -> DataFrame:
     """osm.way spans -> way_nodes(node_id, way_id, ordinal).
 

@@ -109,3 +109,37 @@ def test_ordinal_sort_with_shuffled_input(spark):
     out = assemble_ways(ways, join_node_coords(nodes, way_nodes)).collect()
     assert out[0]["xs"] == [10.0, 20.0, 30.0, 40.0]
     assert out[0]["ys"] == [-1.0, -2.0, -3.0, -4.0]
+
+
+def test_wkb_roundtrip_and_shapely_layout(db_snapshot_docs):
+    """E2: WKB codec (WayLoader.scala:90,108-109). Golden check: JTS
+    WKBWriter big-endian layout for LINESTRING (1 2, 3 4) is fixed bytes."""
+    import numpy as np
+
+    from osm_hadoop_spark.functions.geometry import (
+        linestrings_to_wkb,
+        wkb_to_linestrings,
+    )
+
+    wkb = linestrings_to_wkb([[1.0, 3.0]], [[2.0, 4.0]])[0]
+    assert wkb[:9] == b"\x00" + (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+    assert wkb == bytes.fromhex(
+        "000000000200000002"
+        "3ff0000000000000" "4000000000000000"
+        "4008000000000000" "4010000000000000"
+    )
+    xs, ys, counts = wkb_to_linestrings([wkb])
+    assert counts.tolist() == [2]
+    assert xs.tolist() == [1.0, 3.0] and ys.tolist() == [2.0, 4.0]
+
+
+def test_with_wkb_spark(db_snapshot_docs):
+    from osm_hadoop_spark.functions.geometry import wkb_to_linestrings
+    from osm_hadoop_spark.operators.way_assembly import with_wkb
+
+    ways_geom = build_ways_geom(db_snapshot_docs, tag_keys=["highway"])
+    rows = with_wkb(ways_geom).orderBy("way_id").collect()
+    assert len(rows) > 0
+    for r in rows:
+        xs, ys, counts = wkb_to_linestrings([r["geometry_wkb"]])
+        assert xs.tolist() == list(r["xs"]) and ys.tolist() == list(r["ys"])
