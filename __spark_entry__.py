@@ -338,14 +338,84 @@ FROM env
 
 
 def _q_tile_refine(spark, sf_dir):
-    # J3 with exact segment-box refine at z10 over LOCAL ways (rows-only
-    # driver check; pytest owns the exactness proof vs the brute oracle)
+    # J3 with exact segment-box refine at z10 over LOCAL ways; DuckDB twin
+    # replicates cover enumeration + the separating-axis segment-box test
     from osm_hadoop_spark.operators.tile_join import assign_tiles, tile_counts
 
     assigned = assign_tiles(_local_ways_geom(spark, sf_dir), zoom=10, tms=False, refine=True)
     return tile_counts(assigned).select(
         "tile_id", F.col("n_ways").cast("bigint").alias("n_ways")
     )
+
+
+def _duck_merc_lat(y_expr: str, z: int) -> str:
+    """Inverse web-mercator tile row -> latitude, same op order as
+    functions/tiles.py tile_bounds (sinh via exp since DuckDB lacks sinh;
+    ulp-level agreement verified empirically on the driver tables)."""
+    n = 1 << z
+    a = f"pi()*(1.0 - 2.0*({y_expr})/{n})"
+    return f"degrees(atan((exp({a}) - exp(-({a})))/2))"
+
+
+def _build_tile_refine_oracle(z: int = 10) -> str:
+    n = 1 << z
+    # cross(d, corner - p1) signs — identical arithmetic order to
+    # functions/spatial.py segment_box_intersects
+    def c(bx_c: str, by_c: str) -> str:
+        return f"((bx-ax)*({by_c}-ay) - (by2-ay)*({bx_c}-ax))"
+
+    corners = [c("bxmin", "bymin"), c("bxmax", "bymin"), c("bxmin", "bymax"), c("bxmax", "bymax")]
+    all_pos = " AND ".join(f"{e} > 0" for e in corners)
+    all_neg = " AND ".join(f"{e} < 0" for e in corners)
+    hit = f"""(
+      least(ax, bx) <= bxmax AND greatest(ax, bx) >= bxmin
+      AND least(ay, by2) <= bymax AND greatest(ay, by2) >= bymin
+    ) AND (
+      (ax >= bxmin AND ax <= bxmax AND ay >= bymin AND ay <= bymax)
+      OR (bx >= bxmin AND bx <= bxmax AND by2 >= bymin AND by2 <= bymax)
+      OR NOT (({all_pos}) OR ({all_neg}))
+    )"""
+    return f"""
+WITH p AS ({_LOCAL_WAY_PTS_SQL}),
+env AS (
+  SELECT way_id, min(lon) AS x0, max(lon) AS x1, min(lat) AS y0, max(lat) AS y1
+  FROM p GROUP BY way_id HAVING count(*) > 1
+),
+rng AS (
+  SELECT way_id, {_duck_xt('x0', z)} AS xt0, {_duck_xt('x1', z)} AS xt1,
+         {_duck_yt('y1', z)} AS yt0, {_duck_yt('y0', z)} AS yt1
+  FROM env
+),
+cx AS (SELECT way_id, yt0, yt1, unnest(generate_series(xt0, xt1)) AS xt FROM rng),
+cand AS (SELECT way_id, xt, unnest(generate_series(yt0, yt1)) AS yt FROM cx),
+bounds AS (
+  SELECT way_id, xt, yt,
+    CAST(xt AS DOUBLE)/{n}*360.0 - 180.0 AS bxmin,
+    CAST(xt+1 AS DOUBLE)/{n}*360.0 - 180.0 AS bxmax,
+    {_duck_merc_lat('yt+1', z)} AS bymin,
+    {_duck_merc_lat('yt', z)} AS bymax
+  FROM cand
+),
+seg AS (
+  SELECT way_id, lon AS ax, lat AS ay,
+    lead(lon) OVER (PARTITION BY way_id ORDER BY ordinal, lon, lat) AS bx,
+    lead(lat) OVER (PARTITION BY way_id ORDER BY ordinal, lon, lat) AS by2
+  FROM p
+  QUALIFY bx IS NOT NULL
+),
+hits AS (
+  SELECT b.way_id, b.xt, b.yt
+  FROM bounds b JOIN seg s USING (way_id)
+  GROUP BY b.way_id, b.xt, b.yt
+  HAVING bool_or({hit})
+)
+SELECT (CAST({z} AS BIGINT) << 58) | (xt << 29) | yt AS tile_id,
+       CAST(count(*) AS BIGINT) AS n_ways
+FROM hits GROUP BY 1
+"""
+
+
+_ORACLE_TILE_REFINE = _build_tile_refine_oracle(10)
 
 
 _TRI_SQL = (
@@ -1097,7 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_counts": _q_pixel_counts,            # A3
         "tile_point_z14": _q_tile_point,            # J5/E10
         "tile_cover_count_z7": _q_tile_cover,       # E9 (J3 filter stage)
-        "tile_refine_z10": _q_tile_refine,          # J3 exact refine (rows-only)
+        "tile_refine_z10": _q_tile_refine,          # J3 exact refine
         "buffered_cover_z13": _q_buffered_cover,    # E6+E9 buffered filter stage
         "rasterize_bresenham": _q_rasterize_bresenham,  # E4+E5+F8 raster map side
         "min_class_pixels": _q_min_class,           # A2 (SparkRasterizer variant)
@@ -1135,6 +1205,7 @@ def oracle_sql() -> dict[str, str]:
         "pixel_counts": _ORACLE_PIXEL_COUNTS,
         "tile_point_z14": _ORACLE_TILE_POINT,
         "tile_cover_count_z7": _ORACLE_TILE_COVER,
+        "tile_refine_z10": _ORACLE_TILE_REFINE,
         "buffered_cover_z13": _ORACLE_BUFFERED_COVER,
         "rasterize_bresenham": _ORACLE_RASTERIZE,
         "min_class_pixels": _ORACLE_MIN_CLASS,
