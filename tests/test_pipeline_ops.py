@@ -201,3 +201,24 @@ def test_multimodal_decode_rejects_non_stub(spark):
     d = spark.createDataFrame([(1, bytearray(b"JUNKDATA0123"))], "doc_id long, media binary")
     with pytest.raises(Exception, match="NotImplementedError|stub|OSMM|decoding"):
         decode_metadata(d).collect()
+
+
+def test_ann_ivf_recall(spark, emb):
+    from osm_hadoop_spark.operators.similarity import ann_ivf_topk
+
+    queries = emb.limit(20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = brute_force_topk(emb, queries, k=3).collect()
+    approx = ann_ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=3).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # nprobe=3 of 8 cells scans ~3/8 of the corpus; random vectors are the
+    # adversarial case, structured embeddings cluster far better
+    assert recall > 0.3
+    # determinism: same fit + assignment on a second run
+    approx2 = ann_ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=3).collect()
+    assert {(r["query_id"], r["vec_id"], r["rank"]) for r in approx2} == {
+        (r["query_id"], r["vec_id"], r["rank"]) for r in approx
+    }
