@@ -129,3 +129,33 @@ def test_streaming_sql_tile_matches_numpy_kernel(spark):
     _z, ex, ey = unpack_tile(tile_for_point(lon, lat, 12))
     assert [r["tx"] for r in rows] == ex.tolist()
     assert [r["ty"] for r in rows] == ey.tolist()
+
+
+def test_streaming_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState exact dedup: first occurrence per fingerprint
+    survives; duplicate count matches the batch groupBy answer."""
+    from osm_hadoop_spark.streaming.dedup import streaming_dedup_exact
+
+    # 120 docs over 40 distinct fingerprints -> exactly 40 survivors
+    rows = [(f"d{i:03d}", i % 40) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id string, fingerprint bigint")
+    src = str(tmp_path / "dedup_src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id string, fingerprint bigint").parquet(src)
+    out = streaming_dedup_exact(stream)
+    q = (
+        out.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT fingerprint, doc_id, n_dupes_dropped FROM dedup_stream"
+    ).collect()
+    assert len(got) == 40
+    by_fp = {r["fingerprint"]: r for r in got}
+    assert set(by_fp) == set(range(40))
+    # per-fingerprint duplicates: fingerprints 0..39 each appear 3 times
+    assert all(r["n_dupes_dropped"] == 2 for r in got)
+    # survivor is the first doc_id of its group in file order
+    assert by_fp[0]["doc_id"] == "d000" and by_fp[39]["doc_id"] == "d039"
