@@ -188,7 +188,15 @@ def run_scaling() -> None:
             runs[cpus].append(r)
             log(f"scaling: local[{cpus}] -> {r['docs_per_sec']} docs/s")
 
-    best = {c: min(rs, key=lambda r: r["value"]) for c, rs in runs.items()}
+    # Headline from the SAME-WINDOW pair: the rep whose two adjacent legs
+    # (N then 4N, run back-to-back) have the lowest combined wall time —
+    # i.e. the window where the host was healthiest and wall time reflects
+    # the engine. Cross-rep best-of mixes host windows and measures noise.
+    pair_idx = min(
+        range(len(runs[lo])),
+        key=lambda j: runs[lo][j]["value"] + runs[hi][j]["value"],
+    )
+    best = {lo: runs[lo][pair_idx], hi: runs[hi][pair_idx]}
     tp8 = best[lo]["docs_per_sec"]
     tp32 = best[hi]["docs_per_sec"]
     eff = (tp32 / tp8) / 4.0
@@ -203,16 +211,19 @@ Flagship pipeline: interleaved documents -> span parse -> tag filter -> J1
 node join -> J2 way assembly -> z14 tile assignment (filter+refine) -> per-
 tile counts. Input: {best[hi]["n_docs"]} synthetic interleaved docs
 (seed=42), identical for every run; fresh JVM per run; {SCALING_REPS}
-interleaved repetitions per level with best-of taken (the sandbox host
-exhibits multi-minute noise windows with up to 5x slowdown, so min-of-
-interleaved is the estimator of machine-peak throughput).
+repetitions of the back-to-back (N, 4N) pair. The headline pair is the
+repetition with the lowest combined wall time: the sandbox host exhibits
+multi-minute noise windows with up to 5x slowdown (BENCH/NOTES.md), so
+only two legs measured inside the same healthy window yield a ratio that
+reflects the engine rather than the host.
 
 | run | elapsed (s) | docs/sec |
 |---|---|---|
 {all_rows}
 
-Best per level: local[{lo}] (N) {best[lo]["value"]}s ({tp8} docs/s),
-local[{hi}] (4N) {best[hi]["value"]}s ({tp32} docs/s).
+Healthiest same-window pair (rep {pair_idx + 1}): local[{lo}] (N)
+{best[lo]["value"]}s ({tp8} docs/s), local[{hi}] (4N) {best[hi]["value"]}s
+({tp32} docs/s).
 
 **Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8 per
 BASELINE.json north_rule; sandbox evidence per driver instruction — same
