@@ -748,8 +748,15 @@ def _q_dedup_minhash(spark, sf_dir):
 
 
 def _duck_minhash(i: int) -> str:
-    seeded = f"CAST(s AS VARCHAR) || '#' || '{i}'"
-    return f"list_min(list_transform(sh, s -> {_duck_h60(seeded)}))"
+    # same affine universal-hash family (and literal coefficients) as
+    # osm_hadoop_spark.operators.dedup.minhash_from
+    from osm_hadoop_spark.operators.dedup import MINHASH_P, minhash_params
+
+    a, b = minhash_params(8)[i]
+    return (
+        f"list_min(list_transform(sh, s -> "
+        f"({a} * (s % {MINHASH_P}) + {b}) % {MINHASH_P}))"
+    )
 
 
 _ORACLE_DEDUP_MINHASH = f"""

