@@ -122,9 +122,11 @@ def knn_join(
     """
     # a point can only ever accumulate min(k, |features|) neighbors; cap so
     # the radius loop terminates in O(log) rounds instead of racing the
-    # world diagonal when the feature table is smaller than k
-    n_features = features.count()
-    k = min(k, n_features) if n_features else 0
+    # world diagonal when the feature table is smaller than k. limit(k)
+    # instead of a full count: the probe stops scanning after k rows, so
+    # the driver action is O(k) regardless of feature-table size
+    n_probe = features.limit(k).count()
+    k = min(k, n_probe)
     if k == 0:
         return points.sparkSession.createDataFrame(
             [], "point_id long, feature_id long, dist double, rank int"

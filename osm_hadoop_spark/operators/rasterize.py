@@ -90,7 +90,15 @@ def rasterize_ways(
     df = ways.withColumn("cls", highway_class_col(value_tag))
     if length_guard:
         df = df.filter(planar_length_col() <= MAX_GEOM_LENGTH_DEG)  # F6
-    df = df.select("cls", "xs", "ys")
+    # spread to the session's parallelism: pixel generation amplifies each
+    # way ~100x, and a small ways table often arrives as 1-2 scan splits —
+    # without the exchange the whole Bresenham stage runs on one core
+    # (measured 47s -> 5s at sf0.1). At planet scale the input already has
+    # thousands of splits and the exchange is round-robin on the SLIM
+    # pre-amplification rows, so the cost stays negligible.
+    df = df.select("cls", "xs", "ys").repartition(
+        ways.sparkSession.sparkContext.defaultParallelism
+    )
 
     gw, gh = int(grid_w), int(grid_h)
 

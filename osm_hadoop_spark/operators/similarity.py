@@ -102,6 +102,30 @@ def lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
     return bucket
 
 
+# multiplicative sampling key: pure integer arithmetic so BOTH the Spark
+# plan and the DuckDB/NumPy oracle reconstruction order the sample
+# identically (round 1 used F.hash = murmur3, not reproducible outside
+# the JVM, which kept ann_ivf_topk stuck at rows-only verification)
+IVF_SAMPLE_MULT = 2654435761
+IVF_SAMPLE_MOD = 1000003
+
+
+def kmeans_spherical(x: np.ndarray, n_centroids: int, iters: int) -> np.ndarray:
+    """Deterministic spherical k-means on pre-normalized rows (shared by the
+    operator and the derived DuckDB oracle so both see the SAME centroids)."""
+    c = x[:n_centroids].copy()
+    for _ in range(iters):
+        a = np.argmax(x @ c.T, axis=1)
+        for j in range(n_centroids):
+            members = x[a == j]
+            if members.shape[0]:
+                s = members.sum(axis=0)
+                n = np.linalg.norm(s)
+                if n > 0:
+                    c[j] = s / n
+    return c
+
+
 def ivf_fit_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -115,23 +139,33 @@ def ivf_fit_centroids(
     cluster sizes), driver-side work is O(sample * dim * iters)."""
     pdf = (
         embeddings.select("vec_id", "embedding")
-        .orderBy(F.pmod(F.hash("vec_id"), F.lit(1000003)), "vec_id")
+        .orderBy(
+            F.pmod(F.col("vec_id") * F.lit(IVF_SAMPLE_MULT), F.lit(IVF_SAMPLE_MOD)),
+            "vec_id",
+        )
         .limit(sample)
         .toPandas()
     )
     x = np.stack(pdf["embedding"].apply(np.asarray).to_numpy()).astype(np.float64)
     x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
-    c = x[:n_centroids].copy()
-    for _ in range(iters):
-        a = np.argmax(x @ c.T, axis=1)
-        for j in range(n_centroids):
-            members = x[a == j]
-            if members.shape[0]:
-                s = members.sum(axis=0)
-                n = np.linalg.norm(s)
-                if n > 0:
-                    c[j] = s / n
-    return c
+    return kmeans_spherical(x, n_centroids, iters)
+
+
+def ivf_centroids_numpy(
+    parquet_path: str, n_centroids: int = 16, iters: int = 5, sample: int = 4096
+) -> np.ndarray:
+    """Recompute the EXACT ivf_fit_centroids result from the parquet file
+    without Spark — the oracle side of the derived ann_ivf verification."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=["vec_id", "embedding"])
+    vec_id = np.asarray(t.column("vec_id"))
+    emb = np.stack([np.asarray(v) for v in t.column("embedding").to_pylist()])
+    key = (vec_id * IVF_SAMPLE_MULT) % IVF_SAMPLE_MOD
+    order = np.lexsort((vec_id, key))[:sample]
+    x = emb[order].astype(np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
+    return kmeans_spherical(x, n_centroids, iters)
 
 
 def ann_ivf_topk(
@@ -152,18 +186,21 @@ def ann_ivf_topk(
     partitioning at scale (cell-partitioned Iceberg table)."""
     c = ivf_fit_centroids(embeddings, n_centroids, iters, sample)
 
+    # no row normalization: argmax/argsort over centroid dots is invariant
+    # to the positive per-row scale, and skipping it keeps the arithmetic
+    # identical to the derived DuckDB oracle (list_dot_product on raw e);
+    # stable argsort pins tie order to centroid index, as the oracle's
+    # row_number(ORDER BY dot DESC, c) does
     @F.pandas_udf("int")
     def assign(emb: pd.Series) -> pd.Series:
         mat = np.stack(emb.apply(np.asarray).to_numpy()).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
         return pd.Series(np.argmax(mat @ c.T, axis=1).astype(np.int32))
 
     @F.pandas_udf("array<int>")
     def probe(emb: pd.Series) -> pd.Series:
         mat = np.stack(emb.apply(np.asarray).to_numpy()).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
-        order = np.argsort(-(mat @ c.T), axis=1)[:, :nprobe].astype(np.int32)
-        return pd.Series(list(order))
+        order = np.argsort(-(mat @ c.T), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
 
     emb_a = embeddings.withColumn("cell", assign("embedding"))
     q_a = queries.withColumn("cell", F.explode(probe("q_embedding")))

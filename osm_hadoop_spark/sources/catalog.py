@@ -24,7 +24,6 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 class SnapshotCatalog:
@@ -62,7 +61,9 @@ class SnapshotCatalog:
         if self.use_iceberg:
             w = df.writeTo(f"local.db.{table}")
             if partition_by:
-                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+                # plain names (not F.col): pyspark converts them, and the
+                # branch stays drivable by the no-JVM contract test
+                w = w.partitionedBy(*partition_by)
             w.createOrReplace()
             snap = self.spark.sql(
                 f"SELECT snapshot_id, committed_at FROM local.db.{table}.snapshots "

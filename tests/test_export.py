@@ -1,0 +1,84 @@
+"""S11 shapefile sink: golden bytes + structural parse-back."""
+
+import struct
+
+import numpy as np
+
+from osm_hadoop_spark.sources.shapefile import export_shapefile, write_shapefile
+
+
+def _read_shp(path_base):
+    with open(path_base + ".shp", "rb") as f:
+        buf = f.read()
+    code, flen = struct.unpack_from(">i20xi", buf, 0)
+    version, shp_type = struct.unpack_from("<ii", buf, 28)
+    box = struct.unpack_from("<4d", buf, 36)
+    recs = []
+    off = 100
+    while off < len(buf):
+        recno, clen = struct.unpack_from(">2i", buf, off)
+        typ, x0, y0, x1, y1, nparts, npoints = struct.unpack_from(
+            "<i4dii", buf, off + 8
+        )
+        pts_off = off + 8 + 44 + 4 * nparts
+        pts = struct.unpack_from(f"<{2 * npoints}d", buf, pts_off)
+        recs.append((recno, typ, (x0, y0, x1, y1), pts))
+        off += 8 + clen * 2
+    return code, flen, version, shp_type, box, recs
+
+
+def _read_dbf(path_base):
+    with open(path_base + ".dbf", "rb") as f:
+        buf = f.read()
+    n_rec, hdr_len, rec_len = struct.unpack_from("<IHH", buf, 4)
+    vals = []
+    off = hdr_len
+    for _ in range(n_rec):
+        vals.append(buf[off + 1:off + rec_len].decode("ascii").strip())
+        off += rec_len
+    return n_rec, vals
+
+
+def test_write_shapefile_golden_bytes(tmp_path):
+    base = str(tmp_path / "roads")
+    n = write_shapefile(base, [
+        ([10.0, 10.5, 11.0], [45.0, 45.2, 45.1], "primary"),
+        ([-1.0, -0.5], [51.0, 51.5], "residential"),
+    ])
+    assert n == 2
+    code, flen, version, shp_type, box, recs = _read_shp(base)
+    assert (code, version, shp_type) == (9994, 1000, 3)  # PolyLine
+    assert box == (-1.0, 45.0, 11.0, 51.5)
+    with open(base + ".shp", "rb") as f:
+        assert flen * 2 == len(f.read())  # 16-bit-word length field
+    assert [r[0] for r in recs] == [1, 2]
+    assert recs[0][2] == (10.0, 45.0, 11.0, 45.2)
+    assert recs[0][3] == (10.0, 45.0, 10.5, 45.2, 11.0, 45.1)
+    assert recs[1][3] == (-1.0, 51.0, -0.5, 51.5)
+    n_rec, vals = _read_dbf(base)
+    assert n_rec == 2 and vals == ["primary", "residential"]
+    # .shx: one (offset, length) pair per record, offsets in words
+    with open(base + ".shx", "rb") as f:
+        shx = f.read()
+    assert len(shx) == 100 + 8 * 2
+    off0, len0 = struct.unpack_from(">2i", shx, 100)
+    assert off0 == 50 and len0 == (8 + 44 + 4 + 16 * 3 - 8) // 2
+    with open(base + ".prj") as f:
+        assert "WGS_1984" in f.read()
+
+
+def test_export_shapefile_from_ways(spark, tmp_path):
+    ways = spark.createDataFrame(
+        [(1, [10.0, 10.1], [45.0, 45.1], "primary"),
+         (2, [11.0, 11.2, 11.3], [46.0, 46.1, 46.0], "track")],
+        "way_id long, xs array<double>, ys array<double>, highway string",
+    )
+    base = str(tmp_path / "ways")
+    assert export_shapefile(ways, base) == 2
+    _, _, _, shp_type, _, recs = _read_shp(base)
+    assert shp_type == 3 and len(recs) == 2
+    _, vals = _read_dbf(base)
+    assert sorted(vals) == ["primary", "track"]
+    got = sorted(len(r[3]) // 2 for r in recs)
+    assert got == [2, 3]
+    assert all(np.isfinite(r[3]).all() for r in recs)

@@ -21,10 +21,11 @@ FORBIDDEN = [
 
 # driver-side materialization is allowed ONLY in these modules (bounded
 # outputs: raster assembly S9, snapshot metadata, fixture generation,
-# uniqueness assertions, IVF sample fit)
+# uniqueness assertions, IVF sample fit, shapefile export S11 — the
+# reference's ShapeWriter also accumulates features driver-side)
 COLLECT_ALLOWED = {
     "rasterize.py", "catalog.py", "fixtures.py", "way_assembly.py",
-    "similarity.py",
+    "similarity.py", "shapefile.py",
 }
 COLLECT_RE = re.compile(r"\.(collect|toPandas)\s*\(")
 

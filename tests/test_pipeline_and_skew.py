@@ -157,5 +157,72 @@ def test_streaming_dedup_stateful(spark, tmp_path):
     assert set(by_fp) == set(range(40))
     # per-fingerprint duplicates: fingerprints 0..39 each appear 3 times
     assert all(r["n_dupes_dropped"] == 2 for r in got)
-    # survivor is the first doc_id of its group in file order
+    # survivor is the MIN doc_id of its group (deterministic, not
+    # arrival-order: Spark does not guarantee intra-batch row order)
     assert by_fp[0]["doc_id"] == "d000" and by_fp[39]["doc_id"] == "d039"
+
+
+def test_streaming_dedup_state_ttl_evicts(spark, tmp_path):
+    """state_ttl_ms bounds state: a key idle past the TTL is evicted and its
+    next occurrence re-emitted (the bounded-state contract)."""
+    import time as _time
+
+    from osm_hadoop_spark.streaming.dedup import streaming_dedup_exact
+
+    src = str(tmp_path / "ttl_src")
+    ckpt = str(tmp_path / "ttl_ckpt")
+    schema = "doc_id string, fingerprint bigint"
+    # 2 state-store partitions: the shuffle partition count is baked into
+    # the checkpoint at first start, and 32 stores x 3 restarts dominates
+    # this tiny test's wall time
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.createDataFrame([("a1", 7)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run_once(expect: int, grace: float = 0.0):
+        # foreachBatch (not the memory sink): the memory sink cannot
+        # recover from a checkpoint, and resuming with the SAME state
+        # store across restarts is exactly what this test exercises.
+        # A query with processing-time timers never terminates under
+        # availableNow (it keeps scheduling timeout-check batches), so
+        # poll for the expected output and stop() explicitly; `grace`
+        # leaves the query running long enough for pending timeout
+        # batches to evict expired state before the next restart.
+        rows: list = []
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_dedup_exact(stream, state_ttl_ms=500)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _bid: rows.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        deadline = _time.time() + 90
+        while _time.time() < deadline and len(rows) < expect:
+            _time.sleep(0.5)
+        if grace:
+            _time.sleep(grace)
+        q.stop()
+        q.awaitTermination(60)
+        return rows
+
+    assert [r["doc_id"] for r in run_once(1)] == ["a1"]
+    _time.sleep(2)  # let the 500 ms TTL lapse in processing time
+    # a batch WITHOUT key 7 fires its timeout (Spark only times out keys
+    # absent from the batch) -> state for 7 is removed; the grace window
+    # lets that timeout batch run before we stop the query
+    spark.createDataFrame([("b1", 8)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert [r["doc_id"] for r in run_once(1, grace=6.0)] == ["b1"]
+    # key 7 reappears: state was evicted, so it re-emits as a first sight
+    spark.createDataFrame([("a2", 7)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    try:
+        assert [r["doc_id"] for r in run_once(1)] == ["a2"]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

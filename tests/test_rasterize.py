@@ -139,6 +139,199 @@ def test_geotiff_roundtrip(tmp_path):
     assert meta2.envelope == (-180.0, 88.5, -179.0, 90.0)
 
 
+def test_geotiff_deflate_multistrip_roundtrip(tmp_path):
+    rng = np.random.default_rng(7)
+    img = rng.integers(-5000, 5000, size=(37, 53), dtype=np.int32)
+    meta = GeoTiffMeta(width=53, height=37, origin_x=9.0, origin_y=46.0,
+                       pixel_size_x=0.01, pixel_size_y=0.01)
+    p = str(tmp_path / "c.tif")
+    write_geotiff(p, img, meta, compression="deflate", rows_per_strip=8)
+    img2, meta2 = read_geotiff(p)
+    assert (img2 == img).all() and meta2 == meta
+    # deflate output actually compresses vs the uncompressed form
+    p0 = str(tmp_path / "u.tif")
+    write_geotiff(p0, img, meta)
+    import os
+    assert os.path.getsize(p) < os.path.getsize(p0)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Minimal TIFF-flavor LZW encoder (MSB-first, early change) used only
+    to exercise the reader against a layout our writer never emits."""
+    out = bytearray()
+    bitbuf, nbits = 0, 0
+    width = 9
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+
+    def emit(code):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)  # ClearCode
+    w = b""
+    for b in data:
+        c = bytes([b])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        # early change: the DECODER widens when len(table)+1 fills the
+        # width, so the encoder widens when next emitted code needs it
+        if next_code + 1 > (1 << width) and width < 12:
+            width += 1
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)  # EOI
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _write_foreign_tiff(path, img, bo, tiled, comp, predictor, dtype):
+    """Hand-rolled TIFF writer for layouts our writer never produces
+    (big-endian, tiled, LZW/PackBits, predictor) to exercise the reader."""
+    import struct
+    import zlib
+
+    img = np.asarray(img)
+    h, w = img.shape
+    dt = np.dtype(dtype).newbyteorder(bo)
+    fmt_code = {"u": 1, "i": 2, "f": 3}[dt.kind]
+
+    def comp_bytes(arr2d):
+        if predictor == 2:
+            arr2d = np.concatenate(
+                [arr2d[:, :1], np.diff(arr2d.astype(np.int64), axis=1)], axis=1
+            ).astype(dt.base)
+        raw = np.ascontiguousarray(arr2d, dtype=dt).tobytes()
+        if comp == 1:
+            return raw
+        if comp == 8:
+            return zlib.compress(raw)
+        if comp == 5:
+            return _lzw_encode(raw)
+        raise AssertionError(comp)
+
+    blocks = []
+    if tiled:
+        bw = bh = 16
+        for r0 in range(0, h, bh):
+            for c0 in range(0, w, bw):
+                tile = np.zeros((bh, bw), dtype=dt.base)
+                part = img[r0:r0 + bh, c0:c0 + bw]
+                tile[:part.shape[0], :part.shape[1]] = part
+                blocks.append(comp_bytes(tile))
+    else:
+        bh = 5
+        for r0 in range(0, h, bh):
+            blocks.append(comp_bytes(img[r0:r0 + bh]))
+
+    e = bo
+    offs, off = [], 8
+    for b in blocks:
+        offs.append(off)
+        off += len(b)
+    ext = []
+
+    def ext_put(payload):
+        nonlocal off
+        o = off
+        ext.append(payload)
+        off += len(payload)
+        return o
+
+    n = len(blocks)
+    off_val = offs[0] if n == 1 else ext_put(struct.pack(f"{e}{n}I", *offs))
+    cnt_val = (len(blocks[0]) if n == 1
+               else ext_put(struct.pack(f"{e}{n}I", *[len(b) for b in blocks])))
+    scale_off = ext_put(struct.pack(f"{e}3d", 0.01, 0.01, 0.0))
+    tie_off = ext_put(struct.pack(f"{e}6d", 0, 0, 0, 9.0, 46.0, 0))
+    ifd_off = off
+
+    def entry(tag, typ, count, value):
+        # inline values sit in the FIRST bytes of the value field in the
+        # file's byte order — a SHORT must be packed as H + 2 pad bytes
+        if typ == 3 and count == 1:
+            return struct.pack(f"{e}HHIH2x", tag, typ, count, value)
+        return struct.pack(f"{e}HHII", tag, typ, count, value)
+
+    entries = [
+        entry(256, 4, 1, w), entry(257, 4, 1, h),
+        entry(258, 3, 1, dt.itemsize * 8), entry(259, 3, 1, comp),
+        entry(262, 3, 1, 1), entry(277, 3, 1, 1),
+        entry(317, 3, 1, predictor), entry(339, 3, 1, fmt_code),
+        entry(33550, 12, 3, scale_off), entry(33922, 12, 6, tie_off),
+    ]
+    if tiled:
+        entries += [entry(322, 4, 1, 16), entry(323, 4, 1, 16),
+                    entry(324, 4, n, off_val), entry(325, 4, n, cnt_val)]
+    else:
+        entries += [entry(273, 4, n, off_val), entry(278, 4, 1, 5),
+                    entry(279, 4, n, cnt_val)]
+    entries.sort(key=lambda b: struct.unpack(f"{e}H", b[:2])[0])
+    with open(path, "wb") as f:
+        f.write(struct.pack(f"{e}2sHI", b"II" if bo == "<" else b"MM", 42, ifd_off))
+        for b in blocks:
+            f.write(b)
+        for payload in ext:
+            f.write(payload)
+        f.write(struct.pack(f"{e}H", len(entries)))
+        for b in entries:
+            f.write(b)
+        f.write(struct.pack(f"{e}I", 0))
+
+
+@pytest.mark.parametrize("bo,tiled,comp,predictor,dtype", [
+    ("<", True, 8, 1, np.int32),     # tiled + DEFLATE
+    ("<", True, 5, 2, np.uint8),     # tiled + LZW + horizontal predictor
+    (">", False, 1, 1, np.uint16),   # big-endian multi-strip uncompressed
+    ("<", False, 5, 1, np.int16),    # multi-strip LZW
+    (">", False, 8, 2, np.int32),    # big-endian DEFLATE + predictor
+])
+def test_geotiff_reads_foreign_layouts(tmp_path, bo, tiled, comp, predictor, dtype):
+    rng = np.random.default_rng(11)
+    info = np.iinfo(dtype)
+    img = rng.integers(max(info.min, -999), min(info.max, 999),
+                       size=(23, 41)).astype(dtype)
+    p = str(tmp_path / "f.tif")
+    _write_foreign_tiff(p, img, bo, tiled, comp, predictor, dtype)
+    img2, meta = read_geotiff(p)
+    assert img2.shape == img.shape
+    assert (img2.astype(np.int64) == img.astype(np.int64)).all()
+    assert (meta.origin_x, meta.origin_y) == (9.0, 46.0)
+    assert (meta.pixel_size_x, meta.pixel_size_y) == (0.01, 0.01)
+
+
+def test_tiff_strip_table_matches_file(spark, tmp_path):
+    """S8: external raster -> distributed strip table == the file's pixels."""
+    from osm_hadoop_spark.sources.raster_source import tiff_strip_table
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 110, size=(64, 100), dtype=np.int32)
+    meta = GeoTiffMeta(width=100, height=64, origin_x=9.0, origin_y=46.0,
+                       pixel_size_x=0.01, pixel_size_y=0.01)
+    p = str(tmp_path / "s.tif")
+    write_geotiff(p, img, meta, compression="deflate", rows_per_strip=16)
+    strips = tiff_strip_table(spark, p).collect()
+    assert len(strips) == 4
+    got = np.zeros_like(img)
+    for r in strips:
+        r0 = round((meta.origin_y - r["origin_y"]) / meta.pixel_size_y)
+        c0 = round((r["origin_x"] - meta.origin_x) / meta.pixel_size_x)
+        got[r0:r0 + r["height"], c0:c0 + r["width"]] = (
+            np.asarray(r["pixels"], dtype=np.int32).reshape(r["height"], r["width"])
+        )
+    assert (got == img).all()
+
+
 def test_full_extract_to_geotiff(spark, ways_arrays, tmp_path):
     """End-to-end stage 4+5: ways -> pixels -> argmin -> GeoTIFF on disk.
 
@@ -155,3 +348,8 @@ def test_full_extract_to_geotiff(spark, ways_arrays, tmp_path):
     write_geotiff(p, img, meta)
     img2, _ = read_geotiff(p)
     assert int((img2 > 0).sum()) == pixels.count()
+    # DEFLATE output (the reference's WriteParams mode) reads back identically
+    pc = str(tmp_path / "extract_deflate.tif")
+    write_geotiff(pc, img, meta, compression="deflate", rows_per_strip=512)
+    imgc, metac = read_geotiff(pc)
+    assert (imgc == img2).all() and metac == meta

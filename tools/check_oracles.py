@@ -56,6 +56,11 @@ def compare(name, spark_rows, duck_rows, spark_cols, duck_cols):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # derived oracles (ann_ivf centroid literals) rebuild constants from the
+    # parquet under test — point them at the same sf_dir we compare against
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     from osm_hadoop_spark.session import get_spark
 
