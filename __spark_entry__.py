@@ -878,6 +878,62 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup dedup: plant near-copies (e + 0.5 *
+    reverse(e), deterministic and computable identically in SQL) for every
+    25th vector, then find pairs with cosine >= 4/5 among LSH-bucket
+    collisions (Hamming <= 1 on the 8-plane signature). The oracle rebuilds
+    the exact same buckets from the plane literals and applies the same
+    candidate restriction, so the pair set AND bit-exact scores match."""
+    from osm_hadoop_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.zip_with(
+            "embedding", F.reverse("embedding"), lambda x, y: x + 0.5 * y
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(pert)
+    return embedding_neardup_pairs(
+        corpus, threshold_num=4, threshold_den=5, dim=64, n_planes=8
+    ).select(
+        F.col("vec_a").cast("bigint").alias("vec_a"),
+        F.col("vec_b").cast("bigint").alias("vec_b"),
+        "score",
+    )
+
+
+def _oracle_embedding_neardup() -> str:
+    from osm_hadoop_spark.operators.similarity import _plane_matrix
+
+    planes = _plane_matrix(64, 8, 42)
+    rows = ",\n".join(f"({p}, {_duck_vec(planes[p])})" for p in range(8))
+    return f"""
+WITH planes(p, w) AS (VALUES {rows}),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+pert AS (SELECT vec_id + 1000000 AS vec_id,
+                list_transform(list_zip(e, list_reverse(e)),
+                               s -> s[1] + 0.5 * s[2]) AS e
+         FROM base WHERE vec_id % 25 = 0),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+ebuck AS (
+  SELECT vec_id, e,
+         CAST(sum(CASE WHEN list_dot_product(e, w) >= 0
+                  THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM corpus CROSS JOIN planes GROUP BY vec_id, e),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_cosine_similarity(a.e, b.e) AS score
+  FROM ebuck a JOIN ebuck b
+    ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1)
+SELECT vec_a, vec_b, score FROM cand WHERE score * 5 >= 4
+"""
+
+
 def _duck_vec(vec) -> str:
     return "[" + ",".join(repr(float(v)) for v in vec) + "]::DOUBLE[]"
 
@@ -1361,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
+        "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
         "ann_lsh_topk": _q_ann_lsh,                 # derived oracle (plane literals)
         "ann_ivf_topk": _q_ann_ivf,                 # derived oracle (centroid literals)
         "tiff_zonal_strips": _q_tiff_zonal,
@@ -1405,6 +1462,7 @@ def oracle_sql() -> dict[str, str]:
     }
     oracles.update(_build_text_oracles())
     oracles["ann_lsh_topk"] = _oracle_ann_lsh()
+    oracles["embedding_neardup"] = _oracle_embedding_neardup()
     ivf = _oracle_ann_ivf()
     if ivf is not None:
         oracles["ann_ivf_topk"] = ivf

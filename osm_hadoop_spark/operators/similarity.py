@@ -217,6 +217,62 @@ def ann_ivf_topk(
     return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    probes: int = 1,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b) with
+    cosine >= threshold_num/threshold_den, candidates restricted to LSH
+    bucket collisions (same deterministic hyperplane family as
+    ann_lsh_topk; `probes=1` also pairs buckets one sign-flip apart, the
+    recall lever for vectors straddling a plane).
+
+    The dedup analog of MinHash-LSH for the embedding modality: candidate
+    generation is bucket-local (never all-pairs), verification is the
+    exact cosine — at corpus scale the only shuffle of the big side is the
+    bucket equi-join. Threshold compared as an exact rational against the
+    float score (t_num/t_den), matching the DuckDB oracle's arithmetic.
+    """
+    b = lsh_bucket_udf(dim, n_planes, seed)
+    emb_b = embeddings.select("vec_id", "embedding").withColumn(
+        "bucket", b("embedding")
+    )
+    a = emb_b.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    bb = emb_b.select(
+        F.col("bucket").alias("bucket_b"), F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    if probes > 0:
+        # pair buckets at Hamming distance <= 1: emit each left row under
+        # its own bucket plus every 1-bit flip, join on the right row's
+        # exact bucket, and keep vec_a < vec_b so each pair appears once
+        flips = F.array(F.col("bucket"), *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)
+        ])
+        a = a.withColumn("bucket", F.explode(flips))
+    # cosine_col (left-to-right JVM summation), NOT the einsum kernel:
+    # `score` is an OUTPUT column here, so it must match the DuckDB
+    # oracle's list_cosine_similarity bit-for-bit (proven by the
+    # embedding_topk oracle); the ANN top-k paths can use einsum because
+    # they emit only ranks
+    pairs = (
+        a.join(bb, a["bucket"] == bb["bucket_b"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine_col("emb_a", "emb_b").alias("score"))
+    )
+    return pairs.filter(
+        F.col("score") * threshold_den >= F.lit(float(threshold_num))
+    ).select("vec_a", "vec_b", "score")
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -178,6 +178,28 @@ def test_ann_lsh_recall(spark, emb):
     assert all(q != v for q, v in approx_set)
 
 
+def test_embedding_neardup_pairs(spark, emb):
+    from osm_hadoop_spark.operators.similarity import embedding_neardup_pairs
+
+    # plant exact duplicates (cosine 1.0 -> identical bucket, always found)
+    base = emb.select("vec_id", "embedding")
+    dups = base.limit(5).select(
+        (F.col("vec_id") + 50000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(dups)
+    got = embedding_neardup_pairs(
+        corpus, threshold_num=99, threshold_den=100, dim=64, n_planes=6
+    ).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in got}
+    planted = {(r["vec_id"], r["vec_id"] + 50000) for r in emb.limit(5).collect()}
+    assert planted <= pairs  # every exact dup recovered
+    for r in got:
+        assert r["score"] * 100 >= 99
+        assert r["vec_a"] < r["vec_b"]
+    # each pair appears exactly once (bucket + 1-flip probing cannot dupe)
+    assert len(pairs) == len(got)
+
+
 def test_multimodal_plumbing(spark, docs):
     media = synth_media_bytes(docs.limit(30))
     meta = decode_metadata(media.select("doc_id", "media"))
