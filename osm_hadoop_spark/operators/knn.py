@@ -125,6 +125,17 @@ def knn_join(
     # world diagonal when the feature table is smaller than k. limit(k)
     # instead of a full count: the probe stops scanning after k rows, so
     # the driver action is O(k) regardless of feature-table size
+    # materialize the slim feature projection once: every radius round
+    # derives cells AND exact distances from it, and without the
+    # checkpoint each round would re-run the (possibly span-parse-heavy)
+    # upstream plan from scratch. The spread repartition matters as much
+    # as the checkpoint: a 1-split source would otherwise run every
+    # round's cell-cover UDF serially.
+    features = (
+        features.select("feature_id", "xs", "ys")
+        .repartition(features.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
     n_probe = features.limit(k).count()
     k = min(k, n_probe)
     if k == 0:
@@ -141,32 +152,46 @@ def knn_join(
         if broadcast_features:
             fcells = F.broadcast(fcells)
         pcells = _point_cells(remaining, zoom)
-        cand = (
-            pcells.join(fcells, "cell")
-            .select("point_id", "feature_id", F.col("lon").alias("plon"), F.col("lat").alias("plat"))
-            .dropDuplicates(["point_id", "feature_id"])
+        # no dropDuplicates: a point owns exactly ONE cell and a feature
+        # lists each covered cell once, so the cell equi-join already
+        # yields each (point, feature) pair at most once
+        cand = pcells.join(fcells, "cell").select(
+            "point_id", "feature_id",
+            F.col("lon").alias("plon"), F.col("lat").alias("plat"),
         )
-        pairs = cand.join(features.select("feature_id", "xs", "ys"), "feature_id")
+        pairs = cand.join(features, "feature_id")
         dists = _exact_pair_distance(
             pairs.select("point_id", "feature_id", "plon", "plat", "xs", "ys")
         ).filter(F.col("dist") <= r)
 
         w = Window.partitionBy("point_id").orderBy(F.col("dist").asc(), F.col("feature_id").asc())
-        ranked = dists.withColumn("rank", F.row_number().over(w))
-        counts = dists.groupBy("point_id").agg(F.count(F.lit(1)).alias("nc"))
-        done_points = counts.filter(F.col("nc") >= k).select("point_id")
+        # ONE eager checkpoint of the round's heavy plan: resolved parts,
+        # done-point detection, and the remaining anti-join all derive from
+        # it cheaply (round 1 executed the candidate pipeline twice per
+        # round), and the truncation keeps later rounds' plans from nesting
+        ranked = dists.withColumn("rank", F.row_number().over(w)).localCheckpoint(
+            eager=True
+        )
         if r > WORLD_DIAG:
             # every feature was a candidate: whatever exists is the answer
             resolved_parts.append(ranked.filter(F.col("rank") <= k))
             break
-        resolved = ranked.join(done_points, "point_id", "left_semi").filter(F.col("rank") <= k)
-        # localCheckpoint truncates lineage: each round's plan would otherwise
-        # nest the previous rounds' joins and blow up Catalyst/driver memory
-        resolved_parts.append(resolved.localCheckpoint(eager=True))
+        done_points = (
+            ranked.groupBy("point_id").agg(F.max("rank").alias("nc"))
+            .filter(F.col("nc") >= k).select("point_id")
+        )
+        resolved_parts.append(
+            ranked.join(done_points, "point_id", "left_semi").filter(F.col("rank") <= k)
+        )
         remaining = remaining.join(done_points, "point_id", "left_anti").localCheckpoint(eager=True)
         if remaining.isEmpty():
             break
-        r *= 2.0
+        # quadruple, not double: each extra round costs a fixed number of
+        # Spark jobs (the dominant cost for small remainders), while a
+        # larger radius only grows the candidate cell join — the cheap,
+        # distributed part. Exactness is unaffected (the radius is only a
+        # candidate-generation bound; dists are filtered to <= r).
+        r *= 4.0
 
     out = resolved_parts[0]
     for p in resolved_parts[1:]:
