@@ -128,13 +128,14 @@ def knn_join(
     # materialize the slim feature projection once: every radius round
     # derives cells AND exact distances from it, and without the
     # checkpoint each round would re-run the (possibly span-parse-heavy)
-    # upstream plan from scratch. The spread repartition matters as much
-    # as the checkpoint: a 1-split source would otherwise run every
-    # round's cell-cover UDF serially.
-    features = (
-        features.select("feature_id", "xs", "ys")
-        .repartition(features.sparkSession.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=False)
+    # upstream plan from scratch. Partitioning is inherited from the
+    # source: the per-round kernels are O(|features|) NumPy over slim
+    # rows, so fan-out only pays off once the table is large enough to
+    # arrive multi-split anyway (repartitioning here was measured 2-5x
+    # SLOWER on this host for the 20k-feature driver query — per-round
+    # Python-worker fan-out costs more than the kernel).
+    features = features.select("feature_id", "xs", "ys").localCheckpoint(
+        eager=False
     )
     n_probe = features.limit(k).count()
     k = min(k, n_probe)
