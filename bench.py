@@ -147,8 +147,12 @@ def main() -> None:
 
     spark = get_spark("bench", master=f"local[{CPUS}]",
                       shuffle_partitions=int(CPUS))
+    # 2 iterations by default: the host swings 5x between multi-minute
+    # windows (BENCH/NOTES.md), and iteration 1 additionally carries
+    # JIT/codegen warmup; `value` stays the first-run time for continuity
+    # with round 1, while best_sec/iters expose the warm number
     flag = run_flagship(
-        spark, N_DOCS, iters=int(os.environ.get("SPARK_GRAFT_FLAGSHIP_ITERS", "1"))
+        spark, N_DOCS, iters=int(os.environ.get("SPARK_GRAFT_FLAGSHIP_ITERS", "2"))
     )
     log(f"bench: flagship {flag}")
 

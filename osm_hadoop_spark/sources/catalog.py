@@ -56,11 +56,32 @@ class SnapshotCatalog:
             return self.spark.catalog.tableExists(f"local.db.{table}")
         return len(self._snapshots(table)) > 0
 
-    def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> dict:
-        """Write a new snapshot; returns the snapshot record (lineage metrics)."""
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        bucket_by: tuple[list[str], int] | None = None,
+    ) -> dict:
+        """Write a new snapshot; returns the snapshot record (lineage metrics).
+
+        `bucket_by=(cols, n)` hash-buckets the snapshot on `cols` into `n`
+        buckets: two snapshots bucketed the same way join WITHOUT a shuffle
+        (co-located join — the north rule's explicit partitioning lever;
+        the reference gets the same effect from identical MR partitioners
+        across job boundaries). Parquet backend uses Spark bucketed tables
+        (bucketBy + saveAsTable, read back via spark.table so the bucketing
+        metadata survives); Iceberg backend maps to a bucket partition
+        transform.
+        """
         if self.use_iceberg:
             w = df.writeTo(f"local.db.{table}")
-            if partition_by:
+            if bucket_by:
+                from pyspark.sql import functions as F
+
+                cols, n = bucket_by
+                w = w.partitionedBy(*[F.bucket(n, c) for c in cols])
+            elif partition_by:
                 # plain names (not F.col): pyspark converts them, and the
                 # branch stays drivable by the no-JVM contract test
                 w = w.partitionedBy(*partition_by)
@@ -74,10 +95,23 @@ class SnapshotCatalog:
         snaps = self._snapshots(table)
         snap_id = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
         path = os.path.join(self._tdir(table), f"snap-{snap_id}")
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
+        managed_name = None
+        if bucket_by:
+            cols, n = bucket_by
+            # bucketed layout requires a catalog entry (saveAsTable); the
+            # data still lands under the snapshot path via `path` option
+            managed_name = f"snap_{table}_{snap_id}"
+            (
+                df.write.mode("overwrite")
+                .bucketBy(n, *cols).sortBy(*cols)
+                .option("path", path)
+                .saveAsTable(managed_name, format="parquet")
+            )
+        else:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(path)
 
         # lineage metrics from parquet footers only (no second data pass —
         # the same place Iceberg manifests get them): one output file == one
@@ -107,6 +141,10 @@ class SnapshotCatalog:
             "bytes": nbytes,
             "partition_lineage": part_counts,
             "partition_by": partition_by or [],
+            "bucket_by": (
+                {"cols": bucket_by[0], "n": bucket_by[1]} if bucket_by else None
+            ),
+            "managed_name": managed_name,
             "backend": "parquet",
         }
         snaps.append(rec)
@@ -129,6 +167,11 @@ class SnapshotCatalog:
         rec = snaps[-1] if snapshot_id is None else next(
             s for s in snaps if s["snapshot_id"] == snapshot_id
         )
+        if rec.get("managed_name"):
+            # bucketed snapshot: read through the table catalog so the
+            # bucketing metadata survives (a raw path read would lose it
+            # and re-shuffle on the next join)
+            return self.spark.table(rec["managed_name"])
         return self.spark.read.parquet(rec["path"])
 
     def snapshot_log(self, table: str) -> list[dict]:
