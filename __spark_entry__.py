@@ -135,6 +135,10 @@ def _local_ways_geom_build(spark, sf_dir):
         (((F.col("l_orderkey") * 7) % 160) - 80 + (F.col("l_suppkey") % 16) / 64.0)
         .cast("double").alias("lat"),
     )
+    # spread before the groupBy: the lineitem fixture arrives as 1 scan
+    # split, which would otherwise run the partial collect_list aggregation
+    # of ~600k rows on one core (measured 3.7x the build time at sf0.1)
+    pts = pts.repartition(spark.sparkContext.defaultParallelism)
     grouped = pts.groupBy("way_id").agg(
         F.array_sort(F.collect_list(F.struct("ordinal", "lon", "lat"))).alias("pts")
     ).filter(F.size("pts") > 1)
