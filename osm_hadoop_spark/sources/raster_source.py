@@ -35,11 +35,18 @@ def tiff_strip_table(
     local filesystem in local mode — same contract as the reference's HDFS
     input path).
     """
+    import mmap
+
     with open(path, "rb") as f:
-        head = f.read()  # driver-side parse; IFD + offsets only are used
-    info = tiff_blocks(head)
+        # mmap, not read(): the driver only touches the IFD + offset arrays
+        # (a few KB); the raster body — arbitrarily large — is never paged
+        # into driver memory
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            info = tiff_blocks(mm)
+        finally:
+            mm.close()
     meta = info["meta"]
-    del head
     blocks = pd.DataFrame(
         info["blocks"], columns=["block_id", "offset", "nbytes", "row0", "col0"]
     )

@@ -332,6 +332,27 @@ def test_tiff_strip_table_matches_file(spark, tmp_path):
     assert (got == img).all()
 
 
+def test_tiff_strip_table_tiled_layout(spark, tmp_path):
+    """S8 over a TILED (not stripped) TIFF: blocks are 16x16 tiles with
+    edge padding the tiler must crop."""
+    from osm_hadoop_spark.sources.raster_source import tiff_strip_table
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 110, size=(23, 41), dtype=np.int32)
+    p = str(tmp_path / "tiled.tif")
+    _write_foreign_tiff(p, img, "<", True, 8, 1, np.int32)
+    blocks = tiff_strip_table(spark, p).collect()
+    assert len(blocks) == 6  # ceil(23/16) * ceil(41/16)
+    got = np.full_like(img, -1)
+    for r in blocks:
+        r0 = round((46.0 - r["origin_y"]) / 0.01)
+        c0 = round((r["origin_x"] - 9.0) / 0.01)
+        got[r0:r0 + r["height"], c0:c0 + r["width"]] = (
+            np.asarray(r["pixels"], dtype=np.int32).reshape(r["height"], r["width"])
+        )
+    assert (got == img).all()  # edge tiles cropped, no padding leaked
+
+
 def test_full_extract_to_geotiff(spark, ways_arrays, tmp_path):
     """End-to-end stage 4+5: ways -> pixels -> argmin -> GeoTIFF on disk.
 
