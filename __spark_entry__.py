@@ -507,6 +507,66 @@ WHERE (
 """
 
 
+def _q_way_polygon(spark, sf_dir):
+    """Way x boundary-polygon intersection join (north-rule containment of
+    WAY geometries against boundary polygons; nodes covered by
+    pip_triangles). Same triangle boundaries as the PIP query; local
+    assembled ways; engine kernel = any-vertex-inside OR proper
+    segment-edge crossing, both replicated bit-exactly in the oracle."""
+    from osm_hadoop_spark.operators.polygon_join import way_polygon_join
+
+    tri = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("boundary_id"),
+        ((F.col("n_nationkey") * 13) % 340 - 170).cast("double").alias("cx"),
+        ((F.col("n_nationkey") * 7) % 160 - 80).cast("double").alias("cy"),
+    ).select(
+        "boundary_id",
+        F.array(F.col("cx"), F.col("cx") - 16, F.col("cx") + 20).alias("pxs"),
+        F.array(F.col("cy") + 12, F.col("cy") - 8, F.col("cy") - 4).alias("pys"),
+    )
+    return way_polygon_join(_local_ways_geom(spark, sf_dir), tri).select(
+        "way_id", "boundary_id"
+    )
+
+
+def _duck_d(bx1, by1, bx2, by2, ax, ay):
+    return f"(({bx2})-({bx1}))*(({ay})-({by1})) - (({by2})-({by1}))*(({ax})-({bx1}))"
+
+
+_ORACLE_WAY_POLYGON = f"""
+WITH raw AS ({_LOCAL_WAY_PTS_SQL}),
+seq AS (SELECT way_id, lon, lat,
+        row_number() OVER (PARTITION BY way_id ORDER BY ordinal, lon, lat) AS seq,
+        count(*) OVER (PARTITION BY way_id) AS npts
+        FROM raw),
+pts AS (SELECT * FROM seq WHERE npts > 1),
+tri AS (SELECT n_nationkey AS boundary_id,
+        CAST(n_nationkey*13 % 340 - 170 AS DOUBLE) AS cx,
+        CAST(n_nationkey*7 % 160 - 80 AS DOUBLE) AS cy FROM nation),
+vin AS (
+  SELECT DISTINCT p.way_id, t.boundary_id
+  FROM (SELECT way_id, lon AS px, lat AS py FROM pts) p, tri t
+  WHERE ({_duck_edge_cross('cx', 'cy+12', 'cx-16', 'cy-8')}
+       + {_duck_edge_cross('cx-16', 'cy-8', 'cx+20', 'cy-4')}
+       + {_duck_edge_cross('cx+20', 'cy-4', 'cx', 'cy+12')}) % 2 = 1),
+segs AS (SELECT a.way_id, a.lon AS ax1, a.lat AS ay1, b.lon AS ax2, b.lat AS ay2
+         FROM pts a JOIN pts b ON a.way_id = b.way_id AND b.seq = a.seq + 1),
+edges AS (
+  SELECT boundary_id, cx AS bx1, cy+12 AS by1, cx-16 AS bx2, cy-8 AS by2 FROM tri
+  UNION ALL SELECT boundary_id, cx-16, cy-8, cx+20, cy-4 FROM tri
+  UNION ALL SELECT boundary_id, cx+20, cy-4, cx, cy+12 FROM tri),
+xpairs AS (
+  SELECT DISTINCT s.way_id, e.boundary_id
+  FROM segs s, edges e
+  WHERE (({_duck_d('e.bx1','e.by1','e.bx2','e.by2','s.ax1','s.ay1')} > 0)
+         != ({_duck_d('e.bx1','e.by1','e.bx2','e.by2','s.ax2','s.ay2')} > 0))
+    AND (({_duck_d('s.ax1','s.ay1','s.ax2','s.ay2','e.bx1','e.by1')} > 0)
+         != ({_duck_d('s.ax1','s.ay1','s.ax2','s.ay2','e.bx2','e.by2')} > 0))
+)
+SELECT way_id, boundary_id FROM (SELECT * FROM vin UNION SELECT * FROM xpairs)
+"""
+
+
 def _q_knn(spark, sf_dir):
     from osm_hadoop_spark.operators.knn import knn_join
 
@@ -1406,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_class_pixels": _q_min_class,           # A2 (SparkRasterizer variant)
         "tile_bitset_or": _q_bitset_or,             # A6 bitset OR composite
         "pip_triangles": _q_pip,                    # E8 refine / PIP containment
+        "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
         "zonal_points_z14": _q_zonal,               # A5/E16
         "way_tag_filter": _q_tag_filter,            # F1
@@ -1447,6 +1508,7 @@ def oracle_sql() -> dict[str, str]:
         "min_class_pixels": _ORACLE_MIN_CLASS,
         "tile_bitset_or": _ORACLE_BITSET_OR,
         "pip_triangles": _ORACLE_PIP,
+        "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,
         "zonal_points_z14": _ORACLE_ZONAL,
         "way_tag_filter": _ORACLE_TAG_FILTER,

@@ -120,6 +120,63 @@ def point_in_polygon_pairs(
     return (out_cross & 1).astype(bool)
 
 
+def polyline_polygon_intersects(
+    wx: np.ndarray, wy: np.ndarray, wc: np.ndarray,
+    px_: np.ndarray, py_: np.ndarray, pc: np.ndarray,
+) -> np.ndarray:
+    """LineString x polygon-ring intersection over candidate pairs.
+
+    Pair i = way block i of (wx, wy) vs ring block i of (px_, py_). True iff
+    ANY way vertex lies inside the ring (even-odd, half-open — identical
+    rule to point_in_polygon_pairs) OR any way segment PROPERLY crosses any
+    ring edge (strict orientation sign tests). A 1D line cannot contain a
+    2D ring, so these two conditions are exhaustive up to degenerate
+    touching, which the strict tests deliberately exclude on both the
+    engine and oracle side (identical double arithmetic)."""
+    n = wc.shape[0]
+    out = np.zeros(n, dtype=bool)
+    if n == 0 or wx.shape[0] == 0 or px_.shape[0] == 0:
+        return out
+    wstarts = np.concatenate(([0], np.cumsum(wc)[:-1]))
+    pstarts = np.concatenate(([0], np.cumsum(pc)[:-1]))
+
+    # (a) any way vertex inside its paired ring: expand to (vertex, ring)
+    # pairs and reuse the PIP kernel on repeated ring blocks
+    vown = np.repeat(np.arange(n), wc)
+    exp_counts = pc[vown]
+    v_off = np.concatenate(([0], np.cumsum(exp_counts)[:-1]))
+    local = np.arange(exp_counts.sum()) - np.repeat(v_off, exp_counts)
+    src = pstarts[vown][np.repeat(np.arange(vown.shape[0]), exp_counts)] + local
+    inside = point_in_polygon_pairs(wx, wy, px_[src], py_[src], exp_counts)
+    np.logical_or.at(out, vown, inside)
+
+    # (b) proper segment x edge crossings
+    segs = np.maximum(wc - 1, 0)
+    m = segs * pc
+    if m.sum():
+        cown = np.repeat(np.arange(n), m)
+        offs = np.concatenate(([0], np.cumsum(m)[:-1]))
+        local = np.arange(m.sum()) - np.repeat(offs, m)
+        sl = local // pc[cown]
+        el = local % pc[cown]
+        si = wstarts[cown] + sl
+        ax1, ay1 = wx[si], wy[si]
+        ax2, ay2 = wx[si + 1], wy[si + 1]
+        pi = pstarts[cown] + el
+        nxt = pi + 1
+        wrap = el == pc[cown] - 1
+        nxt[wrap] = pstarts[cown][wrap]
+        bx1, by1 = px_[pi], py_[pi]
+        bx2, by2 = px_[nxt], py_[nxt]
+        d1 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+        d2 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+        d3 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+        d4 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+        cross = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+        np.logical_or.at(out, cown, cross)
+    return out
+
+
 def point_segment_dist_sq(px, py, x1, y1, x2, y2) -> np.ndarray:
     """Squared Euclidean point-to-segment distance, pairwise."""
     px = np.asarray(px, dtype=np.float64); py = np.asarray(py, dtype=np.float64)

@@ -175,6 +175,51 @@ def test_burn_kernel_bounded_memory_long_way_dense_tile():
     assert (got == want).all()
 
 
+def test_polyline_polygon_intersects_kernel():
+    from osm_hadoop_spark.functions.spatial import polyline_polygon_intersects
+
+    # unit square ring (0,0)-(1,0)-(1,1)-(0,1); concave L-ring for case 4
+    sq = ([0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0])
+    lx = [0.0, 2.0, 2.0, 1.2, 1.2, 0.0]
+    ly = [0.0, 0.0, 2.0, 2.0, 0.4, 0.4]
+    cases = [
+        # (way_xs, way_ys, poly, expected)
+        ([0.2, 0.8], [0.2, 0.8], sq, True),            # fully inside
+        ([-0.5, 1.5], [0.5, 0.5], sq, True),           # crosses, no vertex in
+        ([2.0, 3.0], [2.0, 3.0], sq, False),           # fully outside
+        ([-1.0, -1.0], [-1.0, 2.0], sq, False),        # passes beside
+        ([0.1, 0.9], [1.5, 1.5], (lx, ly), False),     # inside L bbox, in notch
+        ([0.5, 0.5], [0.1, 0.2], (lx, ly), True),      # inside L arm
+    ]
+    wx = np.concatenate([np.array(c[0]) for c in cases])
+    wy = np.concatenate([np.array(c[1]) for c in cases])
+    wc = np.array([len(c[0]) for c in cases], dtype=np.int64)
+    px = np.concatenate([np.array(c[2][0]) for c in cases])
+    py = np.concatenate([np.array(c[2][1]) for c in cases])
+    pc = np.array([len(c[2][0]) for c in cases], dtype=np.int64)
+    got = polyline_polygon_intersects(wx, wy, wc, px, py, pc)
+    assert got.tolist() == [c[3] for c in cases]
+
+
+def test_way_polygon_join_operator(spark):
+    from osm_hadoop_spark.operators.polygon_join import way_polygon_join
+
+    ways = spark.createDataFrame(
+        [(1, [0.2, 0.8], [0.2, 0.8]),      # inside poly 10
+         (2, [-0.5, 1.5], [0.5, 0.5]),     # crosses poly 10
+         (3, [5.0, 6.0], [5.0, 6.0])],     # outside both
+        "way_id long, xs array<double>, ys array<double>",
+    )
+    polys = spark.createDataFrame(
+        [(10, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0]),
+         (20, [3.0, 4.0, 3.5], [3.0, 3.0, 4.0])],
+        "boundary_id long, pxs array<double>, pys array<double>",
+    )
+    got = {(r["way_id"], r["boundary_id"])
+           for r in way_polygon_join(ways, polys).collect()}
+    assert got == {(1, 10), (2, 10)}
+
+
 # ---------------------------------------------------------------------------
 # A5 zonal
 # ---------------------------------------------------------------------------
