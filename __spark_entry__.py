@@ -322,6 +322,60 @@ FROM p GROUP BY 1, 2
 """
 
 
+def _q_cell_rollup(spark, sf_dir):
+    """Hierarchical cell rollup (hypertable-rollup pattern on the quadkey
+    index): z14 point-cell counts aggregated up to z10 and z7 parents via
+    the pure-arithmetic cell_parent relation (x >> s, y >> s) — the parent
+    key is computable, so each rollup level is one hash aggregate with NO
+    join, and coarser levels can be derived from finer PARTIAL aggregates
+    at scale (count is reaggregable)."""
+    import pandas as pd
+
+    pts = _points(spark, sf_dir)
+
+    def assign(batches):
+        from osm_hadoop_spark.functions.tiles import tile_for_point, unpack_tile
+
+        for pdf in batches:
+            t = tile_for_point(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 14)
+            _z, x, y = unpack_tile(t)
+            yield pd.DataFrame({"tx": x, "ty": y})
+
+    cells = pts.mapInPandas(assign, schema="tx bigint, ty bigint")
+    parts = []
+    for z, s in ((14, 0), (10, 4), (7, 7)):
+        parts.append(
+            cells.groupBy(
+                F.shiftright("tx", s).alias("tx"),
+                F.shiftright("ty", s).alias("ty"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+            .select(F.lit(z).cast("bigint").alias("z"), "tx", "ty", "n_points")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _duck_rollup_level(z: int, s: int) -> str:
+    return f"""
+SELECT CAST({z} AS BIGINT) AS z, tx // {1 << s} AS tx, ty // {1 << s} AS ty,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM c GROUP BY 2, 3"""
+
+
+_ORACLE_CELL_ROLLUP = f"""
+WITH p AS ({_POINTS_SQL}),
+c AS (SELECT {_duck_xt('lon', 14)} AS tx, {_duck_yt('lat', 14)} AS ty FROM p)
+{_duck_rollup_level(14, 0)}
+UNION ALL
+{_duck_rollup_level(10, 4)}
+UNION ALL
+{_duck_rollup_level(7, 7)}
+"""
+
+
 def _ways_geom(spark, sf_dir):
     return _assembly_cached(spark, sf_dir, "global", _ways_geom_build)
 
@@ -1459,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_precedence": _q_pixel_precedence,    # A1 (+F8 class domain)
         "pixel_counts": _q_pixel_counts,            # A3
         "tile_point_z14": _q_tile_point,            # J5/E10
+        "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "tile_cover_count_z7": _q_tile_cover,       # E9 (J3 filter stage)
         "tile_refine_z10": _q_tile_refine,          # J3 exact refine
         "buffered_cover_z13": _q_buffered_cover,    # E6+E9 buffered filter stage
@@ -1501,6 +1556,7 @@ def oracle_sql() -> dict[str, str]:
         "pixel_precedence": _ORACLE_PIXEL_PRECEDENCE,
         "pixel_counts": _ORACLE_PIXEL_COUNTS,
         "tile_point_z14": _ORACLE_TILE_POINT,
+        "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z7": _ORACLE_TILE_COVER,
         "tile_refine_z10": _ORACLE_TILE_REFINE,
         "buffered_cover_z13": _ORACLE_BUFFERED_COVER,
