@@ -105,13 +105,20 @@ def _duck_h60(expr: str) -> str:
 # reference's materialized inter-stage SequenceFiles (round-1 verdict
 # item 8). Results are identical; only the physical plan gains an
 # InMemoryTableScan on repeat use.
-_ASSEMBLY_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_ASSEMBLY_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _assembly_cached(spark, sf_dir, kind, builder):
-    key = (id(spark), sf_dir, kind)
+    # keyed by applicationId, not id(spark): id() can be reused after a
+    # stopped session is garbage-collected, handing a dead DataFrame to a
+    # new session. Entries from other applications are evicted on insert
+    # so the cache never outlives its session.
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, kind)
     df = _ASSEMBLY_CACHE.get(key)
     if df is None:
+        for k in [k for k in _ASSEMBLY_CACHE if k[0] != app_id]:
+            del _ASSEMBLY_CACHE[k]
         df = builder(spark, sf_dir).persist()
         _ASSEMBLY_CACHE[key] = df
     return df
@@ -1514,7 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_counts": _q_pixel_counts,            # A3
         "tile_point_z14": _q_tile_point,            # J5/E10
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
-        "tile_cover_count_z7": _q_tile_cover,       # E9 (J3 filter stage)
+        "tile_cover_count_z5": _q_tile_cover,       # E9 (J3 filter stage)
         "tile_refine_z10": _q_tile_refine,          # J3 exact refine
         "buffered_cover_z13": _q_buffered_cover,    # E6+E9 buffered filter stage
         "rasterize_bresenham": _q_rasterize_bresenham,  # E4+E5+F8 raster map side
@@ -1557,7 +1564,7 @@ def oracle_sql() -> dict[str, str]:
         "pixel_counts": _ORACLE_PIXEL_COUNTS,
         "tile_point_z14": _ORACLE_TILE_POINT,
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
-        "tile_cover_count_z7": _ORACLE_TILE_COVER,
+        "tile_cover_count_z5": _ORACLE_TILE_COVER,
         "tile_refine_z10": _ORACLE_TILE_REFINE,
         "buffered_cover_z13": _ORACLE_BUFFERED_COVER,
         "rasterize_bresenham": _ORACLE_RASTERIZE,

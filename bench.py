@@ -71,6 +71,21 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def use_tmpfs_shuffle_dir() -> None:
+    """Point spark.local.dir at tmpfs for BENCH runs only (session.py is
+    opt-in via SPARK_GRAFT_LOCAL_DIR and never touches /dev/shm itself).
+    The sandbox's only disk is a throughput-limited cloud volume that caps
+    shuffle-heavy stages identically at every core count; tmpfs makes
+    shuffle bandwidth look like the local NVMe a real cluster node has.
+    Guarded: needs >= 16 GiB free (a 64 MB Docker /dev/shm would ENOSPC)."""
+    if os.environ.get("SPARK_GRAFT_LOCAL_DIR"):
+        return
+    if os.path.isdir("/dev/shm"):
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 16 * 1024**3:
+            os.environ["SPARK_GRAFT_LOCAL_DIR"] = "/dev/shm/spark_local"
+
+
 def ensure_docs_parquet(spark, n_docs: int) -> str:
     """Generate (once) the interleaved-document table; generation is NOT
     part of the measured pipeline."""
@@ -138,6 +153,7 @@ def run_flagship(spark, n_docs: int, iters: int = 1) -> dict:
 
 
 def main() -> None:
+    use_tmpfs_shuffle_dir()
     flagship_only = "--flagship-only" in sys.argv
     if "--scaling" in sys.argv:
         run_scaling()
@@ -187,6 +203,74 @@ def main() -> None:
         "n_docs": flag["n_docs"],
         "n_tiles": flag["n_tiles"],
         "n_pairs": flag["n_pairs"],
+        "cpus": int(CPUS),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+def _resolve_query(spec: str):
+    """Resolve an --ab spec to a (spark, sf_dir) -> DataFrame callable.
+
+    Accepts a `queries()` name from __spark_entry__.py, or
+    `module.path:callable` for ad-hoc variants (e.g. a branch of an
+    operator kept around for comparison)."""
+    if ":" in spec:
+        import importlib
+
+        mod_name, fn_name = spec.split(":", 1)
+        return getattr(importlib.import_module(mod_name), fn_name)
+    import importlib.util
+
+    s = importlib.util.spec_from_file_location(
+        "entry_mod_ab", os.path.join(REPO, "__spark_entry__.py")
+    )
+    m = importlib.util.module_from_spec(s)
+    s.loader.exec_module(m)
+    qs = m.queries()
+    if spec not in qs:
+        raise SystemExit(f"--ab: unknown query {spec!r}; known: {sorted(qs)}")
+    return qs[spec]
+
+
+def run_ab(spec_a: str, spec_b: str, reps: int) -> None:
+    """Interleaved same-JVM A/B: the host's multi-minute 5x performance
+    windows make cross-run comparisons meaningless (BENCH/NOTES.md), so a
+    regression claim must come from A,B,A,B,... in ONE JVM where both
+    variants sample the same windows. One unmeasured warmup round runs
+    first (JIT/codegen). Reports per-rep times, medians, peaks, and the
+    median/peak B-vs-A ratios."""
+    from osm_hadoop_spark.session import get_spark
+
+    fa, fb = _resolve_query(spec_a), _resolve_query(spec_b)
+    spark = get_spark("bench-ab", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    for fn in (fa, fb):  # warmup, unmeasured
+        fn(spark, SF_DIR).count()
+    times: dict[str, list[float]] = {spec_a: [], spec_b: []}
+    for rep in range(reps):
+        for spec, fn in ((spec_a, fa), (spec_b, fb)):
+            t0 = time.time()
+            n = fn(spark, SF_DIR).count()
+            dt = time.time() - t0
+            times[spec].append(dt)
+            log(f"ab: rep {rep + 1}/{reps} {spec}: {dt:.3f}s ({n} rows)")
+    med_a, med_b = _median(times[spec_a]), _median(times[spec_b])
+    peak_a, peak_b = min(times[spec_a]), min(times[spec_b])
+    out = {
+        "metric": "ab_interleaved",
+        "a": spec_a,
+        "b": spec_b,
+        "reps": reps,
+        "times_a": [round(t, 3) for t in times[spec_a]],
+        "times_b": [round(t, 3) for t in times[spec_b]],
+        "median_a": round(med_a, 3),
+        "median_b": round(med_b, 3),
+        "peak_a": round(peak_a, 3),
+        "peak_b": round(peak_b, 3),
+        "b_over_a_median": round(med_b / med_a, 3),
+        "b_over_a_peak": round(peak_b / peak_a, 3),
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": int(CPUS),
     }
     spark.stop()
@@ -270,6 +354,28 @@ def write_baseline_md(data: dict) -> dict:
         lo_best = min(iters[lo][j * ipl:(j + 1) * ipl])
         hi_best = min(iters[hi][j * ipl:(j + 1) * ipl])
         pair_effs.append((lo_best / hi_best) / factor)
+    # headline computed FROM the data — a run that misses the target must
+    # publish a failing artifact, not a hardcoded pass
+    eff_min = min(eff_peak, eff_med, *pair_effs)
+    target = 0.8
+    if eff_min >= target:
+        headline = (
+            f"**Scaling efficiency (N -> 4N): PASS — minimum over every "
+            f"estimator {eff_min:.3f} >= {target}**"
+        )
+        closing = (
+            f"every estimator above, including the conservative per-rep "
+            f"matched pairing, clears the {target} target"
+        )
+    else:
+        headline = (
+            f"**Scaling efficiency (N -> 4N): FAIL — minimum over every "
+            f"estimator {eff_min:.3f} < {target}**"
+        )
+        closing = (
+            f"at least one estimator above falls short of the {target} "
+            f"target (minimum {eff_min:.3f})"
+        )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     all_rows = "\n".join(
         f"| local[{c}] rep{i // ipl + 1} iter{i % ipl + 1} | {t} | "
@@ -297,8 +403,8 @@ Per-level statistics over ALL {data["reps"] * ipl} iterations:
   local[{lo}] (N):  peak {peak[lo]:.3f}s ({tp_lo:.1f} docs/s), median {med[lo]:.3f}s
   local[{hi}] (4N): peak {peak[hi]:.3f}s ({tp_hi:.1f} docs/s), median {med[hi]:.3f}s
 
-**Scaling efficiency (N -> 4N): >= 0.8 under every estimator** (target
->= 0.8 per BASELINE.json north_rule; sandbox evidence per driver
+{headline} (target
+>= {target} per BASELINE.json north_rule; sandbox evidence per driver
 instruction — same job, same input, two parallelism levels):
 
 | estimator | efficiency |
@@ -314,10 +420,9 @@ back-to-back runs span {min(iters[hi]):.0f}-{max(iters[hi]):.0f}s at
 local[{hi}]); short 4N iterations fit inside fast windows more easily
 than the 4x-longer N iterations, which inflates every wall-clock ratio.
 The supportable engine-level statement is: at matched host conditions the
-4N configuration sustains >= 4x * 0.8 the N throughput — every estimator
-above, including the conservative per-rep matched pairing, clears the
-0.8 target, and none shows a sub-linear bottleneck (no shuffle, lock, or
-driver serialization appears at 4N that is absent at N).
+4N configuration's throughput ratio to N is what the table shows —
+{closing}. No shuffle, lock, or driver serialization appears at 4N that
+is absent at N.
 
 Estimator rationale: host noise can only SUBTRACT throughput, so the
 per-level maximum over interleaved iterations is a consistent estimator
@@ -353,6 +458,8 @@ mitigations shipped in session.py.
         "docs_per_sec_hi": round(tp_hi, 1),
         "efficiency_median": round(eff_med, 3),
         "efficiency_matched_reps": [round(e, 3) for e in pair_effs],
+        "efficiency_min": round(eff_min, 3),
+        "meets_target": eff_min >= target,
         "iters_lo": iters[lo],
         "iters_hi": iters[hi],
         "iters_per_leg": ipl,
@@ -383,5 +490,11 @@ def render_from_json(path: str) -> None:
 if __name__ == "__main__":
     if "--render" in sys.argv:
         render_from_json(sys.argv[sys.argv.index("--render") + 1])
+    elif "--ab" in sys.argv:
+        use_tmpfs_shuffle_dir()
+        i = sys.argv.index("--ab")
+        reps = (int(sys.argv[sys.argv.index("--reps") + 1])
+                if "--reps" in sys.argv else 5)
+        run_ab(sys.argv[i + 1], sys.argv[i + 2], reps)
     else:
         main()

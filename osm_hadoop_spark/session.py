@@ -86,19 +86,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
-    # Shuffle/spill scratch space: a cluster node has local NVMe; this
-    # sandbox's only disk is a throughput-limited cloud volume that caps
-    # shuffle-heavy stages identically at every core count (and noisily).
-    # Point local.dir at tmpfs so shuffle bandwidth looks like cluster-grade
-    # local disk — but ONLY when the tmpfs is actually big enough to hold
-    # spill (typical Docker /dev/shm is 64 MB; filling it fails jobs with
-    # ENOSPC, and on real nodes it competes with executor RAM). Require
-    # >= 16 GiB free, or an explicit SPARK_GRAFT_LOCAL_DIR override.
+    # Shuffle/spill scratch space: strictly opt-in via SPARK_GRAFT_LOCAL_DIR
+    # (bench.py sets it to tmpfs after a capacity check). The default never
+    # touches /dev/shm — on RAM-rich production nodes a tmpfs shuffle dir
+    # silently competes with executor memory, and a small Docker /dev/shm
+    # fails jobs with ENOSPC.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
-        st = os.statvfs("/dev/shm")
-        if st.f_bavail * st.f_frsize >= 16 * 1024**3:
-            local_dir = "/dev/shm/spark_local"
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
         b = b.config("spark.local.dir", local_dir)

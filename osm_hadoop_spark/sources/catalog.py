@@ -99,8 +99,16 @@ class SnapshotCatalog:
         if bucket_by:
             cols, n = bucket_by
             # bucketed layout requires a catalog entry (saveAsTable); the
-            # data still lands under the snapshot path via `path` option
-            managed_name = f"snap_{table}_{snap_id}"
+            # data still lands under the snapshot path via `path` option.
+            # The name embeds a hash of the catalog root: two catalogs
+            # writing the same table name must not overwrite each other's
+            # session-catalog entry (saveAsTable re-points on collision).
+            import hashlib
+
+            root_tag = hashlib.sha1(
+                os.path.abspath(self.root).encode()
+            ).hexdigest()[:8]
+            managed_name = f"snap_{root_tag}_{table}_{snap_id}"
             (
                 df.write.mode("overwrite")
                 .bucketBy(n, *cols).sortBy(*cols)
@@ -170,8 +178,16 @@ class SnapshotCatalog:
         if rec.get("managed_name"):
             # bucketed snapshot: read through the table catalog so the
             # bucketing metadata survives (a raw path read would lose it
-            # and re-shuffle on the next join)
-            return self.spark.table(rec["managed_name"])
+            # and re-shuffle on the next join). saveAsTable registers only
+            # in the SESSION catalog (in-memory by default), so a NEW
+            # session reading an existing catalog root won't find it —
+            # fall back to the snapshot path. The data is identical;
+            # only the bucketing metadata (shuffle elision) is lost
+            # across sessions on the parquet backend. The Iceberg backend
+            # persists the bucket transform in table metadata and has no
+            # such gap.
+            if self.spark.catalog.tableExists(rec["managed_name"]):
+                return self.spark.table(rec["managed_name"])
         return self.spark.read.parquet(rec["path"])
 
     def snapshot_log(self, table: str) -> list[dict]:

@@ -7,6 +7,11 @@ GeoTIFF writer: the exported table is a filtered extract, not the corpus
 (the reference also accumulates every feature in an ArrayList before
 writing).
 
+The reference enumerates the full geometry-type lattice
+(shp/GeomType.scala:11-32) even though its live driver exports only
+LineStrings; this sink supports the three concrete types a consumer of the
+reference could request — Point, PolyLine, Polygon.
+
 Layout per the ESRI Shapefile Technical Description (July 1998): .shp main
 file (big-endian headers, little-endian records), .shx index, dBase III
 .dbf attribute table, and a .prj with the WGS84 WKT.
@@ -19,7 +24,9 @@ from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame
 
+SHP_POINT = 1
 SHP_POLYLINE = 3
+SHP_POLYGON = 5
 _WGS84_PRJ = (
     'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
     'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
@@ -27,14 +34,53 @@ _WGS84_PRJ = (
 )
 
 
-def _polyline_record(xs: Sequence[float], ys: Sequence[float]) -> bytes:
+def _point_record(xs: Sequence[float], ys: Sequence[float]) -> bytes:
+    # Point records carry no bbox: type, x, y (28.4.1 of the spec).
+    return struct.pack("<i2d", SHP_POINT, xs[0], ys[0])
+
+
+def _signed_area2(xs: Sequence[float], ys: Sequence[float]) -> float:
+    """Twice the signed area of a ring (positive = counter-clockwise)."""
+    a = 0.0
+    n = len(xs)
+    for i in range(n):
+        j = (i + 1) % n
+        a += xs[i] * ys[j] - xs[j] * ys[i]
+    return a
+
+
+def _poly_record(
+    xs: Sequence[float], ys: Sequence[float], shp_type: int
+) -> bytes:
+    xs, ys = list(xs), list(ys)
+    if shp_type == SHP_POLYGON:
+        # Spec: rings are closed and the outer ring is clockwise.
+        if xs[0] != xs[-1] or ys[0] != ys[-1]:
+            xs.append(xs[0]); ys.append(ys[0])
+        if _signed_area2(xs, ys) > 0:
+            xs.reverse(); ys.reverse()
     n = len(xs)
     box = (min(xs), min(ys), max(xs), max(ys))
-    body = struct.pack("<i4dii", SHP_POLYLINE, *box, 1, n)
+    body = struct.pack("<i4dii", shp_type, *box, 1, n)
     body += struct.pack("<i", 0)  # single part starting at point 0
     for x, y in zip(xs, ys):
         body += struct.pack("<2d", x, y)
     return body
+
+
+def _record(xs, ys, shp_type: int) -> bytes:
+    if shp_type == SHP_POINT:
+        return _point_record(xs, ys)
+    if shp_type in (SHP_POLYLINE, SHP_POLYGON):
+        return _poly_record(xs, ys, shp_type)
+    raise ValueError(f"unsupported shapefile geometry type {shp_type}")
+
+
+def _record_bbox(body: bytes, shp_type: int) -> tuple[float, float, float, float]:
+    if shp_type == SHP_POINT:
+        x, y = struct.unpack_from("<2d", body, 4)
+        return (x, y, x, y)
+    return struct.unpack_from("<4d", body, 4)
 
 
 def write_shapefile(
@@ -42,14 +88,19 @@ def write_shapefile(
     features: Iterable[tuple[Sequence[float], Sequence[float], str]],
     attr_name: str = "highway",
     attr_width: int = 32,
+    shp_type: int = SHP_POLYLINE,
 ) -> int:
-    """Write (xs, ys, attr) LineString features to path_base.{shp,shx,dbf,prj}.
+    """Write (xs, ys, attr) features to path_base.{shp,shx,dbf,prj}.
 
+    shp_type selects Point (1), PolyLine (3, default) or Polygon (5);
+    polygon rings are closed and oriented clockwise per the spec.
     Returns the number of features written.
     """
     records = []
     for xs, ys, attr in features:
-        records.append((_polyline_record(xs, ys), "" if attr is None else str(attr)))
+        records.append(
+            (_record(xs, ys, shp_type), "" if attr is None else str(attr))
+        )
 
     shp_records = b""
     shx_records = b""
@@ -61,17 +112,16 @@ def write_shapefile(
         offset_words += 4 + clen
 
     if records:
-        xs_all = [v for body, _ in records
-                  for v in struct.unpack_from("<4d", body, 4)]
-        xmin = min(xs_all[0::4]); ymin = min(xs_all[1::4])
-        xmax = max(xs_all[2::4]); ymax = max(xs_all[3::4])
+        boxes = [_record_bbox(body, shp_type) for body, _ in records]
+        xmin = min(b[0] for b in boxes); ymin = min(b[1] for b in boxes)
+        xmax = max(b[2] for b in boxes); ymax = max(b[3] for b in boxes)
     else:
         xmin = ymin = xmax = ymax = 0.0
 
     def header(total_bytes: int) -> bytes:
         return (
             struct.pack(">7i", 9994, 0, 0, 0, 0, 0, total_bytes // 2)
-            + struct.pack("<ii4d4d", 1000, SHP_POLYLINE,
+            + struct.pack("<ii4d4d", 1000, shp_type,
                           xmin, ymin, xmax, ymax, 0, 0, 0, 0)
         )
 
@@ -80,11 +130,14 @@ def write_shapefile(
     with open(path_base + ".shx", "wb") as f:
         f.write(header(100 + len(shx_records)) + shx_records)
 
-    # dBase III: one character field
+    # dBase III: one character field. Descriptor layout: name[0:11],
+    # type byte 11, 4 reserved, field LENGTH at byte 16, DECIMAL COUNT
+    # at byte 17 (dBase III spec) — standard readers size the field
+    # from byte 16, so the order matters.
     n = len(records)
     field = struct.pack(
         "<11sc4xBB14x", attr_name[:10].encode("ascii") + b"\x00", b"C",
-        0, attr_width,
+        attr_width, 0,
     )
     dbf_header = struct.pack(
         "<BBBBIHH20x", 3, 99, 1, 1, n, 32 + 32 + 1, 1 + attr_width
@@ -100,14 +153,16 @@ def write_shapefile(
 
 
 def export_shapefile(
-    ways_geom: DataFrame, path_base: str, attr_col: str = "highway"
+    ways_geom: DataFrame, path_base: str, attr_col: str = "highway",
+    shp_type: int = SHP_POLYLINE,
 ) -> int:
     """Collect an assembled-ways extract (way_id, xs, ys, attr) and write it
-    as a LineString shapefile — the ExtractShp entry point."""
+    as a shapefile — the ExtractShp entry point (LineString by default)."""
     cols = ["xs", "ys"] + ([attr_col] if attr_col in ways_geom.columns else [])
     rows = ways_geom.select(*cols).collect()
     feats = (
         (r["xs"], r["ys"], r[attr_col] if attr_col in cols else "")
         for r in rows
     )
-    return write_shapefile(path_base, feats, attr_name=attr_col)
+    return write_shapefile(path_base, feats, attr_name=attr_col,
+                           shp_type=shp_type)

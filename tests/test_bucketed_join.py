@@ -54,3 +54,38 @@ def test_bucketed_snapshots_join_without_exchange(spark, tmp_path):
     rec_c = cat.write(ways, "ways_plain")
     assert rec_c["bucket_by"] is None and rec_c["managed_name"] is None
     assert cat.read("ways_plain").count() == 2000
+
+
+def test_bucketed_snapshot_survives_new_session(spark, tmp_path):
+    """A new Spark session sees only the persisted _snapshots.json, not the
+    in-memory session catalog — read() must fall back to the snapshot path
+    (bucket metadata is lost across sessions on the parquet backend; the
+    data is not)."""
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat2"), use_iceberg=False)
+    df = spark.range(0, 500).select(
+        F.col("id").alias("way_id"), (F.col("id") % 3).alias("cls")
+    )
+    rec = cat.write(df, "ways_x", bucket_by=(["way_id"], 4))
+    # simulate a fresh session: drop the session-catalog entry, keep files
+    spark.sql(f"DROP TABLE {rec['managed_name']}")
+    fresh = SnapshotCatalog(spark, str(tmp_path / "cat2"), use_iceberg=False)
+    got = fresh.read("ways_x")
+    assert got.count() == 500
+    assert got.filter(F.col("way_id") == 7).collect()[0]["cls"] == 1
+
+
+def test_two_catalog_roots_do_not_collide(spark, tmp_path):
+    """Same table name, same snapshot id, two roots: the managed session-
+    catalog names must differ, or the second write re-points the first."""
+    cat_a = SnapshotCatalog(spark, str(tmp_path / "rootA"), use_iceberg=False)
+    cat_b = SnapshotCatalog(spark, str(tmp_path / "rootB"), use_iceberg=False)
+    df_a = spark.range(0, 10).select(F.col("id").alias("way_id"),
+                                     F.lit("A").alias("src"))
+    df_b = spark.range(0, 20).select(F.col("id").alias("way_id"),
+                                     F.lit("B").alias("src"))
+    rec_a = cat_a.write(df_a, "shared", bucket_by=(["way_id"], 2))
+    rec_b = cat_b.write(df_b, "shared", bucket_by=(["way_id"], 2))
+    assert rec_a["managed_name"] != rec_b["managed_name"]
+    assert cat_a.read("shared").count() == 10
+    assert cat_b.read("shared").count() == 20
+    assert cat_a.read("shared").select("src").distinct().collect()[0][0] == "A"

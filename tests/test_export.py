@@ -4,7 +4,12 @@ import struct
 
 import numpy as np
 
-from osm_hadoop_spark.sources.shapefile import export_shapefile, write_shapefile
+from osm_hadoop_spark.sources.shapefile import (
+    SHP_POINT,
+    SHP_POLYGON,
+    export_shapefile,
+    write_shapefile,
+)
 
 
 def _read_shp(path_base):
@@ -65,6 +70,64 @@ def test_write_shapefile_golden_bytes(tmp_path):
     assert off0 == 50 and len0 == (8 + 44 + 4 + 16 * 3 - 8) // 2
     with open(base + ".prj") as f:
         assert "WGS_1984" in f.read()
+
+
+def test_dbf_field_descriptor_layout(tmp_path):
+    """dBase III readers size fields from descriptor byte 16 (length) and
+    byte 17 (decimal count) — regression for the swapped pack order."""
+    base = str(tmp_path / "desc")
+    write_shapefile(base, [([1.0], [2.0], "x")], attr_width=32,
+                    shp_type=SHP_POINT)
+    with open(base + ".dbf", "rb") as f:
+        buf = f.read()
+    desc = buf[32:64]
+    assert desc[16] == 32  # field length
+    assert desc[17] == 0   # decimal count
+    assert desc[11:12] == b"C"
+    # header record length must agree with the descriptor field length
+    rec_len = struct.unpack_from("<H", buf, 10)[0]
+    assert rec_len == 1 + desc[16]
+
+
+def test_write_point_shapefile(tmp_path):
+    base = str(tmp_path / "pts")
+    n = write_shapefile(base, [
+        ([10.0], [45.0], "a"),
+        ([-1.5], [51.25], "b"),
+    ], shp_type=SHP_POINT)
+    assert n == 2
+    with open(base + ".shp", "rb") as f:
+        buf = f.read()
+    shp_type = struct.unpack_from("<i", buf, 32)[0]
+    box = struct.unpack_from("<4d", buf, 36)
+    assert shp_type == 1
+    assert box == (-1.5, 45.0, 10.0, 51.25)
+    # point record: 8-byte record header + type + x + y = 28 bytes
+    typ, x, y = struct.unpack_from("<i2d", buf, 108)
+    assert (typ, x, y) == (1, 10.0, 45.0)
+    typ, x, y = struct.unpack_from("<i2d", buf, 108 + 28)
+    assert (typ, x, y) == (1, -1.5, 51.25)
+    _, vals = _read_dbf(base)
+    assert vals == ["a", "b"]
+
+
+def test_write_polygon_shapefile_closes_and_orients(tmp_path):
+    base = str(tmp_path / "poly")
+    # open, counter-clockwise triangle: must come back closed + clockwise
+    n = write_shapefile(base, [
+        ([0.0, 4.0, 0.0], [0.0, 0.0, 3.0], "zone"),
+    ], shp_type=SHP_POLYGON)
+    assert n == 1
+    code, flen, version, shp_type, box, recs = _read_shp(base)
+    assert shp_type == 5 and len(recs) == 1
+    pts = recs[0][3]
+    xs, ys = pts[0::2], pts[1::2]
+    assert (xs[0], ys[0]) == (xs[-1], ys[-1])  # closed ring
+    area2 = sum(
+        xs[i] * ys[i + 1] - xs[i + 1] * ys[i] for i in range(len(xs) - 1)
+    )
+    assert area2 < 0  # clockwise outer ring per spec
+    assert recs[0][2] == (0.0, 0.0, 4.0, 3.0)
 
 
 def test_export_shapefile_from_ways(spark, tmp_path):

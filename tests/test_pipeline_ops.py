@@ -244,3 +244,18 @@ def test_ann_ivf_recall(spark, emb):
     assert {(r["query_id"], r["vec_id"], r["rank"]) for r in approx2} == {
         (r["query_id"], r["vec_id"], r["rank"]) for r in approx
     }
+
+
+def test_embedding_neardup_slim_equals_explode(spark, emb):
+    """The slim (id-pair fan-out + join-back) probe path must emit the
+    exact same pair set and bit-identical scores as the legacy
+    embedding-exploding path it replaced (round-2 verdict item 2)."""
+    from osm_hadoop_spark.operators.similarity import embedding_neardup_pairs
+
+    corpus = emb.select("vec_id", "embedding")
+    kw = dict(threshold_num=9, threshold_den=10, dim=64, n_planes=6)
+    slim = embedding_neardup_pairs(corpus, probe_mode="slim", **kw).collect()
+    legacy = embedding_neardup_pairs(corpus, probe_mode="explode", **kw).collect()
+    to_set = lambda rows: {(r["vec_a"], r["vec_b"], r["score"]) for r in rows}
+    assert to_set(slim) == to_set(legacy)
+    assert len(slim) == len(legacy)
