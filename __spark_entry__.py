@@ -441,7 +441,8 @@ def _duck_merc_lat(y_expr: str, z: int) -> str:
     return f"degrees(atan((exp({a}) - exp(-({a})))/2))"
 
 
-def _build_tile_refine_oracle(z: int = 10) -> str:
+def _build_tile_refine_oracle(z: int = 10, pts_sql: str | None = None,
+                              max_length_deg: float | None = None) -> str:
     n = 1 << z
     # cross(d, corner - p1) signs — identical arithmetic order to
     # functions/spatial.py segment_box_intersects
@@ -459,11 +460,27 @@ def _build_tile_refine_oracle(z: int = 10) -> str:
       OR (bx >= bxmin AND bx <= bxmax AND by2 >= bymin AND by2 <= bymax)
       OR NOT (({all_pos}) OR ({all_neg}))
     )"""
+    # F6 guard twin: planar polyline length (sum of segment lengths over the
+    # SAME lead()-ordered segments the refine uses) <= max_length_deg.
+    len_filter = ""
+    if max_length_deg is not None:
+        len_filter = f"""AND way_id IN (
+    SELECT way_id FROM pre_seg
+    GROUP BY 1
+    HAVING sum(sqrt((bx-ax)*(bx-ax)+(by2-ay)*(by2-ay))) <= {max_length_deg!r}
+  )"""
     return f"""
-WITH p AS ({_LOCAL_WAY_PTS_SQL}),
+WITH p AS ({pts_sql or _LOCAL_WAY_PTS_SQL}),
+pre_seg AS (
+  SELECT way_id, lon AS ax, lat AS ay,
+    lead(lon) OVER (PARTITION BY way_id ORDER BY ordinal, lon, lat) AS bx,
+    lead(lat) OVER (PARTITION BY way_id ORDER BY ordinal, lon, lat) AS by2
+  FROM p
+  QUALIFY bx IS NOT NULL
+),
 env AS (
   SELECT way_id, min(lon) AS x0, max(lon) AS x1, min(lat) AS y0, max(lat) AS y1
-  FROM p GROUP BY way_id HAVING count(*) > 1
+  FROM p GROUP BY way_id HAVING count(*) > 1 {len_filter}
 ),
 rng AS (
   SELECT way_id, {_duck_xt('x0', z)} AS xt0, {_duck_xt('x1', z)} AS xt1,
@@ -480,13 +497,7 @@ bounds AS (
     {_duck_merc_lat('yt', z)} AS bymax
   FROM cand
 ),
-seg AS (
-  SELECT way_id, lon AS ax, lat AS ay,
-    lead(lon) OVER (PARTITION BY way_id ORDER BY ordinal, lon, lat) AS bx,
-    lead(lat) OVER (PARTITION BY way_id ORDER BY ordinal, lon, lat) AS by2
-  FROM p
-  QUALIFY bx IS NOT NULL
-),
+seg AS (SELECT * FROM pre_seg),
 hits AS (
   SELECT b.way_id, b.xt, b.yt
   FROM bounds b JOIN seg s USING (way_id)
@@ -500,6 +511,94 @@ FROM hits GROUP BY 1
 
 
 _ORACLE_TILE_REFINE = _build_tile_refine_oracle(10)
+
+
+def _q_planet_e2e(spark, sf_dir):
+    """End-to-end composition oracle (round-2 verdict item 3): synthesize
+    span-format documents from the driver tables (JVM to_json — nodes from
+    part, ways+nds from orders x lineitem), run the CHECKPOINTED
+    plans/pipeline.planet_pipeline (parse S2 -> F1 tag filter -> J1 node
+    join -> J2 assembly -> J3 z4 cover+refine -> A4 per-tile counts) through
+    a temp SnapshotCatalog with real per-stage snapshots, and return the
+    final tile_counts snapshot. The DuckDB twin replicates the WHOLE chain
+    relationally (tag filter -> join -> envelope -> cover -> separating-axis
+    refine -> count), proving the composition, not just the pieces."""
+    import tempfile
+
+    from osm_hadoop_spark.plans.pipeline import planet_pipeline
+    from osm_hadoop_spark.sources.catalog import SnapshotCatalog
+
+    node_docs = _nodes(spark, sf_dir).select(
+        F.concat(F.lit("n"), F.col("node_id")).alias("doc_id"),
+        F.array(F.struct(
+            F.lit("osm.node").alias("kind"),
+            F.to_json(F.struct(
+                F.col("node_id").alias("id"), "lon", "lat"
+            )).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )).alias("spans"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    nds = (
+        li.select(
+            F.col("l_orderkey").alias("way_id"),
+            F.col("l_linenumber").cast("int").alias("ordinal"),
+            F.col("l_partkey").alias("node_id"),
+        )
+        .groupBy("way_id")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("ordinal", "node_id"))),
+            lambda s: s["node_id"],
+        ).alias("nds"))
+    )
+    way_docs = _ways(spark, sf_dir).join(nds, "way_id").select(
+        F.concat(F.lit("w"), F.col("way_id")).alias("doc_id"),
+        F.array(F.struct(
+            F.lit("osm.way").alias("kind"),
+            F.to_json(F.struct(
+                F.col("way_id").alias("id"), "tags", "nds"
+            )).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )).alias("spans"),
+    )
+    # persist: the nodes and ways stages each scan `documents`; without the
+    # cache the lineitem groupBy + to_json synthesis runs twice. Bounded
+    # (one JSON doc per part/order row), unpersisted before returning.
+    docs = node_docs.unionByName(way_docs).persist()
+    cat = SnapshotCatalog(
+        spark, tempfile.mkdtemp(prefix="planet_e2e_"), use_iceberg=False
+    )
+    p = planet_pipeline(spark, cat, docs, tag_keys=["highway"], zoom=4,
+                        max_length_deg=50.0)  # F6 guard, reference-faithful
+    try:
+        p.run(resume=False)
+    finally:
+        docs.unpersist()
+    return p.table("tile_counts").select(
+        F.col("tile_id").cast("bigint").alias("tile_id"),
+        F.col("n_ways").cast("bigint").alias("n_ways"),
+    )
+
+
+# ordinal = row_number over (l_linenumber, l_partkey): the EXACT position
+# the Spark path assigns in the nds array (doc synthesis sorts
+# struct(linenumber, node_id); lineitem carries duplicate linenumbers, so
+# a (lon, lat) tie-break would order vertices differently)
+_E2E_PTS_SQL = f"""
+SELECT wn.way_id, wn.ordinal, n.lon, n.lat
+FROM (SELECT l_orderkey AS way_id,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS ordinal,
+             l_partkey AS node_id FROM lineitem) wn
+JOIN ({_NODES_SQL}) n USING (node_id)
+WHERE wn.way_id IN
+  (SELECT o_orderkey FROM orders WHERE o_orderpriority <> '5-LOW')
+"""
+_ORACLE_PLANET_E2E = _build_tile_refine_oracle(
+    4, pts_sql=_E2E_PTS_SQL, max_length_deg=50.0
+)
 
 
 _TRI_SQL = (
@@ -1523,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "tile_cover_count_z5": _q_tile_cover,       # E9 (J3 filter stage)
         "tile_refine_z10": _q_tile_refine,          # J3 exact refine
+        "planet_e2e": _q_planet_e2e,                # full pipeline composition
         "buffered_cover_z13": _q_buffered_cover,    # E6+E9 buffered filter stage
         "rasterize_bresenham": _q_rasterize_bresenham,  # E4+E5+F8 raster map side
         "min_class_pixels": _q_min_class,           # A2 (SparkRasterizer variant)
@@ -1566,6 +1666,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,
         "tile_refine_z10": _ORACLE_TILE_REFINE,
+        "planet_e2e": _ORACLE_PLANET_E2E,
         "buffered_cover_z13": _ORACLE_BUFFERED_COVER,
         "rasterize_bresenham": _ORACLE_RASTERIZE,
         "min_class_pixels": _ORACLE_MIN_CLASS,

@@ -61,10 +61,18 @@ class Pipeline:
 
 def planet_pipeline(spark: SparkSession, catalog: SnapshotCatalog,
                     documents: DataFrame, tag_keys: list[str] | None = None,
-                    zoom: int = 14) -> Pipeline:
+                    zoom: int = 14,
+                    max_length_deg: float | None = None) -> Pipeline:
     """The 4-stage reference planet pipeline as a checkpointed Pipeline:
     parse -> join -> assemble -> tile-assign/count (SURVEY.md section 3.1),
-    each stage a resumable snapshot."""
+    each stage a resumable snapshot.
+
+    `max_length_deg` applies the reference's F6 long-geometry guard
+    (WayRasterizer drops assembled geometries longer than 50 planar degrees
+    — corrupt/degenerate ways) before the spatial join, exactly where the
+    reference applies it: after assembly, before the per-tile work.
+    """
+    from osm_hadoop_spark.operators.rasterize import planar_length_col
     from osm_hadoop_spark.operators.tile_join import assign_tiles, tile_counts
     from osm_hadoop_spark.operators.way_assembly import (
         assemble_ways,
@@ -107,7 +115,10 @@ def planet_pipeline(spark: SparkSession, catalog: SnapshotCatalog,
 
     @p.stage("tile_assignments")
     def _assign(pl):
-        return assign_tiles(pl.table("ways_geom"), zoom=zoom, tms=False)
+        wg = pl.table("ways_geom")
+        if max_length_deg is not None:
+            wg = wg.filter(planar_length_col() <= max_length_deg)  # F6
+        return assign_tiles(wg, zoom=zoom, tms=False)
 
     @p.stage("tile_counts")
     def _counts(pl):
