@@ -5,9 +5,10 @@ Spark-side plumbing — schemas, Arrow batch shape, partition behavior — is
 real and tested; the actual codec work is stubbed deterministically because
 this container ships no image/audio libraries (PIL/ffmpeg absent):
 
-  - decode_metadata: parses the deterministic fake header (see
-    `synth_media_bytes`) — swap `_decode_header` for a real codec probe
-    (PIL.Image.open / av.open) in production;
+  - decode_metadata: vectorized header parse (one np.frombuffer view over
+    the concatenated batch + an offsets array — no per-row Python loop);
+    buffers without the OSMM stub magic fall through to a real codec probe
+    (PIL.Image.open) that activates automatically when Pillow is present;
   - resize_stub / frame_sample_stub: shape-preserving deterministic
     transforms standing in for real resize / frame extraction, same UDF
     signatures a real implementation would use;
@@ -29,6 +30,15 @@ from pyspark.sql import types as T
 
 MEDIA_MAGIC = b"OSMM"
 HEADER_LEN = 12  # magic(4) + width(2) + height(2) + n_frames(2) + kind(2)
+
+# Optional real codec: activates automatically if the environment ever
+# provides Pillow. Buffers that don't carry the OSMM stub magic are probed
+# with PIL.Image.open; without PIL they raise NotImplementedError (the
+# documented stub boundary).
+try:  # pragma: no cover - environment-dependent
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
 
 
 def _h60_py(s: str) -> int:
@@ -64,13 +74,24 @@ def synth_media_bytes(documents: DataFrame, text_col: str = "text") -> DataFrame
     return documents.withColumn("media", _synth_media_udf(F.coalesce(F.col(text_col), F.lit(""))))
 
 
+def _decode_real(buf: bytes) -> tuple[int, int, int, int]:
+    """Real-codec probe for non-OSMM buffers: PIL when available, else the
+    documented NotImplementedError stub boundary."""
+    if _PILImage is not None:
+        import io
+
+        with _PILImage.open(io.BytesIO(buf)) as img:
+            return img.width, img.height, getattr(img, "n_frames", 1), 2
+    raise NotImplementedError(
+        "real media decoding is not available in this environment; "
+        "only the deterministic OSMM stub header is supported"
+    )
+
+
 def _decode_header(buf: bytes) -> tuple[int, int, int, int]:
-    """STUB decoder — replace with a real codec probe in production."""
+    """Single-buffer decode: OSMM stub header, PIL fallback for real media."""
     if buf is None or len(buf) < HEADER_LEN or buf[:4] != MEDIA_MAGIC:
-        raise NotImplementedError(
-            "real media decoding is not available in this environment; "
-            "only the deterministic OSMM stub header is supported"
-        )
+        return _decode_real(buf or b"")
     w = buf[4] | (buf[5] << 8)
     h = buf[6] | (buf[7] << 8)
     frames = buf[8] | (buf[9] << 8)
@@ -78,16 +99,49 @@ def _decode_header(buf: bytes) -> tuple[int, int, int, int]:
     return w, h, frames, kind
 
 
+def _decode_batch(bufs: list[bytes]) -> pd.DataFrame:
+    """Vectorized header decode for a whole Arrow batch: one concatenated
+    uint8 view + an offsets array (np.frombuffer), no per-row Python loop.
+    Rows without the OSMM magic take the rare-path per-row real-codec probe."""
+    n = len(bufs)
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    blob = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    starts = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    ok = lens >= HEADER_LEN
+    safe = np.where(ok, starts, 0)  # short rows index 0 harmlessly, masked out
+    if blob.size >= HEADER_LEN:
+        for i, m in enumerate(MEDIA_MAGIC):
+            ok &= blob[safe + i] == m
+        safe = np.where(ok, starts, 0)
+
+        def field(off: int) -> np.ndarray:
+            return blob[safe + off].astype(np.int32) | (
+                blob[safe + off + 1].astype(np.int32) << 8
+            )
+
+        w, h, fr, kd = field(4), field(6), field(8), field(10)
+    else:
+        ok &= False
+        w = h = fr = kd = np.zeros(n, dtype=np.int32)
+    nb = (lens - HEADER_LEN).astype(np.int32)
+    if not ok.all():
+        for i in np.flatnonzero(~ok):
+            rw, rh, rfr, rkd = _decode_real(bufs[i])
+            w[i], h[i], fr[i], kd[i], nb[i] = rw, rh, rfr, rkd, lens[i]
+    return pd.DataFrame(
+        {"width": w, "height": h, "n_frames": fr, "kind": kd, "n_bytes": nb}
+    )
+
+
 def decode_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
     """binary -> typed metadata struct (width, height, n_frames, kind, n_bytes)."""
 
     def decode(batches):
         for pdf in batches:
-            metas = []
-            for buf in pdf[media_col]:
-                w, h, fr, kd = _decode_header(bytes(buf))
-                metas.append((w, h, fr, kd, len(buf) - HEADER_LEN))
-            m = pd.DataFrame(metas, columns=["width", "height", "n_frames", "kind", "n_bytes"])
+            bufs = [bytes(b) if b is not None else b"" for b in pdf[media_col]]
+            m = _decode_batch(bufs)
             out = pdf[[c for c in pdf.columns if c != media_col]].reset_index(drop=True)
             yield pd.concat([out, m], axis=1)
 

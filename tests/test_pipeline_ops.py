@@ -221,8 +221,40 @@ def test_multimodal_plumbing(spark, docs):
 
 def test_multimodal_decode_rejects_non_stub(spark):
     d = spark.createDataFrame([(1, bytearray(b"JUNKDATA0123"))], "doc_id long, media binary")
-    with pytest.raises(Exception, match="NotImplementedError|stub|OSMM|decoding"):
+    # without PIL: NotImplementedError stub boundary; with PIL: the codec
+    # itself rejects the junk buffer (UnidentifiedImageError)
+    with pytest.raises(
+        Exception, match="NotImplementedError|stub|OSMM|decoding|identify"
+    ):
         decode_metadata(d).collect()
+
+
+def test_multimodal_vectorized_batch_matches_scalar():
+    """_decode_batch (np.frombuffer over an offsets array) must agree with
+    the scalar _decode_header on every row, including degenerate lengths."""
+    from osm_hadoop_spark.operators.multimodal import (
+        HEADER_LEN,
+        MEDIA_MAGIC,
+        _decode_batch,
+        _decode_header,
+    )
+
+    bufs = []
+    for i in range(257):
+        w, h, fr, kd = (i * 7) % 65536, (i * 13) % 65536, i % 9 + 1, i % 3
+        header = MEDIA_MAGIC + bytes(
+            [w & 255, w >> 8, h & 255, h >> 8, fr & 255, fr >> 8, kd & 255, kd >> 8]
+        )
+        bufs.append(header + b"x" * (i % 31))
+    got = _decode_batch(bufs)
+    for i, buf in enumerate(bufs):
+        w, h, fr, kd = _decode_header(buf)
+        assert (got["width"][i], got["height"][i], got["n_frames"][i],
+                got["kind"][i], got["n_bytes"][i]) == (
+            w, h, fr, kd, len(buf) - HEADER_LEN)
+    # empty batch: schema-stable, no crash
+    assert list(_decode_batch([]).columns) == [
+        "width", "height", "n_frames", "kind", "n_bytes"]
 
 
 def test_ann_ivf_recall(spark, emb):
