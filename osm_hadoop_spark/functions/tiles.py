@@ -99,6 +99,17 @@ def tiles_for_envelope_flat(
     TmsTileCalculator.tilesForEnvelope semantics (all tiles whose envelope
     intersects the query envelope) — the filter stage of the filter-and-refine
     spatial join (J3).
+
+    Antimeridian rule (pinned by tests/test_tiles_antimeridian.py): the
+    envelope is PLANAR — [lon_min, lon_max] is a closed interval on the
+    clipped [-180, 180] axis and the x cover never wraps. This matches the
+    reference's JTS Envelope model (a JTS envelope cannot represent a
+    wrapping interval): a geometry whose vertices straddle the dateline
+    gets a near-whole-world x cover, and the reference's own mitigation is
+    the F6 long-geometry guard (drop > 50 planar degrees) upstream, which
+    this engine applies in the same place (operators/rasterize.py,
+    plans/pipeline.py). `grid_disk` below intentionally differs: a ring
+    around a CELL is a local neighborhood, so its x DOES wrap.
     """
     lon_min = np.asarray(lon_min, dtype=np.float64)
     lat_min = np.asarray(lat_min, dtype=np.float64)
@@ -164,4 +175,11 @@ def grid_disk(tile_id: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     n = np.int64(1) << zs
     xs = np.mod(xs, n)  # wrap antimeridian
     keep = (ys >= 0) & (ys < n)  # clip poles
-    return pack_tile(zs[keep], xs[keep], ys[keep]), src[keep]
+    cells, src = pack_tile(zs[keep], xs[keep], ys[keep]), src[keep]
+    # a disk wider than the ring (2k+1 >= 2^z) folds onto itself after the
+    # wrap; dedupe so each (src, cell) appears exactly once — downstream
+    # candidate joins rely on at-most-once multiplicity
+    if n.size and (2 * k + 1) >= int(n.min()):
+        uniq = np.unique(np.stack([src, cells], axis=1), axis=0)
+        src, cells = uniq[:, 0], uniq[:, 1]
+    return cells, src

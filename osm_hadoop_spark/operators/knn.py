@@ -112,6 +112,7 @@ def knn_join(
     k: int = 3,
     r0: float = 0.5,
     broadcast_features: bool | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """points(point_id, lon, lat) x features(feature_id, xs, ys) ->
     (point_id, feature_id, dist, rank) with rank 1..k per point.
@@ -119,6 +120,12 @@ def knn_join(
     Exact planar-degree kNN; ordering/tie-break (dist asc, feature_id asc).
     Points receive fewer than k rows only when the feature table itself has
     fewer than k rows.
+
+    `stats`, when given a dict, receives {"rounds": n} — the number of
+    radius rounds executed. The radius quadruples per round and terminates
+    once it exceeds the world diagonal, so rounds is bounded by
+    ceil(log4(WORLD_DIAG / r0)) + 1 regardless of data (the O(log)
+    guarantee the adversarial-scale test pins).
     """
     # a point can only ever accumulate min(k, |features|) neighbors; cap so
     # the radius loop terminates in O(log) rounds instead of racing the
@@ -139,6 +146,8 @@ def knn_join(
     )
     n_probe = features.limit(k).count()
     k = min(k, n_probe)
+    if stats is not None:
+        stats["rounds"] = 0
     if k == 0:
         return points.sparkSession.createDataFrame(
             [], "point_id long, feature_id long, dist double, rank int"
@@ -148,6 +157,8 @@ def knn_join(
     r = float(r0)
 
     while True:
+        if stats is not None:
+            stats["rounds"] += 1
         zoom = _zoom_for_radius(r)
         fcells = _feature_cells(features, zoom, r)
         if broadcast_features:

@@ -70,6 +70,89 @@ def test_skew_join_correct_and_salting_invariant(spark, skew_docs):
     assert top > ways_geom.count() * 0.1
 
 
+def test_knn_adversarial_scale(spark):
+    """kNN with a feature table >> points (200k segments, 160 points) and a
+    skewed cell (60% of features in a 0.2-degree box), broadcast_features on
+    (round-2 verdict item 8).
+
+    Pins: (a) the radius-round count stays within the O(log) bound
+    ceil(log4(WORLD_DIAG/r0)) + 1 — it cannot degrade to per-point linear
+    probing however skewed the data; (b) results stay EXACT vs an
+    independent closed-form brute force over all 200k features.
+    """
+    import math
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from osm_hadoop_spark.operators.knn import WORLD_DIAG, knn_join
+
+    rng = np.random.default_rng(11)
+    n_feat, n_clustered = 200_000, 120_000
+    # skewed cell: 60% of segments inside a 0.2 x 0.2 degree box
+    cx = np.concatenate([
+        rng.uniform(10.0, 10.2, n_clustered),
+        rng.uniform(-170, 170, n_feat - n_clustered),
+    ])
+    cy = np.concatenate([
+        rng.uniform(50.0, 50.2, n_clustered),
+        rng.uniform(-80, 80, n_feat - n_clustered),
+    ])
+    dx = rng.uniform(0.001, 0.01, n_feat) * rng.choice([-1, 1], n_feat)
+    dy = rng.uniform(0.001, 0.01, n_feat) * rng.choice([-1, 1], n_feat)
+    fid = np.arange(n_feat, dtype=np.int64)
+    features = spark.createDataFrame(pd.DataFrame({
+        "feature_id": fid,
+        "xs": [[float(a), float(b)] for a, b in zip(cx, cx + dx)],
+        "ys": [[float(a), float(b)] for a, b in zip(cy, cy + dy)],
+    }))
+    # 120 points inside the hot box, 40 in the sparse region (these force
+    # multiple radius rounds: sparse density ~1.5 features/deg^2 needs
+    # r ~ 0.8 deg before k=3 candidates exist)
+    px = np.concatenate([rng.uniform(10.0, 10.2, 120), rng.uniform(-170, 170, 40)])
+    py = np.concatenate([rng.uniform(50.0, 50.2, 120), rng.uniform(-80, 80, 40)])
+    points = spark.createDataFrame(pd.DataFrame({
+        "point_id": np.arange(160, dtype=np.int64), "lon": px, "lat": py,
+    }))
+
+    r0, k = 0.05, 3
+    stats: dict = {}
+    t0 = time.monotonic()
+    got = knn_join(points, features, k=k, r0=r0,
+                   broadcast_features=True, stats=stats)
+    rows = got.collect()
+    elapsed = time.monotonic() - t0
+
+    # O(log) round bound — the termination guarantee, independent of skew
+    bound = math.ceil(math.log(WORLD_DIAG / r0, 4)) + 1
+    assert 2 <= stats["rounds"] <= bound, (stats, bound)
+    print(f"knn adversarial: {stats['rounds']} rounds "
+          f"(bound {bound}), {elapsed:.1f}s for {n_feat} features")
+
+    # every point resolved with exactly k ranked neighbors
+    by_pt: dict = {}
+    for r in rows:
+        by_pt.setdefault(r["point_id"], []).append(r)
+    assert len(by_pt) == 160
+    assert all(sorted(x["rank"] for x in v) == [1, 2, 3] for v in by_pt.values())
+
+    # exactness vs an independent closed-form point-to-segment distance
+    # (NOT the library kernel) over ALL features, for a sample of points
+    ax, ay, bx, by_ = cx, cy, cx + dx, cy + dy
+    sdx, sdy = bx - ax, by_ - ay
+    ss = sdx * sdx + sdy * sdy
+    for pid in range(0, 160, 7):
+        t = np.clip(((px[pid] - ax) * sdx + (py[pid] - ay) * sdy) / ss, 0.0, 1.0)
+        d = np.hypot(px[pid] - (ax + t * sdx), py[pid] - (ay + t * sdy))
+        order = np.lexsort((fid, d))[:k]
+        mine = sorted(by_pt[pid], key=lambda x: x["rank"])
+        assert [x["feature_id"] for x in mine] == fid[order].tolist(), pid
+        np.testing.assert_allclose(
+            [x["dist"] for x in mine], d[order], rtol=0, atol=1e-9
+        )
+
+
 def test_streaming_tile_counts(spark, tmp_path):
     """Structured Streaming surface: file source -> windowed tile counts
     equals the batch computation of the same expression."""
