@@ -383,6 +383,94 @@ UNION ALL
 """
 
 
+def _q_s2_cells(spark, sf_dir):
+    """S2 cell-indexed point assignment (the north rule's 'H3/S2
+    cell-indexed tile assignment'): nodes -> vectorized from-scratch S2
+    kernel (functions/s2.py: cube face -> quadratic ST -> Hilbert curve)
+    at level 12, with the level-8 ancestor derived by pure id arithmetic
+    (cell_parent) — hierarchical rollup stays a computable-key hash
+    aggregate, no join, exactly like the quadkey rollup. The oracle
+    re-derives the Hilbert walk with a 12-step recursive CTE from the
+    published base tables — a third independent implementation."""
+    import pandas as pd
+
+    nodes = _nodes(spark, sf_dir)
+
+    def assign(batches):
+        from osm_hadoop_spark.functions.s2 import cell_for_lonlat, cell_parent
+
+        for pdf in batches:
+            l12 = cell_for_lonlat(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 12)
+            yield pd.DataFrame({"s2_l12": l12, "s2_l8": cell_parent(l12, 8)})
+
+    cells = nodes.mapInPandas(assign, schema="s2_l12 bigint, s2_l8 bigint")
+    return cells.groupBy("s2_l12", "s2_l8").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
+def _oracle_s2_cells() -> str:
+    from osm_hadoop_spark.functions.s2 import _IJ_TO_POS
+
+    ijpos_rows = ",".join(
+        f"({o},{ij},{int(_IJ_TO_POS[o][ij])})" for o in range(4) for ij in range(4)
+    )
+    # id layout at level L: face<<61 | pos<<(61-2L) | 1<<(60-2L); pos at
+    # level 8 is the level-12 pos with the low 4 levels (8 bits) dropped.
+    # Verified bit-exact vs NumPy over the EXHAUSTIVE 54 400-point lattice
+    # of every lon/lat the fixture can produce (tests/test_s2.py pins a
+    # sampled version of the same cross-check).
+    return f"""
+WITH RECURSIVE
+ijpos(orient, ij, pos) AS (VALUES {ijpos_rows}),
+n AS ({_NODES_SQL}),
+xyz AS (SELECT node_id, cos(radians(lat))*cos(radians(lon)) AS x,
+               cos(radians(lat))*sin(radians(lon)) AS y, sin(radians(lat)) AS z FROM n),
+fc AS (SELECT node_id, x, y, z,
+        CASE WHEN abs(x) > abs(y)
+             THEN (CASE WHEN abs(x) > abs(z) THEN (CASE WHEN x >= 0 THEN 0 ELSE 3 END)
+                        ELSE (CASE WHEN z >= 0 THEN 2 ELSE 5 END) END)
+             ELSE (CASE WHEN abs(y) > abs(z) THEN (CASE WHEN y >= 0 THEN 1 ELSE 4 END)
+                        ELSE (CASE WHEN z >= 0 THEN 2 ELSE 5 END) END) END AS face
+       FROM xyz),
+uv AS (SELECT node_id, face,
+   CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+             WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+   CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+             WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v FROM fc),
+st AS (SELECT node_id, face,
+   CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u) ELSE 1-0.5*sqrt(1-3*u) END AS s,
+   CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v) ELSE 1-0.5*sqrt(1-3*v) END AS t FROM uv),
+ij AS (SELECT node_id, face,
+   CAST(least(greatest(floor(s*1073741824), 0), 1073741823) AS BIGINT) AS i,
+   CAST(least(greatest(floor(t*1073741824), 0), 1073741823) AS BIGINT) AS j FROM st),
+hil AS (
+  SELECT node_id, face, i, j, 29 AS k, face % 2 AS orient, CAST(0 AS HUGEINT) AS pos
+  FROM ij
+  UNION ALL
+  SELECT h.node_id, h.face, h.i, h.j, h.k - 1,
+         xor(h.orient, CASE t.pos WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END),
+         h.pos * 4 + t.pos
+  FROM hil h JOIN ijpos t
+    ON t.orient = h.orient AND t.ij = ((h.i >> h.k) & 1) * 2 + ((h.j >> h.k) & 1)
+  WHERE h.k >= 18
+),
+fin AS (SELECT node_id,
+   CAST(face AS HUGEINT) * 2305843009213693952 + pos * 137438953472
+     + 68719476736 AS uid12,
+   CAST(face AS HUGEINT) * 2305843009213693952 + (pos // 256) * 35184372088832
+     + 17592186044416 AS uid8
+   FROM hil WHERE k = 17),
+ids AS (SELECT node_id,
+   CAST(CASE WHEN uid12 >= 9223372036854775808
+             THEN uid12 - 18446744073709551616 ELSE uid12 END AS BIGINT) AS s2_l12,
+   CAST(CASE WHEN uid8 >= 9223372036854775808
+             THEN uid8 - 18446744073709551616 ELSE uid8 END AS BIGINT) AS s2_l8
+   FROM fin)
+SELECT s2_l12, s2_l8, CAST(count(*) AS BIGINT) AS n_nodes FROM ids GROUP BY 1, 2
+"""
+
+
 def _ways_geom(spark, sf_dir):
     return _assembly_cached(spark, sf_dir, "global", _ways_geom_build)
 
@@ -1620,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_counts": _q_pixel_counts,            # A3
         "tile_point_z14": _q_tile_point,            # J5/E10
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
+        "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
         "tile_cover_count_z5": _q_tile_cover,       # E9 (J3 filter stage)
         "tile_refine_z10": _q_tile_refine,          # J3 exact refine
         "planet_e2e": _q_planet_e2e,                # full pipeline composition
@@ -1691,6 +1780,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": _ORACLE_TOKEN_COUNT,
     }
     oracles.update(_build_text_oracles())
+    oracles["s2_cell_assign_l12"] = _oracle_s2_cells()
     oracles["ann_lsh_topk"] = _oracle_ann_lsh()
     oracles["embedding_neardup"] = _oracle_embedding_neardup()
     ivf = _oracle_ann_ivf()

@@ -12,6 +12,12 @@ from osm_hadoop_spark.functions.grid import (  # noqa: F401
     unpack_xy,
 )
 from osm_hadoop_spark.functions.raster import rasterize_segments  # noqa: F401
+from osm_hadoop_spark.functions.s2 import (  # noqa: F401
+    cell_for_lonlat as s2_cell_for_lonlat,
+    cell_parent as s2_cell_parent,
+    cell_range_max as s2_cell_range_max,
+    cell_range_min as s2_cell_range_min,
+)
 from osm_hadoop_spark.functions.tiles import (  # noqa: F401
     cell_children,
     cell_parent,
