@@ -18,7 +18,7 @@ import zipfile
 from pyspark.sql import SparkSession
 
 
-def build_pyfiles_zip(dest_dir: str | None = None) -> str:
+def build_pyfiles_zip(dest_dir: str | None = None) -> str | None:
     """Package `osm_hadoop_spark` into a zip for executor Python workers.
 
     This is the spark-submit --py-files artifact demanded by the north rule;
@@ -26,6 +26,10 @@ def build_pyfiles_zip(dest_dir: str | None = None) -> str:
     (driver scripts run from any cwd) get importable UDF closures on workers.
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # already running from a --py-files zip (spark-submit): there is no
+        # directory to package, and the zip is already on every node
+        return None
     dest_dir = dest_dir or tempfile.mkdtemp(prefix="osm_spark_pyfiles_")
     zip_path = os.path.join(dest_dir, "osm_hadoop_spark.zip")
     with zipfile.ZipFile(zip_path, "w") as zf:
@@ -114,6 +118,10 @@ def get_spark(
         for k, v in extra_conf.items():
             b = b.config(k, v)
     spark = b.getOrCreate()
-    # ship the package to executor Python workers (UDFs import it there)
-    spark.sparkContext.addPyFile(build_pyfiles_zip())
+    # ship the package to executor Python workers (UDFs import it there);
+    # None means we were launched via spark-submit --py-files and the zip
+    # is already distributed
+    zip_path = build_pyfiles_zip()
+    if zip_path is not None:
+        spark.sparkContext.addPyFile(zip_path)
     return spark
