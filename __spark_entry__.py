@@ -1090,8 +1090,7 @@ def _duck_minhash(i: int) -> str:
     )
 
 
-_ORACLE_DEDUP_MINHASH = f"""
-WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+_MINHASH_CTES = f"""toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
 sh0 AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM toks),
 sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
 mh AS (SELECT doc_id, sh, [{', '.join(_duck_minhash(i) for i in range(8))}] AS mh FROM sh),
@@ -1105,8 +1104,43 @@ cand AS (
 j AS (SELECT doc_a, doc_b,
         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
         CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uni
-      FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+      FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)"""
+
+_ORACLE_DEDUP_MINHASH = f"""
+WITH {_MINHASH_CTES}
 SELECT doc_a, doc_b, inter, uni FROM j WHERE inter * 10 >= uni * 3
+"""
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Dedup pipeline tail: MinHash-LSH pairs -> connected components ->
+    (doc_id, cluster_id = min doc_id of the duplicate cluster). The
+    large-star/small-star labels are oracled against a DuckDB recursive
+    transitive closure over the identical pair set — proving the
+    distributed iterative algorithm, not just the pair generation."""
+    from osm_hadoop_spark.operators.cc import connected_components
+    from osm_hadoop_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), m=8, bands=4, t_num=3, t_den=10,
+        bucket_cap=None,
+    ).select("doc_a", "doc_b")
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+_ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+pr AS (SELECT doc_a, doc_b FROM j WHERE inter * 10 >= uni * 3),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pr
+          UNION SELECT doc_b, doc_a FROM pr),
+reach(src, dst) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
 """
 
 
@@ -1731,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_clusters": _q_dedup_clusters,        # pairs -> components (large/small-star)
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
@@ -1773,6 +1808,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_ngram_jaccard": _ORACLE_DEDUP_JACCARD,
         "dedup_minhash_lsh": _ORACLE_DEDUP_MINHASH,
+        "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "tiff_zonal_strips": _ORACLE_TIFF_ZONAL,
