@@ -1413,6 +1413,59 @@ FROM b GROUP BY block_id
 """
 
 
+_STRAT_RATES = {"en": 2000, "fr": 5000, "de": 8000}  # per-10000; others 1000
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (training-pipeline op): keep each
+    doc iff its salted content-hash bucket clears the per-language rate.
+    Pure JVM filter — map-only, stable under any partitioning/retry
+    (unlike DataFrame.sample's per-partition RNG)."""
+    from osm_hadoop_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_key", F.col("doc_id").cast("string")
+    )
+    return stratified_sample(
+        docs, key="doc_key", stratum="lang", rates=_STRAT_RATES, default_num=1000
+    ).select("doc_id", "lang")
+
+
+_ORACLE_STRATIFIED = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_duck_h60("'s0' || CAST(doc_id AS VARCHAR)")} % 10000 <
+      CASE lang WHEN 'en' THEN 2000 WHEN 'fr' THEN 5000
+                WHEN 'de' THEN 8000 ELSE 1000 END
+"""
+
+
+def _q_sample_topk(spark, sf_dir):
+    """Deterministic per-key reservoir: k docs per source, ranked by
+    salted hash — one shuffle on the key; Spark >= 3.5 prunes the window
+    sort with WindowGroupLimit so only k rows per key survive the
+    partial sort."""
+    from osm_hadoop_spark.operators.sampling import topk_per_key
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_key", F.col("doc_id").cast("string")
+    )
+    return topk_per_key(docs, key="source", id_col="doc_key", k=7).select(
+        "source", "doc_id"
+    )
+
+
+_ORACLE_SAMPLE_TOPK = f"""
+WITH h AS (SELECT source, doc_id,
+             {_duck_h60("'s0' || CAST(doc_id AS VARCHAR)")} AS hv
+           FROM documents),
+r AS (SELECT source, doc_id,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY hv % 10000, hv, CAST(doc_id AS VARCHAR)) AS rn
+      FROM h)
+SELECT source, doc_id FROM r WHERE rn <= 7
+"""
+
+
 def _q_media_metadata(spark, sf_dir):
     from osm_hadoop_spark.operators.multimodal import (
         decode_metadata,
@@ -1773,6 +1826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,                 # derived oracle (centroid literals)
         "tiff_zonal_strips": _q_tiff_zonal,
         "media_metadata": _q_media_metadata,
+        "stratified_sample": _q_stratified_sample,
+        "sample_topk_per_key": _q_sample_topk,
         "token_count": _q_token_count,
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
@@ -1813,6 +1868,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "tiff_zonal_strips": _ORACLE_TIFF_ZONAL,
         "media_metadata": _ORACLE_MEDIA_METADATA,
+        "stratified_sample": _ORACLE_STRATIFIED,
+        "sample_topk_per_key": _ORACLE_SAMPLE_TOPK,
         "token_count": _ORACLE_TOKEN_COUNT,
     }
     oracles.update(_build_text_oracles())
