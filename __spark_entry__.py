@@ -471,6 +471,119 @@ SELECT s2_l12, s2_l8, CAST(count(*) AS BIGINT) AS n_nodes FROM ids GROUP BY 1, 2
 """
 
 
+def _q_s2_region_contain(spark, sf_dir):
+    """S2 containment join (multi-level prefix equi-join, the 100 TB
+    strategy): nodes at leaf level vs 25 nation-derived region cells at
+    MIXED levels 2-4 — containment becomes one hash equi-join per
+    distinct region level on the arithmetic parent key; no inequality
+    predicates, no broadcast requirement. The oracle re-derives leaf and
+    region ids through one shared level-aware Hilbert recursion and joins
+    on the same parent arithmetic in HUGEINT space."""
+    from osm_hadoop_spark.operators.s2_join import (
+        regions_from_points,
+        s2_containment_join,
+        with_leaf_cell,
+    )
+
+    nodes = with_leaf_cell(_nodes(spark, sf_dir))
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("rid"),
+        ((F.col("n_nationkey") * 77) % 340 - 170).cast("double").alias("lon"),
+        ((F.col("n_nationkey") * 13) % 160 - 80).cast("double").alias("lat"),
+        (F.lit(2) + F.col("n_nationkey") % 3).cast("int").alias("level"),
+    )
+    regions = regions_from_points(nat, "rid", "lon", "lat", "level")
+    joined = s2_containment_join(nodes, regions, strategy="levels")
+    return joined.groupBy("region_id", "region_cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
+def _duck_s2_uid_cte(input_sql: str, levels: tuple[int, ...]) -> str:
+    """Level-aware S2 id derivation shared by region/point sides: input
+    (rid, lon, lat, level) -> s2u(rid, level, uid HUGEINT). The Hilbert
+    recursion consumes exactly `level` bit-pairs per row."""
+    from osm_hadoop_spark.functions.s2 import _IJ_TO_POS
+
+    ijpos_rows = ",".join(
+        f"({o},{ij},{int(_IJ_TO_POS[o][ij])})" for o in range(4) for ij in range(4)
+    )
+    shift_case = " ".join(
+        f"WHEN {lv} THEN {1 << (61 - 2 * lv)}" for lv in levels
+    )
+    sent_case = " ".join(
+        f"WHEN {lv} THEN {1 << (60 - 2 * lv)}" for lv in levels
+    )
+    return f"""
+ijpos(orient, ij, pos) AS (VALUES {ijpos_rows}),
+pts AS ({input_sql}),
+xyz AS (SELECT rid, level, cos(radians(lat))*cos(radians(lon)) AS x,
+               cos(radians(lat))*sin(radians(lon)) AS y, sin(radians(lat)) AS z FROM pts),
+fc AS (SELECT rid, level, x, y, z,
+        CASE WHEN abs(x) > abs(y)
+             THEN (CASE WHEN abs(x) > abs(z) THEN (CASE WHEN x >= 0 THEN 0 ELSE 3 END)
+                        ELSE (CASE WHEN z >= 0 THEN 2 ELSE 5 END) END)
+             ELSE (CASE WHEN abs(y) > abs(z) THEN (CASE WHEN y >= 0 THEN 1 ELSE 4 END)
+                        ELSE (CASE WHEN z >= 0 THEN 2 ELSE 5 END) END) END AS face
+       FROM xyz),
+uv AS (SELECT rid, level, face,
+   CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+             WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+   CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+             WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v FROM fc),
+st AS (SELECT rid, level, face,
+   CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u) ELSE 1-0.5*sqrt(1-3*u) END AS s,
+   CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v) ELSE 1-0.5*sqrt(1-3*v) END AS t FROM uv),
+ij AS (SELECT rid, level, face,
+   CAST(least(greatest(floor(s*1073741824), 0), 1073741823) AS BIGINT) AS i,
+   CAST(least(greatest(floor(t*1073741824), 0), 1073741823) AS BIGINT) AS j FROM st),
+hil AS (
+  SELECT rid, level, face, i, j, 29 AS k, face % 2 AS orient,
+         CAST(0 AS HUGEINT) AS pos
+  FROM ij
+  UNION ALL
+  SELECT h.rid, h.level, h.face, h.i, h.j, h.k - 1,
+         xor(h.orient, CASE t.pos WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END),
+         h.pos * 4 + t.pos
+  FROM hil h JOIN ijpos t
+    ON t.orient = h.orient AND t.ij = ((h.i >> h.k) & 1) * 2 + ((h.j >> h.k) & 1)
+  WHERE h.k >= 30 - h.level
+),
+s2u AS (SELECT rid, level,
+   CAST(face AS HUGEINT) * 2305843009213693952
+     + pos * (CASE level {shift_case} END)
+     + (CASE level {sent_case} END) AS uid
+   FROM hil WHERE k = 29 - level)"""
+
+
+def _oracle_s2_region_contain() -> str:
+    input_sql = (
+        "SELECT p_partkey AS rid, CAST(p_partkey % 340 - 170 AS DOUBLE) AS lon, "
+        "CAST((p_partkey*7) % 160 - 80 AS DOUBLE) AS lat, 30 AS level FROM part "
+        "UNION ALL "
+        "SELECT n_nationkey + 10000000, CAST((n_nationkey*77) % 340 - 170 AS DOUBLE), "
+        "CAST((n_nationkey*13) % 160 - 80 AS DOUBLE), 2 + n_nationkey % 3 FROM nation"
+    )
+    parent_shift = "CASE r.level WHEN 2 THEN 144115188075855872 WHEN 3 THEN 36028797018963968 ELSE 9007199254740992 END"
+    parent_sent = "CASE r.level WHEN 2 THEN 72057594037927936 WHEN 3 THEN 18014398509481984 ELSE 4503599627370496 END"
+    return f"""
+WITH RECURSIVE
+{_duck_s2_uid_cte(input_sql, (2, 3, 4, 30))},
+nodes AS (SELECT rid AS node_id, uid FROM s2u WHERE level = 30),
+regs AS (SELECT rid - 10000000 AS region_id, level, uid FROM s2u WHERE level < 30),
+matched AS (
+  SELECT r.region_id, r.uid AS region_uid
+  FROM nodes n JOIN regs r
+    ON (n.uid // ({parent_shift})) * ({parent_shift}) + ({parent_sent}) = r.uid)
+SELECT region_id,
+       CAST(CASE WHEN region_uid >= 9223372036854775808
+            THEN region_uid - 18446744073709551616 ELSE region_uid END AS BIGINT)
+         AS region_cell,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM matched GROUP BY 1, 2
+"""
+
+
 def _ways_geom(spark, sf_dir):
     return _assembly_cached(spark, sf_dir, "global", _ways_geom_build)
 
@@ -1796,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_point_z14": _q_tile_point,            # J5/E10
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
+        "s2_region_contain": _q_s2_region_contain,  # mixed-level containment equi-join
         "tile_cover_count_z5": _q_tile_cover,       # E9 (J3 filter stage)
         "tile_refine_z10": _q_tile_refine,          # J3 exact refine
         "planet_e2e": _q_planet_e2e,                # full pipeline composition
@@ -1874,6 +1988,7 @@ def oracle_sql() -> dict[str, str]:
     }
     oracles.update(_build_text_oracles())
     oracles["s2_cell_assign_l12"] = _oracle_s2_cells()
+    oracles["s2_region_contain"] = _oracle_s2_region_contain()
     oracles["ann_lsh_topk"] = _oracle_ann_lsh()
     oracles["embedding_neardup"] = _oracle_embedding_neardup()
     ivf = _oracle_ann_ivf()

@@ -22,10 +22,11 @@ FORBIDDEN = [
 # driver-side materialization is allowed ONLY in these modules (bounded
 # outputs: raster assembly S9, snapshot metadata, fixture generation,
 # uniqueness assertions, IVF sample fit, shapefile export S11 — the
-# reference's ShapeWriter also accumulates features driver-side)
+# reference's ShapeWriter also accumulates features driver-side;
+# s2_join.py collects only the distinct region LEVELS, <= 31 rows)
 COLLECT_ALLOWED = {
     "rasterize.py", "catalog.py", "fixtures.py", "way_assembly.py",
-    "similarity.py", "shapefile.py",
+    "similarity.py", "shapefile.py", "s2_join.py",
 }
 COLLECT_RE = re.compile(r"\.(collect|toPandas)\s*\(")
 

@@ -1,0 +1,111 @@
+"""S2 containment join (operators/s2_join.py): both physical strategies
+must produce identical rows, and the levels strategy must stay an
+equi-join (no nested-loop)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _fixtures(spark, n_pts=3000, n_regions=40, seed=13):
+    from osm_hadoop_spark.operators.s2_join import regions_from_points, with_leaf_cell
+
+    rng = np.random.default_rng(seed)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "point_id": np.arange(n_pts),
+                "lon": rng.uniform(-180, 180, n_pts),
+                "lat": rng.uniform(-90, 90, n_pts),
+            }
+        )
+    )
+    regs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rid": np.arange(n_regions),
+                "lon": rng.uniform(-180, 180, n_regions),
+                "lat": rng.uniform(-90, 90, n_regions),
+                "level": rng.integers(1, 6, n_regions).astype("int32"),
+            }
+        )
+    )
+    return (
+        with_leaf_cell(pts),
+        regions_from_points(regs, "rid", "lon", "lat", "level"),
+    )
+
+
+def test_strategies_agree_and_match_numpy(spark):
+    from osm_hadoop_spark.functions import s2
+    from osm_hadoop_spark.operators.s2_join import s2_containment_join
+
+    pts, regs = _fixtures(spark)
+    a = s2_containment_join(pts, regs, strategy="levels").select(
+        "point_id", "region_id"
+    )
+    b = s2_containment_join(pts, regs, strategy="broadcast").select(
+        "point_id", "region_id"
+    )
+    sa = set(map(tuple, a.collect()))
+    sb = set(map(tuple, b.collect()))
+    assert sa == sb and len(sa) > 0
+
+    # independent NumPy recomputation via range containment
+    p = pts.toPandas()
+    r = regs.toPandas()
+    leaf = p["s2_leaf"].to_numpy()
+    exp = set()
+    for _, row in r.iterrows():
+        m = (leaf >= row["range_min"]) & (leaf <= row["range_max"])
+        for pid in p["point_id"].to_numpy()[m]:
+            exp.add((int(pid), int(row["region_id"])))
+    assert sa == exp
+
+
+def test_levels_strategy_is_equi_join(spark):
+    from osm_hadoop_spark.operators.s2_join import s2_containment_join
+
+    pts, regs = _fixtures(spark, n_pts=500, n_regions=10)
+    plan = (
+        s2_containment_join(pts, regs, strategy="levels")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan  # every per-level join is a hash equi-join
+
+
+def test_nested_regions_match_both(spark):
+    """A point inside a level-5 region nested in a level-2 region must
+    join to BOTH (multi-level semantics, not first-match)."""
+    from osm_hadoop_spark.functions import s2
+    from osm_hadoop_spark.operators.s2_join import (
+        regions_from_points,
+        s2_containment_join,
+        with_leaf_cell,
+    )
+
+    pts = with_leaf_cell(
+        spark.createDataFrame(pd.DataFrame({"point_id": [0], "lon": [10.0], "lat": [20.0]}))
+    )
+    regs = regions_from_points(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "rid": [1, 2],
+                    "lon": [10.0, 10.0],
+                    "lat": [20.0, 20.0],
+                    "level": np.array([2, 5], dtype="int32"),
+                }
+            )
+        ),
+        "rid", "lon", "lat", "level",
+    )
+    got = sorted(
+        r["region_id"]
+        for r in s2_containment_join(pts, regs, strategy="levels").collect()
+    )
+    assert got == [1, 2]
