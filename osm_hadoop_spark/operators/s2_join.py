@@ -111,20 +111,26 @@ def s2_containment_join(
     if strategy != "levels":
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    levels = [r["level"] for r in regions.select("level").distinct().collect()]
-    parts = []
-    for lvl in sorted(levels):
-        # parent at level L by pure id arithmetic, JVM-side: clear the low
-        # bits and set the sentinel — (id & -lsb) | lsb with lsb = 1<<(2*(30-L))
+    levels = sorted(r["level"] for r in regions.select("level").distinct().collect())
+    # ONE pass over the points: per-level parent ids by pure JVM arithmetic
+    # ((id & -lsb) | lsb), exploded in-pipeline (x|levels| slim rows, no
+    # rescan of the base), then a single equi-join on (level, cell) —
+    # broadcastable when regions are small, shuffle-hash otherwise.
+    structs = []
+    for lvl in levels:
         lsb = 1 << (2 * (30 - int(lvl)))
         parent = F.col(leaf_col).bitwiseAND(F.lit(-lsb)).bitwiseOR(F.lit(lsb))
-        parts.append(
-            points.withColumn("region_cell", parent).join(
-                regions.filter(F.col("level") == lvl).select("region_id", "region_cell"),
-                "region_cell",
+        structs.append(
+            F.struct(
+                F.lit(int(lvl)).alias("level"), parent.alias("region_cell")
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    cand = points.withColumn("_lc", F.explode(F.array(*structs))).select(
+        *points.columns,
+        F.col("_lc.level").alias("level"),
+        F.col("_lc.region_cell").alias("region_cell"),
+    )
+    return cand.join(
+        regions.select("region_id", "level", "region_cell"),
+        ["level", "region_cell"],
+    ).drop("level")
