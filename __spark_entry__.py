@@ -1526,6 +1526,77 @@ FROM b GROUP BY block_id
 """
 
 
+def _q_span_roundtrip(spark, sf_dir):
+    """Span-sequence invariant as a CORRECTNESS row (BASELINE.json
+    input_hint: 'per-row invariant: span-sequence equality'): synthesize
+    3-span interleaved documents from orders (text + osm.node payload +
+    media ref, with NULL text/media_ref cells exercising the null
+    normalization), gate at the document level (spans untouched), and emit
+    the order-sensitive 60-bit fingerprint every pipeline stage must
+    preserve (sources/spans.py::span_fingerprint60; invariance through
+    parse/assembly is pinned by test_way_assembly.py). The oracle rebuilds
+    the exact concat/md5 arithmetic."""
+    from osm_hadoop_spark.sources.spans import span_fingerprint60
+
+    o = _t(spark, sf_dir, "orders")
+    null_s = F.lit(None).cast("string")
+    docs = (
+        o.select(
+            F.concat(F.lit("o"), F.col("o_orderkey")).alias("doc_id"),
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.col("o_orderpriority").alias("text"),
+                    null_s.alias("media_ref"),
+                    F.lit(0).cast("int").alias("offset"),
+                ),
+                F.struct(
+                    F.lit("osm.node").alias("kind"),
+                    F.format_string(
+                        '{"id":%d,"lon":%d,"lat":%d}',
+                        F.col("o_orderkey"),
+                        F.col("o_orderkey") % 340 - 170,
+                        (F.col("o_orderkey") * 7) % 160 - 80,
+                    ).alias("text"),
+                    null_s.alias("media_ref"),
+                    F.lit(1).cast("int").alias("offset"),
+                ),
+                F.struct(
+                    F.lit("media").alias("kind"),
+                    null_s.alias("text"),
+                    F.concat(F.lit("media://"), F.col("o_orderkey") % 997).alias(
+                        "media_ref"
+                    ),
+                    F.lit(2).cast("int").alias("offset"),
+                ),
+            ).alias("spans"),
+            "o_totalprice",
+        )
+        .filter(F.col("o_totalprice") > 50000)
+        .select("doc_id", "spans")
+    )
+    return span_fingerprint60(docs)
+
+
+_ORACLE_SPAN_ROUNDTRIP = f"""
+WITH d AS (
+  SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+         [ 'text' || chr(2) || o_orderpriority || chr(2) || '' || chr(2) || '0',
+           'osm.node' || chr(2)
+             || '{{"id":' || CAST(o_orderkey AS VARCHAR)
+             || ',"lon":' || CAST(o_orderkey % 340 - 170 AS VARCHAR)
+             || ',"lat":' || CAST((o_orderkey*7) % 160 - 80 AS VARCHAR) || '}}'
+             || chr(2) || '' || chr(2) || '1',
+           'media' || chr(2) || '' || chr(2)
+             || 'media://' || CAST(o_orderkey % 997 AS VARCHAR)
+             || chr(2) || '2' ] AS span_strs
+  FROM orders WHERE o_totalprice > 50000)
+SELECT doc_id,
+       {_duck_h60("array_to_string(span_strs, chr(1))")} AS span_fp
+FROM d
+"""
+
+
 _STRAT_RATES = {"en": 2000, "fr": 5000, "de": 8000}  # per-10000; others 1000
 
 
@@ -1940,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,                 # derived oracle (centroid literals)
         "tiff_zonal_strips": _q_tiff_zonal,
         "media_metadata": _q_media_metadata,
+        "span_roundtrip_fp": _q_span_roundtrip,
         "stratified_sample": _q_stratified_sample,
         "sample_topk_per_key": _q_sample_topk,
         "token_count": _q_token_count,
@@ -1982,6 +2054,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "tiff_zonal_strips": _ORACLE_TIFF_ZONAL,
         "media_metadata": _ORACLE_MEDIA_METADATA,
+        "span_roundtrip_fp": _ORACLE_SPAN_ROUNDTRIP,
         "stratified_sample": _ORACLE_STRATIFIED,
         "sample_topk_per_key": _ORACLE_SAMPLE_TOPK,
         "token_count": _ORACLE_TOKEN_COUNT,

@@ -122,6 +122,29 @@ def filter_ways_by_tags(ways: DataFrame, tag_keys: list[str]) -> DataFrame:
     )
 
 
+def span_fingerprint60(documents: DataFrame) -> DataFrame:
+    """Order-sensitive 60-bit span-sequence fingerprint, cross-engine
+    exact (the h60 convention): per span concat (kind, text, media_ref,
+    offset) with \\x02 (NULLs -> ''), join spans with \\x01, md5 -> 60-bit
+    int. This is the checkable form of the input_hint invariant — a
+    document-carrying stage must leave it bit-identical; the driver query
+    `span_roundtrip_fp` proves the arithmetic against DuckDB."""
+    span_strs = F.transform(
+        "spans",
+        lambda s: F.concat_ws(
+            "\x02",
+            F.coalesce(s["kind"], F.lit("")),
+            F.coalesce(s["text"], F.lit("")),
+            F.coalesce(s["media_ref"], F.lit("")),
+            s["offset"].cast("string"),
+        ),
+    )
+    fp = F.conv(
+        F.substring(F.md5(F.concat_ws("\x01", span_strs)), 1, 15), 16, 10
+    ).cast("bigint")
+    return documents.select("doc_id", fp.alias("span_fp"))
+
+
 def span_sequence_fingerprint(documents: DataFrame) -> DataFrame:
     """Order-sensitive per-document hash of (kind, text, media_ref) — the
     span-sequence equality invariant checker (BASELINE.json input_hint)."""
