@@ -1785,6 +1785,74 @@ FROM s
     return {"quality_scores": quality, "lang_id": langid, "doc_fingerprint": fingerprint}
 
 
+def _q_corpus_prep(spark, sf_dir):
+    """Whole-chain composition oracle for the TRAINING-DATA side (the
+    LLM-pipeline twin of planet_e2e): quality gate -> language ID ->
+    exact dedup (keep min doc_id per text) -> deterministic stratified
+    sample on the PREDICTED language — four operators composed exactly as
+    a corpus-prep job would run them, with one DuckDB twin of the entire
+    chain. Every stage is the real operator (textstats/dedup/sampling),
+    not a re-implementation."""
+    from osm_hadoop_spark.operators.dedup import exact_clusters
+    from osm_hadoop_spark.operators.sampling import stratified_sample
+    from osm_hadoop_spark.operators.textstats import lang_id, quality_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    q = quality_scores(docs).filter("keep").select("doc_id")
+    lang = lang_id(docs).select("doc_id", "pred_lang")
+    kept = docs.join(q, "doc_id").join(lang, "doc_id")
+    reps = exact_clusters(kept).select(F.col("rep_doc").alias("doc_id"))
+    deduped = kept.join(reps, "doc_id")
+    out = stratified_sample(
+        deduped.withColumn("doc_key", F.col("doc_id").cast("string")),
+        key="doc_key",
+        stratum="pred_lang",
+        rates={"en": 6000, "de": 9000},
+        default_num=3000,
+        salt="prep",
+    )
+    return out.select("doc_id", "pred_lang")
+
+
+def _oracle_corpus_prep() -> str:
+    from osm_hadoop_spark.operators.textstats import STOPWORDS
+
+    def arr(words):
+        return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    hit_cols = ", ".join(
+        f"CAST(len(list_filter(lt, x -> list_contains({arr(STOPWORDS[k])}, x))) AS BIGINT) AS hits_{k}"
+        for k in ("en", "fr", "de", "es")
+    )
+    return f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents),
+q AS (SELECT doc_id FROM (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS p,
+           CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+                 x -> list_contains({arr(all_stop)}, x))) AS BIGINT) AS s
+    FROM t)
+  WHERE n >= 5 AND 100*p <= 30*n AND 100*s >= 2*n),
+lh AS (SELECT doc_id, {hit_cols}
+       FROM (SELECT doc_id, list_transform(toks, x -> lower(x)) AS lt FROM t)),
+l AS (SELECT doc_id,
+  CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+       WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+       WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+       WHEN hits_es >= hits_fr THEN 'es'
+       ELSE 'fr' END AS pred_lang
+  FROM lh),
+kept AS (SELECT t.doc_id, t.text, l.pred_lang
+         FROM t JOIN q USING (doc_id) JOIN l USING (doc_id)),
+reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+dd AS (SELECT k.doc_id, k.pred_lang FROM kept k JOIN reps USING (doc_id))
+SELECT doc_id, pred_lang FROM dd
+WHERE {_duck_h60("'prep' || CAST(doc_id AS VARCHAR)")} % 10000 <
+      CASE pred_lang WHEN 'en' THEN 6000 WHEN 'de' THEN 9000 ELSE 3000 END
+"""
+
+
 # ---------------------------------------------------------------------------
 # raster pipeline queries (E4 snap + E5 Bresenham + F8 remap + A2 / A6)
 # ---------------------------------------------------------------------------
@@ -2018,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
+        "corpus_prep_e2e": _q_corpus_prep,          # full LLM-pipeline composition
     }
 
 
@@ -2060,6 +2129,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": _ORACLE_TOKEN_COUNT,
     }
     oracles.update(_build_text_oracles())
+    oracles["corpus_prep_e2e"] = _oracle_corpus_prep()
     oracles["s2_cell_assign_l12"] = _oracle_s2_cells()
     oracles["s2_region_contain"] = _oracle_s2_region_contain()
     oracles["ann_lsh_topk"] = _oracle_ann_lsh()

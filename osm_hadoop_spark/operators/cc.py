@@ -85,15 +85,46 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     return_rounds: bool = False,
+    catalog=None,
+    table: str = "cc_edges",
+    resume: bool = False,
 ):
     """Label every node appearing in `edges` with its component id (the
     minimum node id of the component). Returns DataFrame(node, component)
-    — or (DataFrame, rounds) when return_rounds."""
-    e = _normalize(edges, src, dst).localCheckpoint(eager=True)
+    — or (DataFrame, rounds) when return_rounds.
+
+    With `catalog` (a sources.catalog.SnapshotCatalog), each round's edge
+    set is a durable snapshot `<table>_round_<k>` carrying per-partition
+    lineage/row metrics, and `resume=True` restarts from the last
+    completed round after a failure — the north rule's per-stage
+    resumability applied to the iterative operator (reference analog: the
+    materialized SequenceFiles between MR jobs, NodeJoiner.scala:67-68).
+    Without a catalog, rounds use in-memory localCheckpoint."""
+    start_round = 0
+    e = None
+    if catalog is not None and resume:
+        r = 0
+        while catalog.exists(f"{table}_round_{r}"):
+            r += 1
+        if r > 0:
+            start_round = r - 1
+            e = catalog.read(f"{table}_round_{start_round}")
+    if e is None:
+        e = _normalize(edges, src, dst)
+        if catalog is None:
+            e = e.localCheckpoint(eager=True)
+        else:
+            catalog.write(e, f"{table}_round_0")
+            e = catalog.read(f"{table}_round_0")
     n_prev = e.count()
-    rounds = 0
-    for rounds in range(1, max_iter + 1):
-        e_new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+    rounds = start_round
+    for rounds in range(start_round + 1, max_iter + 1):
+        e_new = _small_star(_large_star(e))
+        if catalog is None:
+            e_new = e_new.localCheckpoint(eager=True)
+        else:
+            catalog.write(e_new, f"{table}_round_{rounds}")
+            e_new = catalog.read(f"{table}_round_{rounds}")
         n_new = e_new.count()
         if n_new == n_prev and e_new.join(e, ["u", "v"], "left_anti").isEmpty():
             e = e_new

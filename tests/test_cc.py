@@ -86,6 +86,47 @@ def test_already_star_and_self_loops(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
 
 
+def test_cc_resumable_from_catalog(spark, tmp_path):
+    """North-rule resumability on the iterative op: every round is a
+    durable SnapshotCatalog snapshot; after an injected mid-run failure,
+    resume=True restarts from the last completed round (no recompute of
+    finished rounds) and reaches the identical fixpoint."""
+    from osm_hadoop_spark.operators.cc import connected_components
+    from osm_hadoop_spark.sources.catalog import SnapshotCatalog
+
+    edges = [(i, i + 1) for i in range(64)]  # path graph -> several rounds
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    expected = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "src", "dst").collect()
+    }
+
+    class CountingCatalog(SnapshotCatalog):
+        def __init__(self, *a, fail_after=10**9, **k):
+            super().__init__(*a, **k)
+            self.writes = 0
+            self.fail_after = fail_after
+
+        def write(self, *a, **k):
+            if self.writes >= self.fail_after:
+                raise RuntimeError("injected failure")
+            self.writes += 1
+            return super().write(*a, **k)
+
+    root = str(tmp_path / "cc")
+    cat = CountingCatalog(spark, root, use_iceberg=False, fail_after=3)
+    with pytest.raises(RuntimeError, match="injected"):
+        connected_components(df, "src", "dst", catalog=cat, table="cc")
+    # rounds 0..2 are durable; resume continues at round 3
+    cat2 = CountingCatalog(spark, root, use_iceberg=False)
+    labels, rounds = connected_components(
+        df, "src", "dst", catalog=cat2, table="cc", resume=True, return_rounds=True
+    )
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == expected
+    assert rounds >= 3 and cat2.writes == rounds - 2
+
+
 def test_two_cliques_bridge(spark):
     a = [(i, j) for i in range(5) for j in range(i + 1, 5)]
     b = [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
