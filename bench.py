@@ -322,6 +322,10 @@ def run_scaling() -> None:
         "n_pairs": runs[hi][0]["n_pairs"],
     }
     out = write_baseline_md(data)
+    # archive the raw, unselected run so the artifact is regenerable
+    # (python bench.py --render BENCH/scaling_run_latest.json)
+    with open(os.path.join(REPO, "BENCH", "scaling_run_latest.json"), "w") as f:
+        json.dump(data, f, indent=1)
     print(json.dumps(out))
 
 
