@@ -1789,29 +1789,17 @@ def _q_corpus_prep(spark, sf_dir):
     """Whole-chain composition oracle for the TRAINING-DATA side (the
     LLM-pipeline twin of planet_e2e): quality gate -> language ID ->
     exact dedup (keep min doc_id per text) -> deterministic stratified
-    sample on the PREDICTED language — four operators composed exactly as
-    a corpus-prep job would run them, with one DuckDB twin of the entire
-    chain. Every stage is the real operator (textstats/dedup/sampling),
-    not a re-implementation."""
-    from osm_hadoop_spark.operators.dedup import exact_clusters
-    from osm_hadoop_spark.operators.sampling import stratified_sample
-    from osm_hadoop_spark.operators.textstats import lang_id, quality_scores
+    sample on the PREDICTED language — with one DuckDB twin of the entire
+    chain. Runs the FUSED plan (operators/corpus.py: one scan, filters,
+    one window shuffle, map-only sample); equivalence with the
+    operator-by-operator join chain is pinned by
+    test_corpus_prep_fused_equals_composed."""
+    from osm_hadoop_spark.operators.corpus import corpus_prep
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    q = quality_scores(docs).filter("keep").select("doc_id")
-    lang = lang_id(docs).select("doc_id", "pred_lang")
-    kept = docs.join(q, "doc_id").join(lang, "doc_id")
-    reps = exact_clusters(kept).select(F.col("rep_doc").alias("doc_id"))
-    deduped = kept.join(reps, "doc_id")
-    out = stratified_sample(
-        deduped.withColumn("doc_key", F.col("doc_id").cast("string")),
-        key="doc_key",
-        stratum="pred_lang",
-        rates={"en": 6000, "de": 9000},
-        default_num=3000,
-        salt="prep",
+    return corpus_prep(
+        docs, rates={"en": 6000, "de": 9000}, default_num=3000, salt="prep"
     )
-    return out.select("doc_id", "pred_lang")
 
 
 def _oracle_corpus_prep() -> str:

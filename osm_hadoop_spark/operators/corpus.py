@@ -1,0 +1,71 @@
+"""Fused corpus-prep pipeline: quality -> lang-ID -> dedup -> sample.
+
+The naive composition of the stage operators (quality_scores, lang_id,
+exact_clusters, stratified_sample) joins four doc_id-keyed frames all
+derived from the same `documents` scan — Catalyst cannot fuse
+self-joins, so the corpus is scanned four times and shuffled three times
+on doc_id. At 100 TB that plan is dominated by redundant scans of the
+text column.
+
+`corpus_prep` computes the same function in the shape a production job
+wants:
+
+  1. ONE projection evaluates every feature (quality counters, language
+     hits, text hash) — single scan, whole-stage codegen;
+  2. the quality + language gates are FILTERs on that projection
+     (pushdown-friendly, no join);
+  3. exact dedup is a window `min(doc_id) over (partition by md5(text))`
+     — the pipeline's ONLY shuffle;
+  4. the stratified sample is a map-only hash filter.
+
+Equivalence with the operator-by-operator chain is pinned by
+tests/test_pipeline_ops.py::test_corpus_prep_fused_equals_composed and
+by the `corpus_prep_e2e` driver oracle (the DuckDB twin is written
+against the semantics, not either plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from osm_hadoop_spark.operators.sampling import _rate_col
+from osm_hadoop_spark.operators.textstats import (
+    lang_hits_cols,
+    pred_lang_col,
+    quality_cols,
+    quality_keep_col,
+)
+
+
+def corpus_prep(
+    documents: DataFrame,
+    rates: dict[str, int],
+    default_num: int = 0,
+    salt: str = "prep",
+) -> DataFrame:
+    """documents(doc_id, text) -> (doc_id, pred_lang) surviving the
+    quality gate, language-aware stratified sampling, and exact dedup
+    (min doc_id per identical text). One scan, one shuffle."""
+    q = quality_cols()
+    feats = documents.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        quality_keep_col(q).alias("keep"),
+        pred_lang_col(lang_hits_cols()).alias("pred_lang"),
+    )
+    kept = feats.filter("keep")
+    w = Window.partitionBy("text_md5")
+    deduped = (
+        kept.withColumn("rep_doc", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("rep_doc"))
+    )
+    rate = None
+    for val, num in rates.items():
+        cond = F.col("pred_lang") == val
+        rate = F.when(cond, num) if rate is None else rate.when(cond, num)
+    rate = rate.otherwise(default_num) if rate is not None else F.lit(default_num)
+    sampled = deduped.filter(
+        _rate_col(F.col("doc_id").cast("string"), salt) < rate
+    )
+    return sampled.select("doc_id", "pred_lang")

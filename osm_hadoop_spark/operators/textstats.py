@@ -58,22 +58,42 @@ def token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_cols() -> dict[str, Column]:
+    """The quality feature columns as reusable expressions (so composed
+    pipelines can evaluate them in the SAME projection as other features
+    instead of joining separate doc_id-keyed frames)."""
+    toks = tokens_col()
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_arr = F.array(*[F.lit(w) for w in all_stop])
+    return {
+        "n_chars_measured": F.length("text"),
+        "n_ws_tokens": F.size(toks),
+        "n_punct": F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), 0)),
+        "n_stop": F.size(
+            F.filter(
+                F.transform(toks, lambda t: F.lower(t)),
+                lambda t: F.array_contains(stop_arr, t),
+            )
+        ),
+    }
+
+
+def quality_keep_col(c: dict[str, Column] | None = None) -> Column:
+    c = c or quality_cols()
+    return (
+        (c["n_ws_tokens"] >= 5)
+        & (100 * c["n_punct"] <= 30 * c["n_ws_tokens"])
+        & (100 * c["n_stop"] >= 2 * c["n_ws_tokens"])
+    )
+
+
 def quality_scores(documents: DataFrame) -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + keep flag.
 
     Rule (integer-exact): keep iff n_ws_tokens >= 5 AND 100*punct <= 30*tokens
     AND 100*stop_hits >= 2*tokens (some natural-language signal)."""
-    toks = tokens_col()
-    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
-    stop_arr = F.array(*[F.lit(w) for w in all_stop])
-    d = documents.select(
-        "doc_id",
-        F.length("text").alias("n_chars_measured"),
-        F.size(toks).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), 0)).alias("n_punct"),
-        F.size(F.filter(F.transform(toks, lambda t: F.lower(t)),
-                        lambda t: F.array_contains(stop_arr, t))).alias("n_stop"),
-    )
+    c = quality_cols()
+    d = documents.select("doc_id", *[v.alias(k) for k, v in c.items()])
     return d.withColumn(
         "keep",
         (F.col("n_ws_tokens") >= 5)
@@ -82,28 +102,46 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     )
 
 
+def lang_hits_cols() -> dict[str, Column]:
+    """Per-language stopword hit counts as reusable expressions."""
+    toks = F.transform(tokens_col(), lambda t: F.lower(t))
+    out = {}
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[f"hits_{lang}"] = F.size(
+            F.filter(toks, lambda t: F.array_contains(arr, t))
+        )
+    return out
+
+
+def pred_lang_col(hits: dict[str, Column] | None = None) -> Column:
+    """Argmax language with the deterministic tie-break (hits desc, code
+    asc); 'und' when no stopword hits at all."""
+    hits = hits or lang_hits_cols()
+    best = F.greatest(
+        *[
+            F.struct(
+                hits[f"hits_{k}"].alias("h"),
+                F.lit(-ord(k[0]) * 256 - ord(k[1])).alias("o"),
+                F.lit(k).alias("lang"),
+            )
+            for k in STOPWORDS
+        ]
+    )
+    return F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """Heuristic language ID: stopword-hit argmax with deterministic
     tie-break (hit count desc, then language code asc); 'und' when no hits.
 
     A deterministic engine RULE (not a model): both the Spark plan and the
     DuckDB oracle compute the identical function of the text."""
-    toks = F.transform(tokens_col(), lambda t: F.lower(t))
-    d = documents.select("doc_id", toks.alias("toks"))
-    for lang, words in STOPWORDS.items():
-        arr = F.array(*[F.lit(w) for w in words])
-        d = d.withColumn(
-            f"hits_{lang}",
-            F.size(F.filter("toks", lambda t: F.array_contains(arr, t))),
-        )
-    best = F.greatest(*[F.struct(F.col(f"hits_{k}").alias("h"),
-                                 F.lit(-ord(k[0]) * 256 - ord(k[1])).alias("o"),
-                                 F.lit(k).alias("lang"))
-                        for k in STOPWORDS])
-    return d.select(
+    hits = lang_hits_cols()
+    return documents.select(
         "doc_id",
-        *[F.col(f"hits_{k}") for k in STOPWORDS],
-        F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+        *[hits[f"hits_{k}"].alias(f"hits_{k}") for k in STOPWORDS],
+        pred_lang_col(hits).alias("pred_lang"),
     )
 
 

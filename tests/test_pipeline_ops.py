@@ -291,3 +291,42 @@ def test_embedding_neardup_slim_equals_explode(spark, emb):
     to_set = lambda rows: {(r["vec_a"], r["vec_b"], r["score"]) for r in rows}
     assert to_set(slim) == to_set(legacy)
     assert len(slim) == len(legacy)
+
+
+def test_corpus_prep_fused_equals_composed(spark, docs):
+    """The fused single-scan corpus_prep plan must equal the
+    operator-by-operator join chain row-for-row, and its physical plan
+    must contain exactly ONE shuffle (the dedup window)."""
+    from pyspark.sql import functions as F
+
+    from osm_hadoop_spark.operators.corpus import corpus_prep
+    from osm_hadoop_spark.operators.dedup import exact_clusters
+    from osm_hadoop_spark.operators.sampling import stratified_sample
+    from osm_hadoop_spark.operators.textstats import lang_id
+
+    d = docs.select("doc_id", "text")
+    rates, default_num, salt = {"en": 6000, "de": 9000}, 3000, "prep"
+
+    fused = corpus_prep(d, rates=rates, default_num=default_num, salt=salt)
+
+    q = quality_scores(d).filter("keep").select("doc_id")
+    lang = lang_id(d).select("doc_id", "pred_lang")
+    kept = d.join(q, "doc_id").join(lang, "doc_id")
+    reps = exact_clusters(kept).select(F.col("rep_doc").alias("doc_id"))
+    composed = (
+        stratified_sample(
+            kept.join(reps, "doc_id").withColumn(
+                "doc_key", F.col("doc_id").cast("string")
+            ),
+            key="doc_key", stratum="pred_lang", rates=rates,
+            default_num=default_num, salt=salt,
+        ).select("doc_id", "pred_lang")
+    )
+    # plan shape BEFORE execution (post-run AQE rendering duplicates the
+    # exchange in the string): exactly one shuffle — the dedup window
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    a = set(map(tuple, fused.collect()))
+    b = set(map(tuple, composed.collect()))
+    assert a == b and len(a) > 0
