@@ -309,3 +309,38 @@ def test_streaming_dedup_state_ttl_evicts(spark, tmp_path):
         assert [r["doc_id"] for r in run_once(1)] == ["a2"]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def test_streaming_s2_counts(spark, tmp_path):
+    """Streaming S2 surface: file source -> Arrow cell assignment ->
+    windowed counts equals the batch computation with the same kernel."""
+    from osm_hadoop_spark.sources import spans as S
+    from osm_hadoop_spark.sources.fixtures import gen_documents
+    from osm_hadoop_spark.streaming.s2 import streaming_s2_counts
+
+    docs = gen_documents(spark, 300, seed=9).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1700000000) + (F.crc32("doc_id") % 120))
+    )
+    src = str(tmp_path / "s2_stream_src")
+    docs.write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = streaming_s2_counts(stream, level=9, window="1 minute", watermark="5 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("s2_counts_stream")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT s2_cell, CAST(sum(n_nodes) AS BIGINT) n FROM s2_counts_stream GROUP BY s2_cell"
+    ).collect()
+    got_map = {r["s2_cell"]: r["n"] for r in got}
+
+    import pandas as pd
+
+    from osm_hadoop_spark.functions.s2 import cell_for_lonlat
+
+    nodes = S.parse_nodes(spark.read.parquet(src)).toPandas()
+    cells = cell_for_lonlat(nodes["lon"].to_numpy(), nodes["lat"].to_numpy(), 9)
+    batch_map = dict(pd.Series(cells).value_counts().items())
+    assert got_map == {int(k): int(v) for k, v in batch_map.items()}
