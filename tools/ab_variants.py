@@ -41,3 +41,55 @@ def neardup_slim(spark, sf_dir):
 
 def neardup_explode(spark, sf_dir):
     return _neardup(spark, sf_dir, "explode")
+
+
+def _s2_inputs(spark, sf_dir):
+    import os
+
+    from osm_hadoop_spark.operators.s2_join import regions_from_points, with_leaf_cell
+
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    nodes = with_leaf_cell(part.select(
+        F.col("p_partkey").alias("node_id"),
+        (F.col("p_partkey") % 340 - 170).cast("double").alias("lon"),
+        ((F.col("p_partkey") * 7) % 160 - 80).cast("double").alias("lat"),
+    ))
+    nat = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        F.col("n_nationkey").cast("bigint").alias("rid"),
+        ((F.col("n_nationkey") * 77) % 340 - 170).cast("double").alias("lon"),
+        ((F.col("n_nationkey") * 13) % 160 - 80).cast("double").alias("lat"),
+        (F.lit(2) + F.col("n_nationkey") % 3).cast("int").alias("level"),
+    )
+    return nodes, regions_from_points(nat, "rid", "lon", "lat", "level")
+
+
+def s2_contain_explode(spark, sf_dir):
+    """Current: one pass, per-level parents exploded, single join."""
+    from osm_hadoop_spark.operators.s2_join import s2_containment_join
+
+    nodes, regions = _s2_inputs(spark, sf_dir)
+    return s2_containment_join(nodes, regions, strategy="levels").groupBy(
+        "region_id", "region_cell"
+    ).agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def s2_contain_rescan(spark, sf_dir):
+    """Round-3 initial shape: one join per level, each rescanning points."""
+    nodes, regions = _s2_inputs(spark, sf_dir)
+    levels = sorted(r["level"] for r in regions.select("level").distinct().collect())
+    parts = []
+    for lvl in levels:
+        lsb = 1 << (2 * (30 - int(lvl)))
+        parent = F.col("s2_leaf").bitwiseAND(F.lit(-lsb)).bitwiseOR(F.lit(lsb))
+        parts.append(
+            nodes.withColumn("region_cell", parent).join(
+                regions.filter(F.col("level") == lvl).select("region_id", "region_cell"),
+                "region_cell",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("region_id", "region_cell").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
