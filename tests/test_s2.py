@@ -232,3 +232,30 @@ def test_spark_mapinpandas_assignment(spark):
     )
     assert (got["cell"].to_numpy() == exp["cell"].to_numpy()).all()
     assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+
+
+def test_hypothesis_validity_and_hierarchy():
+    """For ANY (lon, lat, level): the id has the correct sentinel (level
+    round-trips), a valid face, and parent containment holds at every
+    coarser level."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        lon=st.floats(min_value=-180.0, max_value=180.0, allow_nan=False),
+        lat=st.floats(min_value=-90.0, max_value=90.0, allow_nan=False),
+        level=st.integers(min_value=0, max_value=30),
+    )
+    def check(lon, lat, level):
+        ids = s2.cell_for_lonlat(np.array([lon]), np.array([lat]), level)
+        assert s2.cell_level(ids)[0] == level
+        face = ids.view(np.uint64) >> np.uint64(61)
+        assert 0 <= face[0] <= 5
+        leaf = s2.cell_for_lonlat(np.array([lon]), np.array([lat]), 30)
+        for lvl in (0, level):
+            p = s2.cell_parent(leaf, lvl)
+            lo, hi = s2.cell_range_min(p), s2.cell_range_max(p)
+            assert lo[0] <= leaf[0] <= hi[0]
+
+    check()
