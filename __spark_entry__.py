@@ -584,6 +584,158 @@ FROM matched GROUP BY 1, 2
 """
 
 
+def _q_s2_cover(spark, sf_dir):
+    """S2 envelope cover (E9's spherical twin): 80 supplier-derived
+    planar rects -> all level-7 S2 cells whose conservative bound
+    intersects each rect (functions/s2_cover.py BFS + interval
+    arithmetic). The oracle replays the SAME subdivision in a recursive
+    CTE — every interval op is a correctly-rounded IEEE primitive or
+    atan2, written in the identical order, then the surviving frontier is
+    pushed through the Hilbert recursion for ids."""
+    import pandas as pd
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("env_id"),
+        ((F.col("s_suppkey") * 37) % 300 - 150).cast("double").alias("lon0"),
+        ((F.col("s_suppkey") * 11) % 140 - 70).cast("double").alias("lat0"),
+        ((F.col("s_suppkey") * 37) % 300 - 150 + 2 + F.col("s_suppkey") % 5)
+        .cast("double").alias("lon1"),
+        ((F.col("s_suppkey") * 11) % 140 - 70 + 1 + F.col("s_suppkey") % 4)
+        .cast("double").alias("lat1"),
+    )
+
+    def cover(batches):
+        from osm_hadoop_spark.functions.s2_cover import cells_for_envelope_s2
+
+        for b in batches:
+            cells, env = cells_for_envelope_s2(
+                b["lon0"].to_numpy(), b["lat0"].to_numpy(),
+                b["lon1"].to_numpy(), b["lat1"].to_numpy(), 7,
+            )
+            yield pd.DataFrame(
+                {"env_id": b["env_id"].to_numpy()[env], "s2_cell": cells}
+            )
+
+    return sup.mapInPandas(cover, schema="env_id bigint, s2_cell bigint")
+
+
+def _oracle_s2_cover() -> str:
+    from osm_hadoop_spark.functions.s2 import _IJ_TO_POS
+    from osm_hadoop_spark.functions.s2_cover import _FACE_XYZ
+
+    level = 7
+    # atom -> (lo, hi) SQL expressions
+    atom_lo = ["1.0", "-1.0", "u0", "-u1", "v0", "-v1"]
+    atom_hi = ["1.0", "-1.0", "u1", "-u0", "v1", "-v0"]
+
+    def comp_case(comp: int, sel) -> str:
+        arms = " ".join(
+            f"WHEN {f} THEN {sel[int(_FACE_XYZ[f, comp])]}" for f in range(6)
+        )
+        return f"CASE face {arms} END"
+
+    uv = (
+        "CASE WHEN {s} >= 0.5 THEN (1.0/3.0)*(4*{s}*{s} - 1) "
+        "ELSE (1.0/3.0)*(1 - 4*(1-{s})*(1-{s})) END"
+    )
+
+    def keep_pipeline(cand_sql: str) -> str:
+        """Layered SELECTs: candidates -> st -> uv -> xyz intervals ->
+        abs/hyp -> lat/lon bounds -> keep filter. Mirrors
+        _cell_latlon_bounds arithmetic exactly."""
+        return f"""
+SELECT env_id, lon0, lat0, lon1, lat1, face, i, j, lvl FROM (
+ SELECT *,
+   atan2(zlo, CASE WHEN zlo >= 0 THEN hyp_hi ELSE hyp_lo END) AS lat_lo,
+   atan2(zhi, CASE WHEN zhi >= 0 THEN hyp_lo ELSE hyp_hi END) AS lat_hi,
+   CASE WHEN is_full THEN -pi() ELSE least(atan2(ylo,xlo), atan2(ylo,xhi),
+        atan2(yhi,xlo), atan2(yhi,xhi)) END AS lon_lo,
+   CASE WHEN is_full THEN pi() ELSE greatest(atan2(ylo,xlo), atan2(ylo,xhi),
+        atan2(yhi,xlo), atan2(yhi,xhi)) END AS lon_hi
+ FROM (
+  SELECT *, sqrt(axlo*axlo + aylo*aylo) AS hyp_lo,
+            sqrt(axhi*axhi + ayhi*ayhi) AS hyp_hi,
+            (xlo <= 0 AND ylo <= 0 AND yhi >= 0) AS is_full
+  FROM (
+   SELECT *,
+     CASE WHEN xlo <= 0 AND xhi >= 0 THEN 0 ELSE least(abs(xlo), abs(xhi)) END AS axlo,
+     greatest(abs(xlo), abs(xhi)) AS axhi,
+     CASE WHEN ylo <= 0 AND yhi >= 0 THEN 0 ELSE least(abs(ylo), abs(yhi)) END AS aylo,
+     greatest(abs(ylo), abs(yhi)) AS ayhi
+   FROM (
+    SELECT *, {comp_case(0, atom_lo)} AS xlo, {comp_case(0, atom_hi)} AS xhi,
+              {comp_case(1, atom_lo)} AS ylo, {comp_case(1, atom_hi)} AS yhi,
+              {comp_case(2, atom_lo)} AS zlo, {comp_case(2, atom_hi)} AS zhi
+    FROM (
+     SELECT *, {uv.format(s='s0')} AS u0, {uv.format(s='s1')} AS u1,
+               {uv.format(s='t0')} AS v0, {uv.format(s='t1')} AS v1
+     FROM (
+      SELECT *, i / power(2.0, lvl) AS s0, (i+1) / power(2.0, lvl) AS s1,
+                j / power(2.0, lvl) AS t0, (j+1) / power(2.0, lvl) AS t1
+      FROM ({cand_sql}) c0
+     ) c1
+    ) c2
+   ) c3
+  ) c4
+ ) c5
+) c6
+WHERE lat_hi >= lat0 AND lat_lo <= lat1 AND lon_hi >= lon0 AND lon_lo <= lon1"""
+
+    base_cand = """
+SELECT env_id, lon0, lat0, lon1, lat1, fx.face AS face,
+       CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS j, 0 AS lvl
+FROM rects CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS face) fx"""
+    step_cand = f"""
+SELECT f.env_id, f.lon0, f.lat0, f.lon1, f.lat1, f.face,
+       f.i * 2 + kid.di AS i, f.j * 2 + kid.dj AS j, f.lvl + 1 AS lvl
+FROM frontier f CROSS JOIN (VALUES (0,0),(0,1),(1,0),(1,1)) kid(di, dj)
+WHERE f.lvl < {level}"""
+
+    ijpos_rows = ",".join(
+        f"({o},{ij},{int(_IJ_TO_POS[o][ij])})" for o in range(4) for ij in range(4)
+    )
+    shift = 30 - level
+    pos_mult = 1 << (2 * shift + 1)
+    sentinel = 1 << (2 * shift)
+    return f"""
+WITH RECURSIVE
+rects AS (
+  SELECT s_suppkey AS env_id,
+    radians(CAST((s_suppkey*37) % 300 - 150 AS DOUBLE)) AS lon0,
+    radians(CAST((s_suppkey*11) % 140 - 70 AS DOUBLE)) AS lat0,
+    radians(CAST((s_suppkey*37) % 300 - 150 + 2 + s_suppkey % 5 AS DOUBLE)) AS lon1,
+    radians(CAST((s_suppkey*11) % 140 - 70 + 1 + s_suppkey % 4 AS DOUBLE)) AS lat1
+  FROM supplier),
+frontier AS (
+  {keep_pipeline(base_cand)}
+  UNION ALL
+  {keep_pipeline(step_cand)}
+),
+fin AS (SELECT env_id, face, i * {1 << shift} AS i, j * {1 << shift} AS j
+        FROM frontier WHERE lvl = {level}),
+ijpos(orient, ij, pos) AS (VALUES {ijpos_rows}),
+hil AS (
+  SELECT env_id, face, i, j, 29 AS k, face % 2 AS orient, CAST(0 AS HUGEINT) AS pos
+  FROM fin
+  UNION ALL
+  SELECT h.env_id, h.face, h.i, h.j, h.k - 1,
+         xor(h.orient, CASE t.pos WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END),
+         h.pos * 4 + t.pos
+  FROM hil h JOIN ijpos t
+    ON t.orient = h.orient AND t.ij = ((h.i >> h.k) & 1) * 2 + ((h.j >> h.k) & 1)
+  WHERE h.k >= {30 - level}
+),
+ids AS (SELECT env_id,
+   CAST(face AS HUGEINT) * 2305843009213693952 + pos * {pos_mult}
+     + {sentinel} AS uid
+   FROM hil WHERE k = {30 - level - 1})
+SELECT CAST(env_id AS BIGINT) AS env_id,
+       CAST(CASE WHEN uid >= 9223372036854775808
+            THEN uid - 18446744073709551616 ELSE uid END AS BIGINT) AS s2_cell
+FROM ids
+"""
+
+
 def _ways_geom(spark, sf_dir):
     return _assembly_cached(spark, sf_dir, "global", _ways_geom_build)
 
@@ -2037,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
         "s2_region_contain": _q_s2_region_contain,  # mixed-level containment equi-join
+        "s2_cover_l7": _q_s2_cover,                 # S2 envelope cover (E9 twin)
         "tile_cover_count_z5": _q_tile_cover,       # E9 (J3 filter stage)
         "tile_refine_z10": _q_tile_refine,          # J3 exact refine
         "planet_e2e": _q_planet_e2e,                # full pipeline composition
@@ -2120,6 +2273,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["corpus_prep_e2e"] = _oracle_corpus_prep()
     oracles["s2_cell_assign_l12"] = _oracle_s2_cells()
     oracles["s2_region_contain"] = _oracle_s2_region_contain()
+    oracles["s2_cover_l7"] = _oracle_s2_cover()
     oracles["ann_lsh_topk"] = _oracle_ann_lsh()
     oracles["embedding_neardup"] = _oracle_embedding_neardup()
     ivf = _oracle_ann_ivf()

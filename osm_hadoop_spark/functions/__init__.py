@@ -12,6 +12,9 @@ from osm_hadoop_spark.functions.grid import (  # noqa: F401
     unpack_xy,
 )
 from osm_hadoop_spark.functions.raster import rasterize_segments  # noqa: F401
+from osm_hadoop_spark.functions.s2_cover import (  # noqa: F401
+    cells_for_envelope_s2,
+)
 from osm_hadoop_spark.functions.s2 import (  # noqa: F401
     cell_for_lonlat as s2_cell_for_lonlat,
     cell_parent as s2_cell_parent,
