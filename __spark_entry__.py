@@ -736,6 +736,77 @@ FROM ids
 """
 
 
+def _q_s2_cover_join(spark, sf_dir):
+    """Filter-and-refine spatial join ON THE S2 INDEX (the J3 pattern
+    transplanted to the spherical index): 25 nation rects covered at
+    level 9 (s2_cover BFS) -> equi-join against node parent cells ->
+    exact lon/lat refine. Because the cover is a proven SUPERSET and the
+    refine is exact, the oracle is simply the exact rect-containment
+    join — any cover false-NEGATIVE (the corruption mode) would lose
+    rows and fail the hash; false positives are discarded by refine."""
+    import pandas as pd
+
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("region_id"),
+        ((F.col("n_nationkey") * 53) % 320 - 160).cast("double").alias("lon0"),
+        ((F.col("n_nationkey") * 19) % 150 - 75).cast("double").alias("lat0"),
+        ((F.col("n_nationkey") * 53) % 320 - 160 + 4 + F.col("n_nationkey") % 7)
+        .cast("double").alias("lon1"),
+        ((F.col("n_nationkey") * 19) % 150 - 75 + 3 + F.col("n_nationkey") % 5)
+        .cast("double").alias("lat1"),
+    )
+
+    def cover(batches):
+        from osm_hadoop_spark.functions.s2_cover import cells_for_envelope_s2
+
+        for b in batches:
+            cells, env = cells_for_envelope_s2(
+                b["lon0"].to_numpy(), b["lat0"].to_numpy(),
+                b["lon1"].to_numpy(), b["lat1"].to_numpy(), 9,
+            )
+            yield pd.DataFrame(
+                {"region_id": b["region_id"].to_numpy()[env], "s2_cell": cells}
+            )
+
+    cov = nat.mapInPandas(cover, schema="region_id bigint, s2_cell bigint")
+
+    nodes = _nodes(spark, sf_dir)
+
+    def assign(batches):
+        from osm_hadoop_spark.functions.s2 import cell_for_lonlat
+
+        for b in batches:
+            b = b.copy()
+            b["s2_cell"] = cell_for_lonlat(
+                b["lon"].to_numpy(), b["lat"].to_numpy(), 9
+            )
+            yield b
+
+    pts = nodes.mapInPandas(
+        assign, schema="node_id bigint, lon double, lat double, s2_cell bigint"
+    )
+    cand = pts.join(cov, "s2_cell")  # filter stage: cell equi-join
+    refined = cand.join(F.broadcast(nat), "region_id").filter(
+        (F.col("lon") >= F.col("lon0")) & (F.col("lon") <= F.col("lon1"))
+        & (F.col("lat") >= F.col("lat0")) & (F.col("lat") <= F.col("lat1"))
+    )
+    return refined.select("region_id", "node_id").distinct()
+
+
+_ORACLE_S2_COVER_JOIN = f"""
+WITH n AS ({_NODES_SQL}),
+r AS (SELECT n_nationkey AS region_id,
+        CAST((n_nationkey*53) % 320 - 160 AS DOUBLE) AS lon0,
+        CAST((n_nationkey*19) % 150 - 75 AS DOUBLE) AS lat0,
+        CAST((n_nationkey*53) % 320 - 160 + 4 + n_nationkey % 7 AS DOUBLE) AS lon1,
+        CAST((n_nationkey*19) % 150 - 75 + 3 + n_nationkey % 5 AS DOUBLE) AS lat1
+      FROM nation)
+SELECT DISTINCT r.region_id, n.node_id
+FROM r JOIN n ON n.lon BETWEEN r.lon0 AND r.lon1
+             AND n.lat BETWEEN r.lat0 AND r.lat1
+"""
+
+
 def _ways_geom(spark, sf_dir):
     return _assembly_cached(spark, sf_dir, "global", _ways_geom_build)
 
@@ -2190,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
         "s2_region_contain": _q_s2_region_contain,  # mixed-level containment equi-join
         "s2_cover_l7": _q_s2_cover,                 # S2 envelope cover (E9 twin)
+        "s2_cover_join_l9": _q_s2_cover_join,       # J3 filter-and-refine on S2
         "tile_cover_count_z5": _q_tile_cover,       # E9 (J3 filter stage)
         "tile_refine_z10": _q_tile_refine,          # J3 exact refine
         "planet_e2e": _q_planet_e2e,                # full pipeline composition
@@ -2274,6 +2346,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["s2_cell_assign_l12"] = _oracle_s2_cells()
     oracles["s2_region_contain"] = _oracle_s2_region_contain()
     oracles["s2_cover_l7"] = _oracle_s2_cover()
+    oracles["s2_cover_join_l9"] = _ORACLE_S2_COVER_JOIN
     oracles["ann_lsh_topk"] = _oracle_ann_lsh()
     oracles["embedding_neardup"] = _oracle_embedding_neardup()
     ivf = _oracle_ann_ivf()
