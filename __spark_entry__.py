@@ -619,11 +619,10 @@ def _q_s2_cover(spark, sf_dir):
     return sup.mapInPandas(cover, schema="env_id bigint, s2_cell bigint")
 
 
-def _oracle_s2_cover() -> str:
+def _oracle_s2_cover(level: int = 7, adaptive: bool = False) -> str:
     from osm_hadoop_spark.functions.s2 import _IJ_TO_POS
     from osm_hadoop_spark.functions.s2_cover import _FACE_XYZ
 
-    level = 7
     # atom -> (lo, hi) SQL expressions
     atom_lo = ["1.0", "-1.0", "u0", "-u1", "v0", "-v1"]
     atom_hi = ["1.0", "-1.0", "u1", "-u0", "v1", "-v0"]
@@ -639,12 +638,19 @@ def _oracle_s2_cover() -> str:
         "ELSE (1.0/3.0)*(1 - 4*(1-{s})*(1-{s})) END"
     )
 
+    def lvl_case(fn) -> str:
+        arms = " ".join(f"WHEN {lv} THEN {fn(lv)}" for lv in range(level + 1))
+        return f"(CASE lvl {arms} END)"
+
     def keep_pipeline(cand_sql: str) -> str:
         """Layered SELECTs: candidates -> st -> uv -> xyz intervals ->
-        abs/hyp -> lat/lon bounds -> keep filter. Mirrors
-        _cell_latlon_bounds arithmetic exactly."""
+        abs/hyp -> lat/lon bounds -> keep filter (+ the adaptive
+        fully-inside flag). Mirrors _cell_latlon_bounds exactly."""
         return f"""
-SELECT env_id, lon0, lat0, lon1, lat1, face, i, j, lvl FROM (
+SELECT env_id, lon0, lat0, lon1, lat1, face, i, j, lvl,
+       (lat_lo >= lat0 AND lat_hi <= lat1
+        AND lon_lo >= lon0 AND lon_hi <= lon1) AS inside
+FROM (
  SELECT *,
    atan2(zlo, CASE WHEN zlo >= 0 THEN hyp_hi ELSE hyp_lo END) AS lat_lo,
    atan2(zhi, CASE WHEN zhi >= 0 THEN hyp_lo ELSE hyp_hi END) AS lat_hi,
@@ -685,18 +691,17 @@ WHERE lat_hi >= lat0 AND lat_lo <= lat1 AND lon_hi >= lon0 AND lon_lo <= lon1"""
 SELECT env_id, lon0, lat0, lon1, lat1, fx.face AS face,
        CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS j, 0 AS lvl
 FROM rects CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS face) fx"""
+    stop = "AND NOT f.inside" if adaptive else ""
     step_cand = f"""
 SELECT f.env_id, f.lon0, f.lat0, f.lon1, f.lat1, f.face,
        f.i * 2 + kid.di AS i, f.j * 2 + kid.dj AS j, f.lvl + 1 AS lvl
 FROM frontier f CROSS JOIN (VALUES (0,0),(0,1),(1,0),(1,1)) kid(di, dj)
-WHERE f.lvl < {level}"""
+WHERE f.lvl < {level} {stop}"""
 
+    emit = f"inside OR lvl = {level}" if adaptive else f"lvl = {level}"
     ijpos_rows = ",".join(
         f"({o},{ij},{int(_IJ_TO_POS[o][ij])})" for o in range(4) for ij in range(4)
     )
-    shift = 30 - level
-    pos_mult = 1 << (2 * shift + 1)
-    sentinel = 1 << (2 * shift)
     return f"""
 WITH RECURSIVE
 rects AS (
@@ -711,29 +716,66 @@ frontier AS (
   UNION ALL
   {keep_pipeline(step_cand)}
 ),
-fin AS (SELECT env_id, face, i * {1 << shift} AS i, j * {1 << shift} AS j
-        FROM frontier WHERE lvl = {level}),
+fin AS (SELECT env_id, lvl, face,
+               i * {lvl_case(lambda lv: 1 << (30 - lv))} AS i,
+               j * {lvl_case(lambda lv: 1 << (30 - lv))} AS j
+        FROM frontier WHERE {emit}),
 ijpos(orient, ij, pos) AS (VALUES {ijpos_rows}),
 hil AS (
-  SELECT env_id, face, i, j, 29 AS k, face % 2 AS orient, CAST(0 AS HUGEINT) AS pos
+  SELECT env_id, lvl, face, i, j, 29 AS k, face % 2 AS orient,
+         CAST(0 AS HUGEINT) AS pos
   FROM fin
   UNION ALL
-  SELECT h.env_id, h.face, h.i, h.j, h.k - 1,
+  SELECT h.env_id, h.lvl, h.face, h.i, h.j, h.k - 1,
          xor(h.orient, CASE t.pos WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END),
          h.pos * 4 + t.pos
   FROM hil h JOIN ijpos t
     ON t.orient = h.orient AND t.ij = ((h.i >> h.k) & 1) * 2 + ((h.j >> h.k) & 1)
-  WHERE h.k >= {30 - level}
+  WHERE h.k >= 30 - h.lvl
 ),
 ids AS (SELECT env_id,
-   CAST(face AS HUGEINT) * 2305843009213693952 + pos * {pos_mult}
-     + {sentinel} AS uid
-   FROM hil WHERE k = {30 - level - 1})
+   CAST(face AS HUGEINT) * 2305843009213693952
+     + pos * {lvl_case(lambda lv: 1 << (61 - 2 * lv))}
+     + {lvl_case(lambda lv: 1 << (60 - 2 * lv))} AS uid
+   FROM hil WHERE k = 29 - lvl)
 SELECT CAST(env_id AS BIGINT) AS env_id,
        CAST(CASE WHEN uid >= 9223372036854775808
             THEN uid - 18446744073709551616 ELSE uid END AS BIGINT) AS s2_cell
 FROM ids
 """
+
+
+def _q_s2_cover_adaptive(spark, sf_dir):
+    """Mixed-level adaptive cover (S2RegionCoverer shape): cells fully
+    inside the rect emit at their coarse level; only boundary cells
+    subdivide to level 9 — the compact cover the mixed-level containment
+    join consumes. Same rects as s2_cover_l7; the oracle replays the
+    adaptive recursion (early-emit rule included) bit-for-bit."""
+    import pandas as pd
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("env_id"),
+        ((F.col("s_suppkey") * 37) % 300 - 150).cast("double").alias("lon0"),
+        ((F.col("s_suppkey") * 11) % 140 - 70).cast("double").alias("lat0"),
+        ((F.col("s_suppkey") * 37) % 300 - 150 + 2 + F.col("s_suppkey") % 5)
+        .cast("double").alias("lon1"),
+        ((F.col("s_suppkey") * 11) % 140 - 70 + 1 + F.col("s_suppkey") % 4)
+        .cast("double").alias("lat1"),
+    )
+
+    def cover(batches):
+        from osm_hadoop_spark.functions.s2_cover import cells_for_envelope_s2
+
+        for b in batches:
+            cells, env = cells_for_envelope_s2(
+                b["lon0"].to_numpy(), b["lat0"].to_numpy(),
+                b["lon1"].to_numpy(), b["lat1"].to_numpy(), 9, adaptive=True,
+            )
+            yield pd.DataFrame(
+                {"env_id": b["env_id"].to_numpy()[env], "s2_cell": cells}
+            )
+
+    return sup.mapInPandas(cover, schema="env_id bigint, s2_cell bigint")
 
 
 def _q_s2_cover_join(spark, sf_dir):
@@ -2261,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
         "s2_region_contain": _q_s2_region_contain,  # mixed-level containment equi-join
         "s2_cover_l7": _q_s2_cover,                 # S2 envelope cover (E9 twin)
+        "s2_cover_adaptive_l9": _q_s2_cover_adaptive,  # mixed-level RegionCoverer
         "s2_cover_join_l9": _q_s2_cover_join,       # J3 filter-and-refine on S2
         "tile_cover_count_z5": _q_tile_cover,       # E9 (J3 filter stage)
         "tile_refine_z10": _q_tile_refine,          # J3 exact refine
@@ -2346,6 +2389,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["s2_cell_assign_l12"] = _oracle_s2_cells()
     oracles["s2_region_contain"] = _oracle_s2_region_contain()
     oracles["s2_cover_l7"] = _oracle_s2_cover()
+    oracles["s2_cover_adaptive_l9"] = _oracle_s2_cover(level=9, adaptive=True)
     oracles["s2_cover_join_l9"] = _ORACLE_S2_COVER_JOIN
     oracles["ann_lsh_topk"] = _oracle_ann_lsh()
     oracles["embedding_neardup"] = _oracle_embedding_neardup()

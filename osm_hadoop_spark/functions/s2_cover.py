@@ -135,13 +135,21 @@ def cells_for_envelope_s2(
     lon_max: np.ndarray,
     lat_max: np.ndarray,
     level: int,
+    adaptive: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Cover of many planar lat/lng rects at once.
 
     Returns (cell_id, env_idx) flat arrays — every level-`level` cell
     whose (conservative) bound intersects each rect, tagged with the
     source envelope index. Same output shape as
-    tiles.tiles_for_envelope_flat (E9's S2 twin)."""
+    tiles.tiles_for_envelope_flat (E9's S2 twin).
+
+    adaptive=True emits the MIXED-LEVEL cover (S2RegionCoverer shape): a
+    cell whose conservative bound lies fully inside the rect is emitted
+    at its coarse level and never subdivided — bound ⊇ truth, so
+    bound-inside implies truly-inside; only boundary cells subdivide down
+    to `level`. The compact result is exactly what
+    operators/s2_join.s2_containment_join consumes (mixed levels)."""
     # rect bounds to radians ONCE (np.radians == x * (pi/180), identical
     # to DuckDB radians() — the established cross-engine primitive)
     lon_min = np.radians(np.asarray(lon_min, dtype=np.float64))
@@ -156,12 +164,28 @@ def cells_for_envelope_s2(
     i = np.zeros(env.shape[0], dtype=np.int64)
     j = np.zeros(env.shape[0], dtype=np.int64)
 
+    out_cells: list[np.ndarray] = []
+    out_env: list[np.ndarray] = []
     for lvl in range(0, level + 1):
         lat_lo, lat_hi, lon_lo, lon_hi = _cell_latlon_bounds(face, i, j, lvl)
         keep = (
             (lat_hi >= lat_min[env]) & (lat_lo <= lat_max[env])
             & (lon_hi >= lon_min[env]) & (lon_lo <= lon_max[env])
         )
+        if adaptive and lvl < level:
+            inside = keep & (
+                (lat_lo >= lat_min[env]) & (lat_hi <= lat_max[env])
+                & (lon_lo >= lon_min[env]) & (lon_hi <= lon_max[env])
+            )
+            if inside.any():
+                shift = MAX_LEVEL - lvl
+                out_cells.append(
+                    cell_from_face_ij(
+                        face[inside], i[inside] << shift, j[inside] << shift, lvl
+                    )
+                )
+                out_env.append(env[inside])
+            keep = keep & ~inside
         env, face, i, j = env[keep], face[keep], i[keep], j[keep]
         if lvl == level:
             break
@@ -174,5 +198,6 @@ def cells_for_envelope_s2(
         j = np.repeat(j << 1, 4) + dj
 
     shift = MAX_LEVEL - level
-    cells = cell_from_face_ij(face, i << shift, j << shift, level)
-    return cells, env
+    out_cells.append(cell_from_face_ij(face, i << shift, j << shift, level))
+    out_env.append(env)
+    return np.concatenate(out_cells), np.concatenate(out_env)

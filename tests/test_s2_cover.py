@@ -80,3 +80,26 @@ def test_multi_envelope_indexing():
             lon0[k : k + 1], lat0[k : k + 1], lon1[k : k + 1], lat1[k : k + 1], 8
         )
         assert set(cells[env == k].tolist()) == set(solo.tolist())
+
+
+def test_adaptive_cover_compact_disjoint_superset():
+    """adaptive=True: mixed levels, disjoint leaf ranges, never larger
+    than the flat cover, and still a superset of every point's cell."""
+    rng = np.random.default_rng(21)
+    for _ in range(15):
+        lon0 = rng.uniform(-170, 160)
+        lat0 = rng.uniform(-80, 72)
+        lon1 = lon0 + rng.uniform(1, 10)
+        lat1 = lat0 + rng.uniform(1, 8)
+        level = int(rng.integers(5, 11))
+        args = (np.array([lon0]), np.array([lat0]), np.array([lon1]), np.array([lat1]), level)
+        flat, _ = cells_for_envelope_s2(*args)
+        adap, _ = cells_for_envelope_s2(*args, adaptive=True)
+        assert len(adap) <= len(flat)
+        lo, hi = s2.cell_range_min(adap), s2.cell_range_max(adap)
+        order = np.argsort(lo)
+        assert (lo[order][1:] > hi[order][:-1]).all()  # disjoint
+        pl = rng.uniform(lon0, lon1, 300)
+        pa = rng.uniform(lat0, lat1, 300)
+        leaf = s2.cell_for_lonlat(pl, pa, 30)
+        assert all(((leaf[k] >= lo) & (leaf[k] <= hi)).any() for k in range(len(leaf)))
