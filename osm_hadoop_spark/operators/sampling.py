@@ -33,8 +33,9 @@ SAMPLE_DEN = 10_000
 
 
 def _rate_col(key: Column, salt: str) -> Column:
-    """Uniform [0, SAMPLE_DEN) bucket from the salted content hash."""
-    return h60(F.concat(F.lit(salt), key)) % SAMPLE_DEN
+    """Uniform [0, SAMPLE_DEN) bucket from the salted content hash (key
+    cast to string so numeric ids hash by their canonical digits)."""
+    return h60(F.concat(F.lit(salt), key.cast("string"))) % SAMPLE_DEN
 
 
 def hash_sample(df: DataFrame, key: str, rate_num: int, salt: str = "s0") -> DataFrame:

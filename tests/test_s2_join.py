@@ -109,3 +109,72 @@ def test_nested_regions_match_both(spark):
         for r in s2_containment_join(pts, regs, strategy="levels").collect()
     )
     assert got == [1, 2]
+
+
+def test_adaptive_cover_feeds_containment_join(spark):
+    """Composition: adaptive mixed-level cover -> mixed-level containment
+    join -> exact refine == brute-force rect join. Proves the cover's
+    superset contract THROUGH the join operator, at mixed levels."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osm_hadoop_spark.functions import s2
+    from osm_hadoop_spark.functions.s2_cover import cells_for_envelope_s2
+    from osm_hadoop_spark.operators.s2_join import s2_containment_join, with_leaf_cell
+
+    rng = np.random.default_rng(17)
+    rects = pd.DataFrame(
+        {
+            "region_id": np.arange(6),
+            "lon0": rng.uniform(-150, 120, 6),
+            "lat0": rng.uniform(-60, 40, 6),
+        }
+    )
+    rects["lon1"] = rects["lon0"] + rng.uniform(2, 12, 6)
+    rects["lat1"] = rects["lat0"] + rng.uniform(2, 9, 6)
+
+    cells, env = cells_for_envelope_s2(
+        rects["lon0"].to_numpy(), rects["lat0"].to_numpy(),
+        rects["lon1"].to_numpy(), rects["lat1"].to_numpy(), 9, adaptive=True,
+    )
+    regions = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "region_id": rects["region_id"].to_numpy()[env],
+                "region_cell": cells,
+                "level": s2.cell_level(cells).astype("int32"),
+                "range_min": s2.cell_range_min(cells),
+                "range_max": s2.cell_range_max(cells),
+            }
+        )
+    )
+    pts_pdf = pd.DataFrame(
+        {
+            "point_id": np.arange(4000),
+            "lon": rng.uniform(-180, 180, 4000),
+            "lat": rng.uniform(-90, 90, 4000),
+        }
+    )
+    pts = with_leaf_cell(spark.createDataFrame(pts_pdf))
+
+    joined = s2_containment_join(pts, regions, strategy="levels")
+    refined = joined.join(
+        F.broadcast(spark.createDataFrame(rects)), "region_id"
+    ).filter(
+        (F.col("lon") >= F.col("lon0")) & (F.col("lon") <= F.col("lon1"))
+        & (F.col("lat") >= F.col("lat0")) & (F.col("lat") <= F.col("lat1"))
+    )
+    got = set(
+        (r["region_id"], r["point_id"])
+        for r in refined.select("region_id", "point_id").distinct().collect()
+    )
+
+    exp = set()
+    for _, rr in rects.iterrows():
+        m = (
+            (pts_pdf["lon"] >= rr["lon0"]) & (pts_pdf["lon"] <= rr["lon1"])
+            & (pts_pdf["lat"] >= rr["lat0"]) & (pts_pdf["lat"] <= rr["lat1"])
+        )
+        for pid in pts_pdf["point_id"][m]:
+            exp.add((int(rr["region_id"]), int(pid)))
+    assert got == exp and len(exp) > 0
