@@ -201,6 +201,58 @@ GROUP BY j.way_id HAVING count(*) > 1
 """
 
 
+def _q_relation_assembly(spark, sf_dir):
+    """J1'/J2' second-level reconstruction: relations = customers, member
+    ways = their orders (ordinal = o_orderkey, role from the priority text),
+    geometries from the cached way assembly. North-star 'way/relation
+    assembly' — the reference drops relations at its dispatch
+    (NodeJoiner.scala:110,136)."""
+    from osm_hadoop_spark.operators.relation_assembly import (
+        assemble_relations,
+        with_multilinestring_wkt,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    members = orders.select(
+        F.col("o_custkey").alias("rel_id"),
+        F.col("o_orderkey").alias("way_id"),
+        F.col("o_orderkey").alias("ordinal"),
+        F.expr("lower(substring(o_orderpriority, 3))").alias("role"),
+    )
+    rels = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rel_id"),
+        F.create_map(F.lit("type"), F.lit("route")).alias("tags"),
+    )
+    out = assemble_relations(rels, members, _ways_geom(spark, sf_dir))
+    return with_multilinestring_wkt(out).select(
+        "rel_id",
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.concat_ws(",", "roles").alias("roles"),
+        "geometry_wkt",
+    )
+
+
+_ORACLE_RELATION_ASSEMBLY = f"""
+WITH nodes AS ({_NODES_SQL}), wn AS ({_WAY_NODES_SQL}),
+j AS (SELECT wn.way_id, wn.ordinal, n.lon, n.lat FROM wn JOIN nodes n USING (node_id)),
+w AS (SELECT o_orderkey AS way_id FROM orders),
+ways AS (
+  SELECT j.way_id, '(' || string_agg(
+      CAST(CAST(lon AS BIGINT) AS VARCHAR) || ' ' || CAST(CAST(lat AS BIGINT) AS VARCHAR),
+      ', ' ORDER BY ordinal, lon, lat) || ')' AS body
+  FROM j JOIN w ON j.way_id = w.way_id
+  GROUP BY j.way_id HAVING count(*) > 1
+),
+m AS (SELECT o_custkey AS rel_id, o_orderkey AS way_id, o_orderkey AS ordinal,
+             lower(substring(o_orderpriority, 3)) AS role FROM orders)
+SELECT m.rel_id, CAST(count(*) AS BIGINT) AS n_members,
+  string_agg(m.role, ',' ORDER BY m.ordinal) AS roles,
+  'MULTILINESTRING (' || string_agg(ways.body, ', ' ORDER BY m.ordinal) || ')' AS geometry_wkt
+FROM m JOIN ways USING (way_id)
+GROUP BY m.rel_id
+"""
+
+
 def _q_grid_snap(spark, sf_dir):
     # E4 global grid snap, JVM-side (CAST truncates; operands >= 0)
     n = _nodes(spark, sf_dir)
@@ -2295,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
         "way_assembly_wkt": _q_way_assembly,        # J1+J2+E1/E3, F5
+        "relation_assembly_wkt": _q_relation_assembly,  # J1'/J2' second level
         "grid_snap": _q_grid_snap,                  # E4+E12
         "pixel_precedence": _q_pixel_precedence,    # A1 (+F8 class domain)
         "pixel_counts": _q_pixel_counts,            # A3
@@ -2349,6 +2402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     oracles = {
         "way_assembly_wkt": _ORACLE_WAY_ASSEMBLY,
+        "relation_assembly_wkt": _ORACLE_RELATION_ASSEMBLY,
         "grid_snap": _ORACLE_GRID_SNAP,
         "pixel_precedence": _ORACLE_PIXEL_PRECEDENCE,
         "pixel_counts": _ORACLE_PIXEL_COUNTS,

@@ -31,6 +31,16 @@ def format_linestring_wkt(xs: np.ndarray, ys: np.ndarray) -> str:
     return f"LINESTRING ({pts})"
 
 
+def format_multilinestring_wkt(xs_list, ys_list) -> str:
+    """member coords -> 'MULTILINESTRING ((x y, ...), (x y, ...))'
+    (JTS WKTWriter layout: one parenthesized body per member line)."""
+    bodies = (
+        "(" + ", ".join(f"{_fmt_ord(x)} {_fmt_ord(y)}" for x, y in zip(xs, ys)) + ")"
+        for xs, ys in zip(xs_list, ys_list)
+    )
+    return "MULTILINESTRING (" + ", ".join(bodies) + ")"
+
+
 def parse_wkt_batch(wkts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Parse a batch of single-ring WKT strings (LINESTRING / POLYGON outer
     ring / POINT) into flat coordinate arrays.

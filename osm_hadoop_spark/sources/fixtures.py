@@ -36,6 +36,10 @@ HIGHWAY_VALUES = [
     "pedestrian", "footway", "path",  # footway/path exercise default class 15
 ]
 
+# relation member roles (db-snapshot.osm:44-49 uses wayrole1/wayrole2;
+# the synthetic corpus draws from route-style roles)
+_REL_ROLES = ["outer", "inner", "main", "alternative"]
+
 
 def _mix64(v: np.ndarray, salt: int) -> np.ndarray:
     """splitmix64 finalizer over (v + salt*golden); vectorized, uint64.
@@ -104,8 +108,11 @@ def docs_pandas(ids: np.ndarray, n_docs: int, seed: int = _SEED_DEFAULT, skew: b
 
     Layout: doc d always carries node (d+1); every 4th doc also carries way
     (d//4 + 1) whose nds hash into the GLOBAL node id space — so the J1 join
-    is a genuine cross-document shuffle. 0-4 text/media noise spans are
-    interleaved deterministically; offsets are the final span positions.
+    is a genuine cross-document shuffle. Every 16th doc carries relation
+    (d//16 + 1) with one node member plus 2-4 way members hashed into the
+    global way id space (cross-document again, one level up). 0-4 text/media
+    noise spans are interleaved deterministically; offsets are the final
+    span positions.
     """
     ids = np.asarray(ids, dtype=np.uint64)
     rows = []
@@ -128,6 +135,24 @@ def docs_pandas(ids: np.ndarray, n_docs: int, seed: int = _SEED_DEFAULT, skew: b
                 "kind": "osm.way",
                 "text": json.dumps(
                     {"id": int(wid), "tags": tags, "nds": way_nds(int(wid), n_docs, seed, skew)},
+                    separators=(",", ":")),
+                "media_ref": None,
+            })
+        if d % 16 == 0:
+            rid = d // 16 + 1
+            n_ways = max(n_docs // 4, 1)
+            n_m = 2 + int(_mix64(np.uint64(rid), seed * 5000 + 1) % np.uint64(3))
+            refs = (_mix64(np.uint64(rid) + np.arange(n_m, dtype=np.uint64) * np.uint64(2654435761),
+                           seed * 5000 + 2) % np.uint64(n_ways)).astype(np.int64) + 1
+            members = [{"type": "node", "ref": int(nid), "role": "noderole"}]
+            members += [{"type": "way", "ref": int(r),
+                         "role": _REL_ROLES[int(_mix64(np.uint64(rid * 8 + j), seed * 5000 + 3)
+                                                 % np.uint64(len(_REL_ROLES)))]}
+                        for j, r in enumerate(refs.tolist())]
+            spans.append({
+                "kind": "osm.relation",
+                "text": json.dumps(
+                    {"id": int(rid), "tags": {"type": "route"}, "members": members},
                     separators=(",", ":")),
                 "media_ref": None,
             })
@@ -170,7 +195,9 @@ def gen_documents(spark: SparkSession, n_docs: int, seed: int = _SEED_DEFAULT,
 def gen_db_snapshot_documents(spark: SparkSession) -> DataFrame:
     """Nodes 1..6 at (-2,-1)...(-12,-11); ways 1->[1,2,3], 2->[2,3,4],
     3->[3,4,5], 4->[1] — way 4 must be dropped by F5 (WayBuilder.scala:95).
-    Entities deliberately spread across documents with noise spans."""
+    Relation 1 -> [node 6 (noderole), way 1 (wayrole1), way 2 (wayrole2)]
+    mirrors db-snapshot.osm:44-49 member-for-member. Entities deliberately
+    spread across documents with noise spans."""
     nodes = {i: (-2.0 * i, -(2.0 * i - 1.0)) for i in range(1, 7)}
     ways = {1: [1, 2, 3], 2: [2, 3, 4], 3: [3, 4, 5], 4: [1]}
     tags = {1: {"highway": "residential"}, 2: {"highway": "trunk"},
@@ -196,6 +223,14 @@ def gen_db_snapshot_documents(spark: SparkSession) -> DataFrame:
         ("doc-00000003", [way_span(1), way_span(2)]),
         ("doc-00000004", [{"kind": "text", "text": "interleaved", "media_ref": None},
                           way_span(3), way_span(4)]),
+        ("doc-00000005", [{"kind": "osm.relation", "media_ref": None,
+                           "text": json.dumps({"id": 1, "tags": {"type": "myrelation"},
+                                               "members": [
+                               {"type": "node", "ref": 6, "role": "noderole"},
+                               {"type": "way", "ref": 1, "role": "wayrole1"},
+                               {"type": "way", "ref": 2, "role": "wayrole2"},
+                           ]}, separators=(",", ":"))},
+                          {"kind": "text", "text": "relation carrier", "media_ref": None}]),
     ]
     rows = []
     for doc_id, spans in docs:
@@ -210,6 +245,11 @@ DB_SNAPSHOT_EXPECTED_WKT = {
     2: "LINESTRING (-4 -3, -6 -5, -8 -7)",
     3: "LINESTRING (-6 -5, -8 -7, -10 -9)",
     # way 4 dropped (single coord, WayBuilder.scala:95)
+}
+
+DB_SNAPSHOT_EXPECTED_RELATION_WKT = {
+    # relation 1: node member filtered out; way members 1, 2 in member order
+    1: "MULTILINESTRING ((-2 -1, -4 -3, -6 -5), (-4 -3, -6 -5, -8 -7))",
 }
 
 

@@ -32,6 +32,10 @@ DOCUMENTS_SCHEMA = (
 
 NODE_PAYLOAD_SCHEMA = "id bigint, lon double, lat double"
 WAY_PAYLOAD_SCHEMA = "id bigint, tags map<string,string>, nds array<bigint>"
+RELATION_PAYLOAD_SCHEMA = (
+    "id bigint, tags map<string,string>, "
+    "members array<struct<type:string, ref:bigint, role:string>>"
+)
 
 
 def exploded_spans(documents: DataFrame) -> DataFrame:
@@ -111,6 +115,39 @@ def parse_way_nodes(documents: DataFrame) -> DataFrame:
         F.col("w.id").alias("way_id"),
         F.posexplode("w.nds").alias("ordinal", "node_id"),
     ).select("node_id", "way_id", "ordinal")
+
+
+def parse_relations(documents: DataFrame) -> DataFrame:
+    """osm.relation spans -> relations(rel_id, tags, members).
+
+    North-star addition: the reference's entity dispatch handles only ways
+    and nodes (NodeJoiner.scala:110,136) — relations present in its own
+    fixture (db-snapshot.osm:44-49, one relation with node + way members)
+    are silently dropped. The north rule mandates way/relation assembly, so
+    relations get the same JVM `from_json` parse as ways; malformed payloads
+    degrade to row-level drops like parse_nodes."""
+    s = exploded_spans(documents).filter(F.col("kind") == "osm.relation")
+    p = s.select(F.from_json("text", RELATION_PAYLOAD_SCHEMA).alias("r"))
+    return p.select(
+        F.col("r.id").alias("rel_id"),
+        F.col("r.tags").alias("tags"),
+        F.col("r.members").alias("members"),
+    ).filter(F.col("rel_id").isNotNull())
+
+
+def explode_relation_members(relations: DataFrame) -> DataFrame:
+    """(rel_id, tags, members) -> (rel_id, member_type, ref, role, ordinal);
+    ordinal = position in the member list (mirrors the waynode zipWithIndex
+    emission, NodeJoiner.scala:114-122, one level up)."""
+    return relations.select(
+        "rel_id", F.posexplode("members").alias("ordinal", "m")
+    ).select(
+        "rel_id",
+        F.col("m.type").alias("member_type"),
+        F.col("m.ref").alias("ref"),
+        F.col("m.role").alias("role"),
+        "ordinal",
+    )
 
 
 def filter_ways_by_tags(ways: DataFrame, tag_keys: list[str]) -> DataFrame:
