@@ -253,6 +253,127 @@ GROUP BY m.rel_id
 """
 
 
+def _q_multipolygon_assembly(spark, sf_dir):
+    """Multipolygon assembly: one axis-aligned rectangle ring per order
+    (rel = customer), fed SCRAMBLED — orientation flipped for even keys,
+    start vertex rotated by k%4, split into two open chained fragments for
+    k%7==0, and a 2x2-scaled-unit hole strictly inside for k%5==0 (lattice
+    x4 scaling keeps hole vertices off every rectangle boundary). The engine
+    must chain, orient, dedupe, and assign holes; the oracle builds the
+    canonical rings arithmetically."""
+    from osm_hadoop_spark.operators.polygon_assembly import assemble_multipolygons
+
+    k = F.col("o_orderkey")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("rel_id"),
+        k.alias("k"),
+        ((k % 340 - 170) * 4).alias("x0"),
+        (((k * 7) % 160 - 80) * 4).alias("y0"),
+        ((k % 3 + 1) * 4).alias("w"),
+        ((k % 5 + 1) * 4).alias("h"),
+    )
+    o = o.withColumn("x1", F.col("x0") + F.col("w")).withColumn(
+        "y1", F.col("y0") + F.col("h")
+    )
+
+    def ring(xs_cols, ys_cols, rot):
+        xs = F.array(*[c.cast("double") for c in xs_cols])
+        ys = F.array(*[c.cast("double") for c in ys_cols])
+        xs = F.concat(F.slice(xs, rot + 1, 4 - rot), F.slice(xs, F.lit(1), rot))
+        ys = F.concat(F.slice(ys, rot + 1, 4 - rot), F.slice(ys, F.lit(1), rot))
+        return (
+            F.concat(xs, F.slice(xs, 1, 1)),
+            F.concat(ys, F.slice(ys, 1, 1)),
+        )
+
+    x0, x1, y0, y1 = F.col("x0"), F.col("x1"), F.col("y0"), F.col("y1")
+    rot = (F.col("k") % 4).cast("int")
+    ccw_x, ccw_y = ring([x0, x1, x1, x0], [y0, y0, y1, y1], rot)
+    cw_x, cw_y = ring([x0, x0, x1, x1], [y0, y1, y1, y0], rot)
+    even = F.col("k") % 2 == 0
+    oxs = F.when(even, cw_x).otherwise(ccw_x)
+    oys = F.when(even, cw_y).otherwise(ccw_y)
+    # k%7==0: split the closed 5-vertex ring into [v0..v2] and [v2..v4]
+    frag = F.when(
+        F.col("k") % 7 == 0,
+        F.array(
+            F.struct(F.slice(oxs, 1, 3).alias("xs"), F.slice(oys, 1, 3).alias("ys")),
+            F.struct(F.slice(oxs, 3, 3).alias("xs"), F.slice(oys, 3, 3).alias("ys")),
+        ),
+    ).otherwise(F.array(F.struct(oxs.alias("xs"), oys.alias("ys"))))
+    outers = o.select(
+        "rel_id", F.lit("outer").alias("role"), F.explode(frag).alias("m")
+    ).select("rel_id", "role", F.col("m.xs").alias("xs"), F.col("m.ys").alias("ys"))
+
+    hx0, hy0 = x0 + 1, y0 + 1
+    hx1, hy1 = x0 + 3, y0 + 3
+    hrot = ((F.col("k") * 3) % 4).cast("int")
+    hccw_x, hccw_y = ring([hx0, hx1, hx1, hx0], [hy0, hy0, hy1, hy1], hrot)
+    hcw_x, hcw_y = ring([hx0, hx0, hx1, hx1], [hy0, hy1, hy1, hy0], hrot)
+    hole_ccw = F.col("k") % 3 == 0
+    holes = o.filter(F.col("k") % 5 == 0).select(
+        "rel_id",
+        F.lit("inner").alias("role"),
+        F.when(hole_ccw, hccw_x).otherwise(hcw_x).alias("xs"),
+        F.when(hole_ccw, hccw_y).otherwise(hcw_y).alias("ys"),
+    )
+
+    out = assemble_multipolygons(outers.unionByName(holes))
+    return out.select(
+        "rel_id",
+        F.col("n_polys").cast("bigint").alias("n_polys"),
+        F.col("n_holes").cast("bigint").alias("n_holes"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+        F.col("area2").cast("bigint").alias("area2"),
+        "geometry_wkt",
+    )
+
+
+_ORACLE_MULTIPOLYGON_ASSEMBLY = """
+WITH o AS (
+  SELECT o_custkey AS rel_id, o_orderkey AS k,
+         4*((o_orderkey % 340) - 170) AS x0, 4*(((o_orderkey*7) % 160) - 80) AS y0,
+         4*(1 + o_orderkey % 3) AS w, 4*(1 + o_orderkey % 5) AS h
+  FROM orders
+),
+r AS (SELECT DISTINCT rel_id, x0, y0, x0+w AS x1, y0+h AS y1, 2*w*h AS area2 FROM o),
+rb AS (SELECT rel_id, x0, y0, x1, y1, area2,
+  '(' || x0||' '||y0 ||', '|| x1||' '||y0 ||', '|| x1||' '||y1 ||', '|| x0||' '||y1
+      ||', '|| x0||' '||y0 || ')' AS body FROM r),
+hh AS (SELECT DISTINCT rel_id, x0+1 AS hx0, y0+1 AS hy0, x0+3 AS hx1, y0+3 AS hy1
+       FROM o WHERE k % 5 = 0),
+hb AS (SELECT rel_id, hx0, hy0, hx1, hy1, 8 AS area2,
+  '(' || hx0||' '||hy0 ||', '|| hx0||' '||hy1 ||', '|| hx1||' '||hy1 ||', '|| hx1||' '||hy0
+      ||', '|| hx0||' '||hy0 || ')' AS body FROM hh),
+own AS (
+  SELECT hb.rel_id, hb.body AS hole_body, hb.area2 AS hole_area2, rb.body AS owner_body,
+         row_number() OVER (PARTITION BY hb.rel_id, hb.body
+                            ORDER BY rb.area2, rb.body) AS rn
+  FROM hb JOIN rb ON hb.rel_id = rb.rel_id
+   AND hb.hx0 > rb.x0 AND hb.hx1 < rb.x1 AND hb.hy0 > rb.y0 AND hb.hy1 < rb.y1
+),
+owned AS (SELECT rel_id, hole_body, hole_area2, owner_body FROM own WHERE rn = 1),
+polys AS (
+  SELECT rb.rel_id,
+    '(' || rb.body || CASE WHEN count(owned.hole_body) > 0
+        THEN ', ' || string_agg(owned.hole_body, ', ' ORDER BY owned.hole_body)
+        ELSE '' END || ')' AS poly_body,
+    rb.area2 - COALESCE(sum(owned.hole_area2), 0) AS parea2,
+    count(owned.hole_body) AS nh
+  FROM rb LEFT JOIN owned
+    ON owned.rel_id = rb.rel_id AND owned.owner_body = rb.body
+  GROUP BY rb.rel_id, rb.body, rb.area2
+)
+SELECT rel_id,
+  CAST(count(*) AS BIGINT) AS n_polys,
+  CAST(sum(nh) AS BIGINT) AS n_holes,
+  CAST(0 AS BIGINT) AS n_dropped,
+  CAST(sum(parea2) AS BIGINT) AS area2,
+  'MULTIPOLYGON (' || string_agg(poly_body, ', ' ORDER BY poly_body) || ')' AS geometry_wkt
+FROM polys GROUP BY rel_id
+"""
+
+
 def _q_grid_snap(spark, sf_dir):
     # E4 global grid snap, JVM-side (CAST truncates; operands >= 0)
     n = _nodes(spark, sf_dir)
@@ -2348,6 +2469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geospatial core (SURVEY section 2)
         "way_assembly_wkt": _q_way_assembly,        # J1+J2+E1/E3, F5
         "relation_assembly_wkt": _q_relation_assembly,  # J1'/J2' second level
+        "multipolygon_assembly": _q_multipolygon_assembly,  # ring chain/orient/holes
         "grid_snap": _q_grid_snap,                  # E4+E12
         "pixel_precedence": _q_pixel_precedence,    # A1 (+F8 class domain)
         "pixel_counts": _q_pixel_counts,            # A3
@@ -2403,6 +2525,7 @@ def oracle_sql() -> dict[str, str]:
     oracles = {
         "way_assembly_wkt": _ORACLE_WAY_ASSEMBLY,
         "relation_assembly_wkt": _ORACLE_RELATION_ASSEMBLY,
+        "multipolygon_assembly": _ORACLE_MULTIPOLYGON_ASSEMBLY,
         "grid_snap": _ORACLE_GRID_SNAP,
         "pixel_precedence": _ORACLE_PIXEL_PRECEDENCE,
         "pixel_counts": _ORACLE_PIXEL_COUNTS,

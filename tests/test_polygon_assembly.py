@@ -1,0 +1,111 @@
+"""Multipolygon assembly: chaining, orientation, hole assignment goldens."""
+
+import numpy as np
+import pytest
+
+from osm_hadoop_spark.functions.rings import (
+    canonical_ring,
+    chain_segments,
+    ring_body,
+    signed_area2,
+)
+
+
+def test_signed_area2_orientation():
+    # unit square CCW from origin
+    xs = np.array([0.0, 1.0, 1.0, 0.0])
+    ys = np.array([0.0, 0.0, 1.0, 1.0])
+    assert signed_area2(xs, ys) == 2.0
+    assert signed_area2(xs[::-1], ys[::-1]) == -2.0
+
+
+def test_canonical_ring_rotation_and_orientation():
+    # CW square fed starting at (1,1); canonical = CCW from lex-min (0,0)
+    xs = np.array([1.0, 1.0, 0.0, 0.0])
+    ys = np.array([1.0, 0.0, 0.0, 1.0])
+    cx, cy, a2 = canonical_ring(xs, ys, ccw=True)
+    assert a2 == 2.0
+    assert ring_body(cx, cy) == "(0 0, 1 0, 1 1, 0 1, 0 0)"
+    hx, hy, _ = canonical_ring(xs, ys, ccw=False)
+    assert ring_body(hx, hy) == "(0 0, 0 1, 1 1, 1 0, 0 0)"
+
+
+def test_chain_segments_closed_and_split():
+    sq = (np.array([0.0, 4.0, 4.0, 0.0, 0.0]), np.array([0.0, 0.0, 4.0, 4.0, 0.0]))
+    # split square: two open halves, second reversed
+    a = (np.array([10.0, 14.0, 14.0]), np.array([0.0, 0.0, 4.0]))
+    b_rev = (np.array([10.0, 10.0, 14.0]), np.array([0.0, 4.0, 4.0]))
+    rings, dropped = chain_segments([sq, a, b_rev])
+    assert dropped == 0
+    assert len(rings) == 2
+    assert sorted(len(r[0]) for r in rings) == [4, 4]
+
+
+def test_chain_prefers_closing_match():
+    # two split squares sharing the corner (4,0): the closing preference must
+    # pair each square's own halves, not cross-join at the shared vertex
+    a1 = (np.array([0.0, 4.0]), np.array([0.0, 0.0]))
+    b1 = (np.array([4.0, 4.0, 0.0, 0.0]), np.array([0.0, 4.0, 4.0, 0.0]))
+    a2 = (np.array([4.0, 8.0]), np.array([0.0, 0.0]))
+    b2 = (np.array([8.0, 8.0, 4.0, 4.0]), np.array([0.0, 4.0, 4.0, 0.0]))
+    rings, dropped = chain_segments([a1, a2, b1, b2])
+    assert dropped == 0
+    bodies = sorted(
+        ring_body(*canonical_ring(xs, ys, ccw=True)[:2]) for xs, ys in rings
+    )
+    assert bodies == [
+        "(0 0, 4 0, 4 4, 0 4, 0 0)",
+        "(4 0, 8 0, 8 4, 4 4, 4 0)",
+    ]
+
+
+def test_chain_drops_incomplete():
+    dangling = (np.array([0.0, 1.0]), np.array([0.0, 0.0]))
+    rings, dropped = chain_segments([dangling])
+    assert rings == [] and dropped == 1
+
+
+def _members_df(spark, rows):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [Row(rel_id=r, role=ro, xs=[float(v) for v in x], ys=[float(v) for v in y])
+         for r, ro, x, y in rows],
+        schema="rel_id bigint, role string, xs array<double>, ys array<double>",
+    )
+
+
+def test_assemble_multipolygons_hole_assignment(spark):
+    from osm_hadoop_spark.operators.polygon_assembly import assemble_multipolygons
+
+    rows = [
+        # big outer 10x10, small outer 4x4 nested inside it, hole 1x1 inside
+        # the SMALL one -> must be assigned to the smaller containing outer
+        (1, "outer", [0, 10, 10, 0, 0], [0, 0, 10, 10, 0]),
+        (1, "outer", [2, 6, 6, 2, 2], [2, 2, 6, 6, 2]),
+        (1, "inner", [3, 4, 4, 3, 3], [3, 3, 4, 4, 3]),
+        # orphan hole outside every outer -> dropped
+        (1, "inner", [50, 51, 51, 50, 50], [50, 50, 51, 51, 50]),
+        # duplicate outer body -> deduplicated
+        (1, "outer", [0, 10, 10, 0, 0], [0, 0, 10, 10, 0]),
+    ]
+    out = assemble_multipolygons(_members_df(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_polys"] == 2
+    assert r["n_holes"] == 1
+    assert r["n_dropped"] == 1
+    assert r["area2"] == 2 * (100 + 16 - 1)
+    assert r["geometry_wkt"] == (
+        "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), "
+        "((2 2, 6 2, 6 6, 2 6, 2 2), (3 3, 3 4, 4 4, 4 3, 3 3)))"
+    )
+
+
+def test_assemble_multipolygons_no_outer(spark):
+    from osm_hadoop_spark.operators.polygon_assembly import assemble_multipolygons
+
+    rows = [(7, "inner", [0, 1, 1, 0, 0], [0, 0, 1, 1, 0])]
+    out = assemble_multipolygons(_members_df(spark, rows)).collect()
+    assert out[0]["n_polys"] == 0 and out[0]["geometry_wkt"] is None
+    assert out[0]["n_dropped"] == 1
