@@ -374,6 +374,75 @@ FROM polys GROUP BY rel_id
 """
 
 
+def _q_pip_multipolygon(spark, sf_dir):
+    """E8 with holes: nodes (lattice-offset so no point touches a ring edge)
+    against the distinct rectangle zones of the multipolygon derivation,
+    hole rings excluding containment. zone_id = min generating order key
+    (injective, computable in both engines)."""
+    from osm_hadoop_spark.operators.polygon_join import point_multipolygon_join
+
+    k = F.col("o_orderkey")
+    o = _t(spark, sf_dir, "orders").select(
+        k.alias("k"),
+        ((k % 340 - 170) * 4).alias("x0"),
+        (((k * 7) % 160 - 80) * 4).alias("y0"),
+        ((k % 3 + 1) * 4).alias("w"),
+        ((k % 5 + 1) * 4).alias("h"),
+    )
+    r = (
+        o.withColumn("x1", F.col("x0") + F.col("w"))
+        .withColumn("y1", F.col("y0") + F.col("h"))
+        .groupBy("x0", "y0", "x1", "y1")
+        .agg(
+            F.min("k").alias("zone_id"),
+            F.max((F.col("k") % 5 == 0).cast("int")).alias("has_hole"),
+        )
+    )
+    x0, x1, y0, y1 = F.col("x0"), F.col("x1"), F.col("y0"), F.col("y1")
+
+    def darr(*cols):
+        return F.array(*[c.cast("double") for c in cols])
+
+    polys = r.select(
+        "zone_id",
+        darr(x0, x1, x1, x0).alias("oxs"),
+        darr(y0, y0, y1, y1).alias("oys"),
+        F.when(
+            F.col("has_hole") == 1,
+            F.array(darr(x0 + 1, x0 + 3, x0 + 3, x0 + 1)),
+        ).otherwise(F.array().cast("array<array<double>>")).alias("hxs"),
+        F.when(
+            F.col("has_hole") == 1,
+            F.array(darr(y0 + 1, y0 + 1, y0 + 3, y0 + 3)),
+        ).otherwise(F.array().cast("array<array<double>>")).alias("hys"),
+    )
+    pts = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node_id"),
+        ((F.col("p_partkey") % 340 - 170) * 4 + 2).cast("double").alias("px"),
+        (((F.col("p_partkey") * 7) % 160 - 80) * 4 + 2).cast("double").alias("py"),
+    )
+    return point_multipolygon_join(pts, polys)
+
+
+_ORACLE_PIP_MULTIPOLYGON = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         4*((o_orderkey % 340) - 170) AS x0, 4*(((o_orderkey*7) % 160) - 80) AS y0,
+         4*(1 + o_orderkey % 3) AS w, 4*(1 + o_orderkey % 5) AS h
+  FROM orders
+),
+r AS (SELECT x0, y0, x0+w AS x1, y0+h AS y1, min(k) AS zone_id,
+             max(CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END) AS has_hole
+      FROM o GROUP BY x0, y0, x0+w, y0+h),
+p AS (SELECT p_partkey AS node_id,
+             4*((p_partkey % 340) - 170) + 2 AS px,
+             4*(((p_partkey*7) % 160) - 80) + 2 AS py FROM part)
+SELECT p.node_id, r.zone_id
+FROM p JOIN r ON px > x0 AND px < x1 AND py > y0 AND py < y1
+ AND NOT (has_hole = 1 AND px > x0+1 AND px < x0+3 AND py > y0+1 AND py < y0+3)
+"""
+
+
 def _q_grid_snap(spark, sf_dir):
     # E4 global grid snap, JVM-side (CAST truncates; operands >= 0)
     n = _nodes(spark, sf_dir)
@@ -2470,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_assembly_wkt": _q_way_assembly,        # J1+J2+E1/E3, F5
         "relation_assembly_wkt": _q_relation_assembly,  # J1'/J2' second level
         "multipolygon_assembly": _q_multipolygon_assembly,  # ring chain/orient/holes
+        "pip_multipolygon_holes": _q_pip_multipolygon,  # E8 with hole exclusion
         "grid_snap": _q_grid_snap,                  # E4+E12
         "pixel_precedence": _q_pixel_precedence,    # A1 (+F8 class domain)
         "pixel_counts": _q_pixel_counts,            # A3
@@ -2526,6 +2596,7 @@ def oracle_sql() -> dict[str, str]:
         "way_assembly_wkt": _ORACLE_WAY_ASSEMBLY,
         "relation_assembly_wkt": _ORACLE_RELATION_ASSEMBLY,
         "multipolygon_assembly": _ORACLE_MULTIPOLYGON_ASSEMBLY,
+        "pip_multipolygon_holes": _ORACLE_PIP_MULTIPOLYGON,
         "grid_snap": _ORACLE_GRID_SNAP,
         "pixel_precedence": _ORACLE_PIXEL_PRECEDENCE,
         "pixel_counts": _ORACLE_PIXEL_COUNTS,

@@ -71,3 +71,66 @@ def way_polygon_join(ways: DataFrame, polygons: DataFrame) -> DataFrame:
             })
 
     return cand.mapInPandas(refine, schema="way_id bigint, boundary_id bigint")
+
+
+def point_multipolygon_join(points: DataFrame, polygons: DataFrame) -> DataFrame:
+    """points(node_id, px, py) x polygons(zone_id, oxs, oys, hxs, hys) ->
+    (node_id, zone_id) pairs where the point lies in the outer ring and in
+    NONE of the hole rings (E8 with holes — the read side of J2''
+    multipolygon assembly).
+
+    `oxs`/`oys`: outer ring open form (no closing repeat). `hxs`/`hys`:
+    array<array<double>> of hole rings (possibly empty). Broadcast dim side +
+    JVM envelope pre-filter, one Arrow refine kernel: outer PIP over the
+    candidate pairs, then hole PIP over the (pair, hole) flattening with an
+    any-hit reduction — no per-row Python."""
+    p = polygons.select(
+        "zone_id", "oxs", "oys", "hxs", "hys",
+        F.array_min("oxs").alias("_x0"), F.array_max("oxs").alias("_x1"),
+        F.array_min("oys").alias("_y0"), F.array_max("oys").alias("_y1"),
+    )
+    cand = points.join(
+        F.broadcast(p),
+        (F.col("px") >= F.col("_x0")) & (F.col("px") <= F.col("_x1"))
+        & (F.col("py") >= F.col("_y0")) & (F.col("py") <= F.col("_y1")),
+    ).select("node_id", "px", "py", "zone_id", "oxs", "oys", "hxs", "hys")
+
+    def refine(batches):
+        from osm_hadoop_spark.functions.spatial import point_in_polygon_pairs
+
+        for pdf in batches:
+            if pdf.shape[0] == 0:
+                continue
+            px = pdf["px"].to_numpy(dtype=np.float64)
+            py = pdf["py"].to_numpy(dtype=np.float64)
+            oc = pdf["oxs"].str.len().to_numpy(dtype=np.int64)
+            inside = point_in_polygon_pairs(
+                px, py,
+                np.concatenate(pdf["oxs"].to_numpy()),
+                np.concatenate(pdf["oys"].to_numpy()),
+                oc,
+            )
+            # hole exclusion over the surviving pairs: flatten (pair, hole)
+            sub = pdf[inside]
+            if sub.shape[0]:
+                spx = px[inside]
+                spy = py[inside]
+                n_holes = sub["hxs"].str.len().to_numpy(dtype=np.int64)
+                if n_holes.sum() > 0:
+                    owner = np.repeat(np.arange(sub.shape[0]), n_holes)
+                    hx_flat = [h for hs in sub["hxs"] for h in hs]
+                    hy_flat = [h for hs in sub["hys"] for h in hs]
+                    hc = np.array([len(h) for h in hx_flat], dtype=np.int64)
+                    in_hole = point_in_polygon_pairs(
+                        spx[owner], spy[owner],
+                        np.concatenate(hx_flat), np.concatenate(hy_flat), hc,
+                    )
+                    holed = np.zeros(sub.shape[0], dtype=bool)
+                    np.logical_or.at(holed, owner, in_hole)
+                    sub = sub[~holed]
+            yield pd.DataFrame({
+                "node_id": sub["node_id"].to_numpy(),
+                "zone_id": sub["zone_id"].to_numpy(),
+            })
+
+    return cand.mapInPandas(refine, schema="node_id bigint, zone_id bigint")

@@ -109,3 +109,30 @@ def test_assemble_multipolygons_no_outer(spark):
     out = assemble_multipolygons(_members_df(spark, rows)).collect()
     assert out[0]["n_polys"] == 0 and out[0]["geometry_wkt"] is None
     assert out[0]["n_dropped"] == 1
+
+
+def test_point_multipolygon_join_hole_exclusion(spark):
+    from pyspark.sql import Row
+
+    from osm_hadoop_spark.operators.polygon_join import point_multipolygon_join
+
+    polys = spark.createDataFrame(
+        [
+            Row(zone_id=1, oxs=[0.0, 10.0, 10.0, 0.0], oys=[0.0, 0.0, 10.0, 10.0],
+                hxs=[[4.0, 6.0, 6.0, 4.0]], hys=[[4.0, 4.0, 6.0, 6.0]]),
+            Row(zone_id=2, oxs=[20.0, 24.0, 24.0, 20.0], oys=[0.0, 0.0, 4.0, 4.0],
+                hxs=[], hys=[]),
+        ],
+        schema=("zone_id bigint, oxs array<double>, oys array<double>, "
+                "hxs array<array<double>>, hys array<array<double>>"),
+    )
+    pts = spark.createDataFrame(
+        [Row(node_id=1, px=1.0, py=1.0),    # in zone 1
+         Row(node_id=2, px=5.0, py=5.0),    # in zone 1's hole -> excluded
+         Row(node_id=3, px=21.0, py=1.0),   # in zone 2
+         Row(node_id=4, px=50.0, py=50.0)], # nowhere
+        schema="node_id bigint, px double, py double",
+    )
+    got = sorted((r["node_id"], r["zone_id"])
+                 for r in point_multipolygon_join(pts, polys).collect())
+    assert got == [(1, 1), (3, 2)]
