@@ -8,14 +8,25 @@ here (its dispatch drops relations, NodeJoiner.scala:110,136); the north
 rule's "way/relation assembly" and "point-in-polygon containment" both need
 assembled polygons, so this is the construction side of E8.
 
-Distributed shape: ONE bounded groupBy-shuffle on rel_id, then a pure-NumPy
-`applyInPandas` per relation — the documented exception case where built-in
-operators can't express the semantics (endpoint chaining is inherently
-sequential *within* a relation, and relations are small: OSM caps member
-lists, so groups are O(tens)). No driver collect, no cross-relation state.
+Distributed shape: ONE bounded shuffle on rel_id, then pure NumPy per
+relation — the documented exception case where built-in operators can't
+express the semantics (endpoint chaining is inherently sequential *within*
+a relation, and relations are small: OSM caps member lists, so groups are
+O(tens)). No driver collect, no cross-relation state.
+
+Two physical strategies, identical results (A/B'd at sf0.1, local[8]):
+  - 'map' (default): `repartition(rel_id)` + `mapInPandas` that buffers the
+    partition, argsorts by rel_id, and slices groups from the raw object
+    arrays. Spark's per-group pandas-DataFrame construction in
+    applyInPandas measured ~1 ms x 15k tiny groups (13.5 s of an 18.6 s
+    stage); this path pays it once per partition instead. Buffering is
+    bounded by the shuffle partition size (slim rows — tune
+    spark.sql.shuffle.partitions at scale exactly as for a sort).
+  - 'group': classic `groupBy(rel_id).applyInPandas` — kept for A/B and
+    for callers whose partitions would be too large to buffer.
 
 Deterministic contract (mirrored by the driver's DuckDB oracle):
-  - members sorted within the relation before chaining (first vertex, role);
+  - members sorted within the relation before chaining (role, first vertex);
   - canonical rings (functions/rings.py): outer CCW, holes CW, lex-min start;
   - duplicate ring bodies deduplicated per relation;
   - each hole assigned to the containing outer ring minimizing
@@ -35,8 +46,11 @@ _OUT_SCHEMA = (
     "area2 bigint, geometry_wkt string"
 )
 
+_OUT_COLS = ["rel_id", "n_polys", "n_holes", "n_dropped", "area2", "geometry_wkt"]
 
-def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
+
+def _assemble_rel(rel_id: int, roles, xs_list, ys_list) -> tuple:
+    """One relation -> one output tuple (pure NumPy/Python, no pandas)."""
     from osm_hadoop_spark.functions.rings import (
         canonical_ring,
         chain_segments,
@@ -44,20 +58,21 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
     from osm_hadoop_spark.functions.spatial import point_in_polygon_pairs
 
-    rel_id = int(pdf["rel_id"].iloc[0])
     # deterministic member order regardless of shuffle arrival
-    pdf = pdf.assign(
-        _x0=[float(x[0]) for x in pdf["xs"]],
-        _y0=[float(y[0]) for y in pdf["ys"]],
-        _n=[len(x) for x in pdf["xs"]],
-    ).sort_values(["role", "_x0", "_y0", "_n"], kind="stable")
+    members = sorted(
+        (
+            (r, float(x[0]), float(y[0]), len(x), x, y)
+            for x, y, r in zip(xs_list, ys_list, roles)
+        ),
+        key=lambda t: t[:4],
+    )
 
     chained: dict[str, tuple[list, int]] = {}
     for role in ("outer", "inner"):
         segs = [
-            (np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))
-            for x, y, r in zip(pdf["xs"], pdf["ys"], pdf["role"])
-            if r == role
+            (np.asarray(t[4], dtype=np.float64), np.asarray(t[5], dtype=np.float64))
+            for t in members
+            if t[0] == role
         ]
         chained[role] = chain_segments(segs)
 
@@ -72,18 +87,7 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
     n_dropped = chained["outer"][1] + chained["inner"][1]
     if not outers:
-        return pd.DataFrame(
-            [
-                {
-                    "rel_id": rel_id,
-                    "n_polys": 0,
-                    "n_holes": 0,
-                    "n_dropped": n_dropped + len(holes),
-                    "area2": 0,
-                    "geometry_wkt": None,
-                }
-            ]
-        )
+        return (rel_id, 0, 0, n_dropped + len(holes), 0, None)
 
     obodies = sorted(outers)  # body-string order = polygon order
     # hole -> owner: containing outer minimizing (|area2|, body)
@@ -91,8 +95,8 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
     flat_x = [outers[b][0] for b in cand_order]
     flat_y = [outers[b][1] for b in cand_order]
     counts = np.array([len(x) for x in flat_x], dtype=np.int64)
-    pxs = np.concatenate(flat_x) if flat_x else np.zeros(0)
-    pys = np.concatenate(flat_y) if flat_y else np.zeros(0)
+    pxs = np.concatenate(flat_x)
+    pys = np.concatenate(flat_y)
 
     assigned: dict[str, list[str]] = {b: [] for b in obodies}
     hole_area: dict[str, float] = {b: 0.0 for b in obodies}
@@ -121,27 +125,63 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
         hs = assigned[b]
         bodies.append("(" + ", ".join([b] + hs) + ")")
         area2 += outers[b][2] - hole_area[b]
-    return pd.DataFrame(
-        [
-            {
-                "rel_id": rel_id,
-                "n_polys": len(obodies),
-                "n_holes": n_holes,
-                "n_dropped": n_dropped,
-                "area2": int(round(area2)),
-                "geometry_wkt": "MULTIPOLYGON (" + ", ".join(bodies) + ")",
-            }
-        ]
+    return (
+        rel_id,
+        len(obodies),
+        n_holes,
+        n_dropped,
+        int(round(area2)),
+        "MULTIPOLYGON (" + ", ".join(bodies) + ")",
     )
 
 
-def assemble_multipolygons(members: DataFrame) -> DataFrame:
+def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    row = _assemble_rel(
+        int(pdf["rel_id"].iloc[0]),
+        pdf["role"].to_numpy(),
+        pdf["xs"].to_numpy(),
+        pdf["ys"].to_numpy(),
+    )
+    return pd.DataFrame([row], columns=_OUT_COLS)
+
+
+def _assemble_partition(batches):
+    """Buffer a rel_id-partitioned stream, slice groups straight from the
+    raw object arrays (no per-group DataFrame), emit one frame."""
+    pdfs = [p for p in batches if p.shape[0]]
+    if not pdfs:
+        return
+    pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+    rel = pdf["rel_id"].to_numpy()
+    order = np.argsort(rel, kind="stable")
+    rel = rel[order]
+    roles = pdf["role"].to_numpy()[order]
+    xs = pdf["xs"].to_numpy()[order]
+    ys = pdf["ys"].to_numpy()[order]
+    starts = np.flatnonzero(np.r_[True, rel[1:] != rel[:-1]])
+    bounds = np.r_[starts, len(rel)]
+    rows = [
+        _assemble_rel(
+            int(rel[lo]), roles[lo:hi], xs[lo:hi], ys[lo:hi]
+        )
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+    ]
+    yield pd.DataFrame(rows, columns=_OUT_COLS)
+
+
+def assemble_multipolygons(members: DataFrame, strategy: str = "map") -> DataFrame:
     """members(rel_id, role in {'outer','inner'}, xs, ys) -> one row per
     relation: (rel_id, n_polys, n_holes, n_dropped, area2, geometry_wkt).
 
     area2 = 2 * total polygon area (outer minus assigned holes) — exact on
     lattice coordinates, hence the bigint (the driver oracle recomputes it
-    arithmetically)."""
-    return members.groupBy("rel_id").applyInPandas(
-        lambda pdf: _assemble_group(pdf), schema=_OUT_SCHEMA
+    arithmetically). `strategy` picks the physical shape (see module doc);
+    results are identical.
+    """
+    if strategy == "group":
+        return members.groupBy("rel_id").applyInPandas(
+            _assemble_group, schema=_OUT_SCHEMA
+        )
+    return members.repartition("rel_id").mapInPandas(
+        _assemble_partition, schema=_OUT_SCHEMA
     )

@@ -136,3 +136,32 @@ def test_point_multipolygon_join_hole_exclusion(spark):
     got = sorted((r["node_id"], r["zone_id"])
                  for r in point_multipolygon_join(pts, polys).collect())
     assert got == [(1, 1), (3, 2)]
+
+
+def test_strategies_identical(spark, synth_docs):
+    """map (partition-buffered) and group (applyInPandas) strategies must
+    produce identical rows on irregular member sets."""
+    from pyspark.sql import functions as F
+
+    from osm_hadoop_spark.operators.polygon_assembly import assemble_multipolygons
+
+    # derive scruffy members from the synth corpus way geometry: close each
+    # way's envelope into a rectangle ring, every 3rd one as a hole
+    from osm_hadoop_spark.operators.way_assembly import build_ways_geom
+
+    wg = build_ways_geom(synth_docs).limit(600)
+    mem = wg.select(
+        (F.col("way_id") % 37).alias("rel_id"),
+        F.when(F.col("way_id") % 3 == 0, "inner").otherwise("outer").alias("role"),
+        F.array(
+            F.array_min("xs"), F.array_max("xs"), F.array_max("xs"),
+            F.array_min("xs"), F.array_min("xs"),
+        ).alias("xs"),
+        F.array(
+            F.array_min("ys"), F.array_min("ys"), F.array_max("ys"),
+            F.array_max("ys"), F.array_min("ys"),
+        ).alias("ys"),
+    ).filter(F.col("xs")[0] < F.col("xs")[1])
+    a = {r["rel_id"]: r for r in assemble_multipolygons(mem, "map").collect()}
+    b = {r["rel_id"]: r for r in assemble_multipolygons(mem, "group").collect()}
+    assert a == b and len(a) == 37

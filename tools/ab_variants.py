@@ -93,3 +93,47 @@ def s2_contain_rescan(spark, sf_dir):
     return out.groupBy("region_id", "region_cell").agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+
+
+def _mp_members(spark, sf_dir):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_ab", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    import osm_hadoop_spark.operators.polygon_assembly as PA
+
+    cap = {}
+
+    class _Captured(Exception):
+        pass
+
+    def _grab(mem, strategy="map"):
+        cap["m"] = mem
+        raise _Captured()
+
+    orig = PA.assemble_multipolygons
+    try:
+        PA.assemble_multipolygons = _grab
+        m._q_multipolygon_assembly(spark, sf_dir)
+    except _Captured:
+        pass
+    finally:
+        PA.assemble_multipolygons = orig
+    return cap["m"]
+
+
+def mp_assemble_map(spark, sf_dir):
+    """Partition-buffered mapInPandas multipolygon assembly (shipped)."""
+    from osm_hadoop_spark.operators.polygon_assembly import assemble_multipolygons
+
+    return assemble_multipolygons(_mp_members(spark, sf_dir), strategy="map")
+
+
+def mp_assemble_group(spark, sf_dir):
+    """Per-group applyInPandas multipolygon assembly (legacy A/B arm)."""
+    from osm_hadoop_spark.operators.polygon_assembly import assemble_multipolygons
+
+    return assemble_multipolygons(_mp_members(spark, sf_dir), strategy="group")
