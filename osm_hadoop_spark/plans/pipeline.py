@@ -62,7 +62,8 @@ class Pipeline:
 def planet_pipeline(spark: SparkSession, catalog: SnapshotCatalog,
                     documents: DataFrame, tag_keys: list[str] | None = None,
                     zoom: int = 14,
-                    max_length_deg: float | None = None) -> Pipeline:
+                    max_length_deg: float | None = None,
+                    relations: bool = False) -> Pipeline:
     """The 4-stage reference planet pipeline as a checkpointed Pipeline:
     parse -> join -> assemble -> tile-assign/count (SURVEY.md section 3.1),
     each stage a resumable snapshot.
@@ -71,6 +72,11 @@ def planet_pipeline(spark: SparkSession, catalog: SnapshotCatalog,
     (WayRasterizer drops assembled geometries longer than 50 planar degrees
     — corrupt/degenerate ways) before the spatial join, exactly where the
     reference applies it: after assembly, before the per-tile work.
+
+    `relations=True` appends the J1'/J2' second-level reconstruction as two
+    more resumable stages (relations parse snapshot, assembled relation
+    geometry snapshot) reading the ways_geom snapshot — the relation-level
+    analog of the reference's NodeJoiner->WayBuilder SequenceFile handoff.
     """
     from osm_hadoop_spark.operators.rasterize import planar_length_col
     from osm_hadoop_spark.operators.tile_join import assign_tiles, tile_counts
@@ -123,5 +129,31 @@ def planet_pipeline(spark: SparkSession, catalog: SnapshotCatalog,
     @p.stage("tile_counts")
     def _counts(pl):
         return tile_counts(pl.table("tile_assignments"))
+
+    if relations:
+        from pyspark.sql import functions as F
+
+        from osm_hadoop_spark.operators.relation_assembly import (
+            assemble_relations,
+            with_multilinestring_wkt,
+        )
+
+        @p.stage("relations")
+        def _relations(pl):
+            return S.parse_relations(documents)
+
+        @p.stage("relations_geom")
+        def _relations_geom(pl):
+            rels = pl.table("relations")
+            members = (
+                S.explode_relation_members(rels)
+                .filter(F.col("member_type") == "way")
+                .select("rel_id", F.col("ref").alias("way_id"), "ordinal", "role")
+            )
+            out = assemble_relations(rels, members, pl.table("ways_geom"))
+            # snapshot-friendly: nested array<array<double>> columns swapped
+            # for the WKT edge form, matching how the reference persists
+            # geometry as text in the tag map (WayBuilder.scala:97-101)
+            return with_multilinestring_wkt(out).drop("xs", "ys")
 
     return p

@@ -56,6 +56,17 @@ class SnapshotCatalog:
             return self.spark.catalog.tableExists(f"local.db.{table}")
         return len(self._snapshots(table)) > 0
 
+    def drop(self, table: str) -> None:
+        """Remove a table and its snapshot history — the force-recompute
+        lever for Pipeline.run(resume=True) (drop a stage, rerun, only that
+        stage and nothing upstream re-executes)."""
+        if self.use_iceberg:
+            self.spark.sql(f"DROP TABLE IF EXISTS local.db.{table}")
+            return
+        import shutil
+
+        shutil.rmtree(self._tdir(table), ignore_errors=True)
+
     def write(
         self,
         df: DataFrame,

@@ -30,6 +30,35 @@ def test_pipeline_checkpoint_and_resume(spark, db_snapshot_docs, tmp_path):
     assert cat.read("tile_counts").count() == cat.read("tile_assignments").select("tile_id").distinct().count()
 
 
+def test_pipeline_relation_stages(spark, db_snapshot_docs, tmp_path):
+    """relations=True appends two resumable stages whose output matches the
+    direct build_relations_geom path, and a partial resume (relation
+    snapshots deleted) recomputes ONLY them from the ways_geom snapshot."""
+    from osm_hadoop_spark.operators.relation_assembly import (
+        build_relations_geom,
+        with_multilinestring_wkt,
+    )
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wrel"), use_iceberg=False)
+    p = planet_pipeline(spark, cat, db_snapshot_docs, zoom=14, relations=True)
+    r1 = p.run(resume=True)
+    assert [s.name for s in r1][-2:] == ["relations", "relations_geom"]
+    got = {r["rel_id"]: r["geometry_wkt"]
+           for r in cat.read("relations_geom").collect()}
+    direct = with_multilinestring_wkt(build_relations_geom(db_snapshot_docs))
+    want = {r["rel_id"]: r["geometry_wkt"] for r in direct.collect()}
+    assert got == want and len(got) == 1
+    # partial resume: drop only the relation snapshots
+    cat.drop("relations")
+    cat.drop("relations_geom")
+    r2 = planet_pipeline(spark, cat, db_snapshot_docs, zoom=14,
+                         relations=True).run(resume=True)
+    skipped = {s.name: s.skipped for s in r2}
+    assert not skipped["relations"] and not skipped["relations_geom"]
+    assert all(v for k, v in skipped.items()
+               if k not in ("relations", "relations_geom"))
+
+
 def test_snapshot_time_travel(spark, tmp_path):
     cat = SnapshotCatalog(spark, str(tmp_path / "w2"), use_iceberg=False)
     df1 = spark.range(5).withColumnRenamed("id", "v")
