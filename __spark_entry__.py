@@ -424,6 +424,48 @@ def _q_pip_multipolygon(spark, sf_dir):
     return point_multipolygon_join(pts, polys)
 
 
+def _q_zonal_multipolygon(spark, sf_dir):
+    """A5 over hole-aware zones: per-zone point count + value sum through
+    the point_multipolygon_join composition (zonal analog of the
+    reference's per-image-region histogram, ImageRegions.scala:105-123,
+    with J2'' zones instead of raster regions)."""
+    pairs = _q_pip_multipolygon(spark, sf_dir)
+    vals = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node_id"),
+        (F.col("p_partkey") % 97).cast("bigint").alias("val"),
+    )
+    return (
+        pairs.join(vals, "node_id", "inner")
+        .groupBy("zone_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum("val").cast("bigint").alias("val_sum"),
+        )
+    )
+
+
+_ORACLE_ZONAL_MULTIPOLYGON = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         4*((o_orderkey % 340) - 170) AS x0, 4*(((o_orderkey*7) % 160) - 80) AS y0,
+         4*(1 + o_orderkey % 3) AS w, 4*(1 + o_orderkey % 5) AS h
+  FROM orders
+),
+r AS (SELECT x0, y0, x0+w AS x1, y0+h AS y1, min(k) AS zone_id,
+             max(CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END) AS has_hole
+      FROM o GROUP BY x0, y0, x0+w, y0+h),
+p AS (SELECT p_partkey AS node_id,
+             4*((p_partkey % 340) - 170) + 2 AS px,
+             4*(((p_partkey*7) % 160) - 80) + 2 AS py,
+             p_partkey % 97 AS val FROM part)
+SELECT r.zone_id, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(p.val) AS BIGINT) AS val_sum
+FROM p JOIN r ON px > x0 AND px < x1 AND py > y0 AND py < y1
+ AND NOT (has_hole = 1 AND px > x0+1 AND px < x0+3 AND py > y0+1 AND py < y0+3)
+GROUP BY r.zone_id
+"""
+
+
 _ORACLE_PIP_MULTIPOLYGON = """
 WITH o AS (
   SELECT o_orderkey AS k,
@@ -2540,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relation_assembly_wkt": _q_relation_assembly,  # J1'/J2' second level
         "multipolygon_assembly": _q_multipolygon_assembly,  # ring chain/orient/holes
         "pip_multipolygon_holes": _q_pip_multipolygon,  # E8 with hole exclusion
+        "zonal_multipolygon": _q_zonal_multipolygon,    # A5 over hole-aware zones
         "grid_snap": _q_grid_snap,                  # E4+E12
         "pixel_precedence": _q_pixel_precedence,    # A1 (+F8 class domain)
         "pixel_counts": _q_pixel_counts,            # A3
@@ -2597,6 +2640,7 @@ def oracle_sql() -> dict[str, str]:
         "relation_assembly_wkt": _ORACLE_RELATION_ASSEMBLY,
         "multipolygon_assembly": _ORACLE_MULTIPOLYGON_ASSEMBLY,
         "pip_multipolygon_holes": _ORACLE_PIP_MULTIPOLYGON,
+        "zonal_multipolygon": _ORACLE_ZONAL_MULTIPOLYGON,
         "grid_snap": _ORACLE_GRID_SNAP,
         "pixel_precedence": _ORACLE_PIXEL_PRECEDENCE,
         "pixel_counts": _ORACLE_PIXEL_COUNTS,
