@@ -1171,6 +1171,21 @@ FROM env
 """
 
 
+def _q_tile_cover_jvm(spark, sf_dir):
+    """Same cover as tile_cover_count_z5 through the whole-stage-codegen
+    path (cover_impl='jvm': explode(sequence) x explode(sequence), no
+    Arrow). Same oracle — the two queries pin the two physical strategies
+    to identical values."""
+    from osm_hadoop_spark.operators.tile_join import assign_tiles
+
+    assigned = assign_tiles(
+        _ways_geom(spark, sf_dir), zoom=5, tms=False, refine=False, cover_impl="jvm"
+    )
+    return assigned.groupBy("way_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tiles")
+    )
+
+
 def _q_tile_refine(spark, sf_dir):
     # J3 with exact segment-box refine at z10 over LOCAL ways; DuckDB twin
     # replicates cover enumeration + the separating-axis segment-box test
@@ -2594,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cover_adaptive_l9": _q_s2_cover_adaptive,  # mixed-level RegionCoverer
         "s2_cover_join_l9": _q_s2_cover_join,       # J3 filter-and-refine on S2
         "tile_cover_count_z5": _q_tile_cover,       # E9 (J3 filter stage)
+        "tile_cover_jvm_z5": _q_tile_cover_jvm,     # E9, whole-stage-codegen path
         "tile_refine_z10": _q_tile_refine,          # J3 exact refine
         "planet_e2e": _q_planet_e2e,                # full pipeline composition
         "buffered_cover_z13": _q_buffered_cover,    # E6+E9 buffered filter stage
@@ -2647,6 +2663,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_point_z14": _ORACLE_TILE_POINT,
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,
+        "tile_cover_jvm_z5": _ORACLE_TILE_COVER,
         "tile_refine_z10": _ORACLE_TILE_REFINE,
         "planet_e2e": _ORACLE_PLANET_E2E,
         "buffered_cover_z13": _ORACLE_BUFFERED_COVER,

@@ -43,6 +43,51 @@ def _flat_coords(pdf: pd.DataFrame):
     return xs, ys, counts
 
 
+def xtile_col(lon, z: int):
+    """JVM twin of tiles._xtile (same floor+clip semantics)."""
+    n = 1 << z
+    return (
+        F.least(
+            F.greatest(F.floor((lon + F.lit(180.0)) / 360.0 * n), F.lit(0)),
+            F.lit(n - 1),
+        ).cast("long")
+    )
+
+
+def ytile_col(lat, z: int):
+    """JVM twin of tiles._ytile: asinh expanded to ln(t + sqrt(t^2+1)),
+    textually the same form as the DuckDB oracle (`_duck_yt`). numpy
+    arcsinh / java Math.log / duckdb ln agree to <= 1 ulp; the derived-
+    latitude scan test (test_tile_join) pins identical assignment on every
+    fixture latitude, same methodology as the established oracle parity."""
+    import math
+
+    from osm_hadoop_spark.functions.tiles import MAX_MERC_LAT
+
+    n = 1 << z
+    lat_c = F.least(F.greatest(lat, F.lit(-MAX_MERC_LAT)), F.lit(MAX_MERC_LAT))
+    t = F.tan(F.radians(lat_c))
+    asinh = F.log(t + F.sqrt(t * t + F.lit(1.0)))
+    return (
+        F.least(
+            F.greatest(
+                F.floor((F.lit(1.0) - asinh / math.pi) / 2.0 * n), F.lit(0)
+            ),
+            F.lit(n - 1),
+        ).cast("long")
+    )
+
+
+def pack_tile_col(z: int, xt, yt):
+    """JVM twin of tiles.pack_tile: (z << 58) | (x << 29) | y — disjoint
+    bit ranges, so | == +."""
+    from osm_hadoop_spark.config import TILE_X_SHIFT, TILE_Z_SHIFT
+
+    return (
+        F.lit(int(z) << TILE_Z_SHIFT) + F.shiftleft(xt, TILE_X_SHIFT) + yt
+    ).cast("long")
+
+
 def assign_tiles(
     ways: DataFrame,
     zoom: int,
@@ -51,6 +96,7 @@ def assign_tiles(
     refine: bool = True,
     id_col: str = "way_id",
     max_cells_per_geom: int | None = 65536,
+    cover_impl: str = "arrow",
 ) -> DataFrame:
     """ways(id_col, xs, ys) -> (id_col, tile_id) surviving pairs.
 
@@ -60,7 +106,15 @@ def assign_tiles(
     (same rationale as the reference's F6 length guard,
     WayRasterizer.scala:165-168): one corrupt world-spanning geometry would
     otherwise materialize millions of candidate pairs inside a single task.
-    """
+
+    `cover_impl="jvm"` (refine=False only) runs the whole cover in
+    whole-stage codegen — envelope via array_min/max, tile rows via
+    explode(sequence(x0, x1)) x explode(sequence(y0, y1)), packed id as bit
+    arithmetic — no Arrow transfer and no coordinate shipping at all. At
+    the filter stage the kernel does nothing Python buys: the cover is
+    closed-form range arithmetic, so staying JVM-side removes the whole
+    Python round-trip for billions of envelopes. Pair set is identical to
+    the arrow path (pinned by test_tile_join)."""
     zoom = int(zoom)
     tms_f = bool(tms)
     buf = float(buffer_deg)
@@ -68,6 +122,31 @@ def assign_tiles(
     max_cells = max_cells_per_geom
 
     src = ways.select(F.col(id_col).alias("_id"), "xs", "ys")
+
+    if cover_impl == "jvm":
+        if do_refine:
+            raise ValueError("cover_impl='jvm' supports the filter stage only (refine=False)")
+        env = src.select(
+            "_id",
+            xtile_col(F.array_min("xs") - buf, zoom).alias("tx0"),
+            xtile_col(F.array_max("xs") + buf, zoom).alias("tx1"),
+            # xyz y grows southward: north edge (lat_max) has the smaller y
+            ytile_col(F.array_max("ys") + buf, zoom).alias("ty0"),
+            ytile_col(F.array_min("ys") - buf, zoom).alias("ty1"),
+        )
+        if max_cells is not None:
+            env = env.filter(
+                (F.col("tx1") - F.col("tx0") + 1) * (F.col("ty1") - F.col("ty0") + 1)
+                <= F.lit(int(max_cells))
+            )
+        pairs = env.select(
+            "_id", F.explode(F.sequence("tx0", "tx1")).alias("xt"), "ty0", "ty1"
+        ).select("_id", "xt", F.explode(F.sequence("ty0", "ty1")).alias("yt"))
+        yt = ((1 << zoom) - 1) - F.col("yt") if tms_f else F.col("yt")
+        return pairs.select(
+            F.col("_id").alias(id_col),
+            pack_tile_col(zoom, F.col("xt"), yt).alias("tile_id"),
+        )
 
     def emit(batches):
         from osm_hadoop_spark.functions.geometry import envelopes_flat

@@ -308,3 +308,37 @@ def test_knn_fewer_features_than_k(spark):
     )
     rows = knn_join(points, features, k=5).collect()
     assert sorted(r["feature_id"] for r in rows) == [7, 8]
+
+
+def test_jvm_cover_equals_arrow(spark, ways_arrays):
+    """cover_impl='jvm' must emit the identical pair set as the Arrow
+    kernel, including buffered covers and tms y-flip."""
+    for z, buf, tms in [(5, 0.0, False), (7, 0.25, False), (6, 0.0, True)]:
+        a = assign_tiles(ways_arrays, zoom=z, tms=tms, buffer_deg=buf, refine=False)
+        b = assign_tiles(ways_arrays, zoom=z, tms=tms, buffer_deg=buf,
+                         refine=False, cover_impl="jvm")
+        ra = sorted((r["way_id"], r["tile_id"]) for r in a.collect())
+        rb = sorted((r["way_id"], r["tile_id"]) for r in b.collect())
+        assert ra == rb and len(ra) > 0, (z, buf, tms)
+
+
+def test_jvm_ytile_scan_matches_numpy(spark):
+    """ulp-parity methodology (module docstring of __spark_entry__): every
+    latitude the driver derivations can produce must get the same y-tile
+    from the JVM ln-form as from numpy arcsinh, at every zoom used."""
+    import numpy as np
+
+    from osm_hadoop_spark.functions.tiles import _ytile
+    from osm_hadoop_spark.operators.tile_join import ytile_col
+
+    # derived-lat domains: nodes ((k*7)%160-80), local ways (+ m/64 jitter),
+    # zone lattices (x4 +2), plus the mercator clip boundary
+    lats = sorted({float((k * 7) % 160 - 80) + m / 64.0 for k in range(200) for m in range(16)}
+                  | {4.0 * ((k * 7) % 160 - 80) / 8.0 for k in range(200)}
+                  | {-85.05112877980659, 85.05112877980659, 0.0, -90.0, 90.0})
+    df = spark.createDataFrame([(v,) for v in lats], "lat double")
+    for z in (5, 7, 10, 13, 14, 16):
+        got = [r["yt"] for r in
+               df.select(ytile_col(F.col("lat"), z).alias("yt")).orderBy("lat").collect()]
+        want = _ytile(np.array(sorted(lats)), z).tolist()
+        assert got == want, z

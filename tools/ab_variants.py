@@ -137,3 +137,35 @@ def mp_assemble_group(spark, sf_dir):
     from osm_hadoop_spark.operators.polygon_assembly import assemble_multipolygons
 
     return assemble_multipolygons(_mp_members(spark, sf_dir), strategy="group")
+
+
+def _cover_ways(spark, sf_dir):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_ab2", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m._ways_geom(spark, sf_dir)
+
+
+def tile_cover_arrow(spark, sf_dir):
+    """z5 envelope cover + per-way count, Arrow kernel path."""
+    from pyspark.sql import functions as F
+
+    from osm_hadoop_spark.operators.tile_join import assign_tiles
+
+    a = assign_tiles(_cover_ways(spark, sf_dir), zoom=5, tms=False, refine=False)
+    return a.groupBy("way_id").agg(F.count(F.lit(1)).alias("n_tiles"))
+
+
+def tile_cover_jvm(spark, sf_dir):
+    """z5 envelope cover + per-way count, whole-stage-codegen path."""
+    from pyspark.sql import functions as F
+
+    from osm_hadoop_spark.operators.tile_join import assign_tiles
+
+    a = assign_tiles(_cover_ways(spark, sf_dir), zoom=5, tms=False,
+                     refine=False, cover_impl="jvm")
+    return a.groupBy("way_id").agg(F.count(F.lit(1)).alias("n_tiles"))
