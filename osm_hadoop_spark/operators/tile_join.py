@@ -35,58 +35,19 @@ from pyspark.sql import functions as F
 
 from osm_hadoop_spark.config import TILE_SIZE
 
+# JVM tile math shared with the streaming path — one home, one proof
+from osm_hadoop_spark.functions.tiles_sql import (
+    sql_pack_tile,
+    sql_xtile,
+    sql_ytile,
+)
+
 
 def _flat_coords(pdf: pd.DataFrame):
     counts = pdf["xs"].str.len().to_numpy(dtype=np.int64)
     xs = np.concatenate(pdf["xs"].to_numpy()) if counts.sum() else np.zeros(0)
     ys = np.concatenate(pdf["ys"].to_numpy()) if counts.sum() else np.zeros(0)
     return xs, ys, counts
-
-
-def xtile_col(lon, z: int):
-    """JVM twin of tiles._xtile (same floor+clip semantics)."""
-    n = 1 << z
-    return (
-        F.least(
-            F.greatest(F.floor((lon + F.lit(180.0)) / 360.0 * n), F.lit(0)),
-            F.lit(n - 1),
-        ).cast("long")
-    )
-
-
-def ytile_col(lat, z: int):
-    """JVM twin of tiles._ytile: asinh expanded to ln(t + sqrt(t^2+1)),
-    textually the same form as the DuckDB oracle (`_duck_yt`). numpy
-    arcsinh / java Math.log / duckdb ln agree to <= 1 ulp; the derived-
-    latitude scan test (test_tile_join) pins identical assignment on every
-    fixture latitude, same methodology as the established oracle parity."""
-    import math
-
-    from osm_hadoop_spark.functions.tiles import MAX_MERC_LAT
-
-    n = 1 << z
-    lat_c = F.least(F.greatest(lat, F.lit(-MAX_MERC_LAT)), F.lit(MAX_MERC_LAT))
-    t = F.tan(F.radians(lat_c))
-    asinh = F.log(t + F.sqrt(t * t + F.lit(1.0)))
-    return (
-        F.least(
-            F.greatest(
-                F.floor((F.lit(1.0) - asinh / math.pi) / 2.0 * n), F.lit(0)
-            ),
-            F.lit(n - 1),
-        ).cast("long")
-    )
-
-
-def pack_tile_col(z: int, xt, yt):
-    """JVM twin of tiles.pack_tile: (z << 58) | (x << 29) | y — disjoint
-    bit ranges, so | == +."""
-    from osm_hadoop_spark.config import TILE_X_SHIFT, TILE_Z_SHIFT
-
-    return (
-        F.lit(int(z) << TILE_Z_SHIFT) + F.shiftleft(xt, TILE_X_SHIFT) + yt
-    ).cast("long")
-
 
 def assign_tiles(
     ways: DataFrame,
@@ -128,11 +89,11 @@ def assign_tiles(
             raise ValueError("cover_impl='jvm' supports the filter stage only (refine=False)")
         env = src.select(
             "_id",
-            xtile_col(F.array_min("xs") - buf, zoom).alias("tx0"),
-            xtile_col(F.array_max("xs") + buf, zoom).alias("tx1"),
+            sql_xtile(F.array_min("xs") - buf, zoom).alias("tx0"),
+            sql_xtile(F.array_max("xs") + buf, zoom).alias("tx1"),
             # xyz y grows southward: north edge (lat_max) has the smaller y
-            ytile_col(F.array_max("ys") + buf, zoom).alias("ty0"),
-            ytile_col(F.array_min("ys") - buf, zoom).alias("ty1"),
+            sql_ytile(F.array_max("ys") + buf, zoom).alias("ty0"),
+            sql_ytile(F.array_min("ys") - buf, zoom).alias("ty1"),
         )
         if max_cells is not None:
             env = env.filter(
@@ -145,7 +106,7 @@ def assign_tiles(
         yt = ((1 << zoom) - 1) - F.col("yt") if tms_f else F.col("yt")
         return pairs.select(
             F.col("_id").alias(id_col),
-            pack_tile_col(zoom, F.col("xt"), yt).alias("tile_id"),
+            sql_pack_tile(zoom, F.col("xt"), yt).alias("tile_id"),
         )
 
     def emit(batches):

@@ -19,23 +19,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-MAX_MERC_LAT = 85.05112877980659
-
-
-def sql_xtile(lon: Column, z: int) -> Column:
-    n = 1 << z
-    xt = F.floor((lon + 180.0) / 360.0 * n).cast("bigint")
-    return F.least(F.greatest(xt, F.lit(0)), F.lit(n - 1))
-
-
-def sql_ytile(lat: Column, z: int) -> Column:
-    n = 1 << z
-    clamped = F.least(F.greatest(lat, F.lit(-MAX_MERC_LAT)), F.lit(MAX_MERC_LAT))
-    t = F.tan(F.radians(clamped))
-    yt = F.floor(
-        (1.0 - F.log(t + F.sqrt(t * t + 1.0)) / F.lit(3.141592653589793)) / 2.0 * n
-    ).cast("bigint")
-    return F.least(F.greatest(yt, F.lit(0)), F.lit(n - 1))
+# canonical home: functions/tiles_sql.py (shared with the codegen cover)
+from osm_hadoop_spark.functions.tiles_sql import (  # noqa: F401 (re-export)
+    sql_xtile,
+    sql_ytile,
+)
 
 
 def parse_node_stream(doc_stream: DataFrame) -> DataFrame:

@@ -329,7 +329,7 @@ def test_jvm_ytile_scan_matches_numpy(spark):
     import numpy as np
 
     from osm_hadoop_spark.functions.tiles import _ytile
-    from osm_hadoop_spark.operators.tile_join import ytile_col
+    from osm_hadoop_spark.functions.tiles_sql import sql_ytile as ytile_col
 
     # derived-lat domains: nodes ((k*7)%160-80), local ways (+ m/64 jitter),
     # zone lattices (x4 +2), plus the mercator clip boundary
