@@ -165,3 +165,66 @@ def test_strategies_identical(spark, synth_docs):
     a = {r["rel_id"]: r for r in assemble_multipolygons(mem, "map").collect()}
     b = {r["rel_id"]: r for r in assemble_multipolygons(mem, "group").collect()}
     assert a == b and len(a) == 37
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): chaining reconstructs split rectangles exactly
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _rect_ring(x0, y0, w, h):
+    xs = np.array([x0, x0 + w, x0 + w, x0], dtype=float)
+    ys = np.array([y0, y0, y0 + h, y0 + h], dtype=float)
+    return xs, ys
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 30),    # grid cell -> disjoint placements
+            st.integers(0, 30),
+            st.integers(1, 8),     # w, h (< spacing, so vertices stay unique)
+            st.integers(1, 8),
+            st.integers(0, 3),     # rotation of fed sequence
+            st.booleans(),         # reverse orientation
+            st.integers(1, 3),     # number of fragments
+        ),
+        min_size=1, max_size=8, unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_chain_reconstructs_split_rectangles(rects, rnd):
+    """Any split of distinct rectangles with unique vertices into <=3
+    fragments (random rotation/orientation/fragment reversal/input order)
+    must chain back to exactly the canonical rectangle set. (2-fragment
+    splits are additionally safe under shared corners — proof in
+    functions/rings.py — but unique vertices is the guaranteed domain for
+    deeper splits.)"""
+    from osm_hadoop_spark.functions.rings import canonical_ring, chain_segments, ring_body
+
+    segs = []
+    want = set()
+    for gx, gy, w, h, rot, rev, n_frag in rects:
+        xs, ys = _rect_ring(gx * 20, gy * 20, w, h)
+        want.add(ring_body(*canonical_ring(xs, ys, ccw=True)[:2]))
+        if rev:
+            xs, ys = xs[::-1], ys[::-1]
+        xs = np.r_[xs[rot:], xs[:rot]]
+        ys = np.r_[ys[rot:], ys[:rot]]
+        closed_x = np.r_[xs, xs[:1]]
+        closed_y = np.r_[ys, ys[:1]]
+        cuts = sorted(rnd.sample(range(1, 4), k=n_frag - 1)) if n_frag > 1 else []
+        bounds = [0] + cuts + [4]
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            fx, fy = closed_x[lo:hi + 1], closed_y[lo:hi + 1]
+            if rnd.random() < 0.5:
+                fx, fy = fx[::-1], fy[::-1]
+            segs.append((fx, fy))
+    rnd.shuffle(segs)
+    rings, dropped = chain_segments(segs)
+    assert dropped == 0
+    got = {ring_body(*canonical_ring(xs, ys, ccw=True)[:2]) for xs, ys in rings}
+    assert got == want
