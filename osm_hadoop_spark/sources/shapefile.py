@@ -68,6 +68,40 @@ def _poly_record(
     return body
 
 
+def multipolygon_record(
+    rings: Sequence[tuple[Sequence[float], Sequence[float], bool]]
+) -> bytes:
+    """Multi-part Polygon record: rings = [(xs, ys, is_hole), ...].
+
+    Spec (ESRI whitepaper, Polygon): one record holds many rings as parts;
+    outer rings CLOCKWISE, holes COUNTER-clockwise, every ring closed. The
+    assembled-multipolygon output (operators/polygon_assembly.py) uses the
+    opposite (OGC) orientation, so this writer re-orients per ring."""
+    closed: list[tuple[list[float], list[float]]] = []
+    for xs, ys, is_hole in rings:
+        xs, ys = list(xs), list(ys)
+        if xs[0] != xs[-1] or ys[0] != ys[-1]:
+            xs.append(xs[0]); ys.append(ys[0])
+        a2 = _signed_area2(xs, ys)
+        want_ccw = bool(is_hole)
+        if (a2 > 0) != want_ccw and a2 != 0:
+            xs.reverse(); ys.reverse()
+        closed.append((xs, ys))
+    all_x = [x for xs, _ in closed for x in xs]
+    all_y = [y for _, ys in closed for y in ys]
+    box = (min(all_x), min(all_y), max(all_x), max(all_y))
+    n_pts = len(all_x)
+    body = struct.pack("<i4dii", SHP_POLYGON, *box, len(closed), n_pts)
+    off = 0
+    for xs, _ in closed:
+        body += struct.pack("<i", off)
+        off += len(xs)
+    for xs, ys in closed:
+        for x, y in zip(xs, ys):
+            body += struct.pack("<2d", x, y)
+    return body
+
+
 def _record(xs, ys, shp_type: int) -> bytes:
     if shp_type == SHP_POINT:
         return _point_record(xs, ys)
@@ -101,7 +135,28 @@ def write_shapefile(
         records.append(
             (_record(xs, ys, shp_type), "" if attr is None else str(attr))
         )
+    return _write_record_files(path_base, records, shp_type, attr_name, attr_width)
 
+
+def write_multipolygon_shapefile(
+    path_base: str,
+    features: Iterable[tuple[Sequence[tuple[Sequence[float], Sequence[float], bool]], str]],
+    attr_name: str = "name",
+    attr_width: int = 32,
+) -> int:
+    """Write multi-part Polygon features: each feature is
+    (rings=[(xs, ys, is_hole), ...], attr). Completes the S11 sink for the
+    assembled-multipolygon output (J2'')."""
+    records = [
+        (multipolygon_record(rings), "" if attr is None else str(attr))
+        for rings, attr in features
+    ]
+    return _write_record_files(path_base, records, SHP_POLYGON, attr_name, attr_width)
+
+
+def _write_record_files(
+    path_base: str, records, shp_type: int, attr_name: str, attr_width: int
+) -> int:
     shp_records = b""
     shx_records = b""
     offset_words = 50  # header = 100 bytes

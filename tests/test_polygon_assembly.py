@@ -228,3 +228,37 @@ def test_chain_reconstructs_split_rectangles(rects, rnd):
     assert dropped == 0
     got = {ring_body(*canonical_ring(xs, ys, ccw=True)[:2]) for xs, ys in rings}
     assert got == want
+
+
+def test_point_multipolygon_join_strategies_agree(spark, synth_docs):
+    """grid (equi-join scale path) and broadcast (BNLJ small-dim path) must
+    produce the identical pair set."""
+    from pyspark.sql import functions as F
+
+    from osm_hadoop_spark.operators.polygon_join import point_multipolygon_join
+    from osm_hadoop_spark.operators.way_assembly import build_ways_geom
+
+    wg = build_ways_geom(synth_docs).limit(400)
+    polys = wg.select(
+        F.col("way_id").alias("zone_id"),
+        F.array(F.array_min("xs"), F.array_max("xs"), F.array_max("xs"),
+                F.array_min("xs")).alias("oxs"),
+        F.array(F.array_min("ys"), F.array_min("ys"), F.array_max("ys"),
+                F.array_max("ys")).alias("oys"),
+        F.array().cast("array<array<double>>").alias("hxs"),
+        F.array().cast("array<array<double>>").alias("hys"),
+    ).filter(F.col("oxs")[0] < F.col("oxs")[1])
+    # points = the corpus's own nodes, jittered: way envelopes are ~0.1 deg,
+    # so only coordinates drawn from the same distribution produce hits
+    from osm_hadoop_spark.sources.spans import parse_nodes
+
+    pts = parse_nodes(synth_docs).select(
+        "node_id",
+        (F.col("lon") + (F.col("node_id") % 3 - 1) * 0.01).alias("px"),
+        (F.col("lat") + (F.col("node_id") % 5 - 2) * 0.01).alias("py"),
+    )
+    a = sorted((r["node_id"], r["zone_id"]) for r in
+               point_multipolygon_join(pts, polys, strategy="grid", cell_size=0.25).collect())
+    b = sorted((r["node_id"], r["zone_id"]) for r in
+               point_multipolygon_join(pts, polys, strategy="broadcast").collect())
+    assert a == b and len(a) > 0

@@ -169,3 +169,35 @@ def tile_cover_jvm(spark, sf_dir):
     a = assign_tiles(_cover_ways(spark, sf_dir), zoom=5, tms=False,
                      refine=False, cover_impl="jvm")
     return a.groupBy("way_id").agg(F.count(F.lit(1)).alias("n_tiles"))
+
+
+def _pip_inputs(spark, sf_dir):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_ab3", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def pip_grid(spark, sf_dir):
+    """point-in-multipolygon, computable-grid equi-join path (shipped)."""
+    return _pip_inputs(spark, sf_dir)._q_pip_multipolygon(spark, sf_dir)
+
+
+def pip_broadcast(spark, sf_dir):
+    """point-in-multipolygon, BroadcastNestedLoopJoin envelope path."""
+    import osm_hadoop_spark.operators.polygon_join as PJ
+
+    m = _pip_inputs(spark, sf_dir)
+    orig = PJ.point_multipolygon_join
+    try:
+        PJ.point_multipolygon_join = (
+            lambda pts, polys, strategy="grid", cell_size=32.0:
+            orig(pts, polys, strategy="broadcast")
+        )
+        return m._q_pip_multipolygon(spark, sf_dir)
+    finally:
+        PJ.point_multipolygon_join = orig
