@@ -145,3 +145,41 @@ def test_export_shapefile_from_ways(spark, tmp_path):
     got = sorted(len(r[3]) // 2 for r in recs)
     assert got == [2, 3]
     assert all(np.isfinite(r[3]).all() for r in recs)
+
+
+def test_write_multipolygon_shapefile(tmp_path):
+    import struct
+
+    from osm_hadoop_spark.sources.shapefile import write_multipolygon_shapefile
+
+    base = str(tmp_path / "mp")
+    # polygon with a hole (fed OGC orientation: outer CCW, hole CW) plus a
+    # second single-ring polygon feature
+    n = write_multipolygon_shapefile(base, [
+        ([([0.0, 8.0, 8.0, 0.0], [0.0, 0.0, 8.0, 8.0], False),
+          ([2.0, 2.0, 5.0, 5.0], [2.0, 5.0, 5.0, 2.0], True)], "donut"),
+        ([([20.0, 24.0, 24.0], [0.0, 0.0, 3.0], False)], "tri"),
+    ])
+    assert n == 2
+    code, flen, version, shp_type, box, recs = _read_shp(base)
+    assert shp_type == 5 and len(recs) == 2
+    assert box == (0.0, 0.0, 24.0, 8.0)
+    # record 0: two rings, both closed; spec orientation outer CW, hole CCW
+    with open(base + ".shp", "rb") as f:
+        buf = f.read()
+    nparts, npoints = struct.unpack_from("<ii", buf, 100 + 8 + 36)
+    assert nparts == 2 and npoints == 10
+    assert struct.unpack_from("<2i", buf, 100 + 8 + 44) == (0, 5)  # part offsets
+    pts = recs[0][3]
+    xs, ys = pts[0::2], pts[1::2]
+    outer_x, outer_y = xs[:5], ys[:5]
+    hole_x, hole_y = xs[5:], ys[5:]
+    assert (outer_x[0], outer_y[0]) == (outer_x[-1], outer_y[-1])
+    assert (hole_x[0], hole_y[0]) == (hole_x[-1], hole_y[-1])
+
+    def a2(x, y):
+        return sum(x[i] * y[i + 1] - x[i + 1] * y[i] for i in range(len(x) - 1))
+
+    assert a2(outer_x, outer_y) < 0  # outer clockwise per spec
+    assert a2(hole_x, hole_y) > 0    # hole counter-clockwise
+    assert _read_dbf(base) == (2, ["donut", "tri"])
