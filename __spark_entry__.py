@@ -613,6 +613,23 @@ FROM p GROUP BY 1, 2
 """
 
 
+def _q_tile_point_jvm(spark, sf_dir):
+    """J5 through the shared JVM cell math (functions/tiles_sql — the exact
+    columns the STREAMING tile counts use): same oracle as tile_point_z14,
+    so the streaming path's cell assignment gets a value oracle via the
+    batch contract."""
+    from osm_hadoop_spark.functions.tiles_sql import sql_xtile, sql_ytile
+
+    pts = _points(spark, sf_dir)
+    cells = pts.select(
+        sql_xtile(F.col("lon"), 14).alias("tx"),
+        sql_ytile(F.col("lat"), 14).alias("ty"),
+    )
+    return cells.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+
+
 def _q_cell_rollup(spark, sf_dir):
     """Hierarchical cell rollup (hypertable-rollup pattern on the quadkey
     index): z14 point-cell counts aggregated up to z10 and z7 parents via
@@ -2602,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_precedence": _q_pixel_precedence,    # A1 (+F8 class domain)
         "pixel_counts": _q_pixel_counts,            # A3
         "tile_point_z14": _q_tile_point,            # J5/E10
+        "tile_point_jvm_z14": _q_tile_point_jvm,   # J5, streaming-shared JVM cells
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
         "s2_region_contain": _q_s2_region_contain,  # mixed-level containment equi-join
@@ -2661,6 +2679,7 @@ def oracle_sql() -> dict[str, str]:
         "pixel_precedence": _ORACLE_PIXEL_PRECEDENCE,
         "pixel_counts": _ORACLE_PIXEL_COUNTS,
         "tile_point_z14": _ORACLE_TILE_POINT,
+        "tile_point_jvm_z14": _ORACLE_TILE_POINT,
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,
         "tile_cover_jvm_z5": _ORACLE_TILE_COVER,
