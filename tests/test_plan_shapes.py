@@ -1,0 +1,60 @@
+"""Mechanical plan-shape guards for the measured perf claims (PARITY.md).
+
+Each claim that a query has a specific physical shape is asserted from the
+explain output, so a regression that silently re-plans (extra Exchange, a
+Python stage sneaking into a codegen path, a fallback to the nested-loop
+join) fails CI instead of only showing up as a bench delta.
+"""
+
+import importlib.util
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entry():
+    spec = importlib.util.spec_from_file_location(
+        "entry_planshapes", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def _plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_multipolygon_assembly_single_exchange(spark, entry):
+    import re
+
+    plan = _plan(spark, entry.queries()["multipolygon_assembly"](spark, SF_DIR))
+    # one shuffle total: the repartition(rel_id) feeding the Python kernel
+    # (formatted explain prints every node twice — tree + detail — so count
+    # only the numbered detail headers)
+    shuffles = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(shuffles) == 1, plan
+
+
+def test_pip_grid_plan_is_keyed(spark, entry):
+    plan = _plan(spark, entry.queries()["pip_multipolygon_holes"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate" in plan  # the sequence-explode zone cover
+
+
+def test_jvm_cover_has_no_python_stage(spark, entry):
+    plan = _plan(spark, entry.queries()["tile_cover_jvm_z5"](spark, SF_DIR))
+    for node in ("MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                 "BatchEvalPython"):
+        assert node not in plan, (node, plan)
+
+
+def test_jvm_point_cells_have_no_python_stage(spark, entry):
+    plan = _plan(spark, entry.queries()["tile_point_jvm_z14"](spark, SF_DIR))
+    for node in ("MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                 "BatchEvalPython"):
+        assert node not in plan, (node, plan)
