@@ -613,6 +613,58 @@ FROM p GROUP BY 1, 2
 """
 
 
+def _q_apply_diff(spark, sf_dir):
+    """Changeset application (osmosis snapshot rules): base snapshot = all
+    orders at version 1; delta = every 3rd order bumped to version 2, with
+    every 6th a delete (visible=false) and every 15th order an id beyond
+    the base (creates). Latest visible version per entity survives."""
+    from osm_hadoop_spark.operators.diff import apply_diff
+
+    k = F.col("o_orderkey")
+    base = _t(spark, sf_dir, "orders").select(
+        k.alias("entity_id"),
+        F.lit(1).alias("version"),
+        F.lit(True).alias("visible"),
+        F.col("o_orderpriority").alias("tag"),
+    )
+    delta_src = _t(spark, sf_dir, "orders").filter(k % 3 == 0)
+    delta = delta_src.select(
+        F.when(k % 15 == 0, k + 100000000).otherwise(k).alias("entity_id"),
+        F.lit(2).alias("version"),
+        (k % 6 != 0).alias("visible"),
+        F.concat(F.lit("v2:"), F.col("o_orderpriority")).alias("tag"),
+    )
+    out = apply_diff(base, delta)
+    return out.select(
+        "entity_id",
+        F.col("version").cast("bigint").alias("version"),
+        "tag",
+    )
+
+
+_ORACLE_APPLY_DIFF = """
+WITH base AS (
+  SELECT o_orderkey AS entity_id, 1 AS version, TRUE AS visible,
+         o_orderpriority AS tag, 0 AS src FROM orders
+),
+delta AS (
+  SELECT CASE WHEN o_orderkey % 15 = 0 THEN o_orderkey + 100000000
+              ELSE o_orderkey END AS entity_id,
+         2 AS version, o_orderkey % 6 <> 0 AS visible,
+         'v2:' || o_orderpriority AS tag, 1 AS src
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY entity_id
+                               ORDER BY version DESC, src DESC) AS rn
+  FROM u
+)
+SELECT entity_id, CAST(version AS BIGINT) AS version, tag
+FROM latest WHERE rn = 1 AND visible
+"""
+
+
 def _q_tile_point_jvm(spark, sf_dir):
     """J5 through the shared JVM cell math (functions/tiles_sql — the exact
     columns the STREAMING tile counts use): same oracle as tile_point_z14,
@@ -2620,6 +2672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_counts": _q_pixel_counts,            # A3
         "tile_point_z14": _q_tile_point,            # J5/E10
         "tile_point_jvm_z14": _q_tile_point_jvm,   # J5, streaming-shared JVM cells
+        "osm_apply_diff": _q_apply_diff,            # changeset application (osmosis rules)
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
         "s2_region_contain": _q_s2_region_contain,  # mixed-level containment equi-join
@@ -2680,6 +2733,7 @@ def oracle_sql() -> dict[str, str]:
         "pixel_counts": _ORACLE_PIXEL_COUNTS,
         "tile_point_z14": _ORACLE_TILE_POINT,
         "tile_point_jvm_z14": _ORACLE_TILE_POINT,
+        "osm_apply_diff": _ORACLE_APPLY_DIFF,
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,
         "tile_cover_jvm_z5": _ORACLE_TILE_COVER,

@@ -1,0 +1,51 @@
+"""Changeset application: merge an OSM-style diff into a snapshot.
+
+The reference's osmosis template data carries versioned, deletable
+entities (db-changeset-expected.osm — every element has `version=`, and a
+changeset replaces lower versions / removes deleted ones); the reference
+jobs themselves only ever consume a finished snapshot. For a planet-scale
+engine the incremental path is table stakes — reprocessing 100 TB for a
+daily diff is the thing this operator avoids.
+
+Semantics (osmosis snapshot rules):
+  - for each entity id, the HIGHEST version wins across base ∪ delta;
+  - on a version tie the delta row wins (re-applying a diff is idempotent);
+  - a winning row with visible=false is a delete: dropped from the output.
+
+Spark shape: one union (no shuffle) + one window on entity id (single hash
+shuffle — same budget as any merge). On an Iceberg deployment the same
+semantics map to MERGE INTO; this operator is the engine-native form that
+also works on the parquet snapshot catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def apply_diff(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str = "entity_id",
+    version_col: str = "version",
+    visible_col: str = "visible",
+) -> DataFrame:
+    """base ∪ delta -> next snapshot (latest visible version per entity).
+
+    Both inputs need (id_col, version_col, visible_col, payload...); the
+    schemas must match (unionByName). Output keeps every column except the
+    visibility flag's losers — deleted entities vanish entirely.
+    """
+    u = base.withColumn("_src", F.lit(0)).unionByName(
+        delta.withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col(version_col).desc(), F.col("_src").desc()
+    )
+    latest = (
+        u.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    return latest.filter(F.col(visible_col))
