@@ -37,6 +37,11 @@ def apply_diff(
     schemas must match (unionByName). Output keeps every column except the
     visibility flag's losers — deleted entities vanish entirely.
     """
+    clash = {"_src", "_rn"} & (set(base.columns) | set(delta.columns))
+    if clash:
+        raise ValueError(
+            f"apply_diff reserves column names {sorted(clash)}; rename them"
+        )
     u = base.withColumn("_src", F.lit(0)).unionByName(
         delta.withColumn("_src", F.lit(1))
     )

@@ -58,13 +58,20 @@ def _assemble_rel(rel_id: int, roles, xs_list, ys_list) -> tuple:
     )
     from osm_hadoop_spark.functions.spatial import point_in_polygon_pairs
 
-    # deterministic member order regardless of shuffle arrival
+    # deterministic member order regardless of shuffle arrival; the key ends
+    # with the raw coordinate bytes so members agreeing on (role, first
+    # vertex, length) still order totally (IEEE-bit order, not numeric —
+    # any total order does)
     members = sorted(
         (
             (r, float(x[0]), float(y[0]), len(x), x, y)
             for x, y, r in zip(xs_list, ys_list, roles)
         ),
-        key=lambda t: t[:4],
+        key=lambda t: (
+            t[0], t[1], t[2], t[3],
+            np.asarray(t[4], dtype=np.float64).tobytes(),
+            np.asarray(t[5], dtype=np.float64).tobytes(),
+        ),
     )
 
     chained: dict[str, tuple[list, int]] = {}
@@ -182,6 +189,8 @@ def assemble_multipolygons(members: DataFrame, strategy: str = "map") -> DataFra
         return members.groupBy("rel_id").applyInPandas(
             _assemble_group, schema=_OUT_SCHEMA
         )
+    if strategy != "map":
+        raise ValueError(f"unknown strategy {strategy!r} (use 'map' or 'group')")
     return members.repartition("rel_id").mapInPandas(
         _assemble_partition, schema=_OUT_SCHEMA
     )

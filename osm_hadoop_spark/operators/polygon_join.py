@@ -78,6 +78,7 @@ def point_multipolygon_join(
     polygons: DataFrame,
     strategy: str = "grid",
     cell_size: float = 32.0,
+    max_cells_per_zone: int | None = 65536,
 ) -> DataFrame:
     """points(node_id, px, py) x polygons(zone_id, oxs, oys, hxs, hys) ->
     (node_id, zone_id) pairs where the point lies in the outer ring and in
@@ -122,6 +123,16 @@ def point_multipolygon_join(
             F.floor(F.array_min("oys") / g).cast("long").alias("_cy0"),
             F.floor(F.array_max("oys") / g).cast("long").alias("_cy1"),
         )
+        if max_cells_per_zone is not None:
+            # same anti-corruption guard as assign_tiles' max_cells_per_geom:
+            # one world-spanning zone (or a cell_size far below the zone
+            # diameter) must not flood the join — or hit sequence()'s hard
+            # length limit — from a single row
+            env = env.filter(
+                (F.col("_cx1") - F.col("_cx0") + 1)
+                * (F.col("_cy1") - F.col("_cy0") + 1)
+                <= F.lit(int(max_cells_per_zone))
+            )
         zcells = env.select(
             "zone_id", F.explode(F.sequence("_cx0", "_cx1")).alias("_cx"),
             "_cy0", "_cy1",

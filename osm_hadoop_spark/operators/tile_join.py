@@ -84,6 +84,8 @@ def assign_tiles(
 
     src = ways.select(F.col(id_col).alias("_id"), "xs", "ys")
 
+    if cover_impl not in ("arrow", "jvm"):
+        raise ValueError(f"unknown cover_impl {cover_impl!r} (use 'arrow' or 'jvm')")
     if cover_impl == "jvm":
         if do_refine:
             raise ValueError("cover_impl='jvm' supports the filter stage only (refine=False)")

@@ -75,8 +75,13 @@ def planet_pipeline(spark: SparkSession, catalog: SnapshotCatalog,
 
     `relations=True` appends the J1'/J2' second-level reconstruction as two
     more resumable stages (relations parse snapshot, assembled relation
-    geometry snapshot) reading the ways_geom snapshot — the relation-level
-    analog of the reference's NodeJoiner->WayBuilder SequenceFile handoff.
+    geometry snapshot) — the relation-level analog of the reference's
+    NodeJoiner->WayBuilder SequenceFile handoff. Relation members must see
+    ALL assembled ways, not just the tag-filtered extract (OSM multipolygon
+    member ways are typically untagged), so with `tag_keys` set the
+    relation branch adds its own unfiltered assembly stages
+    (ways_all / referenced_all / ways_geom_all) instead of silently
+    dropping members; with no tag filter it reuses the ways_geom snapshot.
     """
     from osm_hadoop_spark.operators.rasterize import planar_length_col
     from osm_hadoop_spark.operators.tile_join import assign_tiles, tile_counts
@@ -138,6 +143,29 @@ def planet_pipeline(spark: SparkSession, catalog: SnapshotCatalog,
             with_multilinestring_wkt,
         )
 
+        member_geom_table = "ways_geom"
+        if tag_keys:
+            # members must not vanish with the F1 extract filter — build the
+            # unfiltered assembly alongside (nodes snapshot is reused)
+            member_geom_table = "ways_geom_all"
+
+            @p.stage("ways_all")
+            def _ways_all(pl):
+                return S.parse_ways_with_nds(documents)
+
+            @p.stage("referenced_all")
+            def _referenced_all(pl):
+                return join_node_coords(
+                    pl.table("nodes"), S.explode_way_nodes(pl.table("ways_all"))
+                )
+
+            @p.stage("ways_geom_all")
+            def _ways_geom_all(pl):
+                return assemble_ways(
+                    pl.table("ways_all").select("way_id", "tags"),
+                    pl.table("referenced_all"),
+                )
+
         @p.stage("relations")
         def _relations(pl):
             return S.parse_relations(documents)
@@ -150,7 +178,7 @@ def planet_pipeline(spark: SparkSession, catalog: SnapshotCatalog,
                 .filter(F.col("member_type") == "way")
                 .select("rel_id", F.col("ref").alias("way_id"), "ordinal", "role")
             )
-            out = assemble_relations(rels, members, pl.table("ways_geom"))
+            out = assemble_relations(rels, members, pl.table(member_geom_table))
             # snapshot-friendly: nested array<array<double>> columns swapped
             # for the WKT edge form, matching how the reference persists
             # geometry as text in the tag map (WayBuilder.scala:97-101)

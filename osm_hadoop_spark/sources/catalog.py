@@ -61,7 +61,9 @@ class SnapshotCatalog:
         lever for Pipeline.run(resume=True) (drop a stage, rerun, only that
         stage and nothing upstream re-executes)."""
         if self.use_iceberg:
-            self.spark.sql(f"DROP TABLE IF EXISTS local.db.{table}")
+            # PURGE: without it Iceberg drops only the catalog entry and
+            # leaks the data/metadata files of every recomputed stage
+            self.spark.sql(f"DROP TABLE IF EXISTS local.db.{table} PURGE")
             return
         import shutil
 

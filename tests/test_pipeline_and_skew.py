@@ -59,6 +59,33 @@ def test_pipeline_relation_stages(spark, db_snapshot_docs, tmp_path):
                if k not in ("relations", "relations_geom"))
 
 
+def test_pipeline_relations_ignore_tag_filter(spark, tmp_path):
+    """With an F1 tag filter active, relation members must still resolve
+    against the UNfiltered way assembly (OSM multipolygon member ways are
+    typically untagged) — the relation branch builds ways_geom_all."""
+    from osm_hadoop_spark.operators.relation_assembly import (
+        build_relations_geom,
+        with_multilinestring_wkt,
+    )
+
+    docs = gen_documents(spark, 400, seed=11).cache()
+    cat = SnapshotCatalog(spark, str(tmp_path / "wreltag"), use_iceberg=False)
+    p = planet_pipeline(spark, cat, docs, tag_keys=["highway"], zoom=14,
+                        relations=True)
+    names = [n for n, _ in p.stages]
+    assert {"ways_all", "referenced_all", "ways_geom_all"} <= set(names)
+    p.run(resume=True)
+    got = {r["rel_id"]: r["geometry_wkt"]
+           for r in cat.read("relations_geom").collect()}
+    want = {r["rel_id"]: r["geometry_wkt"]
+            for r in with_multilinestring_wkt(build_relations_geom(docs)).collect()}
+    assert got == want and len(got) > 0
+    # the filtered extract itself remains filtered
+    filtered_ways = cat.read("ways_geom").count()
+    all_ways = cat.read("ways_geom_all").count()
+    assert filtered_ways < all_ways
+
+
 def test_snapshot_time_travel(spark, tmp_path):
     cat = SnapshotCatalog(spark, str(tmp_path / "w2"), use_iceberg=False)
     df1 = spark.range(5).withColumnRenamed("id", "v")

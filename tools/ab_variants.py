@@ -9,6 +9,17 @@ measurement (the only trustworthy comparison on a host with multi-minute
 from pyspark.sql import functions as F
 
 
+def _load_entry(tag="entry_ab"):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        tag, "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
 def _neardup_corpus(spark, sf_dir):
     import os
 
@@ -96,13 +107,7 @@ def s2_contain_rescan(spark, sf_dir):
 
 
 def _mp_members(spark, sf_dir):
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "entry_ab", "/root/repo/__spark_entry__.py"
-    )
-    m = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(m)
+    m = _load_entry()
     import osm_hadoop_spark.operators.polygon_assembly as PA
 
     cap = {}
@@ -140,14 +145,7 @@ def mp_assemble_group(spark, sf_dir):
 
 
 def _cover_ways(spark, sf_dir):
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "entry_ab2", "/root/repo/__spark_entry__.py"
-    )
-    m = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(m)
-    return m._ways_geom(spark, sf_dir)
+    return _load_entry()._ways_geom(spark, sf_dir)
 
 
 def tile_cover_arrow(spark, sf_dir):
@@ -172,14 +170,7 @@ def tile_cover_jvm(spark, sf_dir):
 
 
 def _pip_inputs(spark, sf_dir):
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "entry_ab3", "/root/repo/__spark_entry__.py"
-    )
-    m = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(m)
-    return m
+    return _load_entry()
 
 
 def pip_grid(spark, sf_dir):
