@@ -400,3 +400,57 @@ def test_streaming_s2_counts(spark, tmp_path):
     cells = cell_for_lonlat(nodes["lon"].to_numpy(), nodes["lat"].to_numpy(), 9)
     batch_map = dict(pd.Series(cells).value_counts().items())
     assert got_map == {int(k): int(v) for k, v in batch_map.items()}
+
+
+def test_streaming_apply_diff(spark, tmp_path):
+    """Stateful streaming changeset fold: across two micro-batches the final
+    per-entity state matches the batch apply_diff answer; stale rows are
+    ignored and deletes surface with visible=false."""
+    from osm_hadoop_spark.streaming.upsert import streaming_apply_diff
+
+    schema = "entity_id bigint, version bigint, visible boolean, tag string"
+    src = str(tmp_path / "diff_src")
+    ckpt = str(tmp_path / "diff_ckpt")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        # batch 1: initial snapshot rows
+        spark.createDataFrame(
+            [(1, 1, True, "a"), (2, 3, True, "b"), (3, 1, True, "c")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        rows: list = []
+
+        def run_batch():
+            # foreachBatch: the memory sink cannot recover from a
+            # checkpoint, and resuming the SAME state store across
+            # restarts is the thing under test
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                streaming_apply_diff(stream)
+                .writeStream.foreachBatch(
+                    lambda df, _bid: rows.extend(df.collect())
+                )
+                .outputMode("update").option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+
+        run_batch()
+        # batch 2: update e1, delete e2, stale row for e3, create e5
+        spark.createDataFrame(
+            [(1, 2, True, "a2"), (2, 4, False, "b2"),
+             (3, 0, True, "stale"), (5, 1, True, "new")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_batch()
+
+        latest = {}
+        for r in rows:  # update mode: keep the highest version per entity
+            if r["entity_id"] not in latest or r["version"] > latest[r["entity_id"]]["version"]:
+                latest[r["entity_id"]] = r
+        visible = {k: (v["version"], v["tag"]) for k, v in latest.items() if v["visible"]}
+        deleted = {k for k, v in latest.items() if not v["visible"]}
+        assert visible == {1: (2, "a2"), 3: (1, "c"), 5: (1, "new")}
+        assert deleted == {2}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
