@@ -613,6 +613,56 @@ FROM p GROUP BY 1, 2
 """
 
 
+def _q_way_length(spark, sf_dir):
+    """Geodesic way length (E-level measure the reference only stubs,
+    GeodesicDistanceTest.scala:19): ordinal-ordered segments via a window
+    lead, haversine per segment in JVM trig, rounded to integer
+    millimeters BEFORE the sum so aggregation is exact integer arithmetic
+    (order-free across partitionings — see functions/geodesic.py)."""
+    from pyspark.sql import Window
+
+    from osm_hadoop_spark.functions.geodesic import haversine_mm
+
+    j = _way_nodes(spark, sf_dir).join(_nodes(spark, sf_dir), "node_id").select(
+        "way_id", "ordinal", "lon", "lat"
+    )
+    w = Window.partitionBy("way_id").orderBy("ordinal", "lon", "lat")
+    seg = j.select(
+        "way_id",
+        "lon", "lat",
+        F.lead("lon").over(w).alias("lon2"),
+        F.lead("lat").over(w).alias("lat2"),
+    ).filter(F.col("lon2").isNotNull())
+    d = seg.select(
+        "way_id",
+        haversine_mm(F.col("lon"), F.col("lat"), F.col("lon2"), F.col("lat2")).alias("d_mm"),
+    )
+    return d.groupBy("way_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("d_mm").cast("bigint").alias("len_mm"),
+    )
+
+
+def _oracle_way_length():
+    from osm_hadoop_spark.functions.geodesic import duck_haversine_mm
+
+    h = duck_haversine_mm("lon", "lat", "lon2", "lat2")
+    return f"""
+WITH nodes AS ({_NODES_SQL}), wn AS ({_WAY_NODES_SQL}),
+j AS (SELECT wn.way_id, wn.ordinal, n.lon, n.lat FROM wn JOIN nodes n USING (node_id)),
+seg AS (
+  SELECT way_id, lon, lat,
+         lead(lon) OVER (PARTITION BY way_id ORDER BY ordinal, lon, lat) AS lon2,
+         lead(lat) OVER (PARTITION BY way_id ORDER BY ordinal, lon, lat) AS lat2
+  FROM j
+)
+SELECT way_id, CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum({h}) AS BIGINT) AS len_mm
+FROM seg WHERE lon2 IS NOT NULL
+GROUP BY way_id
+"""
+
+
 def _q_apply_diff(spark, sf_dir):
     """Changeset application (osmosis snapshot rules): base snapshot = all
     orders at version 1; delta = every 3rd order bumped to version 2, with
@@ -2673,6 +2723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_point_z14": _q_tile_point,            # J5/E10
         "tile_point_jvm_z14": _q_tile_point_jvm,   # J5, streaming-shared JVM cells
         "osm_apply_diff": _q_apply_diff,            # changeset application (osmosis rules)
+        "way_length_mm": _q_way_length,             # geodesic measure (exact int sum)
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
         "s2_region_contain": _q_s2_region_contain,  # mixed-level containment equi-join
@@ -2734,6 +2785,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_point_z14": _ORACLE_TILE_POINT,
         "tile_point_jvm_z14": _ORACLE_TILE_POINT,
         "osm_apply_diff": _ORACLE_APPLY_DIFF,
+        "way_length_mm": _oracle_way_length(),
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,
         "tile_cover_jvm_z5": _ORACLE_TILE_COVER,
