@@ -21,7 +21,7 @@ def _bench():
 
 def test_baseline_md_matches_archived_run(tmp_path, monkeypatch):
     bench = _bench()
-    with open(os.path.join(REPO, "BENCH", "scaling_run_r3.json")) as f:
+    with open(os.path.join(REPO, "BENCH", "scaling_run_latest.json")) as f:
         data = json.load(f)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md")) as f:
         committed = f.read()
