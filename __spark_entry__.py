@@ -1794,6 +1794,48 @@ FROM g GROUP BY user_id
 """
 
 
+def _q_asof_join(spark, sf_dir):
+    """As-of join: for every `error` event, the most recent `view` event
+    by the same user at or before it (inclusive), plus the gap in
+    microseconds; NULL when the user had no prior view.
+
+    Operator: operators/asof.py (union + ordered-window scan — ONE key
+    shuffle, no per-key join product). The oracle is DuckDB's native
+    ASOF LEFT JOIN, i.e. a genuinely independent algorithm for the same
+    semantics, not a replica of this plan. The right side is deduped per
+    (user_id, ts) first so equal-timestamp winners are well-defined in
+    both engines.
+    """
+    from osm_hadoop_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event"))
+    )
+    return asof_join(
+        err, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_payload=["view_event"],
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("asof_view_event").alias("view_event"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.col("asof_ts_us")).alias("gap_us"),
+    )
+
+
+_ORACLE_ASOF_JOIN = """
+WITH v AS (SELECT user_id, ts, max(event_id) AS view_event
+           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+     e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+SELECT e.event_id, e.user_id, v.view_event AS view_event,
+       epoch_us(e.ts) - epoch_us(v.ts) AS gap_us
+FROM e ASOF LEFT JOIN v ON e.user_id = v.user_id AND e.ts >= v.ts
+"""
+
+
 def _q_semi_anti(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -2748,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_dim_join": _q_dim_join,          # J4
         "window_topk_orders": _q_window_topk,       # ranking window
         "sessionize_events": _q_sessionize,         # lag window / sessionization
+        "asof_join_events": _q_asof_join,           # as-of (point-in-time) join
         "semi_anti_customers": _q_semi_anti,        # semi/anti joins
         # training-data pipeline additions
         "dedup_exact": _q_dedup_exact,
@@ -2804,6 +2847,7 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_dim_join": _ORACLE_DIM_JOIN,
         "window_topk_orders": _ORACLE_WINDOW_TOPK,
         "sessionize_events": _ORACLE_SESSIONIZE,
+        "asof_join_events": _ORACLE_ASOF_JOIN,
         "semi_anti_customers": _ORACLE_SEMI_ANTI,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_ngram_jaccard": _ORACLE_DEDUP_JACCARD,
