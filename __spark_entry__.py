@@ -2422,6 +2422,43 @@ SELECT doc_id,
 FROM documents
 """
 
+def _q_bm25_topk(spark, sf_dir):
+    """Top-3 terms per document by the ln-free BM25 score
+    (operators/tfidf.py — rational constants keep the double math
+    bit-exact across engines; identical expression shape in the twin)."""
+    from osm_hadoop_spark.operators.tfidf import bm25_topk_terms
+
+    return bm25_topk_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+_ORACLE_BM25_TOPK = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) AS total_tokens FROM dl
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    (CAST(tf.tf AS DOUBLE) * 2.2
+      / (CAST(tf.tf AS DOUBLE) + 0.3
+         + 0.9 * CAST(dl.dl AS DOUBLE) * s.n_docs / s.total_tokens))
+    * ((s.n_docs + 1.0) / (CAST(df.df AS DOUBLE) + 0.5)) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN s
+)
+SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
 _ALL_STOPWORDS_SQL = None  # built below
 
 
@@ -2808,6 +2845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "sample_topk_per_key": _q_sample_topk,
         "token_count": _q_token_count,
+        "bm25_topk_terms": _q_bm25_topk,            # corpus-relative term weighting
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
@@ -2861,6 +2899,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _ORACLE_STRATIFIED,
         "sample_topk_per_key": _ORACLE_SAMPLE_TOPK,
         "token_count": _ORACLE_TOKEN_COUNT,
+        "bm25_topk_terms": _ORACLE_BM25_TOPK,
     }
     oracles.update(_build_text_oracles())
     oracles["corpus_prep_e2e"] = _oracle_corpus_prep()
