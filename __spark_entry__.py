@@ -1531,6 +1531,63 @@ def _q_pip(spark, sf_dir):
     return pairs.mapInPandas(refine, schema="point_id bigint, boundary_id bigint")
 
 
+def _q_polygon_fill(spark, sf_dir):
+    """Scanline fill of the 25 nation triangles (pip_triangles geometry)
+    at 0.25-unit pixels — RLE spans per pixel row. The twin replicates
+    the same even-odd pairing in SQL (operators/polygon_fill.py); the
+    pytest independently checks fill == ray-casting PIP at pixel centers.
+    """
+    from osm_hadoop_spark.operators.polygon_fill import scanline_fill_spans
+
+    cx = ((F.col("n_nationkey") * 13) % 340 - 170).cast("double")
+    cy = ((F.col("n_nationkey") * 7) % 160 - 80).cast("double")
+    # triangle (cx, cy+12), (cx-16, cy-8), (cx+20, cy-4) in 0.25-unit
+    # pixels: multiply by 4 (exact — power of two on integral coords)
+    polys = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("poly_id"),
+        F.array(cx * 4, cx * 4 - 64, cx * 4 + 80).alias("xs"),
+        F.array(cy * 4 + 48, cy * 4 - 32, cy * 4 - 16).alias("ys"),
+    )
+    return scanline_fill_spans(polys)
+
+
+_ORACLE_POLYGON_FILL = """
+WITH tri AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+         CAST((n_nationkey * 13) % 340 - 170 AS DOUBLE) AS cx,
+         CAST((n_nationkey * 7) % 160 - 80 AS DOUBLE) AS cy
+  FROM nation
+), v AS (
+  SELECT poly_id,
+         [cx * 4, cx * 4 - 64, cx * 4 + 80] AS xs,
+         [cy * 4 + 48, cy * 4 - 32, cy * 4 - 16] AS ys
+  FROM tri
+), e AS (
+  SELECT poly_id, xs[i] AS x1, ys[i] AS y1,
+         xs[(i % 3) + 1] AS x2, ys[(i % 3) + 1] AS y2
+  FROM v CROSS JOIN (SELECT unnest([1, 2, 3]) AS i)
+  WHERE ys[i] <> ys[(i % 3) + 1]
+), cr AS (
+  SELECT poly_id, row,
+         x1 + ((CAST(row AS DOUBLE) + 0.5) - y1) * (x2 - x1) / (y2 - y1) AS cx
+  FROM e, unnest(generate_series(
+         CAST(ceil(least(y1, y2) - 0.5) AS BIGINT),
+         CAST(ceil(greatest(y1, y2) - 0.5) AS BIGINT) - 1)) AS s(row)
+), grp AS (
+  SELECT poly_id, row, list(cx ORDER BY cx) AS cxs
+  FROM cr GROUP BY poly_id, row HAVING count(*) >= 2
+), spans AS (
+  SELECT poly_id, row, CAST(i - 1 AS BIGINT) AS span,
+         CAST(ceil(cxs[2 * i - 1] - 0.5) AS BIGINT) AS x_px,
+         CAST(ceil(cxs[2 * i] - 0.5) AS BIGINT)
+           - CAST(ceil(cxs[2 * i - 1] - 0.5) AS BIGINT) AS n_px
+  FROM grp, unnest(generate_series(1, len(cxs) // 2)) AS s(i)
+)
+SELECT poly_id, CAST(row AS BIGINT) AS row, span, x_px, n_px
+FROM spans WHERE n_px > 0
+"""
+
+
 def _duck_edge_cross(x1, y1, x2, y2):
     return (
         f"(CASE WHEN (({y1}) > py) != (({y2}) > py) "
@@ -2818,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_class_pixels": _q_min_class,           # A2 (SparkRasterizer variant)
         "tile_bitset_or": _q_bitset_or,             # A6 bitset OR composite
         "pip_triangles": _q_pip,                    # E8 refine / PIP containment
+        "polygon_fill_spans": _q_polygon_fill,      # A-family: interior scanline fill
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
         "zonal_points_z14": _q_zonal,               # A5/E16
@@ -2877,6 +2935,7 @@ def oracle_sql() -> dict[str, str]:
         "min_class_pixels": _ORACLE_MIN_CLASS,
         "tile_bitset_or": _ORACLE_BITSET_OR,
         "pip_triangles": _ORACLE_PIP,
+        "polygon_fill_spans": _ORACLE_POLYGON_FILL,
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,
         "zonal_points_z14": _ORACLE_ZONAL,
