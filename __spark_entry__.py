@@ -2119,6 +2119,48 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_ann_sq8(spark, sf_dir):
+    """Int8 scalar-quantized top-k: integer dot-product ranking, so the
+    oracle comparison is pure-integer (no float ties). The twin recomputes
+    the same per-tensor symmetric quantizer in SQL."""
+    from osm_hadoop_spark.operators.similarity import sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return sq8_topk(emb, queries, k=5, dim=64).select(
+        "query_id", "vec_id", "qscore", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+_ORACLE_ANN_SQ8 = """
+WITH st AS (
+  SELECT max(abs(x)) AS absmax
+  FROM (SELECT unnest(embedding::DOUBLE[]) AS x FROM embeddings)
+), eq AS (
+  SELECT vec_id,
+    list_transform(generate_series(1, 64), i ->
+      CAST(CASE WHEN st.absmax = 0 THEN 0
+           ELSE floor(embedding[i]::DOUBLE / st.absmax * 127 + 0.5)
+           END AS BIGINT)) AS q
+  FROM embeddings CROSS JOIN st
+), qq AS (
+  SELECT vec_id AS query_id, q AS qv FROM eq WHERE vec_id % 50 = 0
+), s AS (
+  SELECT qq.query_id, eq.vec_id,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> eq.q[i] * qq.qv[i])) AS BIGINT) AS qscore
+  FROM eq, qq WHERE eq.vec_id != qq.query_id
+), r AS (
+  SELECT query_id, vec_id, qscore,
+         row_number() OVER (PARTITION BY query_id ORDER BY qscore DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, qscore, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+"""
+
+
 def _q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup dedup: plant near-copies (e + 0.5 *
     reverse(e), deterministic and computable identically in SQL) for every
@@ -2897,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
         "ann_lsh_topk": _q_ann_lsh,                 # derived oracle (plane literals)
         "ann_ivf_topk": _q_ann_ivf,                 # derived oracle (centroid literals)
+        "ann_sq8_topk": _q_ann_sq8,                 # int8 scalar-quantized ranking
         "tiff_zonal_strips": _q_tiff_zonal,
         "media_metadata": _q_media_metadata,
         "span_roundtrip_fp": _q_span_roundtrip,
@@ -2952,6 +2995,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
+        "ann_sq8_topk": _ORACLE_ANN_SQ8,
         "tiff_zonal_strips": _ORACLE_TIFF_ZONAL,
         "media_metadata": _ORACLE_MEDIA_METADATA,
         "span_roundtrip_fp": _ORACLE_SPAN_ROUNDTRIP,

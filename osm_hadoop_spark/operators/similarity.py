@@ -347,3 +347,72 @@ def ann_lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
     return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sq8_scale(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
+    """Per-tensor symmetric-quantization scale: one row (absmax double).
+
+    A single global scale (not per-dimension min/max): symmetric
+    quantization q = round(x / absmax * 127) keeps the INTEGER dot product
+    monotone in the true dot product up to rounding — per-dimension
+    offsets or scales would re-weight dimensions and corrupt the ranking
+    (measured: min-max-offset quantization drops top-10 recall to ~0.1).
+    This is the per-tensor int8 scheme standard in LLM inference.
+    """
+    return (
+        embeddings.select(F.explode(F.col(col).cast("array<double>")).alias("x"))
+        .agg(F.max(F.abs(F.col("x"))).alias("absmax"))
+    )
+
+
+def sq8_quantize_col(col: str, absmax: str = "absmax") -> F.Column:
+    """Symmetric int8 quantization q_d = floor(x_d / absmax * 127 + 0.5).
+
+    floor(x + 0.5) instead of round(): identical half-up behavior in every
+    engine (SQL ROUND is half-away / half-even depending on the engine).
+    q ranges over [-127, 127]; an all-zero corpus (absmax == 0) quantizes
+    to 0.
+    """
+    return F.transform(
+        F.col(col).cast("array<double>"),
+        lambda x: F.when(F.col(absmax) == 0, F.lit(0)).otherwise(
+            F.floor(x / F.col(absmax) * 127 + F.lit(0.5))
+        ).cast("long"),
+    )
+
+
+def sq8_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64
+) -> DataFrame:
+    """Top-k by symmetric int8 quantized dot product — exact integer ranking.
+
+    The 100 TB story of SQ8 is memory, not candidate pruning: the corpus
+    column shrinks 4x vs float32 (planet-scale embedding tables are
+    storage-bound), scoring becomes integer SIMD, and the quantizer state
+    is one broadcast scalar. Compose with the IVF cell join (ann_ivf_topk)
+    for candidate pruning; this operator is the scoring half, kept exact
+    so its oracle is value-level: scores are integer dot products
+    (max 127*127*dim << 2^53), so the cross-engine comparison has no
+    float-tie risk at all. Ties break by (score desc, vec_id asc).
+
+    Plan: scale (1-row agg) -> broadcast cross join -> JVM
+    transform/zip_with/aggregate quantize + dot -> per-query top-k window.
+    No Python, no collect, no shuffle of the corpus side.
+    """
+    scale = sq8_scale(embeddings)
+    eq = embeddings.crossJoin(F.broadcast(scale)).select(
+        "vec_id", sq8_quantize_col("embedding").alias("q")
+    )
+    qq = queries.crossJoin(F.broadcast(scale)).select(
+        "query_id", sq8_quantize_col("q_embedding").alias("qq")
+    )
+    dot = F.aggregate(
+        F.zip_with("q", "qq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    joined = eq.join(F.broadcast(qq), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id", dot.alias("qscore")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qscore").desc(), F.col("vec_id").asc())
+    return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
