@@ -1893,6 +1893,56 @@ FROM e ASOF LEFT JOIN v ON e.user_id = v.user_id AND e.ts >= v.ts
 """
 
 
+def _q_interval_join(spark, sf_dir):
+    """Interval overlap join (bucketized filter-and-refine,
+    operators/interval_join.py): 2-hour windows after each error event vs
+    30-minute windows after each view event, same user. The oracle is the
+    plain inequality join — DuckDB's optimizer handles the theta join at
+    this scale, while the Spark plan is the hour-bucketed equi-join that
+    survives 100 TB. overlap_us is exact integer arithmetic."""
+    from osm_hadoop_spark.operators.interval_join import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    a = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("a_event"),
+        us.alias("a_start"),
+        (us + F.lit(7_200_000_000)).alias("a_end"),
+    )
+    b = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("b_event"),
+        us.alias("b_start"),
+        (us + F.lit(1_800_000_000)).alias("b_end"),
+    )
+    return interval_overlap_join(a, b, on="user_id").select(
+        "user_id",
+        "a_event",
+        "b_event",
+        (
+            F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+        ).alias("overlap_us"),
+    )
+
+
+_ORACLE_INTERVAL_JOIN = """
+WITH a AS (
+  SELECT user_id, event_id AS a_event,
+         epoch_us(ts) AS a_start, epoch_us(ts) + 7200000000 AS a_end
+  FROM events WHERE event_type = 'error'
+), b AS (
+  SELECT user_id, event_id AS b_event,
+         epoch_us(ts) AS b_start, epoch_us(ts) + 1800000000 AS b_end
+  FROM events WHERE event_type = 'view'
+)
+SELECT a.user_id, a_event, b_event,
+       least(a_end, b_end) - greatest(a_start, b_start) AS overlap_us
+FROM a JOIN b ON a.user_id = b.user_id
+             AND a_start < b_end AND b_start < a_end
+"""
+
+
 def _q_semi_anti(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -2928,6 +2978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk_orders": _q_window_topk,       # ranking window
         "sessionize_events": _q_sessionize,         # lag window / sessionization
         "asof_join_events": _q_asof_join,           # as-of (point-in-time) join
+        "interval_join_events": _q_interval_join,   # bucketized interval overlap join
         "semi_anti_customers": _q_semi_anti,        # semi/anti joins
         # training-data pipeline additions
         "dedup_exact": _q_dedup_exact,
@@ -2988,6 +3039,7 @@ def oracle_sql() -> dict[str, str]:
         "window_topk_orders": _ORACLE_WINDOW_TOPK,
         "sessionize_events": _ORACLE_SESSIONIZE,
         "asof_join_events": _ORACLE_ASOF_JOIN,
+        "interval_join_events": _ORACLE_INTERVAL_JOIN,
         "semi_anti_customers": _ORACLE_SEMI_ANTI,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_ngram_jaccard": _ORACLE_DEDUP_JACCARD,
