@@ -58,3 +58,52 @@ def test_jvm_point_cells_have_no_python_stage(spark, entry):
     for node in ("MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas",
                  "BatchEvalPython"):
         assert node not in plan, (node, plan)
+
+
+NO_PYTHON = ("MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas",
+             "BatchEvalPython")
+
+
+def test_asof_join_single_data_exchange_no_python(spark, entry):
+    import re
+
+    plan = _plan(spark, entry.queries()["asof_join_events"](spark, SF_DIR))
+    for node in NO_PYTHON:
+        assert node not in plan, (node, plan)
+    # exactly two shuffles: the right-side (user, ts) dedupe agg and the
+    # union->window key exchange; the operator itself adds only the latter
+    shuffles = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(shuffles) == 2, plan
+    assert "Window" in plan
+
+
+def test_bm25_no_python_and_broadcast_scalars(spark, entry):
+    plan = _plan(spark, entry.queries()["bm25_topk_terms"](spark, SF_DIR))
+    for node in NO_PYTHON:
+        assert node not in plan, (node, plan)
+    assert "BroadcastExchange" in plan  # corpus scalars + slim dims
+
+
+def test_polygon_fill_no_python(spark, entry):
+    plan = _plan(spark, entry.queries()["polygon_fill_spans"](spark, SF_DIR))
+    for node in NO_PYTHON:
+        assert node not in plan, (node, plan)
+    assert "Generate" in plan  # edge + scanline explodes
+
+
+def test_sq8_no_python_corpus_not_shuffled(spark, entry):
+    plan = _plan(spark, entry.queries()["ann_sq8_topk"](spark, SF_DIR))
+    for node in NO_PYTHON:
+        assert node not in plan, (node, plan)
+    # quantizer state and query side arrive by broadcast
+    assert "BroadcastExchange" in plan
+
+
+def test_interval_join_is_equi_not_nested_loop(spark, entry):
+    plan = _plan(spark, entry.queries()["interval_join_events"](spark, SF_DIR))
+    for node in NO_PYTHON:
+        assert node not in plan, (node, plan)
+    # the whole point: the overlap join runs as a hash equi-join on
+    # (key, bucket), never as a nested-loop/cartesian theta join
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
