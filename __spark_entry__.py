@@ -1960,6 +1960,86 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders)
 """
 
 
+def _q_exact_quantiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles per group. Spark
+    `percentile` and DuckDB `quantile_cont` share the (n-1)*p definition
+    and match bit-exactly (probed). Scale note: exact percentiles buffer
+    each group's values — the 100 TB path is percentile_approx (t-digest,
+    mergeable partial agg); this query pins the exact baseline the
+    approximation is judged against."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("q50"),
+        F.expr("percentile(value, 0.9)").alias("q90"),
+        F.expr("percentile(value, 0.99)").alias("q99"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+_ORACLE_EXACT_QUANTILES = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS q50,
+       quantile_cont(value, 0.9) AS q90,
+       quantile_cont(value, 0.99) AS q99,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+_EVENT_TYPES = ["click", "view", "error", "purchase", "signup"]
+
+
+def _q_pivot_events(spark, sf_dir):
+    """Pivot (long -> wide) with an explicit value list (no extra
+    distinct job); missing combinations coalesce to 0."""
+    ev = _t(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+_ORACLE_PIVOT_EVENTS = """
+SELECT user_id,
+  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup
+FROM events GROUP BY user_id
+"""
+
+
+def _q_rollup_orders(spark, sf_dir):
+    """ROLLUP grouping sets with grouping_id disambiguation (a real
+    NULL key vs a rolled-up one). min/max instead of sum(double): they
+    are order-independent, so the comparison stays exact."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n", "min_price", "max_price", "gid")
+    )
+
+
+_ORACLE_ROLLUP_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
 # --- training-data pipeline ops over documents/embeddings ------------------
 
 
@@ -2980,6 +3060,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _q_asof_join,           # as-of (point-in-time) join
         "interval_join_events": _q_interval_join,   # bucketized interval overlap join
         "semi_anti_customers": _q_semi_anti,        # semi/anti joins
+        "exact_quantiles_events": _q_exact_quantiles,  # percentile agg
+        "pivot_event_counts": _q_pivot_events,      # long -> wide pivot
+        "rollup_orders": _q_rollup_orders,          # grouping sets / rollup
         # training-data pipeline additions
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -3041,6 +3124,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_events": _ORACLE_ASOF_JOIN,
         "interval_join_events": _ORACLE_INTERVAL_JOIN,
         "semi_anti_customers": _ORACLE_SEMI_ANTI,
+        "exact_quantiles_events": _ORACLE_EXACT_QUANTILES,
+        "pivot_event_counts": _ORACLE_PIVOT_EVENTS,
+        "rollup_orders": _ORACLE_ROLLUP_ORDERS,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_ngram_jaccard": _ORACLE_DEDUP_JACCARD,
         "dedup_minhash_lsh": _ORACLE_DEDUP_MINHASH,
