@@ -1588,6 +1588,93 @@ FROM spans WHERE n_px > 0
 """
 
 
+def _q_simplify_dp(spark, sf_dir):
+    """Douglas-Peucker simplification (operators/simplify.py) of 25
+    synthetic ways: x = vertex ordinal, y = parabola + integer zigzag
+    (every value an exact double in both engines), eps = 3.0. The oracle
+    REPLAYS the same recursion as a recursive CTE — split at the
+    first-max cr^2 interior point while cr^2 > 9.0 * len2 — so the kept
+    vertex set is compared exactly, not approximately."""
+    from pyspark.sql import Window
+
+    from osm_hadoop_spark.operators.simplify import simplify_ways
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    w = Window.partitionBy("way_id").orderBy("c_custkey")
+    pts = (
+        c.withColumn("way_id", (F.col("c_custkey") % 25).cast("long"))
+        .withColumn("t", F.row_number().over(w) - 1)
+        .select(
+            "way_id",
+            F.col("t").cast("double").alias("x"),
+            (
+                (F.col("t") * F.col("t")).cast("double") / F.lit(8.0)
+                + ((F.col("c_custkey") * 7) % 5).cast("double")
+            ).alias("y"),
+            "t",
+        )
+    )
+    ways = pts.groupBy("way_id").agg(
+        F.array_sort(F.collect_list(F.struct("t", "x", "y"))).alias("arr")
+    ).select(
+        "way_id",
+        F.transform("arr", lambda s: s["x"]).alias("xs"),
+        F.transform("arr", lambda s: s["y"]).alias("ys"),
+    )
+    return simplify_ways(ways, eps=3.0)
+
+
+_ORACLE_SIMPLIFY_DP = """
+WITH RECURSIVE pts AS (
+  SELECT CAST(c_custkey % 25 AS BIGINT) AS way_id,
+         CAST(row_number() OVER (PARTITION BY c_custkey % 25 ORDER BY c_custkey) - 1 AS BIGINT) AS idx,
+         CAST(row_number() OVER (PARTITION BY c_custkey % 25 ORDER BY c_custkey) - 1 AS DOUBLE) AS x,
+         CAST((row_number() OVER (PARTITION BY c_custkey % 25 ORDER BY c_custkey) - 1)
+              * (row_number() OVER (PARTITION BY c_custkey % 25 ORDER BY c_custkey) - 1) AS DOUBLE) / 8.0
+           + CAST((c_custkey * 7) % 5 AS DOUBLE) AS y
+  FROM customer
+), ways AS (
+  SELECT way_id, max(idx) AS last FROM pts GROUP BY way_id
+), spans AS (
+  SELECT way_id, CAST(0 AS BIGINT) AS i0, last AS i1 FROM ways
+  UNION ALL
+  SELECT u.way_id, u.ci0, u.ci1
+  FROM (
+    SELECT s.way_id, am.j,
+           unnest([struct_pack(ci0 := s.i0, ci1 := am.j),
+                   struct_pack(ci0 := am.j, ci1 := s.i1)], recursive := true)
+    FROM spans s
+    JOIN LATERAL (
+      SELECT p.idx AS j,
+             (CASE WHEN len2 = 0 THEN d2 ELSE cr * cr END) AS c2,
+             (CASE WHEN len2 = 0 THEN 9.0 ELSE 9.0 * len2 END) AS rhs
+      FROM (
+        SELECT p.idx,
+               ((p1.x - p0.x) * (p.y - p0.y) - (p.x - p0.x) * (p1.y - p0.y)) AS cr,
+               ((p1.x - p0.x) * (p1.x - p0.x) + (p1.y - p0.y) * (p1.y - p0.y)) AS len2,
+               ((p.x - p0.x) * (p.x - p0.x) + (p.y - p0.y) * (p.y - p0.y)) AS d2
+        FROM pts p
+        JOIN pts p0 ON p0.way_id = s.way_id AND p0.idx = s.i0
+        JOIN pts p1 ON p1.way_id = s.way_id AND p1.idx = s.i1
+        WHERE p.way_id = s.way_id AND p.idx > s.i0 AND p.idx < s.i1
+      ) p
+      ORDER BY c2 DESC, p.idx ASC LIMIT 1
+    ) am ON am.c2 > am.rhs
+  ) u(way_id, j, ci0, ci1)
+), kept AS (
+  SELECT DISTINCT way_id, idx FROM (
+    SELECT way_id, i0 AS idx FROM spans
+    UNION ALL
+    SELECT way_id, i1 AS idx FROM spans
+  )
+)
+SELECT k.way_id,
+       CAST(row_number() OVER (PARTITION BY k.way_id ORDER BY k.idx) - 1 AS BIGINT) AS ord,
+       p.x, p.y
+FROM kept k JOIN pts p ON p.way_id = k.way_id AND p.idx = k.idx
+"""
+
+
 def _duck_edge_cross(x1, y1, x2, y2):
     return (
         f"(CASE WHEN (({y1}) > py) != (({y2}) > py) "
@@ -3048,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_bitset_or": _q_bitset_or,             # A6 bitset OR composite
         "pip_triangles": _q_pip,                    # E8 refine / PIP containment
         "polygon_fill_spans": _q_polygon_fill,      # A-family: interior scanline fill
+        "simplify_dp_ways": _q_simplify_dp,         # Douglas-Peucker simplification
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
         "zonal_points_z14": _q_zonal,               # A5/E16
@@ -3113,6 +3201,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_bitset_or": _ORACLE_BITSET_OR,
         "pip_triangles": _ORACLE_PIP,
         "polygon_fill_spans": _ORACLE_POLYGON_FILL,
+        "simplify_dp_ways": _ORACLE_SIMPLIFY_DP,
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,
         "zonal_points_z14": _ORACLE_ZONAL,
