@@ -1588,6 +1588,32 @@ FROM spans WHERE n_px > 0
 """
 
 
+def _q_geohash_points(spark, sf_dir):
+    """Geohash encode (functions/geohash.py) of the point fixture at
+    precision 7 plus the precision-3 prefix rollup — cell-prefix
+    containment is the hierarchy. The twin is built from the same bit
+    layout by geohash_sql()."""
+    from osm_hadoop_spark.functions.geohash import geohash_col
+
+    pts = _points(spark, sf_dir)
+    gh = geohash_col(F.col("lon"), F.col("lat"), 7)
+    return pts.select(
+        "point_id",
+        gh.alias("gh7"),
+        F.substring(gh, 1, 3).alias("gh3"),
+    )
+
+
+def _oracle_geohash_points() -> str:
+    from osm_hadoop_spark.functions.geohash import geohash_sql
+
+    gh = geohash_sql("lon", "lat", 7)
+    return (
+        f"WITH p AS ({_POINTS_SQL}) "
+        f"SELECT point_id, {gh} AS gh7, substr({gh}, 1, 3) AS gh3 FROM p"
+    )
+
+
 def _q_simplify_dp(spark, sf_dir):
     """Douglas-Peucker simplification (operators/simplify.py) of 25
     synthetic ways: x = vertex ordinal, y = parabola + integer zigzag
@@ -3136,6 +3162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_triangles": _q_pip,                    # E8 refine / PIP containment
         "polygon_fill_spans": _q_polygon_fill,      # A-family: interior scanline fill
         "simplify_dp_ways": _q_simplify_dp,         # Douglas-Peucker simplification
+        "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
         "zonal_points_z14": _q_zonal,               # A5/E16
@@ -3202,6 +3229,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_triangles": _ORACLE_PIP,
         "polygon_fill_spans": _ORACLE_POLYGON_FILL,
         "simplify_dp_ways": _ORACLE_SIMPLIFY_DP,
+        "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,
         "zonal_points_z14": _ORACLE_ZONAL,
