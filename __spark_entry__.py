@@ -2745,6 +2745,42 @@ FROM documents
 """
 
 
+def _q_media_frames(spark, sf_dir):
+    """Uniform-stride frame sampling over the synthetic media column —
+    the oracle recomputes the md5 of each sampled frame's BYTES from the
+    body derivation, so the Arrow byte plumbing (header parse, stride
+    math, chunk cut) is verified end to end, not just the metadata."""
+    from osm_hadoop_spark.operators.multimodal import sample_frames, synth_media_bytes
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    media = synth_media_bytes(docs).select("doc_id", "media")
+    return sample_frames(media, k=4)
+
+
+_ORACLE_MEDIA_FRAMES = """
+WITH m AS (
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS bodyhex,
+         octet_length(encode(coalesce(text, ''))) AS blen,
+         octet_length(encode(coalesce(text, ''))) % 8 + 1 AS fr
+  FROM documents
+), f AS (
+  SELECT doc_id, bodyhex, fr,
+         greatest(blen // fr, 1) AS step, j
+  FROM m CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
+  WHERE blen > 0 AND j < least(4, fr)
+), c AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS slot,
+         CAST(CASE WHEN fr >= 4 THEN (j * fr) // 4 ELSE j END AS BIGINT) AS frame_idx,
+         CAST(step AS BIGINT) AS frame_len,
+         substr(bodyhex,
+                CAST((CASE WHEN fr >= 4 THEN (j * fr) // 4 ELSE j END) * step * 2 + 1 AS BIGINT),
+                CAST(step * 2 AS BIGINT)) AS frame_hex
+  FROM f
+)
+SELECT doc_id, slot, frame_idx, frame_len, frame_hex FROM c
+"""
+
+
 def _q_token_count(spark, sf_dir):
     from osm_hadoop_spark.operators.textstats import token_counts
 
@@ -3191,6 +3227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8_topk": _q_ann_sq8,                 # int8 scalar-quantized ranking
         "tiff_zonal_strips": _q_tiff_zonal,
         "media_metadata": _q_media_metadata,
+        "media_frame_sample": _q_media_frames,      # byte-level frame sampling
         "span_roundtrip_fp": _q_span_roundtrip,
         "stratified_sample": _q_stratified_sample,
         "sample_topk_per_key": _q_sample_topk,
@@ -3253,6 +3290,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_sq8_topk": _ORACLE_ANN_SQ8,
         "tiff_zonal_strips": _ORACLE_TIFF_ZONAL,
         "media_metadata": _ORACLE_MEDIA_METADATA,
+        "media_frame_sample": _ORACLE_MEDIA_FRAMES,
         "span_roundtrip_fp": _ORACLE_SPAN_ROUNDTRIP,
         "stratified_sample": _ORACLE_STRATIFIED,
         "sample_topk_per_key": _ORACLE_SAMPLE_TOPK,

@@ -180,3 +180,53 @@ def frame_sample_stub(media: pd.Series) -> pd.Series:
         step = max(len(body) // fr, 1) if body else 1
         out.append([body[i * step:(i + 1) * step] for i in range(fr)] if body else [])
     return pd.Series(out)
+
+
+def sample_frames(df: DataFrame, k: int = 4, media_col: str = "media") -> DataFrame:
+    """Uniform-stride frame sampling with byte-level provenance.
+
+    Picks min(k, n_frames) frames at indices floor(j * n_frames / k),
+    cuts each with the same floor-step chunking as frame_sample_stub, and
+    emits (doc_id, slot, frame_idx, frame_len, frame_hex). The hex of the
+    actual frame BYTES is the check a value oracle can recompute from the
+    synthetic derivation (a slice of hex(body) — DuckDB has no BLOB
+    md5/substring, so the hex string IS the portable byte-level witness),
+    and the driver query verifies the Arrow byte plumbing end to end —
+    not just the header arithmetic. Empty bodies emit no rows (a real
+    sampler has no frames to cut)."""
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.shape[0] == 0:
+                continue
+            ids, slots, idxs, lens, hexes = [], [], [], [], []
+            for did, buf in zip(pdf["doc_id"], pdf[media_col]):
+                b = bytes(buf)
+                _w, _h, fr, _kd = _decode_header(b)
+                body = b[HEADER_LEN:]
+                if not body:
+                    continue
+                step = max(len(body) // fr, 1)
+                kk = min(k, fr)
+                for j in range(kk):
+                    fi = j * fr // k if fr >= k else j
+                    chunk = body[fi * step:(fi + 1) * step]
+                    ids.append(did)
+                    slots.append(j)
+                    idxs.append(fi)
+                    lens.append(len(chunk))
+                    hexes.append(chunk.hex().upper())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "slot": pd.Series(slots, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                    "frame_hex": pd.Series(hexes, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema="doc_id long, slot long, frame_idx long, frame_len long, frame_hex string",
+    )
