@@ -1985,14 +1985,20 @@ def _q_asof_join(spark, sf_dir):
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("view_event"))
     )
+    # no-match rows coalesce to -1 sentinels: the operator's left-outer
+    # NULLs are exercised in tests/test_asof.py, while the driver's
+    # value-hash comparison stays on NULL-free columns
     return asof_join(
         err, views, on=["user_id"], left_ts="ts", right_ts="ts",
         right_payload=["view_event"],
     ).select(
         "event_id",
         "user_id",
-        F.col("asof_view_event").alias("view_event"),
-        (F.unix_micros(F.col("ts").cast("timestamp")) - F.col("asof_ts_us")).alias("gap_us"),
+        F.coalesce(F.col("asof_view_event"), F.lit(-1)).alias("view_event"),
+        F.coalesce(
+            F.unix_micros(F.col("ts").cast("timestamp")) - F.col("asof_ts_us"),
+            F.lit(-1),
+        ).alias("gap_us"),
     )
 
 
@@ -2000,8 +2006,9 @@ _ORACLE_ASOF_JOIN = """
 WITH v AS (SELECT user_id, ts, max(event_id) AS view_event
            FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
      e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
-SELECT e.event_id, e.user_id, v.view_event AS view_event,
-       epoch_us(e.ts) - epoch_us(v.ts) AS gap_us
+SELECT e.event_id, e.user_id,
+       coalesce(v.view_event, -1) AS view_event,
+       coalesce(epoch_us(e.ts) - epoch_us(v.ts), -1) AS gap_us
 FROM e ASOF LEFT JOIN v ON e.user_id = v.user_id AND e.ts >= v.ts
 """
 
@@ -2131,6 +2138,8 @@ def _q_rollup_orders(spark, sf_dir):
     NULL key vs a rolled-up one). min/max instead of sum(double): they
     are order-independent, so the comparison stays exact."""
     o = _t(spark, sf_dir, "orders")
+    # rolled-up keys label as '(all)' (gid already disambiguates a
+    # hypothetical real NULL) so the driver hash sees NULL-free columns
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
@@ -2139,12 +2148,17 @@ def _q_rollup_orders(spark, sf_dir):
             F.max("o_totalprice").alias("max_price"),
             F.grouping_id().cast("bigint").alias("gid"),
         )
-        .select("o_orderstatus", "o_orderpriority", "n", "min_price", "max_price", "gid")
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("o_orderpriority"),
+            "n", "min_price", "max_price", "gid",
+        )
     )
 
 
 _ORACLE_ROLLUP_ORDERS = """
-SELECT o_orderstatus, o_orderpriority,
+SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+       coalesce(o_orderpriority, '(all)') AS o_orderpriority,
        CAST(count(*) AS BIGINT) AS n,
        min(o_totalprice) AS min_price,
        max(o_totalprice) AS max_price,

@@ -454,3 +454,88 @@ def test_streaming_apply_diff(spark, tmp_path):
         assert deleted == {2}
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def test_streaming_asof_matches_batch(spark, tmp_path):
+    """Streaming as-of enrichment across two time-ordered micro-batches
+    equals the batch asof_join over the full event set (state carries the
+    latest reference row across the batch boundary)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from osm_hadoop_spark.operators.asof import asof_join
+    from osm_hadoop_spark.streaming.asof import streaming_asof_enrich
+
+    rng = np.random.default_rng(13)
+    n = 400
+    user = rng.integers(0, 8, n)
+    ts = np.sort(rng.integers(0, 10_000_000, n))  # time-ordered stream
+    side = rng.integers(0, 2, n)
+    events = [
+        (int(user[i]), i, int(ts[i]), int(side[i])) for i in range(n)
+    ]
+    schema = "user_id bigint, event_id bigint, ts_us bigint, side int"
+
+    src = str(tmp_path / "asof_src")
+    ckpt = str(tmp_path / "asof_ckpt")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    rows: list = []
+    try:
+        def run_batch():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                streaming_asof_enrich(stream)
+                .writeStream.foreachBatch(lambda df, _b: rows.extend(df.collect()))
+                .outputMode("append").option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+
+        half = n // 2
+        spark.createDataFrame(events[:half], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_batch()
+        spark.createDataFrame(events[half:], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_batch()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    got = {
+        r["event_id"]: (r["match_id"], r["gap_us"]) for r in rows
+    }
+
+    # batch ground truth over the same full event set
+    t0 = dt.datetime(2024, 1, 1)
+    full = spark.createDataFrame(
+        [(u, e, t0 + dt.timedelta(microseconds=t), s) for u, e, t, s in events],
+        "user_id bigint, event_id bigint, ts timestamp, side int",
+    )
+    from pyspark.sql import functions as F
+
+    left = full.filter(F.col("side") == 1).select("user_id", "event_id", "ts")
+    right = full.filter(F.col("side") == 0).select(
+        "user_id", F.col("event_id").alias("r_id"), "ts"
+    )
+    want_rows = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_payload=["r_id"], seq="r_id",
+    ).collect()
+    want = {
+        r["event_id"]: (
+            r["asof_r_id"] if r["asof_r_id"] is not None else -1,
+            (
+                int(r["ts"].timestamp() * 1_000_000) - r["asof_ts_us"]
+                if r["asof_ts_us"] is not None
+                else -1
+            ),
+        )
+        for r in want_rows
+    }
+    assert len(got) == len(want)
+    mism = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    assert not mism, list(mism.items())[:5]
