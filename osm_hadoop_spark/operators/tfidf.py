@@ -79,9 +79,14 @@ def bm25_topk_terms(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum("dl").cast("double").alias("total_tokens"),
     )
+    # df joins BROADCAST: shuffling tf by term would put every document
+    # containing a stopword into that term's partition (the skew of this
+    # workload); the vocab relation is |distinct terms| rows — small next
+    # to the corpus. If vocab outgrows broadcast at extreme scale, fall
+    # back to a shuffle join and let AQE's skew-join split the hot keys.
     scored = (
         tf.join(dl, "doc_id")
-        .join(df, "term")
+        .join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(scalars))
         .withColumn(
             "score",
