@@ -221,3 +221,52 @@ def export_shapefile(
     )
     return write_shapefile(path_base, feats, attr_name=attr_col,
                            shp_type=shp_type)
+
+
+def export_tile_envelopes(
+    tiff_path: str, shp_base: str, zoom: int, tms: bool = False
+) -> int:
+    """GetTilesForImage parity: write the tile cover of a GeoTIFF's
+    envelope as a Polygon shapefile, one clockwise rectangle per tile
+    with its "z/x/y" id as the attribute.
+
+    The reference keeps this as a manual utility in its TEST tree
+    (/root/reference/src/test/java/org/roadlessforest/osm/
+    GetTilesForImage.scala:36-66: GeoTiffReader envelope ->
+    tilesForEnvelope(env, zoom) -> ShapeWriter(GeomType.Polygon));
+    the cover and sink here are the engine's own E9 kernel and S11
+    writer, driver-side like the original (a cover of one image is
+    bounded — thousands of tiles, not a distributed job). Returns the
+    number of tiles written.
+    """
+    import numpy as np
+
+    from osm_hadoop_spark.functions.tiff import tiff_blocks
+    from osm_hadoop_spark.functions.tiles import (
+        tile_bounds,
+        tiles_for_envelope_flat,
+        unpack_tile,
+    )
+
+    with open(tiff_path, "rb") as f:
+        meta = tiff_blocks(f.read())["meta"]
+    xmin, ymin, xmax, ymax = meta.envelope
+    tiles, _env_idx = tiles_for_envelope_flat(
+        np.array([xmin]), np.array([ymin]), np.array([xmax]), np.array([ymax]),
+        zoom, tms=tms,
+    )
+    b_xmin, b_ymin, b_xmax, b_ymax = tile_bounds(tiles, tms=tms)
+    zs, xs, ys = unpack_tile(np.asarray(tiles, dtype=np.int64))
+
+    def features():
+        for i in range(tiles.shape[0]):
+            # ll -> tl -> tr -> br -> ll: clockwise in screen space, the
+            # ring order the reference's GeometryFactory polygon gets
+            ring_x = [b_xmin[i], b_xmin[i], b_xmax[i], b_xmax[i], b_xmin[i]]
+            ring_y = [b_ymin[i], b_ymax[i], b_ymax[i], b_ymin[i], b_ymin[i]]
+            yield (ring_x, ring_y, f"{zs[i]}/{xs[i]}/{ys[i]}")
+
+    return write_shapefile(
+        shp_base, features(), attr_name="tile", attr_width=24,
+        shp_type=SHP_POLYGON,
+    )

@@ -183,3 +183,47 @@ def test_write_multipolygon_shapefile(tmp_path):
     assert a2(outer_x, outer_y) < 0  # outer clockwise per spec
     assert a2(hole_x, hole_y) > 0    # hole counter-clockwise
     assert _read_dbf(base) == (2, ["donut", "tri"])
+
+
+def test_export_tile_envelopes_for_image(tmp_path):
+    """GetTilesForImage parity: the tile cover of a GeoTIFF envelope lands
+    as one polygon record per tile, rectangle == tile_bounds, attribute ==
+    z/x/y."""
+    import numpy as np
+
+    from osm_hadoop_spark.functions.tiff import GeoTiffMeta, write_geotiff
+    from osm_hadoop_spark.functions.tiles import tile_bounds, tiles_for_envelope_flat
+    from osm_hadoop_spark.sources.shapefile import export_tile_envelopes
+
+    tif = str(tmp_path / "img.tif")
+    meta = GeoTiffMeta(
+        width=40, height=30, origin_x=28.67, origin_y=-2.94,
+        pixel_size_x=0.0105, pixel_size_y=0.016,
+    )
+    write_geotiff(tif, np.zeros((30, 40), dtype=np.int32), meta)
+
+    base = str(tmp_path / "tiles")
+    n = export_tile_envelopes(tif, base, zoom=10)
+
+    xmin, ymin, xmax, ymax = meta.envelope
+    tiles, _ = tiles_for_envelope_flat(
+        np.array([xmin]), np.array([ymin]), np.array([xmax]), np.array([ymax]), 10
+    )
+    assert n == tiles.shape[0] >= 2
+
+    _, _, _, shp_type, _, recs = _read_shp(base)
+    assert shp_type == 5 and len(recs) == n
+    want_boxes = sorted(
+        zip(*(np.round(a, 9) for a in tile_bounds(tiles)))
+    )
+    got_boxes = sorted(
+        (round(b[0], 9), round(b[1], 9), round(b[2], 9), round(b[3], 9))
+        for _, _, b, _ in recs
+    )
+    assert got_boxes == [tuple(float(v) for v in b) for b in want_boxes]
+    n_rec, vals = _read_dbf(base)
+    assert n_rec == n and all(v.count("/") == 2 for v in vals)
+    # each record is a closed 5-point clockwise rectangle
+    for _, typ, _, pts in recs:
+        assert typ == 5
+        assert len(pts) == 10 and pts[:2] == pts[-2:]
