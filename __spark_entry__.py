@@ -2080,6 +2080,37 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders)
 """
 
 
+def _q_running_total(spark, sf_dir):
+    """Cumulative window aggregate (running total per customer). Prices
+    convert to integer cents (floor(x*100+0.5), identical in both
+    engines) so the running sum is exact integer arithmetic — immune to
+    each engine's window-sum evaluation order (DuckDB may use a segment
+    tree, Spark accumulates sequentially; double sums would differ)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(cents).over(w).alias("running_cents"),
+    )
+
+
+_ORACLE_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+FROM orders
+"""
+
+
 def _q_exact_quantiles(spark, sf_dir):
     """Exact linear-interpolation percentiles per group. Spark
     `percentile` and DuckDB `quantile_cont` share the (n-1)*p definition
@@ -3226,6 +3257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_events": _q_interval_join,   # bucketized interval overlap join
         "semi_anti_customers": _q_semi_anti,        # semi/anti joins
         "exact_quantiles_events": _q_exact_quantiles,  # percentile agg
+        "running_total_orders": _q_running_total,   # cumulative window agg
         "pivot_event_counts": _q_pivot_events,      # long -> wide pivot
         "rollup_orders": _q_rollup_orders,          # grouping sets / rollup
         # training-data pipeline additions
@@ -3293,6 +3325,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_events": _ORACLE_INTERVAL_JOIN,
         "semi_anti_customers": _ORACLE_SEMI_ANTI,
         "exact_quantiles_events": _ORACLE_EXACT_QUANTILES,
+        "running_total_orders": _ORACLE_RUNNING_TOTAL,
         "pivot_event_counts": _ORACLE_PIVOT_EVENTS,
         "rollup_orders": _ORACLE_ROLLUP_ORDERS,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
