@@ -539,3 +539,67 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
     assert len(got) == len(want)
     mism = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
     assert not mism, list(mism.items())[:5]
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Native session_window streaming sessionization: final per-user
+    session counts equal the batch lag-gap rule on the same events."""
+    import datetime as dt
+
+    import numpy as np
+
+    from osm_hadoop_spark.streaming.sessions import streaming_user_sessions
+
+    rng = np.random.default_rng(17)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid in range(6):
+        t = 0
+        for _ in range(40):
+            # mix of intra-session gaps (< 30 min) and session breaks
+            t += int(rng.choice([60, 300, 900, 2_700, 7_200]))
+            rows.append((uid, t0 + dt.timedelta(seconds=t), float(uid + 1)))
+    schema = "user_id bigint, ts timestamp, value double"
+
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    got_rows: list = []
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_user_sessions(stream, gap="30 minutes")
+            .writeStream.foreachBatch(lambda df, _b: got_rows.extend(df.collect()))
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["n_events"], r["sum_value"])
+        )
+
+    # batch twin: lag-gap rule, 30 min == 1_800_000 ms
+    by_user = {}
+    for uid, ts, val in rows:
+        by_user.setdefault(uid, []).append(ts)
+    for uid, tss in by_user.items():
+        tss.sort()
+        n_sessions = 1 + sum(
+            1
+            for a, b in zip(tss, tss[1:])
+            if (b - a).total_seconds() > 1800
+        )
+        assert len(got[uid]) == n_sessions, uid
+        assert sum(n for _, n, _ in got[uid]) == 40
+        # per-user value is constant -> sum_value checks event attribution
+        assert sum(v for _, _, v in got[uid]) == 40.0 * (uid + 1)
