@@ -3026,6 +3026,148 @@ WHERE {_duck_h60("'prep' || CAST(doc_id AS VARCHAR)")} % 10000 <
 """
 
 
+def _q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality gate (engine addition, Rae et al.
+    2021): duplicated non-empty lines + top word-bigram share, all exact
+    integers; keep flag by integer cross-multiplication."""
+    from osm_hadoop_spark.operators.curation import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_REPETITION = f"""
+WITH lines AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls
+  FROM documents
+),
+toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bigram
+  FROM toks
+),
+bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+bga AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM bgc GROUP BY 1)
+SELECT l.doc_id,
+  CAST(len(ls) AS BIGINT) AS n_lines,
+  CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup_lines,
+  CAST(COALESCE(n_bg, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(top_c, 0) AS BIGINT) AS top_bigram_count,
+  ((len(ls) - len(list_distinct(ls))) * 10 <= len(ls) * 3
+   AND COALESCE(top_c, 0) * 5 <= COALESCE(n_bg, 0)) AS keep
+FROM lines l LEFT JOIN bga USING (doc_id)
+"""
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (engine addition): training docs sharing
+    any word 3-gram with the doc_id % 53 == 0 benchmark slice; benchmark
+    ngram hashes broadcast, corpus side streams."""
+    from osm_hadoop_spark.operators.curation import decontaminate
+
+    return decontaminate(_t(spark, sf_dir, "documents"), n=3, bench_mod=53)
+
+
+_ORACLE_DECONTAMINATE = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS gram
+  FROM toks
+),
+bench AS (SELECT DISTINCT {_duck_h60('gram')} AS gh FROM g WHERE doc_id % 53 = 0),
+tr AS (SELECT doc_id, {_duck_h60('gram')} AS gh FROM g WHERE doc_id % 53 <> 0),
+ov AS (SELECT doc_id, count(*) AS n FROM tr JOIN bench USING (gh) GROUP BY 1)
+SELECT d.doc_id,
+  CAST(COALESCE(n, 0) AS BIGINT) AS n_overlap,
+  COALESCE(n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN ov USING (doc_id)
+WHERE d.doc_id % 53 <> 0
+"""
+
+
+def _q_pii_redact(spark, sf_dir):
+    """PII detect + redact (engine addition): email/phone counts and the
+    md5 of the redacted text. The corpus is digit-free, so deterministic
+    PII is planted from doc_id first (same expression in the oracle) —
+    the hash therefore verifies actual Java-vs-RE2 regex agreement, not
+    just wiring."""
+    from osm_hadoop_spark.operators.curation import pii_redact, with_synthetic_pii
+
+    return pii_redact(with_synthetic_pii(_t(spark, sf_dir, "documents"), every=3))
+
+
+def _oracle_pii_redact() -> str:
+    from osm_hadoop_spark.operators.curation import EMAIL_RE, PHONE_RE
+
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+      THEN text || ' reach user' || CAST(doc_id AS VARCHAR)
+           || '@example.com or +1 555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      ELSE text END AS t
+  FROM documents
+),
+r AS (
+  SELECT doc_id, t,
+    regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PHONE_RE}', '<PHONE>', 'g') AS red
+  FROM p
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+  md5(red) AS redacted_md5,
+  CAST(length(red) AS BIGINT) AS n_chars_redacted
+FROM r
+"""
+
+
+def _q_way_shoelace(spark, sf_dir):
+    """Planar polygon measure (E-level addition next to way_length_mm):
+    signed shoelace double-area + centroid numerators of each assembled
+    way's implicit ring closure, exact bigints over the integer node grid
+    (functions/geodesic.py::shoelace_cols)."""
+    from osm_hadoop_spark.functions.geodesic import shoelace_cols
+
+    wg = _ways_geom(spark, sf_dir).filter(F.size("xs") >= 3)
+    c = shoelace_cols()
+    return wg.select(
+        "way_id",
+        F.col("n_pts").cast("bigint").alias("n_pts"),
+        c["area2"].alias("area2"),
+        c["cx_num"].alias("cx_num"),
+        c["cy_num"].alias("cy_num"),
+    )
+
+
+def _oracle_way_shoelace() -> str:
+    from osm_hadoop_spark.functions.geodesic import duck_shoelace
+
+    return f"""
+WITH nodes AS ({_NODES_SQL}), wn AS ({_WAY_NODES_SQL}),
+j AS (SELECT wn.way_id, wn.ordinal, n.lon, n.lat FROM wn JOIN nodes n USING (node_id)),
+w AS (SELECT o_orderkey AS way_id FROM orders),
+arr AS (
+  SELECT j.way_id,
+         list(lon ORDER BY ordinal, lon, lat) AS xs,
+         list(lat ORDER BY ordinal, lon, lat) AS ys,
+         count(*) AS n
+  FROM j JOIN w ON j.way_id = w.way_id
+  GROUP BY j.way_id HAVING count(*) >= 3
+)
+SELECT way_id, CAST(n AS BIGINT) AS n_pts,
+  {duck_shoelace('{cross}')} AS area2,
+  {duck_shoelace('({xi} + {xj}) * {cross}')} AS cx_num,
+  {duck_shoelace('({yi} + {yj}) * {cross}')} AS cy_num
+FROM arr
+"""
+
+
 # ---------------------------------------------------------------------------
 # raster pipeline queries (E4 snap + E5 Bresenham + F8 remap + A2 / A6)
 # ---------------------------------------------------------------------------
@@ -3283,6 +3425,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         "corpus_prep_e2e": _q_corpus_prep,          # full LLM-pipeline composition
+        "repetition_signals": _q_repetition_signals,  # Gopher-style repetition gate
+        "decontaminate_ngrams": _q_decontaminate,   # benchmark decontamination
+        "pii_redact": _q_pii_redact,                # PII detect + redact
+        "way_shoelace": _q_way_shoelace,            # exact polygon area/centroid
     }
 
 
@@ -3346,6 +3492,10 @@ def oracle_sql() -> dict[str, str]:
     }
     oracles.update(_build_text_oracles())
     oracles["corpus_prep_e2e"] = _oracle_corpus_prep()
+    oracles["repetition_signals"] = _ORACLE_REPETITION
+    oracles["decontaminate_ngrams"] = _ORACLE_DECONTAMINATE
+    oracles["pii_redact"] = _oracle_pii_redact()
+    oracles["way_shoelace"] = _oracle_way_shoelace()
     oracles["s2_cell_assign_l12"] = _oracle_s2_cells()
     oracles["s2_region_contain"] = _oracle_s2_region_contain()
     oracles["s2_cover_l7"] = _oracle_s2_cover()

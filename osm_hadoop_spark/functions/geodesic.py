@@ -54,3 +54,67 @@ def duck_haversine_mm(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
     dl = f"(radians({lon2} - {lon1}) / 2.0)"
     a = f"(sin({dp})*sin({dp}) + cos({p1})*cos({p2})*sin({dl})*sin({dl}))"
     return f"CAST(round({r2} * asin(sqrt({a})) * 1000.0) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Planar shoelace measure (polygon area / centroid over the integer grid)
+# ---------------------------------------------------------------------------
+
+def shoelace_cols(xs: str = "xs", ys: str = "ys") -> dict[str, Column]:
+    """Signed double area + centroid numerators of a ring, exact integers.
+
+    Treats the coordinate arrays as a closed ring (last vertex connects
+    back to the first). Over the engine's integer node grid (_nodes:
+    lon,lat are integer-valued doubles) every cross product
+    x_i*y_j - x_j*y_i is an exact small integer, so the per-vertex terms
+    are cast to bigint BEFORE the fold and the aggregate is order-free
+    integer arithmetic — the same exactness discipline as haversine_mm.
+
+    Emits:
+      area2   = sum_i (x_i*y_{i+1} - x_{i+1}*y_i)        (signed, 2*area)
+      cx_num  = sum_i (x_i + x_{i+1}) * cross_i          (6*area*Cx)
+      cy_num  = sum_i (y_i + y_{i+1}) * cross_i          (6*area*Cy)
+
+    so Cx = cx_num / (3 * area2) — callers keep the exact integer
+    numerators and only divide at the edge of the system.
+    """
+    X, Y = F.col(xs), F.col(ys)
+    n = F.size(X)
+
+    def term(make):
+        def f(i):
+            j = F.when(i == n, F.lit(1)).otherwise(i + 1).cast("int")
+            i = i.cast("int")
+            cross = (
+                F.element_at(X, i) * F.element_at(Y, j)
+                - F.element_at(X, j) * F.element_at(Y, i)
+            )
+            return make(i, j, cross).cast("bigint")
+        return F.aggregate(
+            F.transform(F.sequence(F.lit(1), n), f),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+
+    return {
+        "area2": term(lambda i, j, c: c),
+        "cx_num": term(
+            lambda i, j, c: (F.element_at(X, i) + F.element_at(X, j)) * c
+        ),
+        "cy_num": term(
+            lambda i, j, c: (F.element_at(Y, i) + F.element_at(Y, j)) * c
+        ),
+    }
+
+
+def duck_shoelace(expr: str, xs: str = "xs", ys: str = "ys", n: str = "n") -> str:
+    """DuckDB twin of one shoelace aggregate; expr uses {xi,xj,yi,yj,cross}."""
+    xi, yi = f"{xs}[i]", f"{ys}[i]"
+    xj = f"{xs}[CASE WHEN i = {n} THEN 1 ELSE i + 1 END]"
+    yj = f"{ys}[CASE WHEN i = {n} THEN 1 ELSE i + 1 END]"
+    cross = f"({xi} * {yj} - {xj} * {yi})"
+    body = expr.format(xi=xi, xj=xj, yi=yi, yj=yj, cross=cross)
+    return (
+        f"CAST(list_sum(list_transform(range(1, {n} + 1), "
+        f"i -> CAST({body} AS BIGINT))) AS BIGINT)"
+    )

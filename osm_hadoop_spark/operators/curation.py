@@ -1,0 +1,199 @@
+"""Corpus-curation operators for training-data pipelines (engine additions).
+
+Three families the reference lacks (it has no text surface at all — its only
+string op is tag equality, SURVEY section 2.6) but that a 100 TB
+training-data pipeline runs on every corpus:
+
+1. repetition_signals — Gopher-style repetition quality gates: duplicated
+   non-empty lines per document and the most-frequent word-bigram's share of
+   all bigrams. Everything is emitted as exact integers (counts, not
+   fractions) so the keep-flag comparisons are integer cross-multiplications
+   and the DuckDB oracle matches bit-for-bit.
+2. decontaminate — benchmark decontamination: flag training documents that
+   share any word n-gram with a held-out benchmark set. The benchmark side
+   is tiny by construction, so candidate generation is a broadcast
+   hash-semi-join on the shared 60-bit ngram hash (h60) — the big side
+   streams, no shuffle of the corpus.
+3. pii_redact — PII detection + redaction: count email/phone matches and
+   emit the md5 of the redacted text. Regexes are restricted to the
+   character-class + bounded-quantifier subset where Java (Spark) and RE2
+   (DuckDB) agree, so the redacted-text hash is a strong cross-engine value
+   oracle.
+
+All three are pure Spark built-ins (JVM, whole-stage codegen): no Python in
+the hot path. 100 TB posture:
+- repetition_signals: one map-side-combinable groupBy on (doc_id, bigram) —
+  key cardinality is bounded by corpus token count; partial aggregation
+  collapses each document's repeats before the shuffle.
+- decontaminate: broadcast of the distinct benchmark-ngram hash set (the
+  only collected relation is bounded by the benchmark, never the corpus).
+- pii_redact: embarrassingly parallel per-row regex work, zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from osm_hadoop_spark.operators.textstats import h60, tokens_col
+
+# Java/RE2-common regexes: character classes + bounded quantifiers only
+# (no backrefs, no lookaround), so leftmost-greedy (Java) and
+# leftmost-longest (RE2) produce identical matches.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2} [0-9]{3}-[0-9]{4}"
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """1-based sliding word n-grams of an array<string>, space-joined.
+
+    Guarded: fewer than n tokens -> empty array (Spark's sequence(1, 0)
+    would otherwise DESCEND and fabricate indices).
+    """
+    count = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    documents: DataFrame,
+    max_dup_line_num: int = 3,
+    max_dup_line_den: int = 10,
+    max_top_bigram_num: int = 1,
+    max_top_bigram_den: int = 5,
+) -> DataFrame:
+    """Gopher-style repetition gate (Rae et al. 2021, table A1 analogs).
+
+    Emits per document: non-empty line count, duplicated-line count
+    (occurrences beyond the first of each distinct line), total word-bigram
+    count, the top bigram's occurrence count, and an integer-exact keep
+    flag: dup_lines/lines <= 3/10 AND top_bigram/bigrams <= 1/5, compared by
+    cross-multiplication so the oracle needs no float arithmetic.
+    """
+    lines = F.filter(
+        F.split(F.col("text"), "\n"), lambda x: F.trim(x) != F.lit("")
+    )
+    line_stats = documents.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        (F.size(lines) - F.size(F.array_distinct(lines))).alias("n_dup_lines"),
+    )
+    bg = documents.select(
+        "doc_id", F.explode(_word_ngrams(tokens_col(), 2)).alias("bigram")
+    )
+    # (doc_id, bigram) partial-aggregates map-side; the second agg is tiny
+    bg_agg = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams"))
+    )
+    out = line_stats.join(bg_agg, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_dup_lines").cast("bigint").alias("n_dup_lines"),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce(F.col("top_bigram_count"), F.lit(0))
+        .cast("bigint")
+        .alias("top_bigram_count"),
+    )
+    keep = (
+        out["n_dup_lines"] * max_dup_line_den <= out["n_lines"] * max_dup_line_num
+    ) & (
+        out["top_bigram_count"] * max_top_bigram_den
+        <= out["n_bigrams"] * max_top_bigram_num
+    )
+    return out.withColumn("keep", keep)
+
+
+def decontaminate(
+    documents: DataFrame,
+    n: int = 3,
+    bench_mod: int = 53,
+) -> DataFrame:
+    """Benchmark decontamination by word n-gram overlap.
+
+    The held-out benchmark is the deterministic doc_id % bench_mod == 0
+    slice; a training document is contaminated if any of its distinct word
+    n-grams appears anywhere in the benchmark. Returns every NON-benchmark
+    document with its distinct-overlapping-ngram count and a contaminated
+    flag.
+
+    Scale: the benchmark ngram set is distinct-ed and broadcast (it is the
+    small dim by construction — real decontamination lists are a few MB of
+    eval-suite text); the training corpus explodes its distinct ngrams and
+    probes the broadcast hash relation. No corpus-sized shuffle.
+    """
+    grams = _word_ngrams(tokens_col(), n)
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bench_ngrams = (
+        documents.filter(is_bench)
+        .select(F.explode(F.array_distinct(grams)).alias("g"))
+        .select(h60(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    train = documents.filter(~is_bench)
+    train_ngrams = train.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("g")
+    ).select("doc_id", h60(F.col("g")).alias("gh"))
+    overlap = (
+        train_ngrams.join(F.broadcast(bench_ngrams), "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return train.select("doc_id").join(overlap, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+        (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def with_synthetic_pii(documents: DataFrame, every: int = 3) -> DataFrame:
+    """Deterministically inject PII into every `every`-th document.
+
+    The driver corpus is digit-free word salad, so an honest PII pass over
+    raw `text` would be all-zeros — a wiring-only oracle. This derivation
+    (same expression in the DuckDB twin) plants one email and one phone per
+    selected doc so the regex ENGINE behavior is what the cross-engine hash
+    actually verifies.
+    """
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return documents.withColumn(
+        "pii_text",
+        F.when(F.col("doc_id") % every == 0, planted).otherwise(F.col("text")),
+    )
+
+
+def pii_redact(documents: DataFrame, text_col: str = "pii_text") -> DataFrame:
+    """Count and redact email/phone PII; emit md5 of the redacted text.
+
+    Pure JVM regex work, zero shuffles; the md5 makes the full redacted
+    string a value oracle without shipping megabytes of text through the
+    compare.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("bigint").alias("n_chars_redacted"),
+    )
