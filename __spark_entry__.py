@@ -3169,6 +3169,93 @@ FROM arr
 
 
 # ---------------------------------------------------------------------------
+# sketch family (engine additions): bloom join pruning, MG heavy hitters,
+# deterministic HLL registers — operators/sketch.py
+# ---------------------------------------------------------------------------
+
+
+def _q_bloom_semijoin(spark, sf_dir):
+    """Bloom-pruned exact semi-join: lineitem rows whose order is in the
+    high-value key set, aggregated per order. The bloom (8 KiB, built with
+    a native bit_or aggregate, shipped as ONE broadcast row) prunes the
+    fact side inside the scan stage, BELOW the verify join's shuffle
+    exchange (verify="shuffle" — the regime where the pattern pays);
+    the verify join removes false positives, so the oracle is the plain
+    exact semi-join."""
+    from osm_hadoop_spark.operators.sketch import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    keys = _t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 250000
+    ).select("o_orderkey")
+    return (
+        bloom_semi_join(li, keys, "l_orderkey", "o_orderkey", verify="shuffle")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_linenumber").cast("bigint")).alias("sum_lines"),
+        )
+    )
+
+
+_ORACLE_BLOOM_SEMIJOIN = """
+SELECT l_orderkey, COUNT(*) AS n_items,
+  CAST(SUM(l_linenumber) AS BIGINT) AS sum_lines
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 250000)
+GROUP BY l_orderkey
+"""
+
+
+def _q_heavy_hitters(spark, sf_dir):
+    """Exact top-20 whitespace tokens via the 2-pass Misra-Gries path
+    (bounded-memory per-task sketch -> small candidate superset -> exact
+    re-count of candidates only). Exactness holds because the 20th token's
+    count far exceeds N/(capacity+1); tests/test_sketch.py asserts the
+    guarantee. Oracle: the plain exact top-20 with the identical
+    (cnt DESC, token ASC) tie-break."""
+    from osm_hadoop_spark.operators.sketch import heavy_hitters
+    from osm_hadoop_spark.operators.textstats import tokens_col
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(tokens_col()).alias("token")
+    )
+    return heavy_hitters(toks, "token", top_k=20, capacity=4096)
+
+
+_ORACLE_HEAVY_HITTERS = f"""
+WITH tok AS (SELECT unnest({_DUCK_TOKS}) AS token FROM documents)
+SELECT token, COUNT(*) AS cnt FROM tok
+GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+"""
+
+
+def _q_hll_registers(spark, sf_dir):
+    """Deterministic HyperLogLog registers per event_type over user_id:
+    bucket = low 8 bits of h60, rho = leading-zero count of the remaining
+    52 bits + 1, register = max(rho) — all exact integers from the shared
+    md5 hash, so the whole sketch state is value-oracled cross-engine (the
+    float estimate is pinned separately in tests/test_sketch.py)."""
+    from osm_hadoop_spark.operators.sketch import hll_registers
+
+    return hll_registers(
+        _t(spark, sf_dir, "events"), "event_type", "user_id", p=8
+    ).select("event_type", "bucket", F.col("max_rho").cast("int").alias("max_rho"))
+
+
+_ORACLE_HLL_REGISTERS = f"""
+WITH h AS (
+  SELECT event_type,
+         {_duck_h60("concat('hll:', CAST(user_id AS VARCHAR))")} AS h
+  FROM events)
+SELECT event_type, h % 256 AS bucket,
+  CAST(MAX(CASE WHEN (h >> 8) = 0 THEN 53
+                ELSE 53 - length(bin(h >> 8)) END) AS INT) AS max_rho
+FROM h GROUP BY event_type, h % 256
+"""
+
+
+# ---------------------------------------------------------------------------
 # raster pipeline queries (E4 snap + E5 Bresenham + F8 remap + A2 / A6)
 # ---------------------------------------------------------------------------
 
@@ -3429,6 +3516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngrams": _q_decontaminate,   # benchmark decontamination
         "pii_redact": _q_pii_redact,                # PII detect + redact
         "way_shoelace": _q_way_shoelace,            # exact polygon area/centroid
+        "bloom_prune_semijoin": _q_bloom_semijoin,  # runtime-filter join pruning
+        "heavy_hitters_tokens": _q_heavy_hitters,   # 2-pass Misra-Gries exact top-k
+        "hll_user_registers": _q_hll_registers,     # deterministic HLL sketch state
     }
 
 
@@ -3496,6 +3586,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["decontaminate_ngrams"] = _ORACLE_DECONTAMINATE
     oracles["pii_redact"] = _oracle_pii_redact()
     oracles["way_shoelace"] = _oracle_way_shoelace()
+    oracles["bloom_prune_semijoin"] = _ORACLE_BLOOM_SEMIJOIN
+    oracles["heavy_hitters_tokens"] = _ORACLE_HEAVY_HITTERS
+    oracles["hll_user_registers"] = _ORACLE_HLL_REGISTERS
     oracles["s2_cell_assign_l12"] = _oracle_s2_cells()
     oracles["s2_region_contain"] = _oracle_s2_region_contain()
     oracles["s2_cover_l7"] = _oracle_s2_cover()

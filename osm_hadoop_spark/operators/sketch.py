@@ -1,0 +1,250 @@
+"""Sketch-based operators for web-scale pruning and summaries (engine
+additions — the reference has no sketch family; SURVEY §2.6 note).
+
+Three classic sketches, each expressed Spark-first so the sketch itself is
+built with native aggregates and the big-data side never leaves
+whole-stage codegen:
+
+* Bloom-filter join pruning (`bloom_semi_join`) — the runtime-filter
+  pattern: a bounded-size bit array built from the small side with
+  `bit_or`, shipped as ONE broadcast row, pruning the big side BEFORE any
+  shuffle, followed by an exact verify join so results carry no false
+  positives. At 100 TB this is the difference between shuffling the whole
+  fact table and shuffling only candidate rows.
+* Misra-Gries heavy hitters (`mg_candidates` / `heavy_hitters`) — the
+  2-pass exact-top-k-at-scale pattern: a per-task bounded-memory sketch
+  (Arrow-batched `mapInPandas`, value_counts does the heavy lifting in C)
+  yields a small candidate superset, then one exact re-count over the
+  candidates makes the answer exact. The full-token groupBy never happens.
+* Deterministic HyperLogLog registers (`hll_registers`) — per-group
+  distinct-count registers from the engine-wide md5 h60 hash (pure JVM
+  expressions, exact integers, so the register table is bit-exactly
+  reproducible in any engine with md5).
+
+All numeric outputs are integers; cross-engine value oracles live in
+__spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_hadoop_spark.operators.textstats import h60
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(key_col, m_bits: int, k: int):
+    """k probe positions via double hashing: pos_i = (h1 + i*h2) mod m.
+    h2 is forced odd so the probe sequence cycles the full table when
+    m_bits is a power of two."""
+    h1 = h60(F.concat(F.lit("b0:"), key_col.cast("string")))
+    h2 = h60(F.concat(F.lit("b1:"), key_col.cast("string"))).bitwiseOR(
+        F.lit(1).cast("bigint")
+    )
+    return [((h1 + F.lit(i).cast("bigint") * h2) % m_bits) for i in range(k)]
+
+
+def _bit(pos):
+    """bigint with bit (pos % 64) set — shiftleft via call_function since
+    the Python wrapper only accepts a literal shift amount."""
+    return F.call_function(
+        "shiftleft", F.lit(1).cast("bigint"), (pos % 64).cast("int")
+    )
+
+
+def build_bloom(keys: DataFrame, key: str, m_bits: int = 1 << 16,
+                k: int = 3) -> DataFrame:
+    """Aggregate the key set into ONE row holding the dense bloom word
+    array (`array<bigint>` of m_bits/64 words).
+
+    Scale posture: the word table is built with a native `bit_or` hash
+    aggregate (map-side partial agg applies), then densified into a single
+    array row with `map_from_entries` + `transform(sequence(...))` — no
+    driver collect at any size. The one row is broadcast to the probe side.
+    m_bits is a fixed budget chosen for the expected key count (fpr ≈
+    (1 - e^{-k·n/m})^k); 2^16 bits = 8 KiB covers ~10^4 keys at k=3 with
+    fpr < 1e-3, 2^24 = 2 MiB covers ~10^6.
+    """
+    n_words = m_bits // 64
+    pos = F.explode(F.array(*_bloom_positions(F.col(key), m_bits, k))).alias("pos")
+    words = (
+        keys.select(pos)
+        .select(F.shiftright(F.col("pos"), 6).alias("w"),
+                _bit(F.col("pos")).alias("b"))
+        .groupBy("w").agg(F.bit_or("b").alias("bits"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(F.col("wm")[i.cast("bigint")], F.lit(0).cast("bigint")),
+        ).alias("bloom_words")
+    )
+
+
+def bloom_member(col, m_bits: int = 1 << 16, k: int = 3):
+    """Membership predicate against a `bloom_words` column (from
+    build_bloom, in scope via a one-row broadcast cross join): k
+    element_at + bitwise-AND tests, pure whole-stage-codegen."""
+    hit = None
+    for p in _bloom_positions(col, m_bits, k):
+        word = F.element_at(
+            F.col("bloom_words"), (F.shiftright(p, 6) + 1).cast("int")
+        )
+        test = word.bitwiseAND(_bit(p)) != 0
+        hit = test if hit is None else (hit & test)
+    return hit
+
+
+def bloom_semi_join(big: DataFrame, keys: DataFrame, big_key: str,
+                    small_key: str, m_bits: int = 1 << 16,
+                    k: int = 3, verify: str = "broadcast") -> DataFrame:
+    """Exact semi-join of `big` against `keys`, bloom-pruned first.
+
+    Plan shape (the point of the operator):
+      1. keys -> 8 KiB bloom row (one small aggregate);
+      2. big CROSS JOIN broadcast(bloom row) -> membership test is pure
+         whole-stage-codegen expressions (element_at + bitwise AND) — the
+         100 TB side is filtered BEFORE any exchange, no shuffle, no join
+         network traffic for non-candidates;
+      3. surviving candidates (~matching + fpr·|big|) verify against the
+         exact key set, so the output has NO false positives.
+    The verify join makes the result exactly `big SEMI JOIN keys` — the
+    bloom only changes how many rows reach it.
+
+    `verify` picks the exact-join strategy and is the honest part of the
+    scale story: with "broadcast" (small key set) Catalyst correctly
+    reorders the broadcast semi-join BELOW the bloom test — the bloom is
+    then redundant work and this operator only demonstrates wiring. The
+    pattern earns its keep with verify="shuffle" (key set too big to
+    broadcast): the bloom filter stays below the shuffle exchange, so
+    only candidates are hashed across the network — at 100 TB that is the
+    difference between shuffling the fact table and shuffling ~the answer.
+    Candidate-vs-exact counts and the plan ordering are asserted in
+    tests/test_sketch.py.
+    """
+    bloom = build_bloom(keys, small_key, m_bits=m_bits, k=k)
+    candidates = (
+        big.join(F.broadcast(bloom))
+        .where(bloom_member(F.col(big_key), m_bits, k))
+        .drop("bloom_words")
+    )
+    exact_keys = keys.select(F.col(small_key).alias(big_key)).distinct()
+    if verify == "broadcast":
+        exact_keys = F.broadcast(exact_keys)
+    else:
+        # Optimizer barrier (same idiom as knn.py's round checkpoints):
+        # without it, PushDownLeftSemiAntiJoin sinks the verify join below
+        # the bloom test, shuffling the FULL big side — the exact plan the
+        # bloom exists to avoid. The lazy localCheckpoint pins the order:
+        # scan -> bloom prune -> materialize candidates (answer-sized)
+        # -> shuffle only candidates into the verify join. Verified by
+        # tests/test_sketch.py::test_bloom_shuffle_plan_order.
+        candidates = candidates.localCheckpoint(eager=False)
+        exact_keys = exact_keys.hint("shuffle_hash")
+    return candidates.join(exact_keys, on=big_key, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (2-pass exact top-k)
+# ---------------------------------------------------------------------------
+
+def mg_candidates(items: DataFrame, col: str, capacity: int = 4096) -> DataFrame:
+    """Per-task Misra-Gries summaries -> (item, lb) candidate rows.
+
+    Batched MG: merge each Arrow batch's value_counts into a running dict;
+    when the dict exceeds `capacity`, subtract the (capacity+1)-th largest
+    count from everything and drop non-positives (each such round removes
+    ≥ (capacity+1)·t mass, so the total undercount per task is ≤
+    n_task/(capacity+1)). Guarantee: any item with true global count
+    > N/(capacity+1) survives in at least one task's summary, so the union
+    of summaries is a superset of every such item. Memory is O(capacity)
+    per task regardless of input size — this is what replaces a full
+    groupBy over 100 TB of tokens.
+    """
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict = {}
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            for item, c in vc.items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > capacity:
+                t = sorted(counts.values(), reverse=True)[capacity]
+                counts = {i: c - t for i, c in counts.items() if c > t}
+        yield pd.DataFrame(
+            {"item": list(counts.keys()), "lb": list(counts.values())}
+        )
+
+    return items.select(F.col(col).alias(col)).mapInPandas(
+        summarize, schema="item string, lb long"
+    )
+
+
+def heavy_hitters(items: DataFrame, col: str, top_k: int = 20,
+                  capacity: int = 4096) -> DataFrame:
+    """Exact top-k frequent items via MG candidates + one exact re-count.
+
+    Pass 1 shrinks the domain to ≤ capacity·n_tasks candidates; pass 2
+    broadcast-semi-joins the stream to the candidates and counts exactly —
+    only candidate rows enter the (small) hash aggregate. Exactness
+    condition (k-th count > N/(capacity+1)) is asserted in tests; the
+    deterministic tie-break is (count DESC, item ASC).
+    """
+    cands = mg_candidates(items, col, capacity=capacity).select(
+        F.col("item").alias(col)
+    ).distinct()
+    exact = (
+        items.join(F.broadcast(cands), on=col, how="left_semi")
+        .groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return exact.orderBy(F.desc("cnt"), F.asc(col)).limit(top_k)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog registers
+# ---------------------------------------------------------------------------
+
+def hll_registers(df: DataFrame, group: str, value: str, p: int = 8) -> DataFrame:
+    """Per-group HLL registers over the engine h60 hash: bucket = low p
+    bits, rho = leading-zero count of the remaining (60-p) bits + 1,
+    register = max(rho). Pure JVM integer expressions (bin() gives the MSB
+    position exactly — no float log), one map-side-combinable max
+    aggregate; 2^p rows per group. The float estimate is intentionally NOT
+    computed here (summation order varies across engines); estimator
+    accuracy is pinned in tests/test_sketch.py against exact distinct.
+    """
+    rem_bits = 60 - p
+    h = h60(F.concat(F.lit("hll:"), F.col(value).cast("string")))
+    bucket = (h % (1 << p)).alias("bucket")
+    rem = F.shiftright(h, p)
+    rho = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits + 1) - F.length(F.bin(rem))
+    ).cast("int")
+    return (
+        df.select(F.col(group), bucket, rho.alias("rho"))
+        .groupBy(group, "bucket").agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: pd.DataFrame, p: int = 8) -> float:
+    """Driver-side HLL estimate from a collected register frame
+    (columns bucket, max_rho) — test/reporting helper, not a query path."""
+    m = 1 << p
+    regs = [0] * m
+    for _, r in registers.iterrows():
+        regs[int(r["bucket"])] = int(r["max_rho"])
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / sum(2.0 ** -r for r in regs)
+    zeros = regs.count(0)
+    if raw <= 2.5 * m and zeros:
+        import math
+        return m * math.log(m / zeros)
+    return raw
