@@ -3255,6 +3255,41 @@ FROM h GROUP BY event_type, h % 256
 """
 
 
+def _q_resample_ffill(spark, sf_dir):
+    """Fixed-step (6 h) resample of the event stream per user with
+    forward-fill — operators/timeseries.py. Value doubles pass through
+    both engines untouched (no arithmetic on them), so the comparison is
+    bit-exact; the deterministic last-write-wins per bucket is pinned by
+    (ts, event_id)."""
+    from osm_hadoop_spark.operators.timeseries import resample_ffill
+
+    return resample_ffill(_t(spark, sf_dir, "events"))
+
+
+_ORACLE_RESAMPLE_FFILL = """
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) // 21600000 AS bucket, epoch_ms(ts) AS ms,
+         event_id, value
+  FROM events),
+obs AS (
+  SELECT user_id, bucket, value AS v_obs FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+                                 ORDER BY ms DESC, event_id DESC) AS rn
+    FROM ev) WHERE rn = 1),
+spans AS (SELECT user_id, min(bucket) AS min_b, max(bucket) AS max_b
+          FROM obs GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(min_b, max_b)) AS bucket
+         FROM spans)
+SELECT g.user_id, g.bucket,
+  last_value(o.v_obs IGNORE NULLS)
+    OVER (PARTITION BY g.user_id ORDER BY g.bucket
+          ROWS UNBOUNDED PRECEDING) AS value_ffill,
+  CAST(o.v_obs IS NOT NULL AS INT) AS observed
+FROM grid g LEFT JOIN obs o
+  ON g.user_id = o.user_id AND g.bucket = o.bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # raster pipeline queries (E4 snap + E5 Bresenham + F8 remap + A2 / A6)
 # ---------------------------------------------------------------------------
@@ -3519,6 +3554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_semijoin": _q_bloom_semijoin,  # runtime-filter join pruning
         "heavy_hitters_tokens": _q_heavy_hitters,   # 2-pass Misra-Gries exact top-k
         "hll_user_registers": _q_hll_registers,     # deterministic HLL sketch state
+        "resample_ffill_events": _q_resample_ffill,  # dense series + gap fill
     }
 
 
@@ -3589,6 +3625,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["bloom_prune_semijoin"] = _ORACLE_BLOOM_SEMIJOIN
     oracles["heavy_hitters_tokens"] = _ORACLE_HEAVY_HITTERS
     oracles["hll_user_registers"] = _ORACLE_HLL_REGISTERS
+    oracles["resample_ffill_events"] = _ORACLE_RESAMPLE_FFILL
     oracles["s2_cell_assign_l12"] = _oracle_s2_cells()
     oracles["s2_region_contain"] = _oracle_s2_region_contain()
     oracles["s2_cover_l7"] = _oracle_s2_cover()

@@ -1,0 +1,77 @@
+"""Time-series regularization: fixed-step resample + forward-fill.
+
+The gap-filling counterpart to asof.py's point-in-time join (engine
+addition — the reference has no temporal operators): turn an irregular
+event stream into a dense per-key series at a fixed step, carrying the
+last observed value across empty buckets. This is the standard prep step
+for downstream windowed models (a value "in force" at every step).
+
+Plan shape, and why it scales:
+  1. one hash aggregate over the raw events picks the last observation per
+     (key, bucket) — the ONLY full-data shuffle; everything after operates
+     on bucket-level rows (≤ time-span/step per key, data-size-independent);
+  2. per-key bucket spans via min/max aggregate;
+  3. the dense grid is generated executor-side with sequence() + explode —
+     no driver loop, no range table;
+  4. grid LEFT JOIN observations on (key, bucket), then one ordered window
+     `last(value, ignorenulls)` per key forward-fills.
+Skew note: a single key's series lives in one window partition, but its
+length is bounded by span/step (choose the step for the retention window),
+not by event volume — hot keys collapse at step 1's partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(events: DataFrame, key: str = "user_id", ts: str = "ts",
+                   value: str = "value", step_ms: int = 21_600_000,
+                   order_tiebreak: str = "event_id") -> DataFrame:
+    """Dense (key, bucket) series from min to max observed bucket per key,
+    forward-filled. bucket = floor(epoch_ms / step_ms); the observation
+    kept per bucket is the one with the greatest (ts, tiebreak) — a
+    deterministic "last write wins". Output: key, bucket, value_ffill,
+    observed (1 where the bucket had an event)."""
+    ms = F.unix_millis(F.col(ts).cast("timestamp"))
+    ev = events.select(
+        F.col(key), F.floor(ms / step_ms).alias("bucket"),
+        F.struct(
+            ms.alias("ms"),
+            F.col(order_tiebreak).alias("tb"),
+            F.col(value).alias("v"),
+        ).alias("obs"),
+    )
+    # lexicographic struct max == last-by-(ts, tiebreak); (ms, tb) is unique
+    # so the value never participates in the comparison
+    obs = ev.groupBy(key, "bucket").agg(F.max("obs")["v"].alias("v_obs"))
+    # obs feeds two branches (grid generation and the fill join). Without a
+    # barrier Catalyst re-derives each branch from the RAW events — a
+    # groupBy-spans variant gets rewritten into an independent min/max
+    # aggregate over the source, and the window variant's branches diverge
+    # under column pruning, defeating ReuseExchange — i.e. TWO full scans
+    # of the 100 TB side. The lazy localCheckpoint (same idiom as knn.py)
+    # materializes the bucket-level rows once; both branches re-read that
+    # tiny relation. Caught by tests/test_timeseries.py's plan audit.
+    obs = obs.localCheckpoint(eager=False)
+    wk = Window.partitionBy(key)
+    grid = (
+        obs.withColumn("min_b", F.min("bucket").over(wk))
+        .withColumn("max_b", F.max("bucket").over(wk))
+        .where(F.col("bucket") == F.col("min_b"))
+        .select(
+            F.col(key),
+            F.explode(F.sequence("min_b", "max_b")).alias("bucket"),
+        )
+    )
+    joined = grid.join(obs, [key, "bucket"], "left")
+    w = (
+        Window.partitionBy(key).orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col(key), F.col("bucket"),
+        F.last("v_obs", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("v_obs").isNotNull().cast("int").alias("observed"),
+    )
