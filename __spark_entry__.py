@@ -2327,6 +2327,95 @@ FROM reach GROUP BY src
 """
 
 
+# --- grid DBSCAN (operators/clustering.py) -------------------------------
+# deterministic clustered integer points: 40 h60-placed cluster centers on
+# a 10000^2 grid, +-80 box jitter per point, 10% uniform noise. eps=40,
+# min_pts=5 yields all three roles at sf0.01 (1607 core / 153 border /
+# 240 noise, 43 clusters). All-integer squared-distance math -> the DuckDB
+# twin (O(n^2) pair join + recursive-CTE transitive closure, an
+# INDEPENDENT algorithm from the operator's grid join + large/small-star
+# CC) reproduces every label bit-for-bit.
+_DBSCAN_SPREAD, _DBSCAN_EPS, _DBSCAN_MINPTS = 80, 40, 5
+
+
+def _dbscan_points(spark, sf_dir):
+    from osm_hadoop_spark.operators.textstats import h60
+
+    pk = F.col("p_partkey")
+    s = pk.cast("string")
+    k = (pk % 40).cast("string")
+    noise = h60(F.concat(F.lit("pt"), s)) % 10 == 0
+    sp = _DBSCAN_SPREAD
+
+    def coord(uax, cax, jax):
+        return F.when(noise, h60(F.concat(F.lit(uax), s)) % 10000).otherwise(
+            h60(F.concat(F.lit(cax), k)) % 10000
+            + h60(F.concat(F.lit(jax), s)) % (2 * sp + 1)
+            - sp
+        )
+
+    return _t(spark, sf_dir, "part").select(
+        pk.alias("id"),
+        coord("nx", "cx", "dx").alias("x"),
+        coord("ny", "cy", "dy").alias("y"),
+    )
+
+
+def _q_dbscan_clusters(spark, sf_dir):
+    from osm_hadoop_spark.operators.clustering import dbscan
+
+    return dbscan(
+        _dbscan_points(spark, sf_dir), eps=_DBSCAN_EPS, min_pts=_DBSCAN_MINPTS
+    )
+
+
+def _duck_dbscan_coord(uax, cax, jax):
+    sp = _DBSCAN_SPREAD
+    pk = "CAST(p_partkey AS VARCHAR)"
+    kk = "CAST(p_partkey % 40 AS VARCHAR)"
+    tag = _duck_h60("'pt' || " + pk)
+    uni = _duck_h60(f"'{uax}' || " + pk)
+    ctr = _duck_h60(f"'{cax}' || " + kk)
+    jit = _duck_h60(f"'{jax}' || " + pk)
+    return (
+        f"CASE WHEN {tag} % 10 = 0 THEN {uni} % 10000 "
+        f"ELSE {ctr} % 10000 + {jit} % {2 * sp + 1} - {sp} END"
+    )
+
+
+_ORACLE_DBSCAN = f"""
+WITH RECURSIVE pts AS (
+  SELECT p_partkey AS id,
+         {_duck_dbscan_coord('nx', 'cx', 'dx')} AS x,
+         {_duck_dbscan_coord('ny', 'cy', 'dy')} AS y
+  FROM part),
+nbr AS (
+  SELECT a.id AS ida, b.id AS idb
+  FROM pts a JOIN pts b
+    ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {_DBSCAN_EPS**2}),
+core AS (SELECT ida AS id FROM nbr GROUP BY ida
+         HAVING count(*) >= {_DBSCAN_MINPTS}),
+ce AS (SELECT n.ida AS u, n.idb AS v FROM nbr n
+       JOIN core ca ON n.ida = ca.id JOIN core cb ON n.idb = cb.id
+       WHERE n.ida <> n.idb),
+reach(src, dst) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN ce e ON r.dst = e.u),
+comp AS (SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src),
+bord AS (
+  SELECT n.ida AS id, min(c.cluster) AS cluster
+  FROM nbr n JOIN comp c ON n.idb = c.id
+  WHERE n.ida NOT IN (SELECT id FROM core)
+  GROUP BY n.ida)
+SELECT p.id, p.x, p.y,
+  CASE WHEN cm.cluster IS NOT NULL THEN 'core'
+       WHEN b.cluster IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+  coalesce(cm.cluster, b.cluster) AS cluster
+FROM pts p LEFT JOIN comp cm ON p.id = cm.id LEFT JOIN bord b ON p.id = b.id
+"""
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from osm_hadoop_spark.operators.dedup import simhash_pairs
 
@@ -3529,6 +3618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,        # pairs -> components (large/small-star)
+        "dbscan_hotspots": _q_dbscan_clusters,      # exact grid DBSCAN (density clustering)
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
@@ -3604,6 +3694,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _ORACLE_DEDUP_JACCARD,
         "dedup_minhash_lsh": _ORACLE_DEDUP_MINHASH,
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
+        "dbscan_hotspots": _ORACLE_DBSCAN,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "ann_sq8_topk": _ORACLE_ANN_SQ8,
