@@ -2416,6 +2416,41 @@ FROM pts p LEFT JOIN comp cm ON p.id = cm.id LEFT JOIN bord b ON p.id = b.id
 """
 
 
+# --- KDE heatmap (operators/kde.py) ---------------------------------------
+# same clustered point derivation as dbscan_hotspots; integer triangular
+# kernel -> every density is an exact integer, so the DuckDB twin (direct
+# (2r+1)^2 product — a DIFFERENT evaluation order than the separable
+# two-pass the operator defaults to) matches bit-for-bit.
+_KDE_CELL, _KDE_R = 25, 3
+
+
+def _q_kde_hotspots(spark, sf_dir):
+    from osm_hadoop_spark.operators.kde import kde_grid
+
+    return kde_grid(
+        _dbscan_points(spark, sf_dir), cell_size=_KDE_CELL, radius=_KDE_R
+    )
+
+
+_ORACLE_KDE = f"""
+WITH pts AS (
+  SELECT {_duck_dbscan_coord('nx', 'cx', 'dx')} AS x,
+         {_duck_dbscan_coord('ny', 'cy', 'dy')} AS y
+  FROM part),
+cnt AS (
+  SELECT CAST(floor(CAST(x AS DOUBLE) / {_KDE_CELL}) AS BIGINT) AS cx,
+         CAST(floor(CAST(y AS DOUBLE) / {_KDE_CELL}) AS BIGINT) AS cy,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2),
+offs AS (SELECT unnest(generate_series(-{_KDE_R}, {_KDE_R})) AS d)
+SELECT c.cx + ox.d AS cx, c.cy + oy.d AS cy,
+       CAST(sum(c.n * ({_KDE_R + 1} - abs(ox.d)) * ({_KDE_R + 1} - abs(oy.d)))
+            AS BIGINT) AS density
+FROM cnt c, offs ox, offs oy
+GROUP BY 1, 2
+"""
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from osm_hadoop_spark.operators.dedup import simhash_pairs
 
@@ -3619,6 +3654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,        # pairs -> components (large/small-star)
         "dbscan_hotspots": _q_dbscan_clusters,      # exact grid DBSCAN (density clustering)
+        "kde_hotspots": _q_kde_hotspots,            # separable integer-kernel density grid
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
@@ -3695,6 +3731,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _ORACLE_DEDUP_MINHASH,
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         "dbscan_hotspots": _ORACLE_DBSCAN,
+        "kde_hotspots": _ORACLE_KDE,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "ann_sq8_topk": _ORACLE_ANN_SQ8,
