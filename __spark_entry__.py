@@ -2451,6 +2451,30 @@ GROUP BY 1, 2
 """
 
 
+# --- distance-band join (operators/distance_join.py) ----------------------
+# J7: all unordered point pairs within r=40 of each other, with the exact
+# integer squared distance. Oracle = O(n^2) inequality join (no grid) —
+# an independent algorithm for the same answer.
+def _q_distance_pairs(spark, sf_dir):
+    from osm_hadoop_spark.operators.distance_join import distance_join
+
+    return distance_join(_dbscan_points(spark, sf_dir), None, radius=40)
+
+
+_ORACLE_DISTANCE_PAIRS = f"""
+WITH pts AS (
+  SELECT p_partkey AS id,
+         {_duck_dbscan_coord('nx', 'cx', 'dx')} AS x,
+         {_duck_dbscan_coord('ny', 'cy', 'dy')} AS y
+  FROM part)
+SELECT a.id AS id_a, b.id AS id_b,
+       (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
+FROM pts a JOIN pts b
+  ON a.id < b.id
+ AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 1600
+"""
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from osm_hadoop_spark.operators.dedup import simhash_pairs
 
@@ -3655,6 +3679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,        # pairs -> components (large/small-star)
         "dbscan_hotspots": _q_dbscan_clusters,      # exact grid DBSCAN (density clustering)
         "kde_hotspots": _q_kde_hotspots,            # separable integer-kernel density grid
+        "distance_pairs_r40": _q_distance_pairs,    # distance-band join (grid equi-join)
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
@@ -3732,6 +3757,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         "dbscan_hotspots": _ORACLE_DBSCAN,
         "kde_hotspots": _ORACLE_KDE,
+        "distance_pairs_r40": _ORACLE_DISTANCE_PAIRS,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "ann_sq8_topk": _ORACLE_ANN_SQ8,
