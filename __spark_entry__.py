@@ -2475,6 +2475,96 @@ FROM pts a JOIN pts b
 """
 
 
+# --- trip segmentation (operators/trajectory.py) ---------------------------
+# T3: deterministic random-walk trajectory per user derived from events
+# (integer steps, h60-gated teleports), split on 6h gaps OR >200-unit
+# jumps, rolled up per trip. All-integer window math -> exact twin.
+_TRIP_GAP_US, _TRIP_JUMP = 21_600_000_000, 200
+
+
+def _trip_step(axis_jump: str, axis_step: str):
+    from osm_hadoop_spark.operators.textstats import h60
+
+    s = F.col("event_id").cast("string")
+    return F.when(
+        h60(F.concat(F.lit("tp"), s)) % 12 == 0,
+        h60(F.concat(F.lit(axis_jump), s)) % 2001 - 1000,
+    ).otherwise(h60(F.concat(F.lit(axis_step), s)) % 21 - 10)
+
+
+def _q_trip_segments(spark, sf_dir):
+    from pyspark.sql import Window
+    from osm_hadoop_spark.operators.trajectory import segment_trips
+
+    p = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("ping_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        _trip_step("jx", "sx").alias("_sx"),
+        _trip_step("jy", "sy").alias("_sy"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "ping_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pings = p.select(
+        "user_id",
+        "ping_id",
+        "ts_us",
+        F.sum("_sx").over(w).alias("x"),
+        F.sum("_sy").over(w).alias("y"),
+    )
+    return segment_trips(pings, gap_us=_TRIP_GAP_US, jump=_TRIP_JUMP)
+
+
+def _duck_trip_step(axis_jump: str, axis_step: str) -> str:
+    s = "CAST(event_id AS VARCHAR)"
+    return (
+        f"CASE WHEN {_duck_h60(chr(39) + 'tp' + chr(39) + ' || ' + s)} % 12 = 0 "
+        f"THEN {_duck_h60(chr(39) + axis_jump + chr(39) + ' || ' + s)} % 2001 - 1000 "
+        f"ELSE {_duck_h60(chr(39) + axis_step + chr(39) + ' || ' + s)} % 21 - 10 END"
+    )
+
+
+_ORACLE_TRIPS = f"""
+WITH p AS (
+  SELECT user_id, event_id AS ping_id, epoch_us(ts) AS ts_us,
+         {_duck_trip_step('jx', 'sx')} AS sx,
+         {_duck_trip_step('jy', 'sy')} AS sy
+  FROM events),
+pos AS (
+  SELECT user_id, ping_id, ts_us,
+         sum(sx) OVER w AS x, sum(sy) OVER w AS y
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, ping_id
+               ROWS UNBOUNDED PRECEDING)),
+lagd AS (
+  SELECT user_id, ping_id, ts_us, x, y,
+         lag(ts_us) OVER w AS pt, lag(x) OVER w AS px, lag(y) OVER w AS py
+  FROM pos
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, ping_id)),
+b AS (
+  SELECT user_id, ping_id, ts_us,
+         CASE WHEN pt IS NULL OR ts_us - pt > {_TRIP_GAP_US}
+                   OR (x-px)*(x-px) + (y-py)*(y-py) > {_TRIP_JUMP**2}
+              THEN 1 ELSE 0 END AS brk,
+         CASE WHEN pt IS NULL OR ts_us - pt > {_TRIP_GAP_US}
+                   OR (x-px)*(x-px) + (y-py)*(y-py) > {_TRIP_JUMP**2}
+              THEN 0 ELSE abs(x-px) + abs(y-py) END AS move
+  FROM lagd),
+t AS (
+  SELECT user_id, ts_us, move,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, ping_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS trip
+  FROM b)
+SELECT user_id, trip, count(*) AS n_pings,
+       min(ts_us) AS start_us, max(ts_us) AS end_us,
+       CAST(sum(move) AS BIGINT) AS manhattan_len
+FROM t GROUP BY user_id, trip
+"""
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from osm_hadoop_spark.operators.dedup import simhash_pairs
 
@@ -3680,6 +3770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_hotspots": _q_dbscan_clusters,      # exact grid DBSCAN (density clustering)
         "kde_hotspots": _q_kde_hotspots,            # separable integer-kernel density grid
         "distance_pairs_r40": _q_distance_pairs,    # distance-band join (grid equi-join)
+        "trip_segments": _q_trip_segments,          # trajectory split on gap/teleport
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
@@ -3758,6 +3849,7 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_hotspots": _ORACLE_DBSCAN,
         "kde_hotspots": _ORACLE_KDE,
         "distance_pairs_r40": _ORACLE_DISTANCE_PAIRS,
+        "trip_segments": _ORACLE_TRIPS,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "ann_sq8_topk": _ORACLE_ANN_SQ8,

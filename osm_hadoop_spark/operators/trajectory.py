@@ -1,0 +1,91 @@
+"""Trip segmentation: split per-entity trajectories on time gaps and
+spatial jumps, then roll up per-trip statistics.
+
+T3 in the engine's temporal family. sessionize_events (session_window /
+lag-gap rule) splits on TIME only; a trajectory pipeline (vehicle pings,
+GPS traces, edit histories with coordinates) additionally breaks a trip
+when the entity TELEPORTS — a jump larger than physically plausible
+between consecutive pings (GPS glitch, ferry, data stitching). The
+rule, per entity ordered by (ts, id):
+
+    new trip  <=>  first ping
+               OR  ts - prev_ts > gap
+               OR  (x-prev_x)^2 + (y-prev_y)^2 > jump^2
+
+trip ids are the running count of breaks (dense, 0-based, per entity);
+per-trip rollup = ping count, start/end time, and the integer Manhattan
+path length (|dx|+|dy| summed over WITHIN-trip moves — exact in any
+engine, unlike a float Euclidean sum whose value depends on addition
+order).
+
+Plan: two window passes over the SAME (entity, ts, id) sort order —
+Catalyst plans one Exchange + one Sort and runs both Window operators
+pipelined on it (asserted in tests/test_trajectory.py) — then one hash
+aggregate. Everything is whole-stage-codegen JVM; no Python.
+
+100 TB posture: the only shuffle key is the entity id (natural
+trajectory partitioning); window state is O(1) per row (lag-1 values and
+a running sum); the rollup is partial-aggregatable. Skewed entities (one
+device with billions of pings) are the known hazard of any
+per-entity-ordered operator — same caveat as sessionize/asof, mitigated
+upstream by time-bucketing the entity key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def segment_trips(
+    pings: DataFrame,
+    gap_us: int,
+    jump: int,
+    entity: str = "user_id",
+    ts_us: str = "ts_us",
+    x: str = "x",
+    y: str = "y",
+    order_tiebreak: str = "ping_id",
+) -> DataFrame:
+    """Per-trip rollup of a ping stream.
+
+    Returns DataFrame(entity, trip, n_pings, start_us, end_us,
+    manhattan_len) — trip is 0-based per entity; manhattan_len sums
+    |dx|+|dy| over consecutive within-trip pings (0 for 1-ping trips).
+    """
+    w = Window.partitionBy(entity).orderBy(ts_us, order_tiebreak)
+    dx = F.col(x) - F.lag(x).over(w)
+    dy = F.col(y) - F.lag(y).over(w)
+    dt = F.col(ts_us) - F.lag(ts_us).over(w)
+    is_break = (
+        dt.isNull() | (dt > gap_us) | (dx * dx + dy * dy > jump * jump)
+    ).cast("bigint")
+    stepped = pings.select(
+        F.col(entity),
+        F.col(ts_us),
+        F.col(order_tiebreak),
+        is_break.alias("_brk"),
+        # within-trip move length; 0 on the break row (trip-opening ping)
+        F.when(is_break == 1, F.lit(0))
+        .otherwise(F.abs(dx) + F.abs(dy))
+        .alias("_move"),
+    )
+    wc = (
+        Window.partitionBy(entity)
+        .orderBy(ts_us, order_tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # NOTE: _brk of the current row is included -> first trip gets id 1;
+    # subtract 1 for a 0-based dense trip index
+    tripped = stepped.select(
+        F.col(entity),
+        F.col(ts_us),
+        (F.sum("_brk").over(wc) - 1).alias("trip"),
+        F.col("_move"),
+    )  # wc orders by the carried tiebreak column, then it is dropped
+    return tripped.groupBy(entity, "trip").agg(
+        F.count(F.lit(1)).alias("n_pings"),
+        F.min(ts_us).alias("start_us"),
+        F.max(ts_us).alias("end_us"),
+        F.sum("_move").alias("manhattan_len"),
+    )
