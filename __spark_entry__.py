@@ -2565,6 +2565,71 @@ FROM t GROUP BY user_id, trip
 """
 
 
+# --- polygon dissolve (operators/dissolve.py) ------------------------------
+# E23/J8: unit-cell parcels on a 60x60 grid (deterministic h60 placement,
+# deduped), dissolved into edge-connected regions with outer-boundary
+# edge counts. Oracle = recursive-CTE transitive closure over shared
+# edges — independent of the operator's large/small-star labeling.
+_DISSOLVE_W = 200
+_VPACK_SQL = 1 << 31
+
+
+def _q_dissolve_regions(spark, sf_dir):
+    from osm_hadoop_spark.operators.dissolve import dissolve
+    from osm_hadoop_spark.operators.textstats import h60
+
+    pk = F.col("p_partkey").cast("string")
+    w = _DISSOLVE_W
+    cells = (
+        _t(spark, sf_dir, "part")
+        .select(
+            (h60(F.concat(F.lit("bx"), pk)) % w).alias("cx"),
+            (h60(F.concat(F.lit("by"), pk)) % w).alias("cy"),
+        )
+        .distinct()
+    )
+    cx, cy = F.col("cx"), F.col("cy")
+    polys = cells.select(
+        (cx * w + cy).alias("poly_id"),
+        F.array(cx, cx + 1, cx + 1, cx).alias("xs"),
+        F.array(cy, cy, cy + 1, cy + 1).alias("ys"),
+    )
+    return dissolve(polys).groupBy("region_id").agg(
+        F.count(F.lit(1)).alias("n_polys"),
+        F.sum("boundary_edges").alias("boundary_edges"),
+    )
+
+
+_ORACLE_DISSOLVE = f"""
+WITH RECURSIVE cells AS (
+  SELECT DISTINCT {_duck_h60("'bx' || CAST(p_partkey AS VARCHAR)")} % {_DISSOLVE_W} AS cx,
+                  {_duck_h60("'by' || CAST(p_partkey AS VARCHAR)")} % {_DISSOLVE_W} AS cy
+  FROM part),
+polys AS (SELECT cx*{_DISSOLVE_W} + cy AS pid, cx, cy FROM cells),
+edges AS (
+  SELECT pid, least(a, b) AS lo, greatest(a, b) AS hi FROM (
+    SELECT pid, cx*{_VPACK_SQL} + cy AS a, (cx+1)*{_VPACK_SQL} + cy AS b FROM polys
+    UNION ALL SELECT pid, (cx+1)*{_VPACK_SQL} + cy, (cx+1)*{_VPACK_SQL} + cy + 1 FROM polys
+    UNION ALL SELECT pid, (cx+1)*{_VPACK_SQL} + cy + 1, cx*{_VPACK_SQL} + cy + 1 FROM polys
+    UNION ALL SELECT pid, cx*{_VPACK_SQL} + cy + 1, cx*{_VPACK_SQL} + cy FROM polys)),
+adj AS (SELECT lo, hi, count(*) AS mult, min(pid) AS root FROM edges GROUP BY lo, hi),
+pr AS (SELECT a.root AS u, e.pid AS v FROM adj a JOIN edges e USING (lo, hi)
+       WHERE a.mult > 1 AND e.pid <> a.root),
+sym AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+reach(src, dst) AS (
+  SELECT pid, pid FROM polys
+  UNION
+  SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u),
+comp AS (SELECT src AS pid, min(dst) AS region_id FROM reach GROUP BY src),
+bnd AS (SELECT e.pid, count(*) AS b FROM adj a JOIN edges e USING (lo, hi)
+        WHERE a.mult = 1 GROUP BY e.pid)
+SELECT c.region_id, count(*) AS n_polys,
+       CAST(coalesce(sum(b.b), 0) AS BIGINT) AS boundary_edges
+FROM comp c LEFT JOIN bnd b ON c.pid = b.pid
+GROUP BY c.region_id
+"""
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from osm_hadoop_spark.operators.dedup import simhash_pairs
 
@@ -3771,6 +3836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kde_hotspots": _q_kde_hotspots,            # separable integer-kernel density grid
         "distance_pairs_r40": _q_distance_pairs,    # distance-band join (grid equi-join)
         "trip_segments": _q_trip_segments,          # trajectory split on gap/teleport
+        "dissolve_regions": _q_dissolve_regions,    # shared-edge polygon dissolve
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
@@ -3850,6 +3916,7 @@ def oracle_sql() -> dict[str, str]:
         "kde_hotspots": _ORACLE_KDE,
         "distance_pairs_r40": _ORACLE_DISTANCE_PAIRS,
         "trip_segments": _ORACLE_TRIPS,
+        "dissolve_regions": _ORACLE_DISSOLVE,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "ann_sq8_topk": _ORACLE_ANN_SQ8,
