@@ -603,3 +603,79 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
         assert sum(n for _, n, _ in got[uid]) == 40
         # per-user value is constant -> sum_value checks event attribution
         assert sum(v for _, _, v in got[uid]) == 40.0 * (uid + 1)
+
+
+def test_streaming_trips_match_batch(spark, tmp_path):
+    """Streaming trip segmentation across two time-ordered micro-batches:
+    the latest emitted row per (user, trip) equals the batch
+    segment_trips rollup over the full ping set (state carries the open
+    trip across the batch boundary)."""
+    import numpy as np
+
+    from osm_hadoop_spark.operators.trajectory import segment_trips
+    from osm_hadoop_spark.streaming.trips import streaming_trip_segments
+
+    rng = np.random.default_rng(29)
+    n = 600
+    ts = np.sort(rng.integers(0, 3_000_000_000, n))
+    pings = []
+    pos = {}
+    for i in range(n):
+        u = int(rng.integers(0, 6))
+        x, y = pos.get(u, (0, 0))
+        if rng.integers(0, 10) == 0:  # teleport
+            x += int(rng.integers(-900, 901))
+            y += int(rng.integers(-900, 901))
+        else:
+            x += int(rng.integers(-9, 10))
+            y += int(rng.integers(-9, 10))
+        pos[u] = (x, y)
+        pings.append((u, i, int(ts[i]), x, y))
+    schema = "user_id bigint, ping_id bigint, ts_us bigint, x bigint, y bigint"
+    gap_us, jump = 300_000_000, 200
+
+    src = str(tmp_path / "trip_src")
+    ckpt = str(tmp_path / "trip_ckpt")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    latest: dict = {}
+    try:
+        def run_batch():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                streaming_trip_segments(stream, gap_us, jump)
+                .writeStream.foreachBatch(
+                    lambda df, _b: latest.update(
+                        {
+                            (r["user_id"], r["trip"]): (
+                                r["n_pings"], r["start_us"],
+                                r["end_us"], r["manhattan_len"],
+                            )
+                            for r in df.collect()
+                        }
+                    )
+                )
+                .outputMode("update").option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+
+        half = n // 2
+        for chunk in (pings[:half], pings[half:]):
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            run_batch()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    batch = {
+        (r["user_id"], r["trip"]): (
+            r["n_pings"], r["start_us"], r["end_us"], r["manhattan_len"]
+        )
+        for r in segment_trips(
+            spark.createDataFrame(pings, schema), gap_us, jump
+        ).collect()
+    }
+    assert latest == batch
+    assert len(batch) > 20  # fixture produces real trip structure

@@ -192,3 +192,19 @@ def pip_broadcast(spark, sf_dir):
         return m._q_pip_multipolygon(spark, sf_dir)
     finally:
         PJ.point_multipolygon_join = orig
+
+
+def dbscan_star(spark, sf_dir):
+    """grid DBSCAN, dense-cell contraction path (shipped default)."""
+    from osm_hadoop_spark.operators.clustering import dbscan
+
+    m = _load_entry()
+    return dbscan(m._dbscan_points(spark, sf_dir), 40, 5, dense_cells="star")
+
+
+def dbscan_pairs(spark, sf_dir):
+    """grid DBSCAN, naive eps-grid pair enumeration (A/B baseline)."""
+    from osm_hadoop_spark.operators.clustering import dbscan
+
+    m = _load_entry()
+    return dbscan(m._dbscan_points(spark, sf_dir), 40, 5, dense_cells="pairs")
