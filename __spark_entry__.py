@@ -2630,6 +2630,42 @@ GROUP BY c.region_id
 """
 
 
+# --- raster pyramid (operators/pyramid.py) ---------------------------------
+# A8: overview levels of the node-count raster (E4 snap -> per-pixel
+# count -> 2x sum pyramid, levels 0..4). The oracle aggregates EVERY
+# level directly from level 0 (px >> k) — a different evaluation order
+# than the operator's iterated halving; equality is the associativity
+# proof at driver scale.
+_PYR_LEVELS = 4
+
+
+def _q_pyramid_counts(spark, sf_dir):
+    from osm_hadoop_spark.operators.pyramid import build_pyramid
+
+    n = _nodes(spark, sf_dir)
+    gx = ((F.col("lon") + 180.0) * 43200 / 360.0).cast("int").cast("bigint")
+    gy = ((F.col("lat") + 90.0) * 21600 / 180.0).cast("int").cast("bigint")
+    pixels = n.groupBy(gx.alias("px"), gy.alias("py")).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    return build_pyramid(pixels, levels=_PYR_LEVELS, agg="sum")
+
+
+_ORACLE_PYRAMID = f"""
+WITH nodes AS ({_NODES_SQL}),
+px0 AS (
+  SELECT CAST(trunc((lon + 180.0) * 43200 / 360.0) AS BIGINT) AS px,
+         CAST(trunc((lat + 90.0) * 21600 / 180.0) AS BIGINT) AS py,
+         count(*) AS v
+  FROM nodes GROUP BY 1, 2),
+lv AS (SELECT unnest(generate_series(0, {_PYR_LEVELS})) AS level)
+SELECT lv.level, px >> lv.level AS px, py >> lv.level AS py,
+       CAST(sum(v) AS BIGINT) AS v
+FROM px0, lv
+GROUP BY 1, 2, 3
+"""
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from osm_hadoop_spark.operators.dedup import simhash_pairs
 
@@ -3837,6 +3873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_pairs_r40": _q_distance_pairs,    # distance-band join (grid equi-join)
         "trip_segments": _q_trip_segments,          # trajectory split on gap/teleport
         "dissolve_regions": _q_dissolve_regions,    # shared-edge polygon dissolve
+        "pyramid_counts": _q_pyramid_counts,        # 2x overview pyramid (gdaladdo analog)
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
@@ -3917,6 +3954,7 @@ def oracle_sql() -> dict[str, str]:
         "distance_pairs_r40": _ORACLE_DISTANCE_PAIRS,
         "trip_segments": _ORACLE_TRIPS,
         "dissolve_regions": _ORACLE_DISSOLVE,
+        "pyramid_counts": _ORACLE_PYRAMID,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "ann_sq8_topk": _ORACLE_ANN_SQ8,
