@@ -2492,9 +2492,8 @@ def _trip_step(axis_jump: str, axis_step: str):
     ).otherwise(h60(F.concat(F.lit(axis_step), s)) % 21 - 10)
 
 
-def _q_trip_segments(spark, sf_dir):
+def _trip_pings(spark, sf_dir):
     from pyspark.sql import Window
-    from osm_hadoop_spark.operators.trajectory import segment_trips
 
     p = _t(spark, sf_dir, "events").select(
         "user_id",
@@ -2508,14 +2507,21 @@ def _q_trip_segments(spark, sf_dir):
         .orderBy("ts_us", "ping_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    pings = p.select(
+    return p.select(
         "user_id",
         "ping_id",
         "ts_us",
         F.sum("_sx").over(w).alias("x"),
         F.sum("_sy").over(w).alias("y"),
     )
-    return segment_trips(pings, gap_us=_TRIP_GAP_US, jump=_TRIP_JUMP)
+
+
+def _q_trip_segments(spark, sf_dir):
+    from osm_hadoop_spark.operators.trajectory import segment_trips
+
+    return segment_trips(
+        _trip_pings(spark, sf_dir), gap_us=_TRIP_GAP_US, jump=_TRIP_JUMP
+    )
 
 
 def _duck_trip_step(axis_jump: str, axis_step: str) -> str:
@@ -2663,6 +2669,88 @@ SELECT lv.level, px >> lv.level AS px, py >> lv.level AS py,
        CAST(sum(v) AS BIGINT) AS v
 FROM px0, lv
 GROUP BY 1, 2, 3
+"""
+
+
+# --- origin-destination flow matrix (T3 composition) -----------------------
+# T4: trips (same derivation/thresholds as trip_segments, endpoints=True)
+# aggregated into cell-to-cell flows on a 500-unit grid — the standard
+# mobility-analytics rollup. Endpoint extraction is a min/max over the
+# lexicographic (ts, ping_id, x, y) struct; the oracle instead uses
+# first_value/last_value window functions — a different mechanism for
+# the same answer.
+_OD_CELL = 500
+
+
+def _q_od_matrix(spark, sf_dir):
+    from osm_hadoop_spark.operators.trajectory import segment_trips
+
+    pings = _trip_pings(spark, sf_dir)
+    trips = segment_trips(
+        pings, gap_us=_TRIP_GAP_US, jump=_TRIP_JUMP, endpoints=True
+    )
+    c = _OD_CELL
+    return trips.groupBy(
+        F.floor(F.col("start_x") / c).alias("o_cx"),
+        F.floor(F.col("start_y") / c).alias("o_cy"),
+        F.floor(F.col("end_x") / c).alias("d_cx"),
+        F.floor(F.col("end_y") / c).alias("d_cy"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_trips"),
+        F.sum("manhattan_len").alias("total_len"),
+    )
+
+
+_ORACLE_OD = f"""
+WITH p AS (
+  SELECT user_id, event_id AS ping_id, epoch_us(ts) AS ts_us,
+         {_duck_trip_step('jx', 'sx')} AS sx,
+         {_duck_trip_step('jy', 'sy')} AS sy
+  FROM events),
+pos AS (
+  SELECT user_id, ping_id, ts_us,
+         sum(sx) OVER w AS x, sum(sy) OVER w AS y
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, ping_id
+               ROWS UNBOUNDED PRECEDING)),
+lagd AS (
+  SELECT user_id, ping_id, ts_us, x, y,
+         lag(ts_us) OVER w AS pt, lag(x) OVER w AS px, lag(y) OVER w AS py
+  FROM pos
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, ping_id)),
+b AS (
+  SELECT user_id, ping_id, ts_us, x, y,
+         CASE WHEN pt IS NULL OR ts_us - pt > {_TRIP_GAP_US}
+                   OR (x-px)*(x-px) + (y-py)*(y-py) > {_TRIP_JUMP**2}
+              THEN 1 ELSE 0 END AS brk,
+         CASE WHEN pt IS NULL OR ts_us - pt > {_TRIP_GAP_US}
+                   OR (x-px)*(x-px) + (y-py)*(y-py) > {_TRIP_JUMP**2}
+              THEN 0 ELSE abs(x-px) + abs(y-py) END AS move
+  FROM lagd),
+t AS (
+  SELECT user_id, ping_id, ts_us, x, y, move,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, ping_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS trip
+  FROM b),
+ends AS (
+  SELECT user_id, trip, move,
+         first_value(x) OVER w AS sx, first_value(y) OVER w AS sy,
+         last_value(x) OVER w AS ex, last_value(y) OVER w AS ey
+  FROM t
+  WINDOW w AS (PARTITION BY user_id, trip ORDER BY ts_us, ping_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+trips AS (
+  SELECT user_id, trip, any_value(sx) AS sx, any_value(sy) AS sy,
+         any_value(ex) AS ex, any_value(ey) AS ey,
+         CAST(sum(move) AS BIGINT) AS manhattan_len
+  FROM ends GROUP BY user_id, trip)
+SELECT CAST(floor(CAST(sx AS DOUBLE) / {_OD_CELL}) AS BIGINT) AS o_cx,
+       CAST(floor(CAST(sy AS DOUBLE) / {_OD_CELL}) AS BIGINT) AS o_cy,
+       CAST(floor(CAST(ex AS DOUBLE) / {_OD_CELL}) AS BIGINT) AS d_cx,
+       CAST(floor(CAST(ey AS DOUBLE) / {_OD_CELL}) AS BIGINT) AS d_cy,
+       count(*) AS n_trips, CAST(sum(manhattan_len) AS BIGINT) AS total_len
+FROM trips
+GROUP BY 1, 2, 3, 4
 """
 
 
@@ -3874,6 +3962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trip_segments": _q_trip_segments,          # trajectory split on gap/teleport
         "dissolve_regions": _q_dissolve_regions,    # shared-edge polygon dissolve
         "pyramid_counts": _q_pyramid_counts,        # 2x overview pyramid (gdaladdo analog)
+        "od_matrix": _q_od_matrix,                  # origin-destination flow rollup
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
@@ -3955,6 +4044,7 @@ def oracle_sql() -> dict[str, str]:
         "trip_segments": _ORACLE_TRIPS,
         "dissolve_regions": _ORACLE_DISSOLVE,
         "pyramid_counts": _ORACLE_PYRAMID,
+        "od_matrix": _ORACLE_OD,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "ann_sq8_topk": _ORACLE_ANN_SQ8,

@@ -46,12 +46,17 @@ def segment_trips(
     x: str = "x",
     y: str = "y",
     order_tiebreak: str = "ping_id",
+    endpoints: bool = False,
 ) -> DataFrame:
     """Per-trip rollup of a ping stream.
 
     Returns DataFrame(entity, trip, n_pings, start_us, end_us,
     manhattan_len) — trip is 0-based per entity; manhattan_len sums
     |dx|+|dy| over consecutive within-trip pings (0 for 1-ping trips).
+    With endpoints=True, appends start_x/start_y/end_x/end_y (the first/
+    last ping of the trip — min/max over the lexicographic
+    (ts, tiebreak, x, y) struct, exact because (ts, tiebreak) is unique),
+    the columns an origin-destination flow matrix needs.
     """
     w = Window.partitionBy(entity).orderBy(ts_us, order_tiebreak)
     dx = F.col(x) - F.lag(x).over(w)
@@ -64,6 +69,8 @@ def segment_trips(
         F.col(entity),
         F.col(ts_us),
         F.col(order_tiebreak),
+        F.col(x),
+        F.col(y),
         is_break.alias("_brk"),
         # within-trip move length; 0 on the break row (trip-opening ping)
         F.when(is_break == 1, F.lit(0))
@@ -82,10 +89,19 @@ def segment_trips(
         F.col(ts_us),
         (F.sum("_brk").over(wc) - 1).alias("trip"),
         F.col("_move"),
+        F.struct(ts_us, order_tiebreak, x, y).alias("_ping"),
     )  # wc orders by the carried tiebreak column, then it is dropped
-    return tripped.groupBy(entity, "trip").agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_pings"),
         F.min(ts_us).alias("start_us"),
         F.max(ts_us).alias("end_us"),
         F.sum("_move").alias("manhattan_len"),
-    )
+    ]
+    if endpoints:
+        aggs += [
+            F.min("_ping")[x].alias("start_x"),
+            F.min("_ping")[y].alias("start_y"),
+            F.max("_ping")[x].alias("end_x"),
+            F.max("_ping")[y].alias("end_y"),
+        ]
+    return tripped.groupBy(entity, "trip").agg(*aggs)

@@ -86,6 +86,39 @@ def test_trips_match_brute_force(spark, pings):
     assert len({k[1] for k in want}) > 3
 
 
+def test_trip_endpoints_match_brute_force(spark, pings):
+    from osm_hadoop_spark.operators.trajectory import segment_trips
+
+    df, rows = pings
+    gap_us, jump = 3600 * 1_000_000, 200
+    got = {
+        (r["user_id"], r["trip"]): (
+            r["start_x"], r["start_y"], r["end_x"], r["end_y"]
+        )
+        for r in segment_trips(df, gap_us, jump, endpoints=True).collect()
+    }
+    # brute: first/last ping per trip in (ts, pid) order
+    by_e: dict = {}
+    for (e, pid, t, x, y) in rows:
+        by_e.setdefault(e, []).append((t, pid, x, y))
+    want = {}
+    for e, ps in by_e.items():
+        ps.sort()
+        trip, prev = -1, None
+        for (t, pid, x, y) in ps:
+            if (
+                prev is None
+                or t - prev[0] > gap_us
+                or (x - prev[2]) ** 2 + (y - prev[3]) ** 2 > jump * jump
+            ):
+                trip += 1
+                want[(e, trip)] = [x, y, x, y]
+            else:
+                want[(e, trip)][2:] = [x, y]
+            prev = (t, pid, x, y)
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
 def test_trip_plan_single_sort(spark, pings):
     from osm_hadoop_spark.operators.trajectory import segment_trips
 
