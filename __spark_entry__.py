@@ -3615,8 +3615,12 @@ def _q_bloom_semijoin(spark, sf_dir):
     keys = _t(spark, sf_dir, "orders").where(
         F.col("o_totalprice") > 250000
     ).select("o_orderkey")
+    # m_bits sized for the key count: sf0.1 selects ~50k keys, and an
+    # 8 KiB bloom at that load runs ~73% fpr (prunes nothing); 2^20 bits
+    # = 128 KiB gives fpr ~ 2e-3 (still one broadcast row)
     return (
-        bloom_semi_join(li, keys, "l_orderkey", "o_orderkey", verify="shuffle")
+        bloom_semi_join(li, keys, "l_orderkey", "o_orderkey",
+                        m_bits=1 << 20, verify="shuffle")
         .groupBy("l_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_items"),

@@ -27,6 +27,7 @@ __spark_entry__.py.
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -43,10 +44,20 @@ from osm_hadoop_spark.operators.textstats import h60
 def _bloom_positions(key_col, m_bits: int, k: int):
     """k probe positions via double hashing: pos_i = (h1 + i*h2) mod m.
     h2 is forced odd so the probe sequence cycles the full table when
-    m_bits is a power of two."""
-    h1 = h60(F.concat(F.lit("b0:"), key_col.cast("string")))
-    h2 = h60(F.concat(F.lit("b1:"), key_col.cast("string"))).bitwiseOR(
-        F.lit(1).cast("bigint")
+    m_bits is a power of two.
+
+    Hashes are native xxhash64 (one JVM intrinsic per row), NOT the
+    engine's cross-engine h60 (md5-on-string, ~10x slower): the bloom
+    sits BELOW an exact verify join, so false positives never reach the
+    output and no oracle ever needs to reproduce these bits — measured
+    9.5 s -> ~1 s on the sf0.1 probe stage. Hashes are masked to 60 bits
+    so h1 + (k-1)*h2 cannot overflow bigint under ANSI mode."""
+    mask = F.lit((1 << 60) - 1).cast("bigint")
+    h1 = F.xxhash64(F.lit("b0"), key_col).bitwiseAND(mask)
+    h2 = (
+        F.xxhash64(F.lit("b1"), key_col)
+        .bitwiseAND(mask)
+        .bitwiseOR(F.lit(1).cast("bigint"))
     )
     return [((h1 + F.lit(i).cast("bigint") * h2) % m_bits) for i in range(k)]
 
@@ -73,13 +84,12 @@ def build_bloom(keys: DataFrame, key: str, m_bits: int = 1 << 16,
     fpr < 1e-3, 2^24 = 2 MiB covers ~10^6.
     """
     n_words = m_bits // 64
-    pos = F.explode(F.array(*_bloom_positions(F.col(key), m_bits, k))).alias("pos")
-    words = (
-        keys.select(pos)
-        .select(F.shiftright(F.col("pos"), 6).alias("w"),
-                _bit(F.col("pos")).alias("b"))
-        .groupBy("w").agg(F.bit_or("b").alias("bits"))
-    )
+    words = _bloom_words_sparse(keys, key, m_bits, k)
+    # densify caveat: map element_at is a LINEAR scan, so this transform
+    # is O(n_words * occupied) evaluated in ONE row — fine at the 8 KiB
+    # default (1024 words), ~20 s at 2^20 bits. Large blooms go through
+    # bloom_semi_join, which collects the SPARSE rows and densifies
+    # driver-side instead.
     return words.agg(
         F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("wm")
     ).select(
@@ -90,10 +100,26 @@ def build_bloom(keys: DataFrame, key: str, m_bits: int = 1 << 16,
     )
 
 
+def _bloom_words_sparse(keys: DataFrame, key: str, m_bits: int, k: int) -> DataFrame:
+    """(w, bits) rows for occupied bloom words — one partial-aggregatable
+    bit_or hash aggregate, at most m_bits/64 rows."""
+    pos = F.explode(F.array(*_bloom_positions(F.col(key), m_bits, k))).alias("pos")
+    return (
+        keys.select(pos)
+        .select(F.shiftright(F.col("pos"), 6).alias("w"),
+                _bit(F.col("pos")).alias("b"))
+        .groupBy("w").agg(F.bit_or("b").alias("bits"))
+    )
+
+
 def bloom_member(col, m_bits: int = 1 << 16, k: int = 3):
     """Membership predicate against a `bloom_words` column (from
     build_bloom, in scope via a one-row broadcast cross join): k
-    element_at + bitwise-AND tests, pure whole-stage-codegen."""
+    element_at + bitwise-AND tests, pure whole-stage-codegen. Kept for
+    wiring tests; production probing goes through the BINARY-literal form
+    (bloom_member_blob) — the cross-joined row carries the full word
+    array through every probe row (128 KiB/row at m_bits = 2^20,
+    measured 27 s on sf0.1 lineitem vs 1.3 s for the blob literal)."""
     hit = None
     for p in _bloom_positions(col, m_bits, k):
         word = F.element_at(
@@ -104,17 +130,52 @@ def bloom_member(col, m_bits: int = 1 << 16, k: int = 3):
     return hit
 
 
+def pack_bloom_blob(words64) -> bytearray:
+    """Bloom words -> byte blob of big-endian 4-byte groups, group i
+    holding bit positions 32i..32i+31 (bit j of group = 1 << j)."""
+    parts = []
+    for w in words64:
+        u = w & 0xFFFFFFFFFFFFFFFF
+        parts.append(struct.pack(">I", u & 0xFFFFFFFF))
+        parts.append(struct.pack(">I", u >> 32))
+    return bytearray(b"".join(parts))
+
+
+def bloom_member_blob(col, blob: bytearray, m_bits: int = 1 << 16, k: int = 3):
+    """Membership predicate with the word table embedded as ONE binary
+    Literal: per probe, an 8-hex-char substring fetch + conv + bitwise
+    AND — all codegen, no join, pushes to the scan stage.
+
+    Why binary and not an array literal: `F.lit(list)` builds a
+    CreateArray expression with m_bits/64 children that is re-evaluated
+    PER ROW (measured 11 s on sf0.1 lineitem at m_bits = 2^20); a binary
+    Literal is a true constant (1.3 s). 4-byte groups keep conv()'s
+    output within bigint range under ANSI mode (8-byte words with the
+    top bit set would overflow the cast)."""
+    lit = F.lit(blob)
+    hit = None
+    for p in _bloom_positions(col, m_bits, k):
+        off = (F.shiftright(p, 5) * 4 + 1).cast("int")
+        word = F.conv(F.hex(F.substring(lit, off, 4)), 16, 10).cast("bigint")
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (p % 32).cast("int")
+        )
+        test = word.bitwiseAND(bit) != 0
+        hit = test if hit is None else (hit & test)
+    return hit
+
+
 def bloom_semi_join(big: DataFrame, keys: DataFrame, big_key: str,
                     small_key: str, m_bits: int = 1 << 16,
                     k: int = 3, verify: str = "broadcast") -> DataFrame:
     """Exact semi-join of `big` against `keys`, bloom-pruned first.
 
     Plan shape (the point of the operator):
-      1. keys -> 8 KiB bloom row (one small aggregate);
-      2. big CROSS JOIN broadcast(bloom row) -> membership test is pure
-         whole-stage-codegen expressions (element_at + bitwise AND) — the
-         100 TB side is filtered BEFORE any exchange, no shuffle, no join
-         network traffic for non-candidates;
+      1. keys -> bloom word table (one small aggregate, m_bits/8 bytes);
+      2. the word table is embedded as a LITERAL in the membership
+         predicate (element_at + bitwise AND, whole-stage codegen, no
+         join) — the 100 TB side is filtered AT THE SCAN, no shuffle, no
+         join network traffic for non-candidates;
       3. surviving candidates (~matching + fpr·|big|) verify against the
          exact key set, so the output has NO false positives.
     The verify join makes the result exactly `big SEMI JOIN keys` — the
@@ -131,11 +192,19 @@ def bloom_semi_join(big: DataFrame, keys: DataFrame, big_key: str,
     Candidate-vs-exact counts and the plan ordering are asserted in
     tests/test_sketch.py.
     """
-    bloom = build_bloom(keys, small_key, m_bits=m_bits, k=k)
-    candidates = (
-        big.join(F.broadcast(bloom))
-        .where(bloom_member(F.col(big_key), m_bits, k))
-        .drop("bloom_words")
+    # bounded driver materialization (<= m_bits/64 sparse rows — a
+    # config-sized constant, NOT data-sized; same class as the IVF
+    # centroid literals): collect the occupied words, densify in Python
+    # (the JVM transform-over-map densify is a linear-scan trap, ~20 s at
+    # 2^20 bits), and embed the table as one binary literal so the
+    # membership test is a pure scan-stage filter with no join
+    # (measured 27 s -> 1.3 s at m_bits=2^20 on sf0.1 lineitem vs the
+    # one-row cross-join form).
+    dense = [0] * (m_bits // 64)
+    for r in _bloom_words_sparse(keys, small_key, m_bits, k).collect():
+        dense[r["w"]] = r["bits"]
+    candidates = big.where(
+        bloom_member_blob(F.col(big_key), pack_bloom_blob(dense), m_bits, k)
     )
     exact_keys = keys.select(F.col(small_key).alias(big_key)).distinct()
     if verify == "broadcast":

@@ -23,10 +23,12 @@ FORBIDDEN = [
 # outputs: raster assembly S9, snapshot metadata, fixture generation,
 # uniqueness assertions, IVF sample fit, shapefile export S11 — the
 # reference's ShapeWriter also accumulates features driver-side;
-# s2_join.py collects only the distinct region LEVELS, <= 31 rows)
+# s2_join.py collects only the distinct region LEVELS, <= 31 rows;
+# sketch.py collects only the bloom word table, m_bits/64 bigints — a
+# config-sized constant embedded as a literal predicate)
 COLLECT_ALLOWED = {
     "rasterize.py", "catalog.py", "fixtures.py", "way_assembly.py",
-    "similarity.py", "shapefile.py", "s2_join.py",
+    "similarity.py", "shapefile.py", "s2_join.py", "sketch.py",
 }
 COLLECT_RE = re.compile(r"\.(collect|toPandas)\s*\(")
 
