@@ -679,3 +679,63 @@ def test_streaming_trips_match_batch(spark, tmp_path):
     }
     assert latest == batch
     assert len(batch) > 20  # fixture produces real trip structure
+
+
+def test_streaming_kde_matches_batch(spark, tmp_path):
+    """Streaming single-pass KDE (stateless kernel fan-out -> one
+    watermarked window sum) equals the batch separable kde_grid applied
+    per window — two different evaluation strategies, same integers."""
+    import datetime as dt
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osm_hadoop_spark.operators.kde import kde_grid
+    from osm_hadoop_spark.streaming.kde import streaming_kde
+
+    rng = np.random.default_rng(31)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        rows.append(
+            (
+                t0 + dt.timedelta(seconds=int(rng.integers(0, 240))),
+                int(rng.integers(-50, 400)),
+                int(rng.integers(-50, 400)),
+            )
+        )
+    rows.sort()  # time-ordered stream
+    schema = "ts timestamp, x long, y long"
+
+    src = str(tmp_path / "kde_src")
+    ckpt = str(tmp_path / "kde_ckpt")
+    got = []
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_kde(stream, cell_size=25, radius=3)
+            .writeStream.foreachBatch(lambda df, _b: got.extend(df.collect()))
+            .outputMode("complete").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    got_map = {
+        (r["win"]["start"], r["cx"], r["cy"]): r["density"] for r in got
+    }
+
+    batch = spark.createDataFrame(rows, schema).withColumn(
+        "win", F.window("ts", "1 minute")
+    )
+    want = {}
+    for wstart in {r["win"]["start"] for r in batch.select("win").collect()}:
+        sub = batch.filter(F.col("win.start") == wstart).select("x", "y")
+        for r in kde_grid(sub, cell_size=25, radius=3).collect():
+            want[(wstart, r["cx"], r["cy"])] = r["density"]
+    assert got_map == want
+    assert len({k[0] for k in want}) >= 3  # several windows exercised
