@@ -2754,6 +2754,96 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+# --- planar overlay: way crossings (operators/overlay.py) ------------------
+# J9: segment-intersection join. Segments are derived LOCAL (a 3400x1600
+# domain, each segment jittered +-40 around an h60-placed center, like a
+# real road network's short edges) — the first derivation reused the J1
+# way chords, whose world-spanning random segments made the ANSWER
+# itself quadratic (4.6M crossing pairs at sf0.1, 199 s of output
+# generation); locality is a property of real map data, not a plan
+# trick. The refine is the exact integer CLRS orientation test; the
+# oracle is an O(n^2) inequality join with the same predicate in SQL.
+def _q_way_crossings(spark, sf_dir):
+    from osm_hadoop_spark.operators.overlay import segment_crossings
+    from osm_hadoop_spark.operators.textstats import h60
+
+    ok = F.col("o_orderkey")
+    s = ok.cast("string")
+
+    def j(tag, mod, off):
+        return h60(F.concat(F.lit(tag), s)) % mod - off
+
+    segs = (
+        _t(spark, sf_dir, "orders")
+        .filter(ok % 7 == 0)
+        .select(
+            (ok % 997).alias("way_id"),
+            ok.alias("seg_id"),
+            (j("wx", 3400, 0) + j("ax", 81, 40)).alias("x1"),
+            (j("wy", 1600, 0) + j("ay", 81, 40)).alias("y1"),
+            (j("wx", 3400, 0) + j("bx", 81, 40)).alias("x2"),
+            (j("wy", 1600, 0) + j("by", 81, 40)).alias("y2"),
+        )
+    )
+    return segment_crossings(segs, cell=32).groupBy("way_a", "way_b").agg(
+        F.count(F.lit(1)).alias("n_crossings")
+    )
+
+
+def _duck_seg_cross(o, p, q):
+    """sign(cross(p - o, q - o)) over SQL coordinate pairs."""
+    (ox, oy), (px, py), (qx, qy) = o, p, q
+    return (
+        f"sign(({px}-{ox})*({qy}-{oy}) - ({py}-{oy})*({qx}-{ox}))"
+    )
+
+
+def _duck_on_seg(p, q, r):
+    (px, py), (qx, qy), (rx, ry) = p, q, r
+    return (
+        f"({rx} BETWEEN least({px},{qx}) AND greatest({px},{qx}) "
+        f"AND {ry} BETWEEN least({py},{qy}) AND greatest({py},{qy}))"
+    )
+
+
+def _duck_intersects() -> str:
+    a1, a2 = ("a.x1", "a.y1"), ("a.x2", "a.y2")
+    b1, b2 = ("b.x1", "b.y1"), ("b.x2", "b.y2")
+    d1 = _duck_seg_cross(b1, b2, a1)
+    d2 = _duck_seg_cross(b1, b2, a2)
+    d3 = _duck_seg_cross(a1, a2, b1)
+    d4 = _duck_seg_cross(a1, a2, b2)
+    return (
+        f"(({d1}) <> ({d2}) AND ({d3}) <> ({d4}) AND ({d1}) <> 0 "
+        f"AND ({d2}) <> 0 AND ({d3}) <> 0 AND ({d4}) <> 0) "
+        f"OR (({d1}) = 0 AND {_duck_on_seg(b1, b2, a1)}) "
+        f"OR (({d2}) = 0 AND {_duck_on_seg(b1, b2, a2)}) "
+        f"OR (({d3}) = 0 AND {_duck_on_seg(a1, a2, b1)}) "
+        f"OR (({d4}) = 0 AND {_duck_on_seg(a1, a2, b2)})"
+    )
+
+
+def _duck_seg_coord(ctag, cmod, jtag) -> str:
+    s = "CAST(o_orderkey AS VARCHAR)"
+    c = _duck_h60(f"'{ctag}' || " + s)
+    jj = _duck_h60(f"'{jtag}' || " + s)
+    return f"{c} % {cmod} + {jj} % 81 - 40"
+
+
+_ORACLE_CROSSINGS = f"""
+WITH g AS (
+  SELECT o_orderkey % 997 AS way_id, o_orderkey AS seg_id,
+         {_duck_seg_coord('wx', 3400, 'ax')} AS x1,
+         {_duck_seg_coord('wy', 1600, 'ay')} AS y1,
+         {_duck_seg_coord('wx', 3400, 'bx')} AS x2,
+         {_duck_seg_coord('wy', 1600, 'by')} AS y2
+  FROM orders WHERE o_orderkey % 7 = 0)
+SELECT a.way_id AS way_a, b.way_id AS way_b, count(*) AS n_crossings
+FROM g a JOIN g b ON a.way_id < b.way_id AND ({_duck_intersects()})
+GROUP BY 1, 2
+"""
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from osm_hadoop_spark.operators.dedup import simhash_pairs
 
@@ -3967,6 +4057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_regions": _q_dissolve_regions,    # shared-edge polygon dissolve
         "pyramid_counts": _q_pyramid_counts,        # 2x overview pyramid (gdaladdo analog)
         "od_matrix": _q_od_matrix,                  # origin-destination flow rollup
+        "way_crossings": _q_way_crossings,          # planar overlay intersection join
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
@@ -4049,6 +4140,7 @@ def oracle_sql() -> dict[str, str]:
         "dissolve_regions": _ORACLE_DISSOLVE,
         "pyramid_counts": _ORACLE_PYRAMID,
         "od_matrix": _ORACLE_OD,
+        "way_crossings": _ORACLE_CROSSINGS,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "ann_sq8_topk": _ORACLE_ANN_SQ8,
