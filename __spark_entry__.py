@@ -2844,6 +2844,54 @@ GROUP BY 1, 2
 """
 
 
+# --- gaps-and-islands (operators/islands.py) --------------------------------
+# T5: merge each user's overlapping/touching activity intervals (event ts
+# + an h60-derived duration) into maximal islands. Single-sort window
+# formulation; all-integer -> exact twin.
+def _q_activity_islands(spark, sf_dir):
+    from osm_hadoop_spark.operators.islands import merge_islands
+    from osm_hadoop_spark.operators.textstats import h60
+
+    iv = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + h60(F.concat(F.lit("dur"), F.col("event_id").cast("string")))
+            % 43_200_000_000
+            + 1
+        ).alias("end_us"),
+    )
+    return merge_islands(iv)
+
+
+_ORACLE_ISLANDS = f"""
+WITH iv AS (
+  SELECT user_id, event_id AS interval_id, epoch_us(ts) AS start_us,
+         epoch_us(ts)
+           + {_duck_h60("'dur' || CAST(event_id AS VARCHAR)")} % 43200000000
+           + 1 AS end_us
+  FROM events),
+staged AS (
+  SELECT user_id, start_us, end_us,
+         max(end_us) OVER (PARTITION BY user_id ORDER BY start_us, interval_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pme,
+         interval_id
+  FROM iv),
+lab AS (
+  SELECT user_id, start_us, end_us,
+         CAST(sum(CASE WHEN pme IS NULL OR start_us > pme THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY start_us, interval_id
+                    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS island
+  FROM staged)
+SELECT user_id, island, min(start_us) AS island_start,
+       max(end_us) AS island_end, count(*) AS n_intervals
+FROM lab GROUP BY user_id, island
+"""
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from osm_hadoop_spark.operators.dedup import simhash_pairs
 
@@ -4058,6 +4106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_counts": _q_pyramid_counts,        # 2x overview pyramid (gdaladdo analog)
         "od_matrix": _q_od_matrix,                  # origin-destination flow rollup
         "way_crossings": _q_way_crossings,          # planar overlay intersection join
+        "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
@@ -4141,6 +4190,7 @@ def oracle_sql() -> dict[str, str]:
         "pyramid_counts": _ORACLE_PYRAMID,
         "od_matrix": _ORACLE_OD,
         "way_crossings": _ORACLE_CROSSINGS,
+        "activity_islands": _ORACLE_ISLANDS,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "ann_sq8_topk": _ORACLE_ANN_SQ8,
