@@ -4044,6 +4044,152 @@ FROM env
 """
 
 
+# --- multi-source BFS hop distance (operators/routing.py) ------------------
+# R1: "hop distance to the nearest source" over a derived road graph —
+# nodes = p_partkey, edges = gated XOR-hypercube shortcuts + an id ring
+# (small diameter by construction, so the isochrone bound is meaningful).
+# Sources = every 127th node. The oracle is an INDEPENDENT algorithm:
+# capped recursive-CTE path enumeration + min-dist/min-src reduction,
+# vs the operator's frontier BFS with per-round min-label propagation.
+_BFS_HOPS = 5
+
+
+def _q_graph_bfs(spark, sf_dir):
+    from osm_hadoop_spark.operators.routing import bfs_hops
+    from osm_hadoop_spark.operators.textstats import h60
+
+    pk = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("u"))
+    gate = h60(
+        F.concat(
+            F.lit("rg"),
+            F.col("u").cast("string"),
+            F.lit("_"),
+            F.col("k").cast("string"),
+        )
+    )
+    hyper = (
+        pk.select("u", F.explode(F.sequence(F.lit(0), F.lit(11))).alias("k"))
+        .filter(gate % 4 != 0)
+        .select("u", F.expr("u ^ shiftleft(1, k)").alias("v"))
+    )
+    ring = pk.select("u", (F.col("u") + 1).alias("v"))
+    edges = hyper.unionByName(ring).join(
+        pk.select(F.col("u").alias("v")), "v", "semi"
+    )
+    sources = pk.filter(F.col("u") % 127 == 1).select(F.col("u").alias("node"))
+    return bfs_hops(edges, sources, max_hops=_BFS_HOPS, src="u", dst="v")
+
+
+_ORACLE_GRAPH_BFS = f"""
+WITH RECURSIVE
+pk AS (SELECT p_partkey AS u FROM part),
+hyper AS (
+  SELECT u, xor(u, 1 << k) AS v
+  FROM pk, (SELECT unnest(generate_series(0, 11)) AS k)
+  WHERE {_duck_h60("'rg' || u || '_' || k")} % 4 <> 0),
+edges AS (
+  SELECT u, v FROM (
+    SELECT u, v FROM hyper
+    UNION ALL
+    SELECT u, u + 1 AS v FROM pk) e
+  WHERE v IN (SELECT u FROM pk)),
+sym AS (
+  SELECT u, v FROM edges WHERE u <> v
+  UNION
+  SELECT v AS u, u AS v FROM edges WHERE u <> v),
+reach(node, src_id, dist) AS (
+  SELECT u, u, 0 FROM pk WHERE u % 127 = 1
+  UNION
+  SELECT s.v, r.src_id, r.dist + 1
+  FROM reach r JOIN sym s ON r.node = s.u
+  WHERE r.dist < {_BFS_HOPS}),
+best AS (SELECT node, min(dist) AS dist FROM reach GROUP BY node)
+SELECT b.node, CAST(b.dist AS INT) AS dist, min(r.src_id) AS src_id
+FROM best b JOIN reach r ON r.node = b.node AND r.dist = b.dist
+GROUP BY b.node, b.dist
+"""
+
+
+# --- snap points to nearest segment (operators/snap.py) --------------------
+# R2: map-matching primitive — nearest road segment within r=50 per probe
+# point, exact fixed-point (2^-20-quantized) squared distance, ties by
+# segment id. Grid filter-and-refine in the engine; the oracle is the
+# full O(n^2) cross join with the same integer math reduced by a window
+# row_number — independent candidate generation AND reduction mechanism.
+_SNAP_R = 50
+
+
+def _q_snap_points(spark, sf_dir):
+    from osm_hadoop_spark.operators.snap import snap_points
+    from osm_hadoop_spark.operators.textstats import h60
+
+    def hmod(tag, key, m):
+        return h60(F.concat(F.lit(tag), key.cast("string"))) % m
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    pts = ev.select(
+        F.col("event_id").alias("point_id"),
+        hmod("qx", F.col("event_id"), 1000).alias("x"),
+        hmod("qy", F.col("event_id"), 1000).alias("y"),
+    )
+    pk = _t(spark, sf_dir, "part")
+    segs = pk.select(
+        F.col("p_partkey").alias("seg_id"),
+        hmod("sax", F.col("p_partkey"), 1000).alias("ax"),
+        hmod("say", F.col("p_partkey"), 1000).alias("ay"),
+        (
+            hmod("sax", F.col("p_partkey"), 1000)
+            + hmod("sbx", F.col("p_partkey"), 201)
+            - 100
+        ).alias("bx"),
+        (
+            hmod("say", F.col("p_partkey"), 1000)
+            + hmod("sby", F.col("p_partkey"), 201)
+            - 100
+        ).alias("by"),
+    )
+    return snap_points(pts, segs, radius=_SNAP_R)
+
+
+_ORACLE_SNAP = f"""
+WITH pts AS (
+  SELECT event_id AS point_id,
+         {_duck_h60("'qx' || event_id")} % 1000 AS x,
+         {_duck_h60("'qy' || event_id")} % 1000 AS y
+  FROM events WHERE event_id % 5 = 0),
+segs AS (
+  SELECT p_partkey AS seg_id,
+         {_duck_h60("'sax' || p_partkey")} % 1000 AS ax,
+         {_duck_h60("'say' || p_partkey")} % 1000 AS ay,
+         {_duck_h60("'sax' || p_partkey")} % 1000
+           + {_duck_h60("'sbx' || p_partkey")} % 201 - 100 AS bx,
+         {_duck_h60("'say' || p_partkey")} % 1000
+           + {_duck_h60("'sby' || p_partkey")} % 201 - 100 AS by
+  FROM part),
+cand AS (
+  SELECT p.point_id, s.seg_id,
+    (p.x-s.ax)*(s.bx-s.ax) + (p.y-s.ay)*(s.by-s.ay) AS dt,
+    (s.bx-s.ax)*(s.bx-s.ax) + (s.by-s.ay)*(s.by-s.ay) AS len2,
+    (p.x-s.ax)*(s.by-s.ay) - (p.y-s.ay)*(s.bx-s.ax) AS cr,
+    (p.x-s.ax)*(p.x-s.ax) + (p.y-s.ay)*(p.y-s.ay) AS ap2,
+    (p.x-s.bx)*(p.x-s.bx) + (p.y-s.by)*(p.y-s.by) AS bp2
+  FROM pts p, segs s),
+scored AS (
+  SELECT point_id, seg_id,
+    CASE WHEN dt <= 0 THEN ap2 * 1048576
+         WHEN dt >= len2 THEN bp2 * 1048576
+         ELSE (cr * cr * 1048576) // len2 END AS d2q
+  FROM cand
+  WHERE CASE WHEN dt <= 0 THEN ap2 <= {_SNAP_R**2}
+             WHEN dt >= len2 THEN bp2 <= {_SNAP_R**2}
+             ELSE cr * cr <= {_SNAP_R**2} * len2 END)
+SELECT point_id, seg_id, d2q FROM (
+  SELECT point_id, seg_id, d2q,
+         row_number() OVER (PARTITION BY point_id ORDER BY d2q, seg_id) AS rn
+  FROM scored) WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -4107,6 +4253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix": _q_od_matrix,                  # origin-destination flow rollup
         "way_crossings": _q_way_crossings,          # planar overlay intersection join
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
+        "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
+        "snap_points_r50": _q_snap_points,          # nearest-segment map matching
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
@@ -4191,6 +4339,8 @@ def oracle_sql() -> dict[str, str]:
         "od_matrix": _ORACLE_OD,
         "way_crossings": _ORACLE_CROSSINGS,
         "activity_islands": _ORACLE_ISLANDS,
+        "graph_bfs_h5": _ORACLE_GRAPH_BFS,
+        "snap_points_r50": _ORACLE_SNAP,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "ann_sq8_topk": _ORACLE_ANN_SQ8,

@@ -1,0 +1,92 @@
+"""Road-graph routing primitives: multi-source BFS hop distance.
+
+The reference extracts road networks (highway-tagged ways,
+OsmEntityFilter.scala) but never routes over them; any production user
+of a planet-scale road graph immediately needs "distance to the nearest
+<source-set>" — isochrone / catchment / nearest-facility queries. This
+operator labels every node with its hop distance to the nearest source
+node (multi-source BFS), plus the id of the winning source, bounded by
+`max_hops` (an isochrone bound).
+
+Algorithm: Pregel-style frontier BFS expressed as DataFrame equi-joins —
+exactly the shape a 1000-executor cluster wants:
+
+  round r: frontier JOIN edges on node key -> candidate (neighbor, src);
+           min(src) per neighbor; LEFT ANTI against visited; append.
+
+100 TB posture:
+  - Every round is one hash equi-join on the node key + one partial-agg
+    min + one anti-join — no driver-side state, no collect. The visited
+    set and frontier are both DataFrames.
+  - Rounds are O(max_hops), NOT O(nodes); `localCheckpoint` per round
+    truncates lineage like operators/knn.py and operators/cc.py (the
+    reference's analog is its materialized inter-stage SequenceFiles,
+    NodeJoiner.scala:67-68).
+  - The frontier shrinks as the ball saturates; `isEmpty()` on the new
+    frontier terminates early.
+  - Skewed hub nodes split under AQE skew-join like every other equi-join
+    here.
+
+Determinism: a node first reached at round r takes the MINIMUM source id
+over all (source, path) pairs of length r — i.e. label = min over
+sources at the minimum hop distance, which is the same quantity an
+independent capped path-enumeration (the DuckDB recursive-CTE oracle in
+__spark_entry__.py) computes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "u",
+    dst: str = "v",
+    node: str = "node",
+) -> DataFrame:
+    """Multi-source BFS over an undirected graph.
+
+    edges: DataFrame with columns (src, dst) — one row per edge; treated
+        as undirected (symmetrized internally, self-loops dropped).
+    sources: DataFrame with column `node` — the source set.
+    Returns DataFrame(node, dist, src_id): every node reachable within
+    `max_hops` hops, its hop distance to the nearest source, and the
+    minimum source id among nearest sources.
+    """
+    sym = (
+        edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev"))
+        .filter(F.col("eu") != F.col("ev"))
+        .unionByName(
+            edges.select(F.col(dst).alias("eu"), F.col(src).alias("ev")).filter(
+                F.col(src) != F.col(dst)
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    visited = sources.select(
+        F.col(node).alias("node"),
+        F.lit(0).alias("dist"),
+        F.col(node).alias("src_id"),
+    ).localCheckpoint(eager=True)
+    frontier = visited
+
+    for r in range(1, max_hops + 1):
+        new = (
+            frontier.join(sym, frontier["node"] == sym["eu"])
+            .groupBy(F.col("ev").alias("node"))
+            .agg(F.min("src_id").alias("src_id"))
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(r).alias("dist"), "src_id")
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return visited

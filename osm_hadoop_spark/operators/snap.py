@@ -1,0 +1,138 @@
+"""Snap points to their nearest way segment (map-matching primitive).
+
+The reference reconstructs way geometries (WayAssembler, J2) and rasters
+them, but a GPS/telemetry consumer of a planet road network immediately
+needs the inverse lookup: for each probe point, the nearest road segment
+within a radius (ST_ClosestPoint / snap-to-road — the first stage of any
+map-matcher). This is J3's filter-and-refine shape applied to
+point-vs-segment distance.
+
+Exactness: all inputs are integer coordinates. The squared
+point-to-segment distance is rational — cross^2 / |ab|^2 when the
+projection falls inside the segment, an integer endpoint distance
+otherwise. Two candidates are ranked by the FIXED-POINT quantized
+distance d2q = floor(d2 * 2^scale_bits) computed in pure int64 math
+(floor division by len2), with ties broken by segment id. floor(x*K) is
+monotone in x, so quantization can only create ties, never inversions —
+the argmin is deterministic and bit-identical across engines (the DuckDB
+oracle recomputes the same quantity via a window row_number instead of a
+struct-min, an independent reduction mechanism).
+
+100 TB posture:
+  - Candidate generation is ONE equi-join on grid cell keys: each
+    segment covers the cells of its radius-inflated envelope (bounded by
+    ceil((seg_len + 2r)/cell)^2 cells — the F6-style length guard
+    applies upstream), each point maps to exactly ONE home cell, so a
+    (point, segment) pair can match at most once — no distinct/dedup
+    stage is needed at all.
+  - The refine is whole-stage-codegen integer arithmetic (no Python),
+    and the argmin is a partial-aggregatable min(struct(d2q, seg_id)).
+  - Skewed cells (urban cores) split under AQE skew-join; cell size is a
+    knob traded against candidate fan-out exactly like tile_join's zoom.
+
+Overflow bound: |cross| <= |ap|_inf * |ab|_1, so with coordinates below
+~2^14 and segment length below ~2^10, cross^2 * 2^20 stays under 2^63.
+Callers with wider domains lower scale_bits accordingly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cells_1d(lo: Column, hi: Column, cell: int) -> Column:
+    return F.sequence(
+        F.floor(lo.cast("double") / cell).cast("bigint"),
+        F.floor(hi.cast("double") / cell).cast("bigint"),
+    )
+
+
+def snap_points(
+    points: DataFrame,
+    segments: DataFrame,
+    radius: int,
+    cell_size: int | None = None,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Nearest segment within `radius` for each point.
+
+    points:   (point_id, x, y) integer coordinates.
+    segments: (seg_id, ax, ay, bx, by) integer endpoints.
+    Returns (point_id, seg_id, d2q): the winning segment and the
+    quantized squared distance floor(d2 * 2^scale_bits); points with no
+    segment within `radius` are absent.
+    """
+    cell = cell_size or radius
+    scale = 1 << scale_bits
+
+    seg_cells = segments.select(
+        "seg_id",
+        "ax",
+        "ay",
+        "bx",
+        "by",
+        F.explode(
+            _cells_1d(
+                F.least("ax", "bx") - radius, F.greatest("ax", "bx") + radius, cell
+            )
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            _cells_1d(
+                F.least("ay", "by") - radius, F.greatest("ay", "by") + radius, cell
+            )
+        ).alias("cy"),
+    )
+
+    pts = points.select(
+        "point_id",
+        "x",
+        "y",
+        F.floor(F.col("x").cast("double") / cell).cast("bigint").alias("cx"),
+        F.floor(F.col("y").cast("double") / cell).cast("bigint").alias("cy"),
+    )
+
+    cand = pts.join(seg_cells, ["cx", "cy"])
+
+    apx, apy = F.col("x") - F.col("ax"), F.col("y") - F.col("ay")
+    abx, aby = F.col("bx") - F.col("ax"), F.col("by") - F.col("ay")
+    bpx, bpy = F.col("x") - F.col("bx"), F.col("y") - F.col("by")
+    dot = apx * abx + apy * aby
+    len2 = abx * abx + aby * aby
+    cross = apx * aby - apy * abx
+    ap2, bp2 = apx * apx + apy * apy, bpx * bpx + bpy * bpy
+    r2 = radius * radius
+
+    refined = (
+        cand.select(
+            "point_id",
+            "seg_id",
+            dot.alias("_dot"),
+            len2.alias("_len2"),
+            (cross * cross * scale).alias("_crossq"),
+            (ap2 * scale).alias("_ap2q"),
+            (bp2 * scale).alias("_bp2q"),
+            F.when(dot <= 0, ap2 <= r2)
+            .when(dot >= len2, bp2 <= r2)
+            .otherwise(cross * cross <= r2 * len2)
+            .alias("_keep"),
+        )
+        .filter("_keep")
+        .select(
+            "point_id",
+            "seg_id",
+            F.when(F.col("_dot") <= 0, F.col("_ap2q"))
+            .when(F.col("_dot") >= F.col("_len2"), F.col("_bp2q"))
+            .otherwise(F.expr("_crossq DIV _len2"))
+            .alias("d2q"),
+        )
+    )
+
+    best = refined.groupBy("point_id").agg(
+        F.min(F.struct("d2q", "seg_id")).alias("_b")
+    )
+    return best.select(
+        "point_id", F.col("_b.seg_id").alias("seg_id"), F.col("_b.d2q").alias("d2q")
+    )

@@ -1,0 +1,95 @@
+"""Multi-source BFS hop distance (operators/routing.py) vs an
+independent Python brute-force BFS (collections.deque level-order with
+full (node, source) expansion — a different algorithm than the
+min-label frontier propagation the operator uses)."""
+
+import random
+from collections import deque
+
+from pyspark.sql import functions as F
+
+
+def _brute_bfs(edges, sources, max_hops):
+    """Per-source BFS, then reduce to (min dist, min src at that dist)."""
+    adj = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    best = {}  # node -> (dist, src)
+    for s in sources:
+        seen = {s: 0}
+        q = deque([s])
+        while q:
+            n = q.popleft()
+            d = seen[n]
+            if d >= max_hops:
+                continue
+            for m in adj.get(n, ()):
+                if m not in seen:
+                    seen[m] = d + 1
+                    q.append(m)
+        for n, d in seen.items():
+            cur = best.get(n)
+            if cur is None or (d, s) < cur:
+                best[n] = (d, s)
+    return {n: ds for n, ds in best.items()}
+
+
+def test_bfs_hops_matches_brute_force(spark):
+    from osm_hadoop_spark.operators.routing import bfs_hops
+
+    rng = random.Random(7)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(700)]
+    sources = sorted(rng.sample(range(n), 5))
+
+    e_df = spark.createDataFrame(edges, "u: long, v: long")
+    s_df = spark.createDataFrame([(s,) for s in sources], "node: long")
+    got = {
+        r["node"]: (r["dist"], r["src_id"])
+        for r in bfs_hops(e_df, s_df, max_hops=4, src="u", dst="v").collect()
+    }
+    assert got == _brute_bfs(edges, sources, 4)
+
+
+def test_bfs_zero_hops_and_isolated_source(spark):
+    from osm_hadoop_spark.operators.routing import bfs_hops
+
+    e_df = spark.createDataFrame([(1, 2), (2, 3)], "u: long, v: long")
+    s_df = spark.createDataFrame([(9,), (1,)], "node: long")
+    got = {
+        r["node"]: (r["dist"], r["src_id"])
+        for r in bfs_hops(e_df, s_df, max_hops=0).collect()
+    }
+    # max_hops=0: only the sources themselves, including the isolated one
+    assert got == {9: (0, 9), 1: (0, 1)}
+
+
+def test_bfs_early_termination_saturated(spark):
+    from osm_hadoop_spark.operators.routing import bfs_hops
+
+    # path graph 0-1-2; ball saturates at hop 2 << max_hops
+    e_df = spark.createDataFrame([(0, 1), (1, 2)], "u: long, v: long")
+    s_df = spark.createDataFrame([(0,)], "node: long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_hops(e_df, s_df, max_hops=50).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_min_source_tie_break(spark):
+    from osm_hadoop_spark.operators.routing import bfs_hops
+
+    # node 5 is 1 hop from BOTH sources 10 and 2 -> label = min(2, 10)
+    e_df = spark.createDataFrame([(10, 5), (2, 5)], "u: long, v: long")
+    s_df = spark.createDataFrame([(10,), (2,)], "node: long")
+    row = {
+        r["node"]: (r["dist"], r["src_id"])
+        for r in bfs_hops(e_df, s_df, max_hops=3).collect()
+    }
+    assert row[5] == (1, 2)
+    # sources keep their own label even though they're 2 hops apart
+    assert row[10] == (0, 10) and row[2] == (0, 2)
