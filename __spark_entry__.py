@@ -4190,6 +4190,48 @@ SELECT point_id, seg_id, d2q FROM (
 """
 
 
+# --- focal raster statistics (operators/focal.py) ---------------------------
+# R3: map algebra — 3x3 focal sum/count/max/mean at every data cell of
+# the sparse count raster (nodata excluded), mean as fixed-point integer
+# DIV. Engine = offset-explode + hash agg + semi-join (auto strategy:
+# direct at k=1, separable two-pass for wider kernels — measured in
+# operators/focal.py); oracle = a 2-D neighborhood self-JOIN — different
+# evaluation mechanism, bit-identical integers.
+def _q_focal_stats(spark, sf_dir):
+    from osm_hadoop_spark.operators.focal import focal_stats
+
+    cnt = (
+        _dbscan_points(spark, sf_dir)
+        .groupBy(
+            F.floor(F.col("x").cast("double") / _KDE_CELL).cast("bigint").alias("cx"),
+            F.floor(F.col("y").cast("double") / _KDE_CELL).cast("bigint").alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return focal_stats(cnt, k=1)
+
+
+_ORACLE_FOCAL = f"""
+WITH pts AS (
+  SELECT {_duck_dbscan_coord('nx', 'cx', 'dx')} AS x,
+         {_duck_dbscan_coord('ny', 'cy', 'dy')} AS y
+  FROM part),
+cnt AS (
+  SELECT CAST(floor(CAST(x AS DOUBLE) / {_KDE_CELL}) AS BIGINT) AS cx,
+         CAST(floor(CAST(y AS DOUBLE) / {_KDE_CELL}) AS BIGINT) AS cy,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2),
+nb AS (
+  SELECT a.cx, a.cy, CAST(sum(b.n) AS BIGINT) AS fsum, count(*) AS fn,
+         CAST(max(b.n) AS BIGINT) AS fmax
+  FROM cnt a JOIN cnt b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+  GROUP BY a.cx, a.cy)
+SELECT cx, cy, fsum, fn, fmax, (fsum * 1024) // fn AS fmean_q FROM nb
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -4255,6 +4297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "snap_points_r50": _q_snap_points,          # nearest-segment map matching
+        "focal_stats_3x3": _q_focal_stats,          # raster map-algebra focal window
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
@@ -4341,6 +4384,7 @@ def oracle_sql() -> dict[str, str]:
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "snap_points_r50": _ORACLE_SNAP,
+        "focal_stats_3x3": _ORACLE_FOCAL,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "ann_sq8_topk": _ORACLE_ANN_SQ8,

@@ -208,3 +208,50 @@ def dbscan_pairs(spark, sf_dir):
 
     m = _load_entry()
     return dbscan(m._dbscan_points(spark, sf_dir), 40, 5, dense_cells="pairs")
+
+
+def _focal_cells(spark, sf_dir):
+    m = _load_entry()
+    return (
+        m._dbscan_points(spark, sf_dir)
+        .groupBy(
+            F.floor(F.col("x").cast("double") / m._KDE_CELL).cast("bigint").alias("cx"),
+            F.floor(F.col("y").cast("double") / m._KDE_CELL).cast("bigint").alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+
+
+def _focal(spark, sf_dir, strategy):
+    from osm_hadoop_spark.operators.focal import focal_stats
+
+    return focal_stats(_focal_cells(spark, sf_dir), k=1, strategy=strategy)
+
+
+def focal_separable(spark, sf_dir):
+    """focal stats, two 1-D passes (shipped default)."""
+    return _focal(spark, sf_dir, "separable")
+
+
+def focal_direct(spark, sf_dir):
+    """focal stats, one (2k+1)^2 explode (A/B baseline)."""
+    return _focal(spark, sf_dir, "direct")
+
+
+def focal_separable_k3(spark, sf_dir):
+    """focal stats k=3 (7x7), two 1-D passes."""
+    from osm_hadoop_spark.operators.focal import focal_stats
+
+    return _focal_cells(spark, sf_dir).transform(
+        lambda df: focal_stats(df, k=3, strategy="separable")
+    )
+
+
+def focal_direct_k3(spark, sf_dir):
+    """focal stats k=3 (7x7), one 49-way explode."""
+    from osm_hadoop_spark.operators.focal import focal_stats
+
+    return _focal_cells(spark, sf_dir).transform(
+        lambda df: focal_stats(df, k=3, strategy="direct")
+    )
+
