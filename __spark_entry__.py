@@ -4110,6 +4110,90 @@ GROUP BY b.node, b.dist
 """
 
 
+# --- bounded-hop weighted shortest distance (operators/routing.py) ---------
+# R3b: multi-source weighted SSSP over the SAME derived road graph as
+# graph_bfs_h5, with symmetric hash-derived integer weights
+# w(u,v) = 1 + h60('sw'|min|'_'|max) % 9 and a 4-edge hop cap. Engine =
+# Bellman-Ford improved-frontier rounds with lexicographic (dist, src)
+# min; oracle = capped recursive-CTE weighted path enumeration reduced
+# by min-dist then min-src — an independent algorithm.
+_SSSP_HOPS = 4
+
+
+def _sssp_edges(spark, sf_dir):
+    from osm_hadoop_spark.operators.textstats import h60
+
+    pk = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("u"))
+    gate = h60(
+        F.concat(
+            F.lit("rg"),
+            F.col("u").cast("string"),
+            F.lit("_"),
+            F.col("k").cast("string"),
+        )
+    )
+    hyper = (
+        pk.select("u", F.explode(F.sequence(F.lit(0), F.lit(11))).alias("k"))
+        .filter(gate % 4 != 0)
+        .select("u", F.expr("u ^ shiftleft(1, k)").alias("v"))
+    )
+    ring = pk.select("u", (F.col("u") + 1).alias("v"))
+    edges = hyper.unionByName(ring).join(
+        pk.select(F.col("u").alias("v")), "v", "semi"
+    )
+    w = 1 + h60(
+        F.concat(
+            F.lit("sw"),
+            F.least("u", "v").cast("string"),
+            F.lit("_"),
+            F.greatest("u", "v").cast("string"),
+        )
+    ) % 9
+    return edges.select("u", "v", w.cast("long").alias("w")), pk
+
+
+def _q_graph_sssp(spark, sf_dir):
+    from osm_hadoop_spark.operators.routing import sssp
+
+    edges, pk = _sssp_edges(spark, sf_dir)
+    sources = pk.filter(F.col("u") % 127 == 1).select(F.col("u").alias("node"))
+    return sssp(edges, sources, max_hops=_SSSP_HOPS)
+
+
+_ORACLE_GRAPH_SSSP = f"""
+WITH RECURSIVE
+pk AS (SELECT p_partkey AS u FROM part),
+hyper AS (
+  SELECT u, xor(u, 1 << k) AS v
+  FROM pk, (SELECT unnest(generate_series(0, 11)) AS k)
+  WHERE {_duck_h60("'rg' || u || '_' || k")} % 4 <> 0),
+edges AS (
+  SELECT u, v FROM (
+    SELECT u, v FROM hyper
+    UNION ALL
+    SELECT u, u + 1 AS v FROM pk) e
+  WHERE v IN (SELECT u FROM pk)),
+sym AS (
+  SELECT u, v FROM edges WHERE u <> v
+  UNION
+  SELECT v AS u, u AS v FROM edges WHERE u <> v),
+wsym AS (
+  SELECT u, v,
+         1 + {_duck_h60("'sw' || least(u, v) || '_' || greatest(u, v)")} % 9 AS w
+  FROM sym),
+reach(node, src_id, dist, hops) AS (
+  SELECT u, u, CAST(0 AS BIGINT), 0 FROM pk WHERE u % 127 = 1
+  UNION
+  SELECT s.v, r.src_id, r.dist + s.w, r.hops + 1
+  FROM reach r JOIN wsym s ON r.node = s.u
+  WHERE r.hops < {_SSSP_HOPS}),
+best AS (SELECT node, min(dist) AS dist FROM reach GROUP BY node)
+SELECT b.node, b.dist, min(r.src_id) AS src_id
+FROM best b JOIN reach r ON r.node = b.node AND r.dist = b.dist
+GROUP BY b.node, b.dist
+"""
+
+
 # --- snap points to nearest segment (operators/snap.py) --------------------
 # R2: map-matching primitive — nearest road segment within r=50 per probe
 # point, exact fixed-point (2^-20-quantized) squared distance, ties by
@@ -4187,6 +4271,53 @@ SELECT point_id, seg_id, d2q FROM (
   SELECT point_id, seg_id, d2q,
          row_number() OVER (PARTITION BY point_id ORDER BY d2q, seg_id) AS rn
   FROM scored) WHERE rn = 1
+"""
+
+
+# --- triangle enumeration (operators/triangles.py) -------------------------
+# R4: the degree-ordered triangle join over a derived graph: nodes =
+# p_partkey, edges = hash-gated pairs within 32-node id blocks (dense
+# enough for real triangle counts, block-bounded so the oracle's 3-way
+# join stays tractable). Engine = degree orientation + wedge self-join +
+# closing semi-join (sum(out_deg^2) <= m^1.5 regardless of skew); oracle
+# = the textbook 3-way equi-join on the canonical edge list — a
+# different enumeration mechanism, identical (x, y, z) set.
+def _q_triangles(spark, sf_dir):
+    from osm_hadoop_spark.operators.textstats import h60
+    from osm_hadoop_spark.operators.triangles import triangles
+
+    pk = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("u"), F.expr("p_partkey div 32").alias("blk")
+    )
+    gate = h60(
+        F.concat(
+            F.lit("tg"),
+            F.col("u").cast("string"),
+            F.lit("_"),
+            F.col("v").cast("string"),
+        )
+    )
+    pairs = (
+        pk.join(
+            pk.select(F.col("u").alias("v"), F.col("blk")), "blk"
+        )
+        .filter(F.col("u") < F.col("v"))
+        .filter(gate % 7 < 2)
+        .select("u", "v")
+    )
+    return triangles(pairs)
+
+
+_ORACLE_TRIANGLES = f"""
+WITH pk AS (SELECT p_partkey AS u, p_partkey // 32 AS blk FROM part),
+e AS (
+  SELECT a.u AS u, b.u AS v
+  FROM pk a JOIN pk b ON a.blk = b.blk AND a.u < b.u
+  WHERE {_duck_h60("'tg' || a.u || '_' || b.u")} % 7 < 2)
+SELECT e1.u AS x, e1.v AS y, e2.v AS z
+FROM e e1
+JOIN e e2 ON e2.u = e1.v
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
 """
 
 
@@ -4296,7 +4427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_crossings": _q_way_crossings,          # planar overlay intersection join
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
+        "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
         "snap_points_r50": _q_snap_points,          # nearest-segment map matching
+        "triangle_blocks": _q_triangles,            # degree-ordered triangle join
         "focal_stats_3x3": _q_focal_stats,          # raster map-algebra focal window
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
@@ -4383,7 +4516,9 @@ def oracle_sql() -> dict[str, str]:
         "way_crossings": _ORACLE_CROSSINGS,
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
+        "graph_sssp_h4": _ORACLE_GRAPH_SSSP,
         "snap_points_r50": _ORACLE_SNAP,
+        "triangle_blocks": _ORACLE_TRIANGLES,
         "focal_stats_3x3": _ORACLE_FOCAL,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,

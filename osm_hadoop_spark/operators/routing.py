@@ -1,4 +1,5 @@
-"""Road-graph routing primitives: multi-source BFS hop distance.
+"""Road-graph routing primitives: multi-source BFS hop distance and
+bounded-hop weighted shortest distance (SSSP).
 
 The reference extracts road networks (highway-tagged ways,
 OsmEntityFilter.scala) but never routes over them; any production user
@@ -90,3 +91,99 @@ def bfs_hops(
         visited = visited.unionByName(new).localCheckpoint(eager=True)
         frontier = new
     return visited
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+    node: str = "node",
+) -> DataFrame:
+    """Multi-source weighted shortest distance, bounded at `max_hops` edges.
+
+    Bellman-Ford rounds as frontier equi-joins: after round r, `best`
+    holds the minimum path weight over all paths of <= r edges from any
+    source (the bounded-hop semantics an isochrone wants, and exactly
+    what a capped path-enumeration oracle computes). Ties between equal
+    distances resolve to the minimum source id — improvement is the
+    lexicographic struct(dist, src_id) compare, so the result is the
+    MIN over all <= max_hops-edge paths of (weight, source), a
+    round-order-free quantity.
+
+    edges: (src, dst, weight) with integer weight >= 0; undirected
+        (symmetrized internally, self-loops dropped).
+    Returns DataFrame(node, dist, src_id).
+
+    100 TB posture: like bfs_hops, each round is one equi-join on the
+    node key + one partial-agg min + one join against `best` — no
+    driver state; the per-round frontier is only the IMPROVED nodes, so
+    work decays as the ball saturates; `localCheckpoint` truncates
+    lineage (the reference materializes inter-stage SequenceFiles for
+    the same reason, NodeJoiner.scala:67-68); early exit on an empty
+    frontier. Hot hub nodes split under AQE skew-join.
+    """
+    sym = (
+        edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev"), F.col(weight).alias("ew"))
+        .filter(F.col("eu") != F.col("ev"))
+        .unionByName(
+            edges.select(
+                F.col(dst).alias("eu"), F.col(src).alias("ev"), F.col(weight).alias("ew")
+            ).filter(F.col(src) != F.col(dst))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    best = sources.select(
+        F.col(node).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+        F.col(node).alias("src_id"),
+    ).localCheckpoint(eager=True)
+    frontier = best
+
+    for _ in range(max_hops):
+        cand = (
+            frontier.join(sym, frontier["node"] == sym["eu"])
+            .groupBy(F.col("ev").alias("node"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (F.col("dist") + F.col("ew")).alias("dist"),
+                        F.col("src_id").alias("src_id"),
+                    )
+                ).alias("c")
+            )
+            .select("node", F.col("c.dist").alias("dist"), F.col("c.src_id").alias("src_id"))
+        )
+        improved = (
+            cand.join(
+                best.select(
+                    "node",
+                    F.col("dist").alias("_bd"),
+                    F.col("src_id").alias("_bs"),
+                ),
+                "node",
+                "left",
+            )
+            .filter(
+                F.col("_bd").isNull()
+                | (
+                    F.struct(F.col("dist"), F.col("src_id"))
+                    < F.struct(F.col("_bd"), F.col("_bs"))
+                )
+            )
+            .select("node", "dist", "src_id")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        best = (
+            best.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return best

@@ -93,3 +93,103 @@ def test_bfs_min_source_tie_break(spark):
     assert row[5] == (1, 2)
     # sources keep their own label even though they're 2 hops apart
     assert row[10] == (0, 10) and row[2] == (0, 2)
+
+
+# --- weighted SSSP (operators/routing.py::sssp) ------------------------------
+
+
+def _brute_sssp(edges, sources, max_hops):
+    """Hop-capped Bellman-Ford DP: dist[h][v] = min over <=h-edge paths,
+    labels lexicographic (dist, src) — an independent mechanism vs the
+    operator's improved-frontier rounds."""
+    sym = {}
+    for u, v, w in edges:
+        if u == v:
+            continue
+        sym.setdefault(u, {})
+        sym.setdefault(v, {})
+        sym[u][v] = min(sym[u].get(v, w), w)
+        sym[v][u] = min(sym[v].get(u, w), w)
+    best = {s: (0, s) for s in sources}
+    for _ in range(max_hops):
+        nxt = dict(best)
+        for u, (d, s) in best.items():
+            for v, w in sym.get(u, {}).items():
+                cand = (d + w, s)
+                if v not in nxt or cand < nxt[v]:
+                    nxt[v] = cand
+        best = nxt
+    return best
+
+
+def test_sssp_matches_brute_force(spark):
+    from osm_hadoop_spark.operators.routing import sssp
+
+    rng = random.Random(11)
+    n = 60
+    edges = list(
+        {
+            (rng.randrange(n), rng.randrange(n)): None
+            for _ in range(150)
+        }
+    )
+    edges = [(u, v, rng.randrange(1, 10)) for u, v in edges]
+    sources = [1, 17, 42]
+    got = {
+        r["node"]: (r["dist"], r["src_id"])
+        for r in sssp(
+            spark.createDataFrame(edges, "u: long, v: long, w: long"),
+            spark.createDataFrame([(s,) for s in sources], "node: long"),
+            max_hops=4,
+        ).collect()
+    }
+    assert got == _brute_sssp(edges, sources, 4)
+
+
+def test_sssp_prefers_cheap_long_path(spark):
+    from osm_hadoop_spark.operators.routing import sssp
+
+    # 0-1-2-3 each weight 1, plus a direct 0-3 of weight 10: the 3-hop
+    # path (dist 3) must beat the 1-hop shortcut found in round 1.
+    edges = [(0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 3, 10)]
+    got = {
+        r["node"]: (r["dist"], r["src_id"])
+        for r in sssp(
+            spark.createDataFrame(edges, "u: long, v: long, w: long"),
+            spark.createDataFrame([(0,)], "node: long"),
+            max_hops=3,
+        ).collect()
+    }
+    assert got == {0: (0, 0), 1: (1, 0), 2: (2, 0), 3: (3, 0)}
+
+
+def test_sssp_hop_cap_is_edge_count(spark):
+    from osm_hadoop_spark.operators.routing import sssp
+
+    # with max_hops=1 only the shortcut is reachable
+    edges = [(0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 3, 10)]
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp(
+            spark.createDataFrame(edges, "u: long, v: long, w: long"),
+            spark.createDataFrame([(0,)], "node: long"),
+            max_hops=1,
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1, 3: 10}
+
+
+def test_sssp_equal_dist_takes_min_source(spark):
+    from osm_hadoop_spark.operators.routing import sssp
+
+    # node 2 is distance 2 from both sources 1 and 3 -> label 1
+    edges = [(1, 2, 2), (3, 2, 2)]
+    got = {
+        r["node"]: (r["dist"], r["src_id"])
+        for r in sssp(
+            spark.createDataFrame(edges, "u: long, v: long, w: long"),
+            spark.createDataFrame([(1,), (3,)], "node: long"),
+            max_hops=2,
+        ).collect()
+    }
+    assert got[2] == (2, 1)
