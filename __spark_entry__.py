@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from osm_hadoop_spark.config import PRECEDENCE
+from osm_hadoop_spark.operators.focal import SOBEL
 
 # ---------------------------------------------------------------------------
 # deterministic derivations of geospatial inputs from the driver tables
@@ -4363,6 +4364,69 @@ SELECT cx, cy, fsum, fn, fmax, (fsum * 1024) // fn AS fmean_q FROM nb
 """
 
 
+# --- Sobel gradient / slope magnitude (operators/focal.py) -----------------
+# A9b: terrain-style map algebra — the Sobel gradient pair over the
+# sparse count grid as ONE multi-kernel convolution pass (true
+# convolution, mirrored taps — the convention is pinned in
+# operators/focal.py and tests). Engine = scatter (explode taps, shifted
+# hash agg); oracle = gather (center LEFT JOIN mirrored neighbor per
+# tap) — opposite evaluation directions, identical integers. g2 is the
+# squared gradient magnitude (slope proxy), integer-exact.
+def _q_gradient(spark, sf_dir):
+    from osm_hadoop_spark.operators.focal import focal_convolve
+
+    cnt = (
+        _dbscan_points(spark, sf_dir)
+        .groupBy(
+            F.floor(F.col("x").cast("double") / _KDE_CELL).cast("bigint").alias("cx"),
+            F.floor(F.col("y").cast("double") / _KDE_CELL).cast("bigint").alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    g = focal_convolve(cnt, SOBEL)
+    return g.select(
+        "cx",
+        "cy",
+        "gx",
+        "gy",
+        (F.col("gx") * F.col("gx") + F.col("gy") * F.col("gy")).alias("g2"),
+    )
+
+
+def _sobel_tap_values() -> str:
+    taps: dict[tuple[int, int], list[int]] = {}
+    for i, name in enumerate(("gx", "gy")):
+        for dx, dy, w in SOBEL[name]:
+            taps.setdefault((dx, dy), [0, 0])[i] += w
+    return ", ".join(
+        f"({dx}, {dy}, {wx}, {wy})"
+        for (dx, dy), (wx, wy) in sorted(taps.items())
+    )
+
+
+_ORACLE_GRADIENT = f"""
+WITH pts AS (
+  SELECT {_duck_dbscan_coord('nx', 'cx', 'dx')} AS x,
+         {_duck_dbscan_coord('ny', 'cy', 'dy')} AS y
+  FROM part),
+cnt AS (
+  SELECT CAST(floor(CAST(x AS DOUBLE) / {_KDE_CELL}) AS BIGINT) AS cx,
+         CAST(floor(CAST(y AS DOUBLE) / {_KDE_CELL}) AS BIGINT) AS cy,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2),
+taps(dx, dy, wx, wy) AS (VALUES {_sobel_tap_values()}),
+g AS (
+  SELECT a.cx, a.cy,
+         CAST(coalesce(sum(t.wx * b.n), 0) AS BIGINT) AS gx,
+         CAST(coalesce(sum(t.wy * b.n), 0) AS BIGINT) AS gy
+  FROM cnt a
+  CROSS JOIN taps t
+  LEFT JOIN cnt b ON b.cx = a.cx - t.dx AND b.cy = a.cy - t.dy
+  GROUP BY a.cx, a.cy)
+SELECT cx, cy, gx, gy, gx * gx + gy * gy AS g2 FROM g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -4431,6 +4495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_points_r50": _q_snap_points,          # nearest-segment map matching
         "triangle_blocks": _q_triangles,            # degree-ordered triangle join
         "focal_stats_3x3": _q_focal_stats,          # raster map-algebra focal window
+        "gradient_sobel": _q_gradient,              # multi-kernel sparse convolution
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
@@ -4520,6 +4585,7 @@ def oracle_sql() -> dict[str, str]:
         "snap_points_r50": _ORACLE_SNAP,
         "triangle_blocks": _ORACLE_TRIANGLES,
         "focal_stats_3x3": _ORACLE_FOCAL,
+        "gradient_sobel": _ORACLE_GRADIENT,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "ann_sq8_topk": _ORACLE_ANN_SQ8,

@@ -103,3 +103,76 @@ def focal_stats(
         "fmax",
         F.expr(f"div(fsum * {scale}, fn)").alias("fmean_q"),
     )
+
+
+def focal_convolve(
+    cells: DataFrame,
+    kernels: dict[str, list[tuple[int, int, int]]],
+) -> DataFrame:
+    """Sparse 2-D convolution with one or more small integer kernels.
+
+    kernels: {out_col: [(dx, dy, w), ...]} — e.g. the Sobel gradient pair
+    {"gx": [(-1,-1,-1),(-1,0,-2),(-1,1,-1),(1,-1,1),(1,0,2),(1,1,1)],
+     "gy": [(-1,-1,-1),(0,-1,-2),(1,-1,-1),(-1,1,1),(0,1,2),(1,1,1)]}.
+    Convention: TRUE convolution, out(c) = sum_taps w * v(c - (dx, dy))
+    — each source cell scatters w*v to the key shifted BY the tap, so
+    the kernel is applied mirrored, exactly like np.convolve/scipy
+    convolve2d (correlation would read v(c + (dx, dy)); for the
+    antisymmetric Sobel taps the two differ by sign, so the convention
+    is load-bearing and the oracle/tests pin this one). Absent cells
+    contribute 0 (sparse/nodata-as-zero — the right convention for
+    gradients, where "no data" means "flat ground", unlike focal_stats'
+    nodata-excluded mean).
+
+    Plan: the union of all kernel taps becomes ONE inline array literal;
+    one explode + shifted-key hash agg computes every kernel in a single
+    pass (conditional sums share the partial aggregation), then the
+    occupied-cell semi-join drops the halo. Same explode-project-
+    aggregate posture as focal_stats: per-cell fan-out is bounded by the
+    tap count, all JVM, fully partial-aggregatable.
+    """
+    taps: dict[tuple[int, int], dict[str, int]] = {}
+    for name, ks in kernels.items():
+        for dx, dy, w in ks:
+            taps.setdefault((int(dx), int(dy)), {})[name] = taps.get(
+                (int(dx), int(dy)), {}
+            ).get(name, 0) + int(w)
+    names = list(kernels)
+    tap_lit = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                *[F.lit(ws.get(n, 0)).cast("long").alias(f"w_{n}") for n in names],
+            )
+            for (dx, dy), ws in sorted(taps.items())
+        ]
+    )
+    halo = (
+        cells.select("cx", "cy", "v", F.explode(tap_lit).alias("t"))
+        .groupBy(
+            (F.col("cx") + F.col("t.dx")).alias("cx"),
+            (F.col("cy") + F.col("t.dy")).alias("cy"),
+        )
+        .agg(
+            *[
+                F.sum(F.col("v") * F.col(f"t.w_{n}")).alias(n)
+                for n in names
+            ]
+        )
+    )
+    # left join FROM the occupied cells (not a semi-join of the halo):
+    # a data cell whose whole mirrored window is empty still reports 0.
+    return cells.select("cx", "cy").join(halo, ["cx", "cy"], "left").select(
+        "cx",
+        "cy",
+        *[F.coalesce(F.col(n), F.lit(0).cast("long")).alias(n) for n in names],
+    )
+
+
+#: Sobel gradient taps (image-processing convention, y increasing "down"
+#: is irrelevant here — the oracle and any consumer use the same taps).
+SOBEL = {
+    "gx": [(-1, -1, -1), (-1, 0, -2), (-1, 1, -1), (1, -1, 1), (1, 0, 2), (1, 1, 1)],
+    "gy": [(-1, -1, -1), (0, -1, -2), (1, -1, -1), (-1, 1, 1), (0, 1, 2), (1, 1, 1)],
+}
