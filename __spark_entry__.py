@@ -4427,6 +4427,55 @@ SELECT cx, cy, gx, gy, gx * gx + gy * gy AS g2 FROM g
 """
 
 
+# --- convex hull vertex set (operators/hull.py) -----------------------------
+# E-family addition: minimal convex container of each assembled way's
+# node set. Engine = Andrew monotone chain per row (strict turns, one
+# mapInPandas pass, no shuffle); oracle = the EXCLUSION definition (a
+# point is a hull vertex iff it is not on the closed segment of two
+# other points and not strictly inside a triangle of three others) —
+# a completely different algorithm with the same extreme-point set.
+# Output is the vertex SET (way_id, hx, hy): set semantics match both
+# the distributed merge law and the driver's sorted hash compare.
+def _q_convex_hull(spark, sf_dir):
+    from osm_hadoop_spark.operators.hull import convex_hull
+
+    return convex_hull(_ways_geom(spark, sf_dir))
+
+
+_ORACLE_HULL = f"""
+WITH nodes AS ({_NODES_SQL}), wn AS ({_WAY_NODES_SQL}),
+w AS (SELECT o_orderkey AS way_id FROM orders),
+j AS (
+  SELECT wn.way_id, CAST(n.lon AS BIGINT) AS x, CAST(n.lat AS BIGINT) AS y
+  FROM wn JOIN nodes n USING (node_id) JOIN w ON wn.way_id = w.way_id),
+elig AS (SELECT way_id FROM j GROUP BY way_id HAVING count(*) > 1),
+p AS (SELECT DISTINCT j.way_id, x, y FROM j JOIN elig USING (way_id)),
+seg AS (
+  SELECT DISTINCT p.way_id, p.x, p.y
+  FROM p
+  JOIN p a ON a.way_id = p.way_id AND (a.x <> p.x OR a.y <> p.y)
+  JOIN p b ON b.way_id = p.way_id AND (b.x <> p.x OR b.y <> p.y)
+  WHERE (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) = 0
+    AND p.x BETWEEN least(a.x, b.x) AND greatest(a.x, b.x)
+    AND p.y BETWEEN least(a.y, b.y) AND greatest(a.y, b.y)),
+tri AS (
+  SELECT DISTINCT p.way_id, p.x, p.y
+  FROM p
+  JOIN p a ON a.way_id = p.way_id
+  JOIN p b ON b.way_id = p.way_id
+  JOIN p c ON c.way_id = p.way_id
+  WHERE ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) > 0
+     AND (c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x) > 0
+     AND (a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x) > 0)
+     OR ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) < 0
+     AND (c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x) < 0
+     AND (a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x) < 0))
+SELECT way_id, x AS hx, y AS hy FROM p
+EXCEPT
+SELECT * FROM (SELECT * FROM seg UNION SELECT * FROM tri)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -4496,6 +4545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_blocks": _q_triangles,            # degree-ordered triangle join
         "focal_stats_3x3": _q_focal_stats,          # raster map-algebra focal window
         "gradient_sobel": _q_gradient,              # multi-kernel sparse convolution
+        "convex_hull_ways": _q_convex_hull,         # monotone chain vs exclusion oracle
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
@@ -4586,6 +4636,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_blocks": _ORACLE_TRIANGLES,
         "focal_stats_3x3": _ORACLE_FOCAL,
         "gradient_sobel": _ORACLE_GRADIENT,
+        "convex_hull_ways": _ORACLE_HULL,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "ann_sq8_topk": _ORACLE_ANN_SQ8,
