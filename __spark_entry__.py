@@ -1615,16 +1615,11 @@ def _oracle_geohash_points() -> str:
     )
 
 
-def _q_simplify_dp(spark, sf_dir):
-    """Douglas-Peucker simplification (operators/simplify.py) of 25
-    synthetic ways: x = vertex ordinal, y = parabola + integer zigzag
-    (every value an exact double in both engines), eps = 3.0. The oracle
-    REPLAYS the same recursion as a recursive CTE — split at the
-    first-max cr^2 interior point while cr^2 > 9.0 * len2 — so the kept
-    vertex set is compared exactly, not approximately."""
+def _dp_ways(spark, sf_dir):
+    """25 synthetic ways for the simplification family: x = vertex
+    ordinal, y = parabola + integer zigzag (every value an exact double
+    in both engines)."""
     from pyspark.sql import Window
-
-    from osm_hadoop_spark.operators.simplify import simplify_ways
 
     c = _t(spark, sf_dir, "customer").select("c_custkey")
     w = Window.partitionBy("way_id").orderBy("c_custkey")
@@ -1641,17 +1636,30 @@ def _q_simplify_dp(spark, sf_dir):
             "t",
         )
     )
-    ways = pts.groupBy("way_id").agg(
+    return pts.groupBy("way_id").agg(
         F.array_sort(F.collect_list(F.struct("t", "x", "y"))).alias("arr")
     ).select(
         "way_id",
         F.transform("arr", lambda s: s["x"]).alias("xs"),
         F.transform("arr", lambda s: s["y"]).alias("ys"),
     )
-    return simplify_ways(ways, eps=3.0)
 
 
-_ORACLE_SIMPLIFY_DP = """
+def _q_simplify_dp(spark, sf_dir):
+    """Douglas-Peucker simplification (operators/simplify.py) of the 25
+    `_dp_ways` polylines, eps = 3.0. The oracle REPLAYS the same
+    recursion as a recursive CTE — split at the first-max cr^2 interior
+    point while cr^2 > 9.0 * len2 — so the kept vertex set is compared
+    exactly, not approximately."""
+    from osm_hadoop_spark.operators.simplify import simplify_ways
+
+    return simplify_ways(_dp_ways(spark, sf_dir), eps=3.0)
+
+
+# shared DP-replay CTE (pts/ways/spans/kept) — the simplify oracle reads
+# the kept vertices; the Hausdorff oracle measures dropped-vertex error
+# against them.
+_DUCK_DP_CTE = """
 WITH RECURSIVE pts AS (
   SELECT CAST(c_custkey % 25 AS BIGINT) AS way_id,
          CAST(row_number() OVER (PARTITION BY c_custkey % 25 ORDER BY c_custkey) - 1 AS BIGINT) AS idx,
@@ -1695,10 +1703,65 @@ WITH RECURSIVE pts AS (
     SELECT way_id, i1 AS idx FROM spans
   )
 )
+"""
+
+_ORACLE_SIMPLIFY_DP = _DUCK_DP_CTE + """
 SELECT k.way_id,
        CAST(row_number() OVER (PARTITION BY k.way_id ORDER BY k.idx) - 1 AS BIGINT) AS ord,
        p.x, p.y
 FROM kept k JOIN pts p ON p.way_id = k.way_id AND p.idx = k.idx
+"""
+
+
+# --- directed Hausdorff simplification error (functions/geodesic.py) -------
+# h2 = max over ORIGINAL vertices of min squared distance to a KEPT
+# vertex — the standard (squared) error bound of the simplification.
+# Engine = one nested higher-order array expression per way row (no
+# Python, no extra shuffle beyond the kept-vertex regroup); oracle =
+# relational min/max over the exploded point sets, a different
+# evaluation order with identical exact-double results.
+def _q_simplify_hausdorff(spark, sf_dir):
+    from osm_hadoop_spark.functions.geodesic import directed_hausdorff2
+    from osm_hadoop_spark.operators.simplify import simplify_ways
+
+    ways = _dp_ways(spark, sf_dir)
+    kept = (
+        simplify_ways(ways, eps=3.0)
+        .groupBy("way_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("ord", "x", "y"))).alias("ka")
+        )
+        .select(
+            "way_id",
+            F.size("ka").cast("bigint").alias("n_kept"),
+            F.transform("ka", lambda s: s["x"]).alias("kxs"),
+            F.transform("ka", lambda s: s["y"]).alias("kys"),
+        )
+    )
+    return ways.join(kept, "way_id").select(
+        "way_id",
+        F.size("xs").cast("bigint").alias("n_orig"),
+        "n_kept",
+        directed_hausdorff2("xs", "ys", "kxs", "kys").alias("h2"),
+    )
+
+
+_ORACLE_HAUSDORFF = _DUCK_DP_CTE + """
+, mind AS (
+  SELECT p.way_id, p.idx,
+         min((p.x - kp.x) * (p.x - kp.x) + (p.y - kp.y) * (p.y - kp.y)) AS md2
+  FROM pts p
+  JOIN kept k ON k.way_id = p.way_id
+  JOIN pts kp ON kp.way_id = k.way_id AND kp.idx = k.idx
+  GROUP BY p.way_id, p.idx)
+SELECT m.way_id,
+       CAST(count(*) AS BIGINT) AS n_orig,
+       CAST(any_value(nk) AS BIGINT) AS n_kept,
+       max(m.md2) AS h2
+FROM mind m
+JOIN (SELECT way_id, count(*) AS nk FROM kept GROUP BY way_id) c
+  ON c.way_id = m.way_id
+GROUP BY m.way_id
 """
 
 
@@ -4546,6 +4609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_stats_3x3": _q_focal_stats,          # raster map-algebra focal window
         "gradient_sobel": _q_gradient,              # multi-kernel sparse convolution
         "convex_hull_ways": _q_convex_hull,         # monotone chain vs exclusion oracle
+        "simplify_hausdorff": _q_simplify_hausdorff,  # simplification error bound
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
@@ -4637,6 +4701,7 @@ def oracle_sql() -> dict[str, str]:
         "focal_stats_3x3": _ORACLE_FOCAL,
         "gradient_sobel": _ORACLE_GRADIENT,
         "convex_hull_ways": _ORACLE_HULL,
+        "simplify_hausdorff": _ORACLE_HAUSDORFF,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "ann_sq8_topk": _ORACLE_ANN_SQ8,

@@ -118,3 +118,32 @@ def duck_shoelace(expr: str, xs: str = "xs", ys: str = "ys", n: str = "n") -> st
         f"CAST(list_sum(list_transform(range(1, {n} + 1), "
         f"i -> CAST({body} AS BIGINT))) AS BIGINT)"
     )
+
+
+def directed_hausdorff2(xs: str, ys: str, qxs: str, qys: str) -> Column:
+    """Directed discrete Hausdorff distance, SQUARED: max over points of
+    (xs, ys) of the min squared euclidean distance to any point of
+    (qxs, qys).
+
+    Engine addition in the E-family (the reference's geometry stack stops
+    at envelope/intersects; Hausdorff is the standard error measure for
+    the simplification operator's output). Pure nested higher-order array
+    functions — whole-stage codegen, no Python, no shuffle: the metric is
+    evaluated per ROW over the already-assembled coordinate arrays.
+    Squared form keeps the arithmetic exact: with integer-valued (or
+    exactly-representable) doubles every difference, product and max/min
+    is exact below 2^53, so the DuckDB twin matches bit-for-bit.
+    """
+    q = F.arrays_zip(F.col(qxs).alias("x"), F.col(qys).alias("y"))
+
+    def min_d2(px: Column, py: Column) -> Column:
+        return F.array_min(
+            F.transform(
+                q,
+                lambda k: (px - k["x"]) * (px - k["x"])
+                + (py - k["y"]) * (py - k["y"]),
+            )
+        )
+
+    p = F.arrays_zip(F.col(xs).alias("x"), F.col(ys).alias("y"))
+    return F.array_max(F.transform(p, lambda pt: min_d2(pt["x"], pt["y"])))
