@@ -4490,6 +4490,61 @@ SELECT cx, cy, gx, gy, gx * gx + gy * gy AS g2 FROM g
 """
 
 
+# --- IDW interpolated surface (operators/idw.py) ----------------------------
+# A-family addition: fixed-point inverse-distance-weighted gridding of
+# the clustered sample points (same derivation as dbscan/kde, plus a
+# hashed integer sample value). Engine = per-point SCATTER (two
+# sequence-explodes, exact in-radius filter, one hash agg — no join);
+# oracle = cell-driven GATHER (distinct candidate cells CROSS JOIN all
+# points, filter, group) — opposite evaluation directions, identical
+# exact integers.
+_IDW_CELL, _IDW_R = 25, 60
+
+
+def _q_idw_surface(spark, sf_dir):
+    from osm_hadoop_spark.operators.idw import idw_grid
+    from osm_hadoop_spark.operators.textstats import h60
+
+    pts = _dbscan_points(spark, sf_dir).withColumn(
+        "v", h60(F.concat(F.lit("val"), F.col("id").cast("string"))) % 1000
+    )
+    return idw_grid(pts, cell_size=_IDW_CELL, radius=_IDW_R)
+
+
+def _oracle_idw() -> str:
+    q = 1 << 20
+    cell, r = _IDW_CELL, _IDW_R
+    rc = r // cell + 1
+    vv = _duck_h60("'val' || CAST(p_partkey AS VARCHAR)")
+    return f"""
+WITH pts AS (
+  SELECT {_duck_dbscan_coord('nx', 'cx', 'dx')} AS x,
+         {_duck_dbscan_coord('ny', 'cy', 'dy')} AS y,
+         {vv} % 1000 AS v
+  FROM part),
+cells AS (
+  SELECT DISTINCT
+         CAST(floor(CAST(x AS DOUBLE) / {cell}) AS BIGINT) + ox.d AS cx,
+         CAST(floor(CAST(y AS DOUBLE) / {cell}) AS BIGINT) + oy.d AS cy
+  FROM pts, range(-{rc}, {rc + 1}) ox(d), range(-{rc}, {rc + 1}) oy(d)),
+pairs AS (
+  SELECT c.cx, c.cy, p.v,
+         (2*p.x - (2*c.cx*{cell} + {cell})) * (2*p.x - (2*c.cx*{cell} + {cell}))
+       + (2*p.y - (2*c.cy*{cell} + {cell})) * (2*p.y - (2*c.cy*{cell} + {cell}))
+         AS d2q
+  FROM cells c CROSS JOIN pts p),
+ww AS (
+  SELECT cx, cy, v, {q} // (1 + d2q) AS w
+  FROM pairs WHERE d2q <= {4 * r * r})
+SELECT cx, cy,
+       CAST(count(*) AS BIGINT) AS npts,
+       CAST(sum(w) AS BIGINT) AS den,
+       CAST(sum(w * v) AS BIGINT) AS num,
+       CAST(sum(w * v) AS BIGINT) * 1024 // CAST(sum(w) AS BIGINT) AS val_q
+FROM ww GROUP BY cx, cy
+"""
+
+
 # --- convex hull vertex set (operators/hull.py) -----------------------------
 # E-family addition: minimal convex container of each assembled way's
 # node set. Engine = Andrew monotone chain per row (strict turns, one
@@ -4610,6 +4665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gradient_sobel": _q_gradient,              # multi-kernel sparse convolution
         "convex_hull_ways": _q_convex_hull,         # monotone chain vs exclusion oracle
         "simplify_hausdorff": _q_simplify_hausdorff,  # simplification error bound
+        "idw_surface": _q_idw_surface,              # scatter IDW vs gather oracle
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
@@ -4702,6 +4758,7 @@ def oracle_sql() -> dict[str, str]:
         "gradient_sobel": _ORACLE_GRADIENT,
         "convex_hull_ways": _ORACLE_HULL,
         "simplify_hausdorff": _ORACLE_HAUSDORFF,
+        "idw_surface": _oracle_idw(),
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "ann_sq8_topk": _ORACLE_ANN_SQ8,
