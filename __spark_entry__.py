@@ -4490,6 +4490,41 @@ SELECT cx, cy, gx, gy, gx * gx + gy * gy AS g2 FROM g
 """
 
 
+# --- passage chunking (operators/curation.py) -------------------------------
+# LLM-pipeline addition: overlapping 32-token windows (stride 24) over
+# the documents corpus — the passage construction step before embedding
+# or packing. Engine = single codegen stage (tokenize, sequence of
+# starts, explode, slice+array_join; no shuffle, no Python); oracle =
+# generate_series + list_slice in DuckDB over the same shared
+# whitespace tokenization.
+_CHUNK_N, _CHUNK_OV = 32, 8
+
+
+def _q_chunk_documents(spark, sf_dir):
+    from osm_hadoop_spark.operators.curation import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        chunk_tokens=_CHUNK_N,
+        overlap=_CHUNK_OV,
+    )
+
+
+_ORACLE_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+s AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, len(t) - 1, {_CHUNK_N - _CHUNK_OV})) AS st
+  FROM toks WHERE len(t) > 0)
+SELECT doc_id,
+       CAST(st // {_CHUNK_N - _CHUNK_OV} AS BIGINT) AS chunk_id,
+       CAST(least({_CHUNK_N}, len(t) - st) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(t, st + 1, st + {_CHUNK_N}), ' ') AS chunk_text
+FROM s
+"""
+
+
 # --- IDW interpolated surface (operators/idw.py) ----------------------------
 # A-family addition: fixed-point inverse-distance-weighted gridding of
 # the clustered sample points (same derivation as dbscan/kde, plus a
@@ -4666,6 +4701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull_ways": _q_convex_hull,         # monotone chain vs exclusion oracle
         "simplify_hausdorff": _q_simplify_hausdorff,  # simplification error bound
         "idw_surface": _q_idw_surface,              # scatter IDW vs gather oracle
+        "chunk_documents": _q_chunk_documents,      # passage windows, single stage
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
@@ -4759,6 +4795,7 @@ def oracle_sql() -> dict[str, str]:
         "convex_hull_ways": _ORACLE_HULL,
         "simplify_hausdorff": _ORACLE_HAUSDORFF,
         "idw_surface": _oracle_idw(),
+        "chunk_documents": _ORACLE_CHUNKS,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "ann_sq8_topk": _ORACLE_ANN_SQ8,

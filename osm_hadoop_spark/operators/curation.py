@@ -197,3 +197,51 @@ def pii_redact(documents: DataFrame, text_col: str = "pii_text") -> DataFrame:
         F.md5(redacted).alias("redacted_md5"),
         F.length(redacted).cast("bigint").alias("n_chars_redacted"),
     )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Overlapping fixed-size token windows per document — the passage
+    construction step every retrieval/training pipeline runs before
+    embedding or packing.
+
+    Windows start at 0, stride, 2*stride, ... (stride = chunk_tokens -
+    overlap) while the start is inside the token array; the last chunk
+    may be shorter. Tokens are the engine's shared whitespace
+    tokenization (textstats.tokens_col), re-joined with single spaces so
+    the chunk text is whitespace-normalized and deterministic across
+    engines. Empty documents produce zero chunks.
+
+    Plan: one projection computes the token array and the start
+    sequence, one explode emits the windows, `slice` + `array_join`
+    build each chunk — all JVM built-ins in a single whole-stage-codegen
+    stage, NO shuffle and NO Python. Row amplification is
+    ceil(n_tokens / stride) per document, the output's intrinsic size.
+    """
+    if chunk_tokens <= 0 or not 0 <= overlap < chunk_tokens:
+        raise ValueError("need chunk_tokens > 0 and 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_col(text)
+    starts = F.when(
+        F.size(toks) == 0, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride)))
+    return (
+        documents.select(
+            F.col(doc_id), toks.alias("_toks"), F.explode(starts).alias("_s")
+        )
+        .select(
+            doc_id,
+            (F.col("_s") / stride).cast("bigint").alias("chunk_id"),
+            F.least(
+                F.lit(chunk_tokens), F.size("_toks") - F.col("_s")
+            ).cast("bigint").alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("_s") + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+        )
+    )
