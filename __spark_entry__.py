@@ -4490,6 +4490,73 @@ SELECT cx, cy, gx, gy, gx * gx + gy * gy AS g2 FROM g
 """
 
 
+# --- way diameter via hull reduction (operators/hull.py) --------------------
+# E-family addition: squared diameter (farthest point pair) per way.
+# Engine = convex hull FIRST, then an O(h^2) JVM max-pair over the tiny
+# hull vertex set — the scale plan, since h << n and the diameter is
+# attained at hull vertices; oracle = max over ALL point pairs with no
+# hull anywhere. Their equality is itself the proof that the hull
+# reduction is lossless.
+def _q_way_diameter(spark, sf_dir):
+    from osm_hadoop_spark.operators.hull import convex_hull
+
+    hv = convex_hull(_ways_geom(spark, sf_dir))
+    arr = hv.groupBy("way_id").agg(
+        F.collect_list(F.struct("hx", "hy")).alias("a")
+    )
+    d2 = lambda p, q: (p["hx"] - q["hx"]) * (p["hx"] - q["hx"]) + (  # noqa: E731
+        p["hy"] - q["hy"]
+    ) * (p["hy"] - q["hy"])
+    return arr.select(
+        "way_id",
+        F.array_max(
+            F.transform(
+                "a",
+                lambda p: F.array_max(F.transform("a", lambda q: d2(p, q))),
+            )
+        ).alias("diam2"),
+    )
+
+
+_ORACLE_DIAMETER = f"""
+WITH nodes AS ({_NODES_SQL}), wn AS ({_WAY_NODES_SQL}),
+w AS (SELECT o_orderkey AS way_id FROM orders),
+j AS (
+  SELECT wn.way_id, CAST(n.lon AS BIGINT) AS x, CAST(n.lat AS BIGINT) AS y
+  FROM wn JOIN nodes n USING (node_id) JOIN w ON wn.way_id = w.way_id),
+elig AS (SELECT way_id FROM j GROUP BY way_id HAVING count(*) > 1)
+SELECT j1.way_id,
+       max((j1.x - j2.x) * (j1.x - j2.x) + (j1.y - j2.y) * (j1.y - j2.y))
+         AS diam2
+FROM j j1 JOIN j j2 ON j1.way_id = j2.way_id
+JOIN elig ON elig.way_id = j1.way_id
+GROUP BY j1.way_id
+"""
+
+
+# --- spatial difference: points outside every zone ---------------------------
+# E8 complement (spatial anti-join): the points NOT contained by any
+# boundary triangle. Engine = left ANTI join of the point set against
+# the pip pair stream; oracle = NOT EXISTS over the ray-crossing test.
+def _q_pip_outside(spark, sf_dir):
+    pts = _points(spark, sf_dir).select("point_id")
+    return pts.join(_q_pip(spark, sf_dir), "point_id", "left_anti")
+
+
+_ORACLE_PIP_OUTSIDE = f"""
+WITH tri AS ({_TRI_SQL}),
+p AS (SELECT point_id, lon + 0.25 AS px, lat + 0.125 AS py FROM ({_POINTS_SQL}))
+SELECT point_id FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM tri
+  WHERE (
+    {_duck_edge_cross('cx', 'cy+12', 'cx-16', 'cy-8')}
+    + {_duck_edge_cross('cx-16', 'cy-8', 'cx+20', 'cy-4')}
+    + {_duck_edge_cross('cx+20', 'cy-4', 'cx', 'cy+12')}
+  ) % 2 = 1)
+"""
+
+
 # --- passage chunking (operators/curation.py) -------------------------------
 # LLM-pipeline addition: overlapping 32-token windows (stride 24) over
 # the documents corpus — the passage construction step before embedding
@@ -4702,6 +4769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_hausdorff": _q_simplify_hausdorff,  # simplification error bound
         "idw_surface": _q_idw_surface,              # scatter IDW vs gather oracle
         "chunk_documents": _q_chunk_documents,      # passage windows, single stage
+        "way_diameter": _q_way_diameter,            # hull-reduced farthest pair
+        "pip_outside": _q_pip_outside,              # spatial anti-join
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
@@ -4796,6 +4865,8 @@ def oracle_sql() -> dict[str, str]:
         "simplify_hausdorff": _ORACLE_HAUSDORFF,
         "idw_surface": _oracle_idw(),
         "chunk_documents": _ORACLE_CHUNKS,
+        "way_diameter": _ORACLE_DIAMETER,
+        "pip_outside": _ORACLE_PIP_OUTSIDE,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "ann_sq8_topk": _ORACLE_ANN_SQ8,
