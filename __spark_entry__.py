@@ -4490,6 +4490,40 @@ SELECT cx, cy, gx, gy, gx * gx + gy * gy AS g2 FROM g
 """
 
 
+# --- Pareto skyline (operators/skyline.py) ----------------------------------
+# Multi-criteria addition: the dominance frontier (minimize both axes)
+# of a hashed cost/distance tradeoff cloud. Engine = ONE global sort +
+# two RANGE-frame window minima on the same order (exactly one
+# Exchange, plan-asserted); oracle = the NOT EXISTS dominance
+# definition — a quadratic scan, a different algorithm entirely.
+def _q_pareto_skyline(spark, sf_dir):
+    from osm_hadoop_spark.operators.skyline import pareto_skyline
+    from osm_hadoop_spark.operators.textstats import h60
+
+    pk = F.col("p_partkey")
+    s = pk.cast("string")
+    pts = _t(spark, sf_dir, "part").select(
+        pk.alias("id"),
+        (h60(F.concat(F.lit("sx"), s)) % 10000).alias("x"),
+        (h60(F.concat(F.lit("sy"), s)) % 10000).alias("y"),
+    )
+    return pareto_skyline(pts)
+
+
+_ORACLE_SKYLINE = f"""
+WITH pts AS (
+  SELECT p_partkey AS id,
+         {_duck_h60("'sx' || CAST(p_partkey AS VARCHAR)")} % 10000 AS x,
+         {_duck_h60("'sy' || CAST(p_partkey AS VARCHAR)")} % 10000 AS y
+  FROM part)
+SELECT id, x, y FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.id <> a.id AND b.x <= a.x AND b.y <= a.y
+    AND (b.x < a.x OR b.y < a.y))
+"""
+
+
 # --- way diameter via hull reduction (operators/hull.py) --------------------
 # E-family addition: squared diameter (farthest point pair) per way.
 # Engine = convex hull FIRST, then an O(h^2) JVM max-pair over the tiny
@@ -4770,6 +4804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_surface": _q_idw_surface,              # scatter IDW vs gather oracle
         "chunk_documents": _q_chunk_documents,      # passage windows, single stage
         "way_diameter": _q_way_diameter,            # hull-reduced farthest pair
+        "pareto_skyline": _q_pareto_skyline,        # single-sort dominance frontier
         "pip_outside": _q_pip_outside,              # spatial anti-join
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
@@ -4866,6 +4901,7 @@ def oracle_sql() -> dict[str, str]:
         "idw_surface": _oracle_idw(),
         "chunk_documents": _ORACLE_CHUNKS,
         "way_diameter": _ORACLE_DIAMETER,
+        "pareto_skyline": _ORACLE_SKYLINE,
         "pip_outside": _ORACLE_PIP_OUTSIDE,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
