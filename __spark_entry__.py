@@ -4490,6 +4490,58 @@ SELECT cx, cy, gx, gy, gx * gx + gy * gy AS g2 FROM g
 """
 
 
+# --- hexagonal binning (functions/hexgrid.py) --------------------------------
+# E11-family addition (the H3 side of the north rule, from scratch like
+# the S2 family): nearest-offset-lattice-center hex cell per point, then
+# density per cell. Engine = ONE projection (4-candidate inline struct
+# array + array_min, proof of sufficiency in the module docstring) + one
+# hash agg; oracle = a 5x5 WIDE candidate scan with row_number argmin —
+# a superset search that also re-proves the 4-candidate bound on the
+# driver data.
+def _q_hex_density(spark, sf_dir):
+    from osm_hadoop_spark.functions.hexgrid import hex_cell_cols
+
+    pts = _dbscan_points(spark, sf_dir)
+    c = hex_cell_cols(F.col("x"), F.col("y"))
+    return (
+        pts.select(c["hr"].alias("hr"), c["hc"].alias("hc"))
+        .groupBy("hr", "hc")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _oracle_hex() -> str:
+    from osm_hadoop_spark.functions.hexgrid import HEX_SX, HEX_SY
+
+    sx, sy, half = HEX_SX, HEX_SY, HEX_SX // 2
+    return f"""
+WITH pts AS (
+  SELECT p_partkey AS id,
+         {_duck_dbscan_coord('nx', 'cx', 'dx')} AS x,
+         {_duck_dbscan_coord('ny', 'cy', 'dy')} AS y
+  FROM part),
+cand AS (
+  SELECT p.id,
+         CAST(floor(CAST(p.y AS DOUBLE) / {sy}) AS BIGINT) + dr.d AS r,
+         CAST(floor(CAST(p.x - (CASE WHEN (CAST(floor(CAST(p.y AS DOUBLE) / {sy}) AS BIGINT) + dr.d) % 2 <> 0
+                                     THEN {half} ELSE 0 END) AS DOUBLE) / {sx}) AS BIGINT) + dc.d AS c,
+         p.x, p.y
+  FROM pts p, range(-2, 3) dr(d), range(-2, 3) dc(d)),
+scored AS (
+  SELECT id, r, c,
+         (x - (c * {sx} + CASE WHEN r % 2 <> 0 THEN {half} ELSE 0 END))
+       * (x - (c * {sx} + CASE WHEN r % 2 <> 0 THEN {half} ELSE 0 END))
+       + (y - r * {sy}) * (y - r * {sy}) AS d2
+  FROM cand),
+best AS (
+  SELECT id, r, c,
+         row_number() OVER (PARTITION BY id ORDER BY d2, r, c) AS rn
+  FROM scored)
+SELECT r AS hr, c AS hc, CAST(count(*) AS BIGINT) AS n
+FROM best WHERE rn = 1 GROUP BY r, c
+"""
+
+
 # --- Pareto skyline (operators/skyline.py) ----------------------------------
 # Multi-criteria addition: the dominance frontier (minimize both axes)
 # of a hashed cost/distance tradeoff cloud. Engine = ONE global sort +
@@ -4805,6 +4857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,      # passage windows, single stage
         "way_diameter": _q_way_diameter,            # hull-reduced farthest pair
         "pareto_skyline": _q_pareto_skyline,        # single-sort dominance frontier
+        "hex_bin_density": _q_hex_density,          # from-scratch hex cell index
         "pip_outside": _q_pip_outside,              # spatial anti-join
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
@@ -4902,6 +4955,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _ORACLE_CHUNKS,
         "way_diameter": _ORACLE_DIAMETER,
         "pareto_skyline": _ORACLE_SKYLINE,
+        "hex_bin_density": _oracle_hex(),
         "pip_outside": _ORACLE_PIP_OUTSIDE,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,

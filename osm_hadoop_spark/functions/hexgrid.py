@@ -1,0 +1,64 @@
+"""Hexagonal binning: nearest-center assignment on an offset lattice.
+
+The north rule asks for H3/S2-style cell indexing; the S2 family is
+implemented from scratch (functions/s2.py), and this module adds the
+HEXAGONAL side the same way — no h3 library in the container, so the
+hex grid is defined from first principles: centers on an offset integer
+lattice (odd rows shifted half a column), cells = the Voronoi regions
+of those centers, which are hexagons whenever sy >= sx / sqrt(3).
+Everything stays in exact int64 arithmetic — no trig, no floats — so a
+DuckDB twin reproduces every assignment bit-for-bit.
+
+Center (c, r) sits at (c * sx + (r & 1) * sx/2,  r * sy). A point's
+nearest center is provably among 4 candidates — rows {r0, r0+1} with
+r0 = floor(py / sy), and in each row cols {c0, c0+1} with c0 =
+floor((px - off_r) / sx):
+
+  proof sketch: within a row the nearest column is one of the two
+  flooring neighbors (1-D); across rows, any center in row r0 - 1 (or
+  r0 + 2) is at least sy away vertically, while the best of rows
+  {r0, r0+1} is within sqrt((sx/2)^2 + (sy/2)^2) — so the far row can
+  only win if sy^2 < (sx/2)^2 + (sy/2)^2, i.e. sy < sx / sqrt(3),
+  exactly the regime excluded by the hexagonal-lattice condition.
+
+Ties (equidistant centers — points on cell edges) break by the
+lexicographic (d2, r, c) struct minimum, pinned in tests and mirrored
+in the oracle's ORDER BY. The assignment is ONE whole-stage-codegen
+projection: a 4-element inline struct array + array_min — no explode,
+no join, no shuffle, no Python. The (r, c) pair is the hex cell id;
+density is a plain hash agg on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HEX_SX, HEX_SY = 16, 14  # sy >= sx/sqrt(3) = 9.24 — hexagonal regime
+
+
+def hex_cell_cols(
+    px: Column, py: Column, sx: int = HEX_SX, sy: int = HEX_SY
+) -> dict[str, Column]:
+    """Nearest hex center of integer point (px, py) -> {hr, hc, d2}."""
+    if sx % 2 or sx <= 0 or sy <= 0:
+        raise ValueError("sx must be positive even, sy positive")
+    if 4 * sy * sy < sx * sx + sy * sy:  # sy < sx/sqrt(3)
+        raise ValueError("lattice not hexagonal: need sy >= sx/sqrt(3)")
+    px = px.cast("bigint")
+    py = py.cast("bigint")
+    r0 = F.floor(py.cast("double") / sy).cast("bigint")
+
+    def cand(dr: int, dc: int) -> Column:
+        r = r0 + dr
+        off = (r % 2 != 0).cast("bigint") * (sx // 2)
+        c = F.floor((px - off).cast("double") / sx).cast("bigint") + dc
+        cx = c * sx + off
+        cy = r * sy
+        d2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
+        return F.struct(d2.alias("d2"), r.alias("hr"), c.alias("hc"))
+
+    best = F.array_min(
+        F.array(cand(0, 0), cand(0, 1), cand(1, 0), cand(1, 1))
+    )
+    return {"hr": best["hr"], "hc": best["hc"], "d2": best["d2"]}

@@ -1,0 +1,76 @@
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from osm_hadoop_spark.functions.hexgrid import HEX_SX, HEX_SY, hex_cell_cols
+
+
+def _brute_nearest(px, py, sx=HEX_SX, sy=HEX_SY, reach=4):
+    """Scan a WIDE center neighborhood (superset of the operator's 4
+    candidates) with the same (d2, r, c) tie-break."""
+    r0 = py // sy
+    best = None
+    for r in range(r0 - reach, r0 + reach + 1):
+        off = (sx // 2) if r % 2 else 0
+        c0 = (px - off) // sx
+        for c in range(c0 - reach, c0 + reach + 1):
+            cx, cy = c * sx + off, r * sy
+            d2 = (px - cx) ** 2 + (py - cy) ** 2
+            k = (d2, r, c)
+            if best is None or k < best:
+                best = k
+    return (best[1], best[2], best[0])
+
+
+def _run(spark, pts):
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "i: long, px: long, py: long"
+    )
+    c = hex_cell_cols(F.col("px"), F.col("py"))
+    out = df.select("i", c["hr"].alias("hr"), c["hc"].alias("hc"), c["d2"].alias("d2"))
+    return {r["i"]: (r["hr"], r["hc"], r["d2"]) for r in out.collect()}
+
+
+def test_hex_assignment_matches_wide_scan(spark):
+    rng = random.Random(17)
+    pts = [(rng.randrange(-300, 300), rng.randrange(-300, 300)) for _ in range(300)]
+    got = _run(spark, pts)
+    for i, (px, py) in enumerate(pts):
+        assert got[i] == _brute_nearest(px, py), (px, py)
+
+
+def test_hex_ties_and_centers(spark):
+    # a center maps to itself with d2 = 0; an edge midpoint between two
+    # centers resolves by the lexicographic (d2, r, c) tie-break
+    pts = [(0, 0), (HEX_SX, 0), (HEX_SX // 2, 0)]
+    got = _run(spark, pts)
+    assert got[0] == (0, 0, 0)
+    assert got[1] == (0, 1, 0)
+    assert got[2] == _brute_nearest(HEX_SX // 2, 0)
+    assert got[2][:2] == (0, 0)  # tie -> smaller column wins
+
+
+def test_hex_negative_coordinates(spark):
+    pts = [(-1, -1), (-HEX_SX, -HEX_SY), (-100, 37)]
+    got = _run(spark, pts)
+    for i, (px, py) in enumerate(pts):
+        assert got[i] == _brute_nearest(px, py), (px, py)
+
+
+def test_hex_rejects_non_hexagonal_lattice(spark):
+    with pytest.raises(ValueError):
+        hex_cell_cols(F.col("px"), F.col("py"), sx=16, sy=9)  # sy < sx/sqrt(3)
+    with pytest.raises(ValueError):
+        hex_cell_cols(F.col("px"), F.col("py"), sx=15, sy=14)  # odd sx
+
+
+def test_hex_plan_is_single_projection(spark):
+    df = spark.createDataFrame([(1, 2)], "px: long, py: long")
+    c = hex_cell_cols(F.col("px"), F.col("py"))
+    plan = (
+        df.select(c["hr"], c["hc"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan and "Generate" not in plan
