@@ -4510,7 +4510,9 @@ def _q_hex_density(spark, sf_dir):
     )
 
 
-def _oracle_hex() -> str:
+def _duck_hex_cnt_cte() -> str:
+    """Shared hex-assignment CTE: per-cell point counts via the 5x5
+    wide-scan argmin (ends with a `cnt(hr, hc, n)` relation)."""
     from osm_hadoop_spark.functions.hexgrid import HEX_SX, HEX_SY
 
     sx, sy, half = HEX_SX, HEX_SY, HEX_SX // 2
@@ -4536,10 +4538,55 @@ scored AS (
 best AS (
   SELECT id, r, c,
          row_number() OVER (PARTITION BY id ORDER BY d2, r, c) AS rn
-  FROM scored)
-SELECT r AS hr, c AS hc, CAST(count(*) AS BIGINT) AS n
-FROM best WHERE rn = 1 GROUP BY r, c
+  FROM scored),
+cnt AS (
+  SELECT r AS hr, c AS hc, CAST(count(*) AS BIGINT) AS n
+  FROM best WHERE rn = 1 GROUP BY r, c)
 """
+
+
+def _oracle_hex() -> str:
+    return _duck_hex_cnt_cte() + "SELECT hr, hc, n FROM cnt"
+
+
+def _oracle_hex_smooth() -> str:
+    # gather form of the ring-1 smoothing: occupied cells self-joined on
+    # the parity-aware adjacency PREDICATE (the engine scatters through
+    # an explicit neighbor array instead)
+    return _duck_hex_cnt_cte() + """
+SELECT a.hr, a.hc,
+       CAST(any_value(a.n) AS BIGINT) AS n,
+       CAST(sum(b.n) AS BIGINT) AS sm
+FROM cnt a JOIN cnt b ON (
+     (b.hr = a.hr AND abs(b.hc - a.hc) <= 1)
+  OR (abs(b.hr - a.hr) = 1
+      AND b.hc - a.hc + (CASE WHEN a.hr % 2 <> 0 THEN 0 ELSE 1 END) IN (0, 1))
+)
+GROUP BY a.hr, a.hc
+"""
+
+
+# ring-1 hex smoothing: scatter each occupied cell's count to its
+# 7-cell neighborhood (functions/hexgrid.py::hex_neighbors), sum, and
+# keep occupied cells — the hex analog of the focal/KDE family.
+def _q_hex_smooth(spark, sf_dir):
+    from osm_hadoop_spark.functions.hexgrid import hex_cell_cols, hex_neighbors
+
+    pts = _dbscan_points(spark, sf_dir)
+    c = hex_cell_cols(F.col("x"), F.col("y"))
+    cnt = (
+        pts.select(c["hr"].alias("hr"), c["hc"].alias("hc"))
+        .groupBy("hr", "hc")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    halo = (
+        cnt.select(
+            F.explode(hex_neighbors(F.col("hr"), F.col("hc"))).alias("t"), "n"
+        )
+        .groupBy(F.col("t.hr").alias("hr"), F.col("t.hc").alias("hc"))
+        .agg(F.sum("n").alias("sm"))
+    )
+    return cnt.join(halo, ["hr", "hc"]).select("hr", "hc", "n", "sm")
 
 
 # --- Pareto skyline (operators/skyline.py) ----------------------------------
@@ -4858,6 +4905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_diameter": _q_way_diameter,            # hull-reduced farthest pair
         "pareto_skyline": _q_pareto_skyline,        # single-sort dominance frontier
         "hex_bin_density": _q_hex_density,          # from-scratch hex cell index
+        "hex_smooth_density": _q_hex_smooth,        # ring-1 hex neighborhood sum
         "pip_outside": _q_pip_outside,              # spatial anti-join
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
@@ -4956,6 +5004,7 @@ def oracle_sql() -> dict[str, str]:
         "way_diameter": _ORACLE_DIAMETER,
         "pareto_skyline": _ORACLE_SKYLINE,
         "hex_bin_density": _oracle_hex(),
+        "hex_smooth_density": _oracle_hex_smooth(),
         "pip_outside": _ORACLE_PIP_OUTSIDE,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,

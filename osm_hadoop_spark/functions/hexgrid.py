@@ -62,3 +62,31 @@ def hex_cell_cols(
         F.array(cand(0, 0), cand(0, 1), cand(1, 0), cand(1, 1))
     )
     return {"hr": best["hr"], "hc": best["hc"], "d2": best["d2"]}
+
+
+def hex_neighbors(hr: Column, hc: Column) -> Column:
+    """Ring-1 neighborhood of offset-lattice hex cell (hr, hc): the cell
+    itself + its 6 adjacent hexes, as an array<struct<hr, hc>>.
+
+    Offset-coordinate adjacency depends on row parity: same-row
+    neighbors are c +- 1; the two cells in each adjacent row are
+    (c - 1, c) for EVEN rows and (c, c + 1) for ODD rows (odd rows sit
+    half a column to the right). Pure inline array construction — the
+    hex analog of the quadkey index's grid_disk (functions/tiles.py).
+    """
+    hr = hr.cast("bigint")
+    hc = hc.cast("bigint")
+    odd = (hr % 2 != 0).cast("bigint")  # works for negative rows too
+
+    def cell(r: Column, c: Column) -> Column:
+        return F.struct(r.alias("hr"), c.alias("hc"))
+
+    return F.array(
+        cell(hr, hc),
+        cell(hr, hc - 1),
+        cell(hr, hc + 1),
+        cell(hr - 1, hc - 1 + odd),
+        cell(hr - 1, hc + odd),
+        cell(hr + 1, hc - 1 + odd),
+        cell(hr + 1, hc + odd),
+    )

@@ -74,3 +74,35 @@ def test_hex_plan_is_single_projection(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan and "Generate" not in plan
+
+
+def test_hex_neighbors_parity_and_symmetry(spark):
+    from osm_hadoop_spark.functions.hexgrid import hex_neighbors
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (-1, 2), (-2, -3), (5, 7)], "hr: long, hc: long"
+    )
+    out = {
+        (r["hr"], r["hc"]): [(n["hr"], n["hc"]) for n in r["nb"]]
+        for r in df.select("hr", "hc",
+                           hex_neighbors(F.col("hr"), F.col("hc")).alias("nb")
+                           ).collect()
+    }
+    # hand-derived offset adjacency: even row -> (c-1, c) above/below,
+    # odd row -> (c, c+1)
+    assert set(out[(0, 0)]) == {(0, 0), (0, -1), (0, 1),
+                                (-1, -1), (-1, 0), (1, -1), (1, 0)}
+    assert set(out[(1, 0)]) == {(1, 0), (1, -1), (1, 1),
+                                (0, 0), (0, 1), (2, 0), (2, 1)}
+    assert set(out[(-1, 2)]) == {(-1, 2), (-1, 1), (-1, 3),
+                                 (-2, 2), (-2, 3), (0, 2), (0, 3)}
+    for cell, nb in out.items():
+        assert len(set(nb)) == 7
+        # symmetry: b in N(a) <=> a in N(b)
+        for b in nb:
+            if b == cell:
+                continue
+            bdf = spark.createDataFrame([b], "hr: long, hc: long")
+            bn = bdf.select(hex_neighbors(F.col("hr"), F.col("hc")).alias("nb")
+                            ).collect()[0]["nb"]
+            assert cell in [(n["hr"], n["hc"]) for n in bn], (cell, b)
