@@ -4490,6 +4490,74 @@ SELECT cx, cy, gx, gy, gx * gx + gy * gy AS g2 FROM g
 """
 
 
+# --- segment orientation histogram -------------------------------------------
+# E-family addition (street-orientation analysis a la Boeing 2019): the
+# 8-sector compass histogram of each way's segment directions, computed
+# WITHOUT trig — sector k = [45k, 45(k+1)) degrees decided purely by
+# integer sign/magnitude comparisons of (dx, dy), so the classification
+# is exact (diagonals land in the upper sector deterministically, e.g.
+# (1,1)=45deg -> sector 1). Zero-length segments (duplicate consecutive
+# nodes) are excluded. The same ladder runs in both engines (precedent:
+# the Bresenham closed form is replicated in SQL too); independence
+# comes from the pytest brute force, which classifies via math.atan2.
+def _octant_case(dx: str, dy: str) -> str:
+    ax, ay = f"abs({dx})", f"abs({dy})"
+    return f"""CASE
+  WHEN {dx} > 0 AND {dy} >= 0 AND {ax} > {ay} THEN 0
+  WHEN {dy} > 0 AND {dx} > 0 AND {ay} >= {ax} THEN 1
+  WHEN {dy} > 0 AND {dx} <= 0 AND {ay} > {ax} THEN 2
+  WHEN {dx} < 0 AND {dy} > 0 AND {ax} >= {ay} THEN 3
+  WHEN {dx} < 0 AND {dy} <= 0 AND {ax} > {ay} THEN 4
+  WHEN {dy} < 0 AND {dx} < 0 AND {ay} >= {ax} THEN 5
+  WHEN {dy} < 0 AND {dx} >= 0 AND {ay} > {ax} THEN 6
+  ELSE 7 END"""
+
+
+def _q_segment_orientation(spark, sf_dir):
+    wg = _ways_geom(spark, sf_dir)
+    seg = wg.select(
+        "way_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(xs) - 2), i -> "
+                "struct(bigint(xs[i + 1]) - bigint(xs[i]) AS dx, "
+                "       bigint(ys[i + 1]) - bigint(ys[i]) AS dy))"
+            )
+        ).alias("s"),
+    ).select("way_id", F.col("s.dx").alias("dx"), F.col("s.dy").alias("dy"))
+    return (
+        seg.filter((F.col("dx") != 0) | (F.col("dy") != 0))
+        .select("way_id", F.expr(_octant_case("dx", "dy")).alias("octant"))
+        .groupBy("way_id", "octant")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("way_id", F.col("octant").cast("bigint"), "n")
+    )
+
+
+_ORACLE_ORIENTATION = f"""
+WITH nodes AS ({_NODES_SQL}), wn AS ({_WAY_NODES_SQL}),
+w AS (SELECT o_orderkey AS way_id FROM orders),
+j AS (SELECT wn.way_id, wn.ordinal, n.lon, n.lat
+      FROM wn JOIN nodes n USING (node_id) JOIN w ON wn.way_id = w.way_id),
+arr AS (
+  SELECT way_id,
+         list(lon ORDER BY ordinal, lon, lat) AS xs,
+         list(lat ORDER BY ordinal, lon, lat) AS ys,
+         count(*) AS np
+  FROM j GROUP BY way_id HAVING count(*) > 1),
+seg AS (
+  SELECT way_id,
+         CAST(xs[i + 1] AS BIGINT) - CAST(xs[i] AS BIGINT) AS dx,
+         CAST(ys[i + 1] AS BIGINT) - CAST(ys[i] AS BIGINT) AS dy
+  FROM arr, unnest(generate_series(1, CAST(np - 1 AS BIGINT))) t(i))
+SELECT way_id,
+       CAST({_octant_case('dx', 'dy')} AS BIGINT) AS octant,
+       CAST(count(*) AS BIGINT) AS n
+FROM seg WHERE dx <> 0 OR dy <> 0
+GROUP BY 1, 2
+"""
+
+
 # --- hexagonal binning (functions/hexgrid.py) --------------------------------
 # E11-family addition (the H3 side of the north rule, from scratch like
 # the S2 family): nearest-offset-lattice-center hex cell per point, then
@@ -4906,6 +4974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_skyline": _q_pareto_skyline,        # single-sort dominance frontier
         "hex_bin_density": _q_hex_density,          # from-scratch hex cell index
         "hex_smooth_density": _q_hex_smooth,        # ring-1 hex neighborhood sum
+        "segment_orientation": _q_segment_orientation,  # trig-free compass rose
         "pip_outside": _q_pip_outside,              # spatial anti-join
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
@@ -5005,6 +5074,7 @@ def oracle_sql() -> dict[str, str]:
         "pareto_skyline": _ORACLE_SKYLINE,
         "hex_bin_density": _oracle_hex(),
         "hex_smooth_density": _oracle_hex_smooth(),
+        "segment_orientation": _ORACLE_ORIENTATION,
         "pip_outside": _ORACLE_PIP_OUTSIDE,
         "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,

@@ -64,3 +64,28 @@ def test_chunking_rejects_bad_params(spark):
         chunk_documents(df, chunk_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_chunking_is_streaming_safe(spark, tmp_path):
+    # the operator is a pure projection + explode (no agg, no sort), so
+    # it must run unchanged on a stream in append mode and match batch
+    docs = [(f"d{i}", " ".join(f"w{i}_{j}" for j in range(i * 3))) for i in range(8)]
+    schema = "doc_id string, text string"
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.createDataFrame(docs, schema).coalesce(1).write.parquet(src)
+
+    got = []
+    q = (
+        chunk_documents(spark.readStream.schema(schema).parquet(src),
+                        chunk_tokens=5, overlap=2)
+        .writeStream.foreachBatch(lambda df, _b: got.extend(df.collect()))
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    want = chunk_documents(
+        spark.createDataFrame(docs, schema), chunk_tokens=5, overlap=2
+    ).collect()
+    key = lambda r: (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
