@@ -2312,6 +2312,36 @@ SELECT doc_a, doc_b, inter, uni FROM pairs WHERE inter * 10 >= uni * 3
 """
 
 
+# EXACT set-similarity self-join (PPJoin-family prefix filter): complete
+# recall by the smallest-common-shingle lemma (proof in
+# operators/dedup.py::prefix_jaccard_pairs). Oracle = the FULL quadratic
+# ground truth with NO pruning at all — the green row certifies that the
+# prefix filter drops nothing.
+def _q_jaccard_join_exact(spark, sf_dir):
+    from osm_hadoop_spark.operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), t_num=3, t_den=10
+    ).select(
+        "doc_a", "doc_b",
+        F.col("inter").cast("bigint").alias("inter"),
+        F.col("uni").cast("bigint").alias("uni"),
+    )
+
+
+_ORACLE_JACCARD_EXACT = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM toks),
+shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
+  FROM shf a JOIN shf b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, inter, uni FROM pairs WHERE inter * 10 >= uni * 3
+"""
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from osm_hadoop_spark.operators.dedup import minhash_lsh_pairs
 
@@ -4950,6 +4980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "jaccard_join_exact": _q_jaccard_join_exact,  # PPJoin prefix filter, complete recall
         "dedup_clusters": _q_dedup_clusters,        # pairs -> components (large/small-star)
         "dbscan_hotspots": _q_dbscan_clusters,      # exact grid DBSCAN (density clustering)
         "kde_hotspots": _q_kde_hotspots,            # separable integer-kernel density grid
@@ -5050,6 +5081,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_ngram_jaccard": _ORACLE_DEDUP_JACCARD,
         "dedup_minhash_lsh": _ORACLE_DEDUP_MINHASH,
+        "jaccard_join_exact": _ORACLE_JACCARD_EXACT,
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         "dbscan_hotspots": _ORACLE_DBSCAN,
         "kde_hotspots": _ORACLE_KDE,

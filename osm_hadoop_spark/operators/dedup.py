@@ -277,3 +277,64 @@ def simhash_pairs(documents: DataFrame, bits: int = 16, max_hamming: int = 2) ->
     return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def prefix_jaccard_pairs(
+    documents: DataFrame, t_num: int = 3, t_den: int = 10, k: int = 3
+) -> DataFrame:
+    """EXACT Jaccard(word-k-gram sets) >= t self-join via prefix
+    filtering (the PPJoin family, Chaudhuri et al. ICDE'06 / Xiao et al.
+    WWW'08) — complete recall, unlike ngram_jaccard_pairs' 1-band block
+    or minhash_lsh_pairs' probabilistic buckets.
+
+    Completeness: shingles_col returns each set SORTED by shingle hash —
+    one consistent global total order. With prefix length
+    p(s) = |s| - ceil(t*|s|) + 1, any pair with J >= t shares its
+    SMALLEST common shingle inside both prefixes: the intersection has
+    >= ceil(t*|A|) elements, all ordered at-or-after the smallest one,
+    so that element sits at position <= |A| - ceil(t*|A|) + 1 = p(A)
+    (and symmetrically for B). Candidates = equi-join on exploded
+    prefix shingles; verify = the same exact integer cross-multiplied
+    overlap test as the other families.
+
+    Plan: the shingle projection is computed ONCE — all three consumers
+    (prefix explode, both verify sides) read the same repartition
+    exchange, so ReuseExchange collapses the md5-heavy subtree (same
+    trick as ngram_jaccard_pairs, measured there). The candidate join
+    ships only (shingle, doc_id) int pairs; full sets are joined back
+    for candidates only (the minhash survivor shape). Prefix length
+    shrinks as t grows — at t=0.9 the prefix is ~10% of the set, which
+    is what makes this exact join viable at corpus scale.
+    """
+    docs = (
+        _spread(documents.filter(F.size(tokens_col()) >= k))
+        .select(F.col("doc_id"), shingles_col(k).alias("sh"))
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    )
+    p = F.expr(f"size(sh) - div(size(sh) * {t_num} + {t_den} - 1, {t_den}) + 1")
+    pref = docs.select(
+        F.col("doc_id"), F.explode(F.slice(F.col("sh"), F.lit(1), p)).alias("tok")
+    )
+    a = pref.select(F.col("tok"), F.col("doc_id").alias("doc_a"))
+    b = pref.select(F.col("tok"), F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, ["tok"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    sha = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        cand.join(sha, ["doc_a"])
+        .join(shb, ["doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size(F.array_union("sh_a", "sh_b")).alias("uni"),
+        )
+    )
+    return pairs.filter(F.col("inter") * t_den >= F.col("uni") * t_num).select(
+        "doc_a", "doc_b", "inter", "uni"
+    )

@@ -330,3 +330,41 @@ def test_corpus_prep_fused_equals_composed(spark, docs):
     a = set(map(tuple, fused.collect()))
     b = set(map(tuple, composed.collect()))
     assert a == b and len(a) > 0
+
+
+def test_prefix_jaccard_exact_and_complete(spark, docs):
+    """prefix_jaccard_pairs must equal the FULL quadratic ground truth —
+    the completeness property that distinguishes it from the blocked and
+    LSH families (which may miss pairs)."""
+    from osm_hadoop_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+        shingles_col,
+        tokens_col,
+    )
+    from pyspark.sql import functions as F
+
+    corpus = docs.limit(60)
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in corpus.filter(F.size(tokens_col()) >= 3)
+        .select("doc_id", shingles_col(3).alias("sh")).collect()
+    }
+    ids = sorted(sh)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            uni = len(sh[a] | sh[b])
+            if inter * 10 >= uni * 3:
+                want.add((a, b, inter, uni))
+    got = {
+        (r["doc_a"], r["doc_b"], r["inter"], r["uni"])
+        for r in prefix_jaccard_pairs(corpus, t_num=3, t_den=10).collect()
+    }
+    assert got == want
+    # and it is a (recall) superset of the 1-band blocked variant
+    blocked = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(corpus, 3, 10).collect()
+    }
+    assert blocked <= {(a, b) for a, b, _, _ in got}
