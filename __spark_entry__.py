@@ -2342,6 +2342,33 @@ SELECT doc_a, doc_b, inter, uni FROM pairs WHERE inter * 10 >= uni * 3
 """
 
 
+# substring-level dedup: cross-document repeated k-grams merged into
+# maximal duplicated spans (the Lee et al. 2022 shape, relationally).
+def _q_dup_substrings(spark, sf_dir):
+    from osm_hadoop_spark.operators.dedup import dup_substring_spans
+
+    return dup_substring_spans(_t(spark, sf_dir, "documents"), k=3, min_docs=2)
+
+
+_ORACLE_DUP_SUBSTRINGS = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos, {_duck_h60(_GRAM3)} AS gram
+  FROM toks, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+isl AS (SELECT doc_id, pos,
+        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM hits)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS start_tok,
+       CAST(max(pos) + 2 AS BIGINT) AS end_tok,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, isl
+"""
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from osm_hadoop_spark.operators.dedup import minhash_lsh_pairs
 
@@ -4981,6 +5008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "jaccard_join_exact": _q_jaccard_join_exact,  # PPJoin prefix filter, complete recall
+        "dup_substring_spans": _q_dup_substrings,   # cross-doc repeated-span extraction
         "dedup_clusters": _q_dedup_clusters,        # pairs -> components (large/small-star)
         "dbscan_hotspots": _q_dbscan_clusters,      # exact grid DBSCAN (density clustering)
         "kde_hotspots": _q_kde_hotspots,            # separable integer-kernel density grid
@@ -5082,6 +5110,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _ORACLE_DEDUP_JACCARD,
         "dedup_minhash_lsh": _ORACLE_DEDUP_MINHASH,
         "jaccard_join_exact": _ORACLE_JACCARD_EXACT,
+        "dup_substring_spans": _ORACLE_DUP_SUBSTRINGS,
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         "dbscan_hotspots": _ORACLE_DBSCAN,
         "kde_hotspots": _ORACLE_KDE,

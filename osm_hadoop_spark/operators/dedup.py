@@ -21,7 +21,7 @@ the blocked-Jaccard family is for small/medium corpora or post-LSH verify.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from osm_hadoop_spark.operators.textstats import h60, tokens_col
@@ -337,4 +337,80 @@ def prefix_jaccard_pairs(
     )
     return pairs.filter(F.col("inter") * t_den >= F.col("uni") * t_num).select(
         "doc_a", "doc_b", "inter", "uni"
+    )
+
+
+def positioned_grams(documents: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, pos, gram) — the h60 hash of every word k-gram of `text`,
+    with its 1-based start-token position. The slim long-form relation all
+    substring-level dedup reads: one bigint + one int per token, no text.
+    """
+    toks = tokens_col()
+    n = F.size(toks)
+    empty = F.array().cast("array<struct<pos:int,gram:bigint>>")
+    pg = F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            h60(F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            )).alias("gram"),
+        ),
+    )).otherwise(empty)
+    return (
+        documents.select("doc_id", F.explode(pg).alias("pg"))
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    )
+
+
+def dup_substring_spans(
+    documents: DataFrame, k: int = 3, min_docs: int = 2
+) -> DataFrame:
+    """Exact substring-level dedup (the Lee et al. 2022 'Deduplicating
+    Training Data Makes Language Models Better' shape, re-expressed
+    relationally): find every token k-gram occurring in >= `min_docs`
+    DISTINCT documents, then merge each document's duplicated gram
+    positions into maximal duplicated spans [start_tok, end_tok].
+
+    This is substring (position-level) dedup, not the document-level
+    families above: the unit of removal is a span inside a document, so a
+    boilerplate header shared by thousands of docs is surfaced even when
+    every doc is globally unique.
+
+    Plan: the slim text relation is read once (ReuseExchange on the
+    spread exchange / InMemoryTableScan when cached); the md5 gram
+    projection is evaluated twice — once under the duplicate-gram
+    aggregate, once on the join-back side. That recompute is deliberate:
+    it is pure whole-stage-codegen CPU, versus materializing a
+    tokens-sized (~20 B/token) intermediate to disk at corpus scale. The
+    census aggregate is skew-safe (two-phase distinct: partial agg on
+    (gram, doc_id) first, so a boilerplate gram never concentrates on one
+    task); qualifying grams come back as a BROADCAST to the position
+    relation, so no shuffle of the big side at all. The span merge is one
+    gaps-and-islands window per document; the final (doc_id, isl)
+    aggregate is satisfied by the window's doc_id clustering, so no
+    exchange follows it.
+
+    Intra-document repeats do not count toward `min_docs` (count of
+    DISTINCT doc_id), but once a gram qualifies, every occurrence in every
+    document is merged into spans.
+    """
+    grams = positioned_grams(_spread(documents), k)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram")
+    )
+    hits = grams.join(dup, ["gram"]).select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("isl", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").cast("bigint").alias("start_tok"),
+            (F.max("pos") + (k - 1)).cast("bigint").alias("end_tok"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        )
+        .drop("isl")
     )

@@ -368,3 +368,60 @@ def test_prefix_jaccard_exact_and_complete(spark, docs):
         for r in ngram_jaccard_pairs(corpus, 3, 10).collect()
     }
     assert blocked <= {(a, b) for a, b, _, _ in got}
+
+
+def test_dup_substring_spans_vs_brute(spark, docs):
+    """dup_substring_spans must equal an independent Python brute force
+    (own tokenizer, own md5, own island merge), and the plan must stay
+    JVM-only with the gram projection reused across both consumers."""
+    import hashlib
+    import re
+
+    from osm_hadoop_spark.operators.dedup import dup_substring_spans
+
+    corpus = docs.limit(80)
+    k = 3
+
+    def h60py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    texts = {r["doc_id"]: r["text"] for r in corpus.select("doc_id", "text").collect()}
+    grams = {}  # doc -> [(pos, gram)]
+    for d, t in texts.items():
+        toks = re.split(r"\s+", t.strip()) if t.strip() else []
+        grams[d] = [
+            (i + 1, h60py(" ".join(toks[i:i + k])))
+            for i in range(len(toks) - k + 1)
+        ]
+    docs_per_gram = {}
+    for d, pgs in grams.items():
+        for _, g in pgs:
+            docs_per_gram.setdefault(g, set()).add(d)
+    dup = {g for g, ds in docs_per_gram.items() if len(ds) >= 2}
+    want = set()
+    for d, pgs in grams.items():
+        hit = sorted({p for p, g in pgs if g in dup})
+        run = []
+        for p in hit:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    want.add((d, run[0], run[-1] + k - 1, len(run)))
+                run = [p]
+        if run:
+            want.add((d, run[0], run[-1] + k - 1, len(run)))
+
+    out = dup_substring_spans(corpus, k=k)
+    got = {
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["n_grams"])
+        for r in out.collect()
+    }
+    assert got == want and len(want) > 0
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # the text relation is read once and shared: ReusedExchange when the
+    # input is a bare scan, InMemoryTableScan when the fixture is cached
+    assert "ReusedExchange" in plan or "InMemoryTableScan" in plan
