@@ -2369,6 +2369,31 @@ FROM isl GROUP BY doc_id, isl
 """
 
 
+# full-text inverted index with sharded posting lists (the skew guard for
+# stopword terms) and a term-level min_df gate applied across shards.
+def _q_inverted_index(spark, sf_dir):
+    from osm_hadoop_spark.operators.textstats import inverted_index
+
+    return inverted_index(
+        _t(spark, sf_dir, "documents"), min_df=2, shard_bits=2
+    )
+
+
+_ORACLE_INVERTED_INDEX = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+tp AS (SELECT doc_id, i AS pos, {_duck_h60('toks[i]')} AS term
+       FROM toks, UNNEST(generate_series(1, len(toks))) AS t(i)),
+perdoc AS (SELECT term, doc_id, doc_id % 4 AS shard, count(*) AS tf,
+           concat(doc_id, ':', array_to_string(list_sort(list(pos)), ',')) AS entry
+           FROM tp GROUP BY term, doc_id)
+SELECT term, CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS ctf,
+       string_agg(entry, ';' ORDER BY doc_id) AS postings
+FROM perdoc GROUP BY term, shard
+QUALIFY sum(df) OVER (PARTITION BY term) >= 2
+"""
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from osm_hadoop_spark.operators.dedup import minhash_lsh_pairs
 
@@ -5009,6 +5034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "jaccard_join_exact": _q_jaccard_join_exact,  # PPJoin prefix filter, complete recall
         "dup_substring_spans": _q_dup_substrings,   # cross-doc repeated-span extraction
+        "inverted_index": _q_inverted_index,        # sharded postings full-text index
         "dedup_clusters": _q_dedup_clusters,        # pairs -> components (large/small-star)
         "dbscan_hotspots": _q_dbscan_clusters,      # exact grid DBSCAN (density clustering)
         "kde_hotspots": _q_kde_hotspots,            # separable integer-kernel density grid
@@ -5111,6 +5137,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _ORACLE_DEDUP_MINHASH,
         "jaccard_join_exact": _ORACLE_JACCARD_EXACT,
         "dup_substring_spans": _ORACLE_DUP_SUBSTRINGS,
+        "inverted_index": _ORACLE_INVERTED_INDEX,
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         "dbscan_hotspots": _ORACLE_DBSCAN,
         "kde_hotspots": _ORACLE_KDE,

@@ -18,7 +18,7 @@ Spark (`conv(substr(md5(s),1,15),16,10)`) and DuckDB
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # whitespace tokenizer (empty text -> 0 tokens)
@@ -165,3 +165,80 @@ def fingerprints(documents: DataFrame, mod: int = 8) -> DataFrame:
         F.size(sel).alias("n_selected"),
         F.array_min(sel).alias("min_selected"),
     )
+
+
+def inverted_index(
+    documents: DataFrame, min_df: int = 1, shard_bits: int = 0
+) -> DataFrame:
+    """Build a full-text inverted index: one row per (term, shard) with
+    document frequency, corpus term frequency, and a canonical postings
+    string "doc:pos,pos;doc:pos,..." ordered by doc_id — the classic
+    large-scale indexing workload (and the original MapReduce motivating
+    example), expressed as two partial-aggregating hash aggregates.
+
+    Level 1 groups by (term, doc): the collect_list there is bounded by a
+    single document's length, so it is always safe. Level 2 groups by
+    (term, shard): a stopword term's postings span the whole corpus — the
+    one unbounded list in this shape — so `shard_bits` splits each term's
+    postings across 2**shard_bits rows keyed by doc_id's low bits, exactly
+    how production engines segment hot posting lists. With sharding on,
+    no output row (and no single task's collect_list) can exceed
+    corpus/2**shard_bits docs; shards of one term land on different
+    reducers because the level-2 shuffle key is (term, shard).
+
+    Postings are emitted as a STRING, not nested arrays: the canonical
+    form is stable across engines (the DuckDB twin builds the identical
+    text), and an index consumer parses it back trivially.
+    """
+    toks = tokens_col()
+    tp = documents.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks)),
+                lambda i: F.struct(
+                    i.alias("pos"), h60(F.element_at(toks, i)).alias("term")
+                ),
+            )
+        ).alias("tp"),
+    ).select(
+        "doc_id", F.col("tp.pos").alias("pos"), F.col("tp.term").alias("term")
+    )
+    perdoc = (
+        tp.groupBy("term", "doc_id")
+        .agg(
+            F.array_sort(F.collect_list("pos")).alias("ps"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+        .select(
+            "term",
+            "doc_id",
+            F.pmod("doc_id", F.lit(1 << shard_bits)).cast("bigint").alias("shard"),
+            "tf",
+            F.concat_ws(
+                ":", F.col("doc_id"), F.array_join(F.col("ps"), ",")
+            ).alias("entry"),
+        )
+    )
+    out = (
+        perdoc.groupBy("term", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("ctf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "entry"))),
+                    lambda x: x["entry"],
+                ),
+                ";",
+            ).alias("postings"),
+        )
+    )
+    if min_df > 1:
+        # df is per-shard; the min_df gate is on the TERM's total df so a
+        # sharded hot term is kept or dropped as a unit
+        w = Window.partitionBy("term")
+        out = out.withColumn("term_df", F.sum("df").over(w)).filter(
+            F.col("term_df") >= min_df
+        ).drop("term_df")
+    return out

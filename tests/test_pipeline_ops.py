@@ -425,3 +425,65 @@ def test_dup_substring_spans_vs_brute(spark, docs):
     # the text relation is read once and shared: ReusedExchange when the
     # input is a bare scan, InMemoryTableScan when the fixture is cached
     assert "ReusedExchange" in plan or "InMemoryTableScan" in plan
+
+
+def test_inverted_index_vs_brute_and_shards(spark, docs):
+    """inverted_index equals an independent Python index build; sharded
+    output reassembles exactly to the unsharded one; plan stays JVM."""
+    import hashlib
+    import re
+
+    from osm_hadoop_spark.operators.textstats import inverted_index
+
+    corpus = docs.limit(50)
+
+    def h60py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    idx = {}  # term -> {doc: [pos...]}
+    for r in corpus.select("doc_id", "text").collect():
+        toks = re.split(r"\s+", r["text"].strip()) if r["text"].strip() else []
+        for i, t in enumerate(toks, start=1):
+            idx.setdefault(h60py(t), {}).setdefault(r["doc_id"], []).append(i)
+    want = {
+        (
+            term,
+            0,
+            len(pd),
+            sum(len(ps) for ps in pd.values()),
+            ";".join(
+                f"{d}:{','.join(map(str, sorted(ps)))}"
+                for d, ps in sorted(pd.items())
+            ),
+        )
+        for term, pd in idx.items()
+    }
+    out = inverted_index(corpus)
+    got = {
+        (r["term"], r["shard"], r["df"], r["ctf"], r["postings"])
+        for r in out.collect()
+    }
+    assert got == want and len(want) > 0
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+    # sharded index reassembles losslessly: per term, union of shard
+    # postings == the unsharded postings; df/ctf sums match
+    sharded = inverted_index(corpus, shard_bits=2).collect()
+    re_df = {}
+    for r in sharded:
+        agg = re_df.setdefault(r["term"], [0, 0, []])
+        agg[0] += r["df"]; agg[1] += r["ctf"]
+        agg[2].extend(r["postings"].split(";"))
+    flat = {
+        (t, 0, df, ctf,
+         ";".join(sorted(entries, key=lambda e: int(e.split(":")[0]))))
+        for t, (df, ctf, entries) in re_df.items()
+    }
+    assert flat == want
+
+    # min_df gate keeps/drops a term as a unit even when sharded
+    gated = inverted_index(corpus, min_df=2, shard_bits=2)
+    kept = {r["term"] for r in gated.collect()}
+    assert kept == {t for t, pd in idx.items() if len(pd) >= 2}
