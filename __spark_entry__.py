@@ -2621,6 +2621,53 @@ FROM pts a JOIN pts b
 """
 
 
+# --- join-count spatial autocorrelation (operators/autocorr.py) ------------
+# Cliff & Ord join counts over the same clustered point derivation: rook
+# adjacency on the occupied-cell census, observed BB/WW/BW counts + exact
+# rational CSR expectations (bigint num/den — no float anywhere).
+def _q_join_counts(spark, sf_dir):
+    from osm_hadoop_spark.operators.autocorr import join_count_stats
+
+    return join_count_stats(
+        _dbscan_points(spark, sf_dir), cell_size=25, black_min=2
+    )
+
+
+_ORACLE_JOIN_COUNTS = f"""
+WITH pts AS (
+  SELECT {_duck_dbscan_coord('nx', 'cx', 'dx')} AS x,
+         {_duck_dbscan_coord('ny', 'cy', 'dy')} AS y
+  FROM part),
+cls AS (
+  SELECT CAST(floor(CAST(x AS DOUBLE) / 25) AS BIGINT) AS cx,
+         CAST(floor(CAST(y AS DOUBLE) / 25) AS BIGINT) AS cy,
+         count(*) >= 2 AS black
+  FROM pts GROUP BY 1, 2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(CASE WHEN black THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM cls),
+edges AS (
+  SELECT a.black AS ba, b.black AS bb
+  FROM cls a JOIN cls b ON b.cx = a.cx + 1 AND b.cy = a.cy
+  UNION ALL
+  SELECT a.black, b.black
+  FROM cls a JOIN cls b ON b.cx = a.cx AND b.cy = a.cy + 1),
+counts AS (
+  SELECT CASE WHEN ba AND bb THEN 'BB'
+              WHEN NOT ba AND NOT bb THEN 'WW' ELSE 'BW' END AS pair_cls,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM edges GROUP BY 1),
+jt AS (SELECT CAST(sum(observed) AS BIGINT) AS j FROM counts)
+SELECT pair_cls, observed,
+       CAST(jt.j * CASE pair_cls
+              WHEN 'BB' THEN t.nb * (t.nb - 1)
+              WHEN 'WW' THEN (t.n_cells - t.nb) * (t.n_cells - t.nb - 1)
+              ELSE 2 * t.nb * (t.n_cells - t.nb) END AS BIGINT) AS expect_num,
+       CAST(t.n_cells * (t.n_cells - 1) AS BIGINT) AS expect_den
+FROM counts, tot t, jt
+"""
+
+
 # --- trip segmentation (operators/trajectory.py) ---------------------------
 # T3: deterministic random-walk trajectory per user derived from events
 # (integer steps, h60-gated teleports), split on 6h gaps OR >200-unit
@@ -5039,6 +5086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_hotspots": _q_dbscan_clusters,      # exact grid DBSCAN (density clustering)
         "kde_hotspots": _q_kde_hotspots,            # separable integer-kernel density grid
         "distance_pairs_r40": _q_distance_pairs,    # distance-band join (grid equi-join)
+        "join_counts_grid": _q_join_counts,         # spatial autocorrelation (join counts)
         "trip_segments": _q_trip_segments,          # trajectory split on gap/teleport
         "dissolve_regions": _q_dissolve_regions,    # shared-edge polygon dissolve
         "pyramid_counts": _q_pyramid_counts,        # 2x overview pyramid (gdaladdo analog)
@@ -5142,6 +5190,7 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_hotspots": _ORACLE_DBSCAN,
         "kde_hotspots": _ORACLE_KDE,
         "distance_pairs_r40": _ORACLE_DISTANCE_PAIRS,
+        "join_counts_grid": _ORACLE_JOIN_COUNTS,
         "trip_segments": _ORACLE_TRIPS,
         "dissolve_regions": _ORACLE_DISSOLVE,
         "pyramid_counts": _ORACLE_PYRAMID,
