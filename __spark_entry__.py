@@ -2668,6 +2668,53 @@ FROM counts, tot t, jt
 """
 
 
+# --- hot-region labeling (operators/autocorr.py + cc.py) --------------------
+# 4-connected components of Black cells rolled up per region (raster
+# polygonization stage 1). Engine = large/small-star CC; oracle = an
+# independent recursive-CTE transitive closure over the same adjacency.
+def _q_hot_regions(spark, sf_dir):
+    from osm_hadoop_spark.operators.autocorr import label_hot_regions
+
+    return label_hot_regions(
+        _dbscan_points(spark, sf_dir), cell_size=25, black_min=2
+    )
+
+
+_ORACLE_HOT_REGIONS = f"""
+WITH RECURSIVE pts AS (
+  SELECT {_duck_dbscan_coord('nx', 'cx', 'dx')} AS x,
+         {_duck_dbscan_coord('ny', 'cy', 'dy')} AS y
+  FROM part),
+blk AS (
+  SELECT CAST(floor(CAST(x AS DOUBLE) / 25) AS BIGINT) AS cx,
+         CAST(floor(CAST(y AS DOUBLE) / 25) AS BIGINT) AS cy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2 HAVING count(*) >= 2),
+keyed AS (SELECT cx, cy, n, (cx + 1048576) * 2097152 + (cy + 1048576) AS k
+          FROM blk),
+adj AS (
+  SELECT a.k AS u, b.k AS v FROM keyed a
+  JOIN keyed b ON b.cx = a.cx + 1 AND b.cy = a.cy
+  UNION ALL
+  SELECT a.k, b.k FROM keyed a
+  JOIN keyed b ON b.cx = a.cx AND b.cy = a.cy + 1),
+edges AS (SELECT u, v FROM adj UNION SELECT v, u FROM adj),
+reach(src, dst) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+lab AS (
+  SELECT k.k, coalesce(least(k.k, m.mn), k.k) AS region, k.cx, k.cy, k.n
+  FROM keyed k LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+    ON k.k = m.src)
+SELECT region, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(n) AS BIGINT) AS n_points,
+       CAST(min(cx) AS BIGINT) AS min_cx, CAST(max(cx) AS BIGINT) AS max_cx,
+       CAST(min(cy) AS BIGINT) AS min_cy, CAST(max(cy) AS BIGINT) AS max_cy
+FROM lab GROUP BY region
+"""
+
+
 # --- trip segmentation (operators/trajectory.py) ---------------------------
 # T3: deterministic random-walk trajectory per user derived from events
 # (integer steps, h60-gated teleports), split on 6h gaps OR >200-unit
@@ -5087,6 +5134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kde_hotspots": _q_kde_hotspots,            # separable integer-kernel density grid
         "distance_pairs_r40": _q_distance_pairs,    # distance-band join (grid equi-join)
         "join_counts_grid": _q_join_counts,         # spatial autocorrelation (join counts)
+        "hot_regions": _q_hot_regions,              # 4-connected region labeling (CC)
         "trip_segments": _q_trip_segments,          # trajectory split on gap/teleport
         "dissolve_regions": _q_dissolve_regions,    # shared-edge polygon dissolve
         "pyramid_counts": _q_pyramid_counts,        # 2x overview pyramid (gdaladdo analog)
@@ -5191,6 +5239,7 @@ def oracle_sql() -> dict[str, str]:
         "kde_hotspots": _ORACLE_KDE,
         "distance_pairs_r40": _ORACLE_DISTANCE_PAIRS,
         "join_counts_grid": _ORACLE_JOIN_COUNTS,
+        "hot_regions": _ORACLE_HOT_REGIONS,
         "trip_segments": _ORACLE_TRIPS,
         "dissolve_regions": _ORACLE_DISSOLVE,
         "pyramid_counts": _ORACLE_PYRAMID,

@@ -113,3 +113,72 @@ def join_count_stats(
             .alias("expect_den"),
         )
     )
+
+
+def label_hot_regions(
+    points: DataFrame,
+    cell_size: int = 25,
+    black_min: int = 2,
+    off_bits: int = 20,
+) -> DataFrame:
+    """Raster region labeling: 4-connected components of Black cells
+    (>= `black_min` points), rolled up per region — the first stage of
+    raster polygonization (GDAL's sieve/polygonize ancestry) and the
+    hotspot-region extraction that follows a join-count significance
+    test.
+
+    Cells are keyed by an arithmetic pack (cx + 2^off_bits) * 2^(off_bits
+    + 1) + (cy + 2^off_bits) — exact in int64 for |coord| < 2^off_bits
+    and trivially replicated in SQL (no bit intrinsics needed). Adjacency
+    is the same shifted-self equi-join as join_count_stats, restricted to
+    Black cells; labeling is operators/cc.py's large/small-star method
+    (O(log n) rounds, equi-joins + partial-agg min only), so a
+    continent-sized region never concentrates on one task. Isolated Black
+    cells have no edge and keep their own key as the region id (the CC
+    label is the minimum member key, so labels are consistent).
+
+    Output: (region, n_cells, n_points, min_cx, max_cx, min_cy, max_cy).
+    """
+    from osm_hadoop_spark.operators.cc import connected_components
+
+    off = 1 << off_bits
+    mult = 1 << (off_bits + 1)
+
+    def key(cx, cy):
+        return ((cx + off) * mult + (cy + off)).cast("bigint")
+
+    keyed = cell_census(points, cell_size).filter(
+        F.col("n") >= black_min
+    ).select("cx", "cy", "n", key(F.col("cx"), F.col("cy")).alias("k"))
+
+    nbr = keyed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("cx") + 1).alias("cx"), F.col("cy").alias("cy")
+                ),
+                F.struct(
+                    F.col("cx").alias("cx"), (F.col("cy") + 1).alias("cy")
+                ),
+            )
+        ).alias("t"),
+        F.col("k").alias("src"),
+    ).select(F.col("t.cx").alias("cx"), F.col("t.cy").alias("cy"), "src")
+    edges = nbr.join(
+        keyed.select("cx", "cy", F.col("k").alias("dst")), ["cx", "cy"]
+    ).select("src", "dst")
+
+    labels = connected_components(edges)
+    labeled = keyed.join(
+        labels, keyed["k"] == labels["node"], "left"
+    ).select(
+        "cx", "cy", "n", F.coalesce("component", "k").alias("region")
+    )
+    return labeled.groupBy("region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("n").cast("bigint").alias("n_points"),
+        F.min("cx").cast("bigint").alias("min_cx"),
+        F.max("cx").cast("bigint").alias("max_cx"),
+        F.min("cy").cast("bigint").alias("min_cy"),
+        F.max("cy").cast("bigint").alias("max_cy"),
+    )

@@ -93,3 +93,57 @@ def test_cell_census_exact(spark, pts):
         key = (r["x"] // 10, r["y"] // 10)
         brute[key] = brute.get(key, 0) + 1
     assert got == brute
+
+
+def test_label_hot_regions_vs_union_find(spark, pts):
+    """label_hot_regions must equal an independent union-find labeling
+    over the same black-cell adjacency (incl. isolated singletons)."""
+    from osm_hadoop_spark.operators.autocorr import label_hot_regions
+
+    rows = [(r["x"], r["y"]) for r in pts.collect()]
+    cells = {}
+    for x, y in rows:
+        key = (x // 10, y // 10)
+        cells[key] = cells.get(key, 0) + 1
+    black = {k for k, n in cells.items() if n >= 2}
+
+    parent = {k: k for k in black}
+
+    def find(k):
+        while parent[k] != k:
+            parent[k] = parent[parent[k]]
+            k = parent[k]
+        return k
+
+    for cx, cy in black:
+        for nk in [(cx + 1, cy), (cx, cy + 1)]:
+            if nk in black:
+                ra, rb = find((cx, cy)), find(nk)
+                if ra != rb:
+                    parent[ra] = rb
+
+    off, mult = 1 << 20, 1 << 21
+
+    def pack(c):
+        return (c[0] + off) * mult + (c[1] + off)
+
+    groups = {}
+    for k in black:
+        groups.setdefault(find(k), []).append(k)
+    want = set()
+    for members in groups.values():
+        region = min(pack(m) for m in members)
+        n_cells = len(members)
+        n_points = sum(cells[m] for m in members)
+        xs = [m[0] for m in members]; ys = [m[1] for m in members]
+        want.add((region, n_cells, n_points, min(xs), max(xs), min(ys), max(ys)))
+
+    got = {
+        (r["region"], r["n_cells"], r["n_points"],
+         r["min_cx"], r["max_cx"], r["min_cy"], r["max_cy"])
+        for r in label_hot_regions(pts, cell_size=10, black_min=2).collect()
+    }
+    assert got == want and len(want) > 1
+    # fixture must exercise both multi-cell regions and singletons
+    sizes = sorted(n for _, n, *_ in want)
+    assert sizes[0] >= 1 and sizes[-1] > 1
