@@ -3212,6 +3212,76 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_ann_pq(spark, sf_dir):
+    # PQ-ADC: all-integer asymmetric distances (fixed-point floor(x*1024)
+    # vectors + floored integer codebooks), so the derived oracle is
+    # float-risk-free end to end, dist column included.
+    from osm_hadoop_spark.operators.similarity import ann_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return ann_pq_topk(emb, queries, k=5, m=8, ksub=16).select(
+        "query_id", "vec_id", "dist", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def _oracle_ann_pq() -> str | None:
+    """Derived value oracle for PQ: recompute the sample-fit integer
+    codebooks from the driver parquet with shared NumPy code
+    (pq_codebooks_numpy == pq_fit_codebooks bit-for-bit), embed them as
+    BIGINT[] literals, and replicate quantization, per-subspace argmin
+    encoding, the query distance table, the ADC sum, and the ranking in
+    SQL. Everything after floor(x*1024) is integer arithmetic, so the
+    match is exact by construction. None when the parquet isn't mounted."""
+    import os
+
+    from osm_hadoop_spark.operators.similarity import pq_codebooks_numpy
+
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        "embeddings.parquet",
+    )
+    if not os.path.exists(path):
+        return None
+    m, ksub = 8, 16
+    cb = pq_codebooks_numpy(path, m=m, ksub=ksub, iters=5, sample=4096)
+    sub = cb.shape[2]
+    rows = ",\n".join(
+        f"({i}, {j}, [{','.join(str(int(v)) for v in cb[i][j])}]::BIGINT[])"
+        for i in range(m)
+        for j in range(ksub)
+    )
+    return f"""
+WITH cb(i, j, w) AS (VALUES {rows}),
+eb AS (SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1024) AS BIGINT)) AS iv
+       FROM embeddings),
+d AS (SELECT e.vec_id, c.i, c.j,
+        CAST(list_sum(list_transform(generate_series(1, {sub}),
+          dd -> (e.iv[c.i * {sub} + dd] - c.w[dd])
+              * (e.iv[c.i * {sub} + dd] - c.w[dd]))) AS BIGINT) AS d2
+      FROM eb e CROSS JOIN cb c),
+best AS (
+  SELECT vec_id, i, j AS code FROM (
+    SELECT vec_id, i, j,
+           row_number() OVER (PARTITION BY vec_id, i ORDER BY d2, j) AS rn
+    FROM d) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, i, j, d2 FROM d WHERE vec_id % 50 = 0),
+adc AS (SELECT q.query_id, b.vec_id, CAST(sum(q.d2) AS BIGINT) AS dist
+        FROM best b JOIN q ON q.i = b.i AND q.j = b.code
+        WHERE b.vec_id != q.query_id
+        GROUP BY q.query_id, b.vec_id),
+r AS (SELECT query_id, vec_id, dist,
+        row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+      FROM adc)
+SELECT query_id, vec_id, dist, CAST(rank AS BIGINT) AS rank FROM r
+WHERE rank <= 5
+"""
+
+
 def _q_ann_sq8(spark, sf_dir):
     """Int8 scalar-quantized top-k: integer dot-product ranking, so the
     oracle comparison is pure-integer (no float ties). The twin recomputes
@@ -5162,6 +5232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
         "ann_lsh_topk": _q_ann_lsh,                 # derived oracle (plane literals)
         "ann_ivf_topk": _q_ann_ivf,                 # derived oracle (centroid literals)
+        "ann_pq_topk": _q_ann_pq,                   # product quantization, integer ADC
         "ann_sq8_topk": _q_ann_sq8,                 # int8 scalar-quantized ranking
         "tiff_zonal_strips": _q_tiff_zonal,
         "media_metadata": _q_media_metadata,
@@ -5294,4 +5365,7 @@ def oracle_sql() -> dict[str, str]:
     ivf = _oracle_ann_ivf()
     if ivf is not None:
         oracles["ann_ivf_topk"] = ivf
+    pq = _oracle_ann_pq()
+    if pq is not None:
+        oracles["ann_pq_topk"] = pq
     return oracles

@@ -416,3 +416,143 @@ def sq8_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("qscore").desc(), F.col("vec_id").asc())
     return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --- product quantization (Jégou et al., TPAMI 2011) -----------------------
+# Fixed-point PQ: vectors are quantized to integers (floor(x * 2^10) — a
+# power-of-two scale, so the float64 product is exact and floor is
+# engine-independent), codebooks are floored to the same integer grid, and
+# the asymmetric (ADC) distance is a SUM OF INTEGER squared distances —
+# every score is a bigint, so ranking can never be flipped by summation
+# order or ulp drift, and the DuckDB twin matches bit-for-bit.
+PQ_SCALE = 1024
+
+
+def _pq_int(x: np.ndarray) -> np.ndarray:
+    return np.floor(x.astype(np.float64) * PQ_SCALE).astype(np.int64)
+
+
+def _kmeans_l2_int(x: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Deterministic L2 k-means over integer rows: init = first k rows,
+    assign = argmin squared distance (first minimum wins), update = member
+    mean; the RETURNED centroids are floored back to the integer grid.
+    Shared verbatim by the operator and the derived oracle."""
+    c = x[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for j in range(k):
+            members = x[a == j]
+            if members.shape[0]:
+                c[j] = members.mean(axis=0)
+    return np.floor(c).astype(np.int64)
+
+
+def pq_fit_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+) -> np.ndarray:
+    """Fit per-subspace PQ codebooks — shape (m, ksub, dim//m), int64 —
+    on the same bounded hash-ordered sample as the IVF path (at corpus
+    scale you fit on a sample and encode distributed)."""
+    pdf = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(
+            F.pmod(F.col("vec_id") * F.lit(IVF_SAMPLE_MULT), F.lit(IVF_SAMPLE_MOD)),
+            "vec_id",
+        )
+        .limit(sample)
+        .toPandas()
+    )
+    x = _pq_int(np.stack(pdf["embedding"].apply(np.asarray).to_numpy()))
+    sub = x.shape[1] // m
+    return np.stack(
+        [_kmeans_l2_int(x[:, i * sub:(i + 1) * sub], ksub, iters) for i in range(m)]
+    )
+
+
+def pq_codebooks_numpy(
+    parquet_path: str, m: int = 8, ksub: int = 16, iters: int = 5, sample: int = 4096
+) -> np.ndarray:
+    """Recompute the EXACT pq_fit_codebooks result from parquet without
+    Spark — the oracle side (same pattern as ivf_centroids_numpy)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=["vec_id", "embedding"])
+    vec_id = np.asarray(t.column("vec_id"))
+    emb = np.stack([np.asarray(v) for v in t.column("embedding").to_pylist()])
+    key = (vec_id * IVF_SAMPLE_MULT) % IVF_SAMPLE_MOD
+    order = np.lexsort((vec_id, key))[:sample]
+    x = _pq_int(emb[order])
+    sub = x.shape[1] // m
+    return np.stack(
+        [_kmeans_l2_int(x[:, i * sub:(i + 1) * sub], ksub, iters) for i in range(m)]
+    )
+
+
+def ann_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+) -> DataFrame:
+    """PQ-ADC top-k: corpus vectors compressed to m small codes (one Arrow
+    encode pass — the compression that makes a 100 TB corpus fit hot
+    storage: 64 float32 -> 8 codes), queries carry their flattened
+    m*ksub integer distance table, and the asymmetric distance is a pure
+    JVM aggregate of table lookups — no floats anywhere after encode.
+
+    Scale shape: the big side is scanned once to codes (amortizable as a
+    materialized codes table); scoring broadcasts only the small query
+    tables; ranking is the standard per-query window. Ties: (dist asc,
+    vec_id asc); self-pairs excluded.
+    """
+    cb = pq_fit_codebooks(embeddings, m, ksub, iters, sample)
+    sub = cb.shape[2]
+
+    @F.pandas_udf("array<int>")
+    def encode(emb: pd.Series) -> pd.Series:
+        x = _pq_int(np.stack(emb.apply(np.asarray).to_numpy()))
+        codes = np.empty((x.shape[0], m), dtype=np.int32)
+        for i in range(m):
+            d2 = (
+                (x[:, None, i * sub:(i + 1) * sub] - cb[i][None, :, :]) ** 2
+            ).sum(axis=2)
+            codes[:, i] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    @F.pandas_udf("array<bigint>")
+    def dist_table(emb: pd.Series) -> pd.Series:
+        x = _pq_int(np.stack(emb.apply(np.asarray).to_numpy()))
+        tabs = np.empty((x.shape[0], m * ksub), dtype=np.int64)
+        for i in range(m):
+            tabs[:, i * ksub:(i + 1) * ksub] = (
+                (x[:, None, i * sub:(i + 1) * sub] - cb[i][None, :, :]) ** 2
+            ).sum(axis=2)
+        return pd.Series(list(tabs))
+
+    codes = embeddings.select("vec_id", encode("embedding").alias("codes"))
+    qtab = queries.select(
+        "query_id", dist_table("q_embedding").alias("tab")
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.element_at(
+            F.col("tab"), (i * ksub + F.element_at(F.col("codes"), i + 1) + 1).cast("int")
+        ),
+    )
+    joined = (
+        codes.crossJoin(F.broadcast(qtab))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

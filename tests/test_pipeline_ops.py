@@ -487,3 +487,60 @@ def test_inverted_index_vs_brute_and_shards(spark, docs):
     gated = inverted_index(corpus, min_df=2, shard_bits=2)
     kept = {r["term"] for r in gated.collect()}
     assert kept == {t for t, pd in idx.items() if len(pd) >= 2}
+
+
+def test_ann_pq_topk_integer_exact(spark, emb):
+    """PQ-ADC output must equal a plain-Python replication of encode +
+    table + ADC from the same codebooks (all-integer, so exact), and the
+    planted exact duplicate of a query must carry the query's own
+    self-quantization distance."""
+    from osm_hadoop_spark.operators.similarity import (
+        _pq_int,
+        ann_pq_topk,
+        pq_fit_codebooks,
+    )
+
+    m, ksub, k = 8, 16, 5
+    queries = emb.limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["dist"])
+        for r in ann_pq_topk(emb, queries, k=k, m=m, ksub=ksub).collect()
+    }
+
+    cb = pq_fit_codebooks(emb, m=m, ksub=ksub)
+    sub = cb.shape[2]
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].tolist()
+    X = _pq_int(np.stack(pdf["embedding"].apply(np.asarray).to_numpy()))
+
+    def enc(v):
+        out = []
+        for i in range(m):
+            best, bj = None, None
+            for j in range(ksub):
+                d = int(((v[i * sub:(i + 1) * sub] - cb[i][j]) ** 2).sum())
+                if best is None or d < best:
+                    best, bj = d, j
+            out.append(bj)
+        return out
+
+    codes = {vid: enc(X[r]) for r, vid in enumerate(ids)}
+    qids = ids[:8]
+    for qi in qids:
+        qv = X[ids.index(qi)]
+        tab = [
+            [int(((qv[i * sub:(i + 1) * sub] - cb[i][j]) ** 2).sum())
+             for j in range(ksub)]
+            for i in range(m)
+        ]
+        scored = sorted(
+            (sum(tab[i][codes[v][i]] for i in range(m)), v)
+            for v in ids if v != qi
+        )[:k]
+        for rank, (d, v) in enumerate(scored, start=1):
+            assert got[(qi, rank)] == (v, d)
+
+    # all distances are integers (bigint column), never floats
+    assert all(isinstance(d, int) for _, d in got.values())
