@@ -4462,6 +4462,59 @@ def _sssp_edges(spark, sf_dir):
     return edges.select("u", "v", w.cast("long").alias("w")), pk
 
 
+# R5: fixed-point integer PageRank over the SAME derived road graph —
+# power iteration truncated at 3 rounds, every rank a bigint (integer DIV
+# throughout), so the unrolled SQL twin matches bit-for-bit. The one
+# iterative whole-graph workload (BFS/SSSP are frontier-based; CC is
+# star-based; this is dense per-round mass flow).
+_PR_ROUNDS, _PR_SCALE, _PR_DN, _PR_DD = 3, 1_000_000, 85, 100
+
+
+def _q_pagerank(spark, sf_dir):
+    from osm_hadoop_spark.operators.routing import pagerank_int
+
+    edges, _pk = _sssp_edges(spark, sf_dir)
+    return pagerank_int(
+        edges.select("u", "v"),
+        rounds=_PR_ROUNDS,
+        scale=_PR_SCALE,
+        damp_num=_PR_DN,
+        damp_den=_PR_DD,
+    )
+
+
+def _oracle_pagerank() -> str:
+    base = (_PR_SCALE * (_PR_DD - _PR_DN)) // _PR_DD
+    cte = f"""
+WITH pk AS (SELECT p_partkey AS u FROM part),
+hyper AS (
+  SELECT u, xor(u, 1 << k) AS v
+  FROM pk, (SELECT unnest(generate_series(0, 11)) AS k)
+  WHERE {_duck_h60("'rg' || u || '_' || k")} % 4 <> 0),
+edges AS (
+  SELECT u, v FROM (
+    SELECT u, v FROM hyper
+    UNION ALL
+    SELECT u, u + 1 AS v FROM pk) e
+  WHERE v IN (SELECT u FROM pk)),
+sym AS (
+  SELECT u AS eu, v AS ev FROM edges WHERE u <> v
+  UNION
+  SELECT v AS eu, u AS ev FROM edges WHERE u <> v),
+deg AS (SELECT eu, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY eu),
+n AS (SELECT eu AS node FROM deg),
+pr0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS pr FROM n)"""
+    for r in range(1, _PR_ROUNDS + 1):
+        cte += f""",
+c{r} AS (SELECT s.ev AS node, CAST(sum(p.pr // d.d) AS BIGINT) AS c
+       FROM sym s JOIN pr{r - 1} p ON p.node = s.eu
+       JOIN deg d ON d.eu = s.eu GROUP BY s.ev),
+pr{r} AS (SELECT n.node,
+        CAST({base} + ({_PR_DN} * coalesce(c.c, 0)) // {_PR_DD} AS BIGINT) AS pr
+        FROM n LEFT JOIN c{r} c ON c.node = n.node)"""
+    return cte + f"\nSELECT node, pr FROM pr{_PR_ROUNDS}"
+
+
 def _q_graph_sssp(spark, sf_dir):
     from osm_hadoop_spark.operators.routing import sssp
 
@@ -5213,6 +5266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
+        "pagerank_r3": _q_pagerank,                 # fixed-point integer PageRank
         "snap_points_r50": _q_snap_points,          # nearest-segment map matching
         "triangle_blocks": _q_triangles,            # degree-ordered triangle join
         "focal_stats_3x3": _q_focal_stats,          # raster map-algebra focal window
@@ -5319,6 +5373,7 @@ def oracle_sql() -> dict[str, str]:
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,
+        "pagerank_r3": _oracle_pagerank(),
         "snap_points_r50": _ORACLE_SNAP,
         "triangle_blocks": _ORACLE_TRIANGLES,
         "focal_stats_3x3": _ORACLE_FOCAL,

@@ -187,3 +187,82 @@ def sssp(
         )
         frontier = improved
     return best
+
+
+def pagerank_int(
+    edges: DataFrame,
+    rounds: int = 3,
+    scale: int = 1_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Bounded-round PageRank in FIXED-POINT INTEGER arithmetic — the
+    canonical whole-graph iterative workload (power iteration), made
+    bit-reproducible across engines: ranks start at `scale` per node, and
+    each round computes
+
+        pr'(u) = (1 - d) * scale  +  (d * sum_{v -> u} pr(v) DIV deg(v))
+                 with d applied as  damp_num DIV damp_den
+
+    using integer division everywhere (all values nonnegative, so Spark's
+    truncating DIV and SQL's floor // agree). Floats never appear: the
+    usual "PageRank can't be value-verified across engines" excuse
+    disappears, at the cost of a deterministic rounding-down bias of at
+    most 1 ulp-of-scale per term — irrelevant for ranking, and identical
+    in both engines by construction.
+
+    The graph is treated as undirected (symmetrized, self-loops dropped);
+    the node set is the nodes with at least one edge, so deg >= 1 and no
+    dangling-mass term exists. Each round is ONE equi-join on the node
+    key + ONE partial-aggregating sum — the Pregel shape every round-based
+    operator here uses — with `localCheckpoint` lineage truncation
+    (`bfs_hops`, `cc.py` precedent). Rounds are a fixed hyperparameter
+    (power iteration truncated at `rounds`), NOT data-dependent, so the
+    plan is statically bounded.
+
+    Returns DataFrame(node, pr) — bigint fixed-point ranks.
+    """
+    sym = (
+        edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev"))
+        .filter(F.col("eu") != F.col("ev"))
+        .unionByName(
+            edges.select(F.col(dst).alias("eu"), F.col(src).alias("ev")).filter(
+                F.col(src) != F.col(dst)
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("eu").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    out_share = sym.join(deg, "eu")  # (eu, ev, d) — static, reused each round
+
+    nodes = deg.select(F.col("eu").alias("node"))
+    base = (scale * (damp_den - damp_num)) // damp_den
+    pr = nodes.select("node", F.lit(scale).cast("bigint").alias("pr"))
+    for _ in range(rounds):
+        contrib = (
+            out_share.join(pr, out_share["eu"] == pr["node"])
+            .select(
+                F.col("ev").alias("node"),
+                F.expr("pr div d").alias("share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("share").cast("bigint").alias("c"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("bigint")
+                    + F.expr(
+                        f"({damp_num} * coalesce(c, cast(0 as bigint)))"
+                        f" div {damp_den}"
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr

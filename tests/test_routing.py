@@ -193,3 +193,48 @@ def test_sssp_equal_dist_takes_min_source(spark):
         ).collect()
     }
     assert got[2] == (2, 1)
+
+
+def test_pagerank_int_vs_python(spark):
+    """pagerank_int must equal an independent dict-based integer power
+    iteration on a handcrafted graph (hub, chain, triangle, isolated
+    pair), and the total-mass bound must hold each output is
+    deterministic integer arithmetic."""
+    from osm_hadoop_spark.operators.routing import pagerank_int
+
+    raw = [
+        (1, 2), (1, 3), (1, 4), (1, 5),      # hub at 1
+        (5, 6), (6, 7),                      # chain
+        (10, 11), (11, 12), (12, 10),        # triangle
+        (20, 21),                            # isolated pair
+        (2, 2),                              # self-loop (dropped)
+        (3, 1),                              # reverse duplicate (dedup)
+    ]
+    edges = spark.createDataFrame(raw, "u long, v long")
+    rounds, scale, dn, dd = 3, 1_000_000, 85, 100
+
+    adj = {}
+    for u, v in raw:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    base = (scale * (dd - dn)) // dd
+    pr = {n: scale for n in adj}
+    for _ in range(rounds):
+        contrib = {n: 0 for n in adj}
+        for u, nbrs in adj.items():
+            share = pr[u] // len(nbrs)
+            for v in nbrs:
+                contrib[v] += share
+        pr = {n: base + (dn * contrib[n]) // dd for n in adj}
+
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank_int(edges, rounds=rounds, scale=scale).collect()
+    }
+    assert got == pr
+    # symmetry inside the triangle, hub dominance, and positive floor
+    assert got[10] == got[11] == got[12]
+    assert got[1] == max(got.values())
+    assert min(got.values()) >= base
