@@ -5067,6 +5067,42 @@ WHERE NOT EXISTS (
 _CHUNK_N, _CHUNK_OV = 32, 8
 
 
+# LLM-pipeline sequence packing: concat-and-chunk the per-lang document
+# stream into capacity-token packs; docs may straddle pack boundaries
+# (the distributable pretraining semantics — atomic bin packing is
+# inherently sequential). One window cumsum + codegen arithmetic.
+_PACK_CAP = 256
+
+
+def _q_pack_documents(spark, sf_dir):
+    from osm_hadoop_spark.operators.curation import pack_documents
+
+    return pack_documents(_t(spark, sf_dir, "documents"), capacity=_PACK_CAP)
+
+
+_ORACLE_PACK_DOCS = f"""
+WITH toks AS (SELECT lang, doc_id,
+                CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+              FROM documents),
+nz AS (SELECT * FROM toks WHERE n_tokens > 0),
+offs AS (SELECT lang, doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                - n_tokens AS BIGINT) AS start_off
+         FROM nz),
+ex AS (SELECT lang, doc_id, n_tokens, start_off,
+         unnest(generate_series(start_off // {_PACK_CAP},
+                                (start_off + n_tokens - 1) // {_PACK_CAP}))
+           AS pack_id
+       FROM offs)
+SELECT lang, CAST(pack_id AS BIGINT) AS pack_id, doc_id,
+  CAST(greatest(start_off, pack_id * {_PACK_CAP}) - start_off AS BIGINT)
+    AS tok_start_in_doc,
+  CAST(least(start_off + n_tokens, (pack_id + 1) * {_PACK_CAP})
+       - greatest(start_off, pack_id * {_PACK_CAP}) AS BIGINT) AS tok_in_pack
+FROM ex
+"""
+
+
 def _q_chunk_documents(spark, sf_dir):
     from osm_hadoop_spark.operators.curation import chunk_documents
 
@@ -5275,6 +5311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_hausdorff": _q_simplify_hausdorff,  # simplification error bound
         "idw_surface": _q_idw_surface,              # scatter IDW vs gather oracle
         "chunk_documents": _q_chunk_documents,      # passage windows, single stage
+        "pack_documents": _q_pack_documents,        # sequence packing (concat-and-chunk)
         "way_diameter": _q_way_diameter,            # hull-reduced farthest pair
         "pareto_skyline": _q_pareto_skyline,        # single-sort dominance frontier
         "hex_bin_density": _q_hex_density,          # from-scratch hex cell index
@@ -5382,6 +5419,7 @@ def oracle_sql() -> dict[str, str]:
         "simplify_hausdorff": _ORACLE_HAUSDORFF,
         "idw_surface": _oracle_idw(),
         "chunk_documents": _ORACLE_CHUNKS,
+        "pack_documents": _ORACLE_PACK_DOCS,
         "way_diameter": _ORACLE_DIAMETER,
         "pareto_skyline": _ORACLE_SKYLINE,
         "hex_bin_density": _oracle_hex(),

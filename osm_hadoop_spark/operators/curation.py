@@ -245,3 +245,64 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def pack_documents(
+    documents: DataFrame,
+    capacity: int = 256,
+    group: str = "lang",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing — the concat-and-chunk construction GPT-style
+    pretraining uses: within each `group` stream, documents are
+    concatenated in deterministic `doc_id` order and the token stream is
+    split at every `capacity` boundary; documents may straddle pack
+    boundaries. Emits one row per (document x pack it touches):
+
+        (group, pack_id, doc_id, tok_start_in_doc, tok_in_pack)
+
+    so sum(tok_in_pack) per doc == its token count (lossless), and
+    sum(tok_in_pack) per pack == capacity except the stream tail.
+
+    Plan: ONE window per group stream (cumulative token sum — integer,
+    order-immune because summands are nonnegative and the frame is a
+    running total over a unique (doc_id) order), then pure codegen
+    arithmetic: a doc starting at offset s with n tokens spans packs
+    s DIV cap .. (s+n-1) DIV cap, exploded with clamped-overlap token
+    counts. No join, no Python. Empty docs (0 tokens) are dropped — they
+    occupy no stream positions. The deliberately non-atomic semantics
+    (docs split at boundaries) is what makes packing distributable: the
+    greedy doc-atomic bin-packing alternative is inherently sequential.
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        F.col(group).alias("grp"),
+        F.col(doc_id).alias("doc_id"),
+        F.size(tokens_col()).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("grp").orderBy("doc_id")
+    offs = toks.withColumn(
+        "start_off", (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    )
+    cap = capacity
+    first = F.expr(f"start_off div {cap}")
+    last = F.expr(f"(start_off + n_tokens - 1) div {cap}")
+    ex = offs.select(
+        F.col("grp").alias(group),
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        F.explode(F.sequence(first, last)).alias("pack_id"),
+    )
+    lo = F.greatest(F.col("start_off"), F.col("pack_id") * cap)
+    hi = F.least(
+        F.col("start_off") + F.col("n_tokens"), (F.col("pack_id") + 1) * cap
+    )
+    return ex.select(
+        group,
+        F.col("pack_id").cast("bigint").alias("pack_id"),
+        "doc_id",
+        (lo - F.col("start_off")).cast("bigint").alias("tok_start_in_doc"),
+        (hi - lo).cast("bigint").alias("tok_in_pack"),
+    )

@@ -135,3 +135,61 @@ def test_curation_plans_are_jvm_only(spark):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+@pytest.fixture(scope="module")
+def flat_docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+
+def test_pack_documents_vs_brute_and_invariants(spark, flat_docs):
+    """pack_documents must equal an independent Python concat-and-chunk
+    packer, reassemble losslessly per doc, and fill every non-tail pack
+    to exactly `capacity`."""
+    from osm_hadoop_spark.operators.curation import pack_documents
+
+    cap = 64
+    corpus = flat_docs.limit(60)
+    out = pack_documents(corpus, capacity=cap).collect()
+
+    pdf = corpus.select("lang", "doc_id", "text").toPandas()
+    want = set()
+    for lang in sorted(pdf["lang"].unique()):
+        sub = pdf[pdf["lang"] == lang].sort_values("doc_id")
+        off = 0
+        for _, r in sub.iterrows():
+            n = len(r["text"].split())
+            if n == 0:
+                continue
+            s = off
+            for pack in range(s // cap, (s + n - 1) // cap + 1):
+                lo = max(s, pack * cap)
+                hi = min(s + n, (pack + 1) * cap)
+                want.add((lang, pack, r["doc_id"], lo - s, hi - lo))
+            off += n
+    got = {
+        (r["lang"], r["pack_id"], r["doc_id"],
+         r["tok_start_in_doc"], r["tok_in_pack"])
+        for r in out
+    }
+    assert got == want and len(want) > 0
+
+    # lossless per doc; full non-tail packs
+    per_doc = {}
+    per_pack = {}
+    for lang, pack, d, _, t in got:
+        per_doc[d] = per_doc.get(d, 0) + t
+        per_pack[(lang, pack)] = per_pack.get((lang, pack), 0) + t
+    for _, r in pdf.iterrows():
+        n = len(r["text"].split())
+        if n:
+            assert per_doc[r["doc_id"]] == n
+    for lang in pdf["lang"].unique():
+        packs = sorted(p for l, p in per_pack if l == lang)
+        for p in packs[:-1]:
+            assert per_pack[(lang, p)] == cap
+    # at least one doc straddles a boundary (the semantics under test)
+    assert any(
+        sum(1 for l2, p2, d2, _, _ in got if d2 == d) > 1
+        for _, _, d, _, _ in got
+    )
