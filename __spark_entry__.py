@@ -4109,6 +4109,45 @@ GROUP BY token ORDER BY cnt DESC, token LIMIT 20
 """
 
 
+# Count-Min sketch: point-frequency estimates with the one-sided
+# est >= true guarantee. Build = one partial-aggregating hash agg over
+# d*w cells; probes read the broadcast sketch. All integers.
+_CM_D, _CM_W = 4, 64
+
+
+def _q_count_min(spark, sf_dir):
+    from osm_hadoop_spark.operators.sketch import count_min_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("user_id") % 7 == 0).select("user_id").distinct()
+    est = count_min_estimate(ev, probes, "user_id", d=_CM_D, w=_CM_W)
+    true = (
+        ev.filter(F.col("user_id") % 7 == 0)
+        .groupBy(F.col("user_id").cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+    )
+    return est.join(true, "k").select("k", "true_cnt", "cm_est")
+
+
+_ORACLE_COUNT_MIN = f"""
+WITH rr AS (SELECT unnest(generate_series(0, {_CM_D - 1})) AS r),
+ks AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+cells AS (SELECT r, {_duck_h60("'cm' || r || '_' || k")} % {_CM_W} AS c,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM ks, rr GROUP BY 1, 2),
+probes AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+           WHERE user_id % 7 = 0),
+pr AS (SELECT k, r, {_duck_h60("'cm' || r || '_' || k")} % {_CM_W} AS c
+       FROM probes, rr),
+est AS (SELECT pr.k, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS cm_est
+        FROM pr LEFT JOIN cells USING (r, c) GROUP BY pr.k),
+tr AS (SELECT CAST(user_id AS VARCHAR) AS k,
+              CAST(count(*) AS BIGINT) AS true_cnt
+       FROM events WHERE user_id % 7 = 0 GROUP BY 1)
+SELECT est.k, tr.true_cnt, est.cm_est FROM est JOIN tr USING (k)
+"""
+
+
 def _q_hll_registers(spark, sf_dir):
     """Deterministic HyperLogLog registers per event_type over user_id:
     bucket = low 8 bits of h60, rho = leading-zero count of the remaining
@@ -5344,6 +5383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_semijoin": _q_bloom_semijoin,  # runtime-filter join pruning
         "heavy_hitters_tokens": _q_heavy_hitters,   # 2-pass Misra-Gries exact top-k
         "hll_user_registers": _q_hll_registers,     # deterministic HLL sketch state
+        "cm_user_freq": _q_count_min,               # count-min point estimates
         "resample_ffill_events": _q_resample_ffill,  # dense series + gap fill
     }
 
@@ -5447,6 +5487,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["bloom_prune_semijoin"] = _ORACLE_BLOOM_SEMIJOIN
     oracles["heavy_hitters_tokens"] = _ORACLE_HEAVY_HITTERS
     oracles["hll_user_registers"] = _ORACLE_HLL_REGISTERS
+    oracles["cm_user_freq"] = _ORACLE_COUNT_MIN
     oracles["resample_ffill_events"] = _ORACLE_RESAMPLE_FFILL
     oracles["s2_cell_assign_l12"] = _oracle_s2_cells()
     oracles["s2_region_contain"] = _oracle_s2_region_contain()

@@ -317,3 +317,55 @@ def hll_estimate(registers: pd.DataFrame, p: int = 8) -> float:
         import math
         return m * math.log(m / zeros)
     return raw
+
+
+def count_min_cells(
+    df: DataFrame, key_col: str, d: int = 4, w: int = 64
+) -> DataFrame:
+    """Build a Count-Min sketch (Cormode & Muthukrishnan 2005): d hash
+    rows x w counters, cell (r, c) = number of input rows whose key hashes
+    to column c under row-r's hash h60('cm' r '_' key) % w.
+
+    The build is the ideal distributed-aggregation shape: a d-way explode
+    of slim (key, r) rows into ONE partially-aggregating hash aggregate
+    over d*w cells — map-side combine collapses every task's contribution
+    to at most d*w rows regardless of input size, which is the entire
+    point of a sketch at 100 TB. All integers, engine-reproducible."""
+    rows = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r"),
+    )
+    c = h60(
+        F.concat(F.lit("cm"), F.col("r").cast("string"), F.lit("_"), F.col("k"))
+    ) % w
+    return (
+        rows.select("r", c.alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    df: DataFrame, probes: DataFrame, key_col: str, d: int = 4, w: int = 64
+) -> DataFrame:
+    """Point-frequency estimates from the Count-Min sketch for a probe
+    key set: estimate(k) = min over rows r of cell(r, h_r(k)) — the
+    classic one-sided guarantee estimate >= true count (collisions only
+    ever ADD). Probes landing in an untouched cell read 0.
+
+    The sketch (<= d*w rows) is broadcast to the probe side; the big
+    side is touched only by the build aggregate."""
+    sk = count_min_cells(df, key_col, d, w)
+    pr = probes.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r"),
+    )
+    c = h60(
+        F.concat(F.lit("cm"), F.col("r").cast("string"), F.lit("_"), F.col("k"))
+    ) % w
+    return (
+        pr.select("k", "r", c.alias("c"))
+        .join(F.broadcast(sk), ["r", "c"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cm_est"))
+    )

@@ -146,3 +146,41 @@ def test_hll_estimate_accuracy(spark):
     est = hll_estimate(pdf, p=8)
     assert math.isfinite(est)
     assert abs(est - 20_000) / 20_000 < 0.20
+
+
+def test_count_min_vs_python_and_guarantee(spark):
+    """count_min estimates must equal an independent Python CM build, and
+    the one-sided guarantee est >= true must hold for every probe; with
+    w smaller than the key space, at least one overestimate must occur
+    (collisions are the behavior under test)."""
+    import hashlib
+
+    from osm_hadoop_spark.operators.sketch import count_min_estimate
+
+    d, w = 4, 16
+    keys = [i % 37 for i in range(500)]  # 37 distinct keys > w columns
+    df = spark.createDataFrame([(k,) for k in keys], "uid long")
+    probes = spark.createDataFrame([(k,) for k in sorted(set(keys))], "uid long")
+
+    def h60py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    cells = {}
+    for k in keys:
+        for r in range(d):
+            c = h60py(f"cm{r}_{k}") % w
+            cells[(r, c)] = cells.get((r, c), 0) + 1
+    true = {str(k): keys.count(k) for k in set(keys)}
+    want = {
+        str(k): min(cells.get((r, h60py(f"cm{r}_{k}") % w), 0) for r in range(d))
+        for k in set(keys)
+    }
+
+    out = count_min_estimate(df, probes, "uid", d=d, w=w)
+    got = {r["k"]: r["cm_est"] for r in out.collect()}
+    assert got == want
+    assert all(got[k] >= true[k] for k in got)
+    assert any(got[k] > true[k] for k in got)  # collisions really happened
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BroadcastExchange" in plan
