@@ -2369,6 +2369,36 @@ FROM isl GROUP BY doc_id, isl
 """
 
 
+# word co-occurrence with exact PMI sufficient statistics (the
+# word2vec/GloVe preprocessing matrix): shifted-self EQUI-join pairing,
+# canonical (least, greatest) pair keys, unigram + total censuses joined
+# back. PMI is monotone in n_ab*n_tot/(n_a*n_b), so the integer stats are
+# the engine-reproducible form of the score.
+def _q_cooccurrence(spark, sf_dir):
+    from osm_hadoop_spark.operators.textstats import cooccurrence_pairs
+
+    return cooccurrence_pairs(
+        _t(spark, sf_dir, "documents"), window=2, min_count=5
+    )
+
+
+_ORACLE_COOCCURRENCE = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+tp AS (SELECT doc_id, i AS pos, {_duck_h60('toks[i]')} AS term
+       FROM toks, UNNEST(generate_series(1, len(toks))) AS t(i)),
+pairs AS (
+  SELECT least(a.term, b.term) AS a, greatest(a.term, b.term) AS b
+  FROM tp a JOIN tp b
+    ON b.doc_id = a.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 2),
+cnt AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+        FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5),
+uni AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tp GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM tp)
+SELECT c.a, c.b, c.n_ab, ua.n AS n_a, ub.n AS n_b, tot.n_tot
+FROM cnt c JOIN uni ua ON ua.term = c.a JOIN uni ub ON ub.term = c.b, tot
+"""
+
+
 # full-text inverted index with sharded posting lists (the skew guard for
 # stopword terms) and a term-level min_df gate applied across shards.
 def _q_inverted_index(spark, sf_dir):
@@ -5327,6 +5357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join_exact": _q_jaccard_join_exact,  # PPJoin prefix filter, complete recall
         "dup_substring_spans": _q_dup_substrings,   # cross-doc repeated-span extraction
         "inverted_index": _q_inverted_index,        # sharded postings full-text index
+        "cooccurrence_pmi": _q_cooccurrence,        # word co-occurrence / PMI stats
         "dedup_clusters": _q_dedup_clusters,        # pairs -> components (large/small-star)
         "dbscan_hotspots": _q_dbscan_clusters,      # exact grid DBSCAN (density clustering)
         "kde_hotspots": _q_kde_hotspots,            # separable integer-kernel density grid
@@ -5436,6 +5467,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_join_exact": _ORACLE_JACCARD_EXACT,
         "dup_substring_spans": _ORACLE_DUP_SUBSTRINGS,
         "inverted_index": _ORACLE_INVERTED_INDEX,
+        "cooccurrence_pmi": _ORACLE_COOCCURRENCE,
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         "dbscan_hotspots": _ORACLE_DBSCAN,
         "kde_hotspots": _ORACLE_KDE,

@@ -242,3 +242,69 @@ def inverted_index(
             F.col("term_df") >= min_df
         ).drop("term_df")
     return out
+
+
+def cooccurrence_pairs(
+    documents: DataFrame, window: int = 2, min_count: int = 2
+) -> DataFrame:
+    """Word co-occurrence counts with exact PMI sufficient statistics —
+    the word2vec/GloVe preprocessing matrix. For every unordered term
+    pair co-occurring within `window` token positions inside a document,
+    emit (a, b, n_ab, n_a, n_b, n_tot): PMI = log(n_ab * n_tot / (n_a *
+    n_b)) is monotone in the rational n_ab*n_tot/(n_a*n_b), so emitting
+    the exact integer statistics instead of the float keeps the output
+    engine-reproducible and lets the consumer pick any PMI variant.
+
+    Plan: the big side is the positioned-term stream; pairing is the
+    shifted-self EQUI-join (each token exploded to its next `window`
+    positions — a bounded linear fan-out), never an inequality join; the
+    pair census and unigram census are partial-aggregating hash
+    aggregates; n_tot is a 1-row broadcast. Pairs are canonicalized
+    (least, greatest) by term hash so each unordered pair counts once per
+    occurrence. Same-term-within-window pairs are kept (standard in
+    co-occurrence counting; a == b rows have n_a == n_b).
+    """
+    toks = tokens_col()
+    spread = documents.select("doc_id", "text").repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
+    )
+    tp = spread.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks)),
+                lambda i: F.struct(
+                    i.alias("pos"), h60(F.element_at(toks, i)).alias("term")
+                ),
+            )
+        ).alias("tp"),
+    ).select(
+        "doc_id", F.col("tp.pos").alias("pos"), F.col("tp.term").alias("term")
+    )
+    left = tp.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(window)), lambda d: F.col("pos") + d
+            )
+        ).alias("pos"),
+        F.col("term").alias("term_a"),
+    )
+    pairs = left.join(tp, ["doc_id", "pos"]).select(
+        F.least("term_a", "term").alias("a"),
+        F.greatest("term_a", "term").alias("b"),
+    )
+    cnt = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    uni = tp.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # n_tot from the (tiny) unigram census, not a fourth pass over tokens
+    tot = uni.agg(F.sum("n").cast("bigint").alias("n_tot"))
+    return (
+        cnt.join(uni.select(F.col("term").alias("a"), F.col("n").alias("n_a")), "a")
+        .join(uni.select(F.col("term").alias("b"), F.col("n").alias("n_b")), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("a", "b", "n_ab", "n_a", "n_b", "n_tot")
+    )

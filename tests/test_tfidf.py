@@ -75,3 +75,45 @@ def test_term_frequencies_tokenizer(spark):
     got = {(r["term"], r["tf"]) for r in term_frequencies(docs).collect()}
     # lowercased, split on every non-[a-z] run: "ab","b","c","c","c"
     assert got == {("ab", 1), ("b", 1), ("c", 3)}
+
+
+def test_cooccurrence_pairs_vs_brute(spark):
+    """cooccurrence_pairs must equal an independent Python sliding-window
+    pair counter (own tokenizer/hash), including same-term pairs and the
+    exact PMI sufficient statistics."""
+    import hashlib
+
+    from osm_hadoop_spark.operators.textstats import cooccurrence_pairs
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(40)
+
+    def h60py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    w, mc = 2, 2
+    uni, pair, tot = {}, {}, 0
+    for r in docs.select("text").collect():
+        toks = r["text"].split()
+        hs = [h60py(t) for t in toks]
+        for h in hs:
+            uni[h] = uni.get(h, 0) + 1
+            tot += 1
+        for i in range(len(hs)):
+            for j in range(i + 1, min(i + w, len(hs) - 1) + 1):
+                key = (min(hs[i], hs[j]), max(hs[i], hs[j]))
+                pair[key] = pair.get(key, 0) + 1
+    want = {
+        (a, b, n, uni[a], uni[b], tot)
+        for (a, b), n in pair.items() if n >= mc
+    }
+    got = {
+        (r["a"], r["b"], r["n_ab"], r["n_a"], r["n_b"], r["n_tot"])
+        for r in cooccurrence_pairs(docs, window=w, min_count=mc).collect()
+    }
+    assert got == want and len(want) > 0
+    # at least one within-window same-term pair must be exercised OR the
+    # canonicalization must have merged (i,j) and (j,i) orders: check the
+    # canonical invariant a <= b on every row
+    assert all(a <= b for a, b, *_ in got)
