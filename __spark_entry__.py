@@ -988,6 +988,80 @@ FROM matched GROUP BY 1, 2
 """
 
 
+# S2 cover algebra: exact region-overlap matrix |A ∩ B| in leaf units.
+# A = nation-derived covers exploded to 3 of 4 children (multi-cell,
+# hole-punched); B = supplier-derived single cells. Engine exploits
+# laminarity (parent EQUI-joins); oracle = independent HUGEINT interval
+# arithmetic over the same derived cells.
+def _q_s2_overlap(spark, sf_dir):
+    from osm_hadoop_spark.operators.s2_join import (
+        regions_from_points,
+        s2_cell_overlap_join,
+    )
+
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("rid"),
+        ((F.col("n_nationkey") * 77) % 340 - 170).cast("double").alias("lon"),
+        ((F.col("n_nationkey") * 13) % 160 - 80).cast("double").alias("lat"),
+        (F.lit(2) + F.col("n_nationkey") % 3).cast("int").alias("level"),
+    )
+    rega = regions_from_points(nat, "rid", "lon", "lat", "level").select(
+        F.col("region_id").alias("rid_a"), F.col("region_cell").alias("pc")
+    )
+    # 3 of the 4 children (drop Hilbert child 0): multi-cell covers with a
+    # hole, by pure JVM id arithmetic (cell_children's closed form)
+    lsb = F.expr("pc & -pc")
+    clsb = F.shiftright(lsb, 2)
+    kids = F.array(
+        *[(F.col("pc") - lsb + clsb * (1 + 2 * k)) for k in (1, 2, 3)]
+    )
+    a = rega.select("rid_a", F.explode(kids).alias("cell"))
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("rid"),
+        ((F.col("s_suppkey") * 37) % 340 - 170).cast("double").alias("lon"),
+        ((F.col("s_suppkey") * 11) % 160 - 80).cast("double").alias("lat"),
+        (F.lit(2) + F.col("s_suppkey") % 3).cast("int").alias("level"),
+    )
+    b = regions_from_points(sup, "rid", "lon", "lat", "level").select(
+        F.col("region_id").alias("rid_b"), F.col("region_cell").alias("cell")
+    )
+    return s2_cell_overlap_join(a, b)
+
+
+def _oracle_s2_overlap() -> str:
+    input_sql = (
+        "SELECT n_nationkey AS rid, CAST((n_nationkey*77) % 340 - 170 AS DOUBLE) AS lon, "
+        "CAST((n_nationkey*13) % 160 - 80 AS DOUBLE) AS lat, 2 + n_nationkey % 3 AS level "
+        "FROM nation "
+        "UNION ALL "
+        "SELECT s_suppkey + 10000000, CAST((s_suppkey*37) % 340 - 170 AS DOUBLE), "
+        "CAST((s_suppkey*11) % 160 - 80 AS DOUBLE), 2 + s_suppkey % 3 FROM supplier"
+    )
+    sent = (
+        f"CASE level WHEN 2 THEN {1 << 56} WHEN 3 THEN {1 << 54} "
+        f"ELSE {1 << 52} END"
+    )
+    return f"""
+WITH RECURSIVE
+{_duck_s2_uid_cte(input_sql, (2, 3, 4))},
+asrc AS (SELECT rid AS rid_a, uid, CAST({sent} AS HUGEINT) AS lsb
+         FROM s2u WHERE rid < 10000000),
+akids AS (SELECT rid_a, uid - lsb + (lsb // 4) * (1 + 2 * k) AS uid,
+                 lsb // 4 AS lsb
+          FROM asrc, (SELECT unnest(generate_series(1, 3)) AS k)),
+bsrc AS (SELECT rid - 10000000 AS rid_b, uid, CAST({sent} AS HUGEINT) AS lsb
+         FROM s2u WHERE rid >= 10000000),
+ar AS (SELECT rid_a, uid - lsb + 1 AS lo, uid + lsb - 1 AS hi FROM akids),
+br AS (SELECT rid_b, uid - lsb + 1 AS lo, uid + lsb - 1 AS hi FROM bsrc),
+ov AS (SELECT a.rid_a, b.rid_b,
+         (least(a.hi, b.hi) - greatest(a.lo, b.lo)) // 2 + 1 AS leaves
+       FROM ar a JOIN br b ON least(a.hi, b.hi) >= greatest(a.lo, b.lo))
+SELECT rid_a, rid_b, CAST(sum(leaves) AS BIGINT) AS overlap_leaves
+FROM ov GROUP BY 1, 2
+"""
+
+
 def _q_s2_cover(spark, sf_dir):
     """S2 envelope cover (E9's spherical twin): 80 supplier-derived
     planar rects -> all level-7 S2 cells whose conservative bound
@@ -5320,6 +5394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
         "s2_region_contain": _q_s2_region_contain,  # mixed-level containment equi-join
         "s2_cover_l7": _q_s2_cover,                 # S2 envelope cover (E9 twin)
+        "s2_cover_overlap": _q_s2_overlap,          # cover algebra: |A ∩ B| in leaves
         "s2_cover_adaptive_l9": _q_s2_cover_adaptive,  # mixed-level RegionCoverer
         "s2_cover_join_l9": _q_s2_cover_join,       # J3 filter-and-refine on S2
         "tile_cover_count_z5": _q_tile_cover,       # E9 (J3 filter stage)
@@ -5524,6 +5599,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["s2_cell_assign_l12"] = _oracle_s2_cells()
     oracles["s2_region_contain"] = _oracle_s2_region_contain()
     oracles["s2_cover_l7"] = _oracle_s2_cover()
+    oracles["s2_cover_overlap"] = _oracle_s2_overlap()
     oracles["s2_cover_adaptive_l9"] = _oracle_s2_cover(level=9, adaptive=True)
     oracles["s2_cover_join_l9"] = _ORACLE_S2_COVER_JOIN
     oracles["ann_lsh_topk"] = _oracle_ann_lsh()

@@ -134,3 +134,90 @@ def s2_containment_join(
         regions.select("region_id", "level", "region_cell"),
         ["level", "region_cell"],
     ).drop("level")
+
+
+def s2_cell_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_id: str = "rid_a",
+    b_id: str = "rid_b",
+    cell: str = "cell",
+) -> DataFrame:
+    """Region-overlap matrix for two mixed-level S2 cell sets: for every
+    (region_a, region_b) pair with intersecting coverage, the EXACT
+    intersection area in leaf-cell units — the cover-algebra primitive
+    behind "how much of zone X lies inside zone Y".
+
+    The key structural fact: S2 cell ranges are LAMINAR — two cells are
+    either disjoint or one contains the other (descendant ids share the
+    ancestor's prefix). So cover intersection never needs interval
+    machinery: |cell_a ∩ cell_b| is the DEEPER cell's whole leaf count
+    (its lsb), and finding intersecting pairs is a parent EQUI-join, the
+    same per-level arithmetic-key strategy as s2_containment_join.
+
+    Two passes, each one explode + one equi-join:
+      1. deeper-or-equal B into A levels (non-strict),
+      2. strictly-deeper A into B levels (strict, so equal-level pairs
+         count exactly once).
+    Each side's cells are assumed internally disjoint per region id (a
+    canonical cover); overlapping input cells would double-count.
+
+    Scale: the explode fan-out is bounded by the number of DISTINCT
+    levels on the other side (<= 31, collected — the bounded-collect
+    whitelist); both joins are hash equi-joins on (level-lsb, cell) —
+    no inequality predicate, no broadcast requirement, AQE-splittable.
+    Returns (a_id, b_id, overlap_leaves).
+    """
+    a2 = a.select(
+        F.col(a_id),
+        F.col(cell).alias("cell_a"),
+        F.expr(f"{cell} & -{cell}").alias("lsb_a"),
+    )
+    b2 = b.select(
+        F.col(b_id),
+        F.col(cell).alias("cell_b"),
+        F.expr(f"{cell} & -{cell}").alias("lsb_b"),
+    )
+    a_lsbs = sorted(r["lsb_a"] for r in a2.select("lsb_a").distinct().collect())
+    b_lsbs = sorted(r["lsb_b"] for r in b2.select("lsb_b").distinct().collect())
+
+    def ancestors(cell_col, lsb_col, lsb_values, strict):
+        structs = []
+        for L in lsb_values:
+            cond = (lsb_col < F.lit(L)) if strict else (lsb_col <= F.lit(L))
+            structs.append(
+                F.when(
+                    cond,
+                    F.struct(
+                        F.lit(L).alias("lvl_lsb"),
+                        cell_col.bitwiseAND(F.lit(-L))
+                        .bitwiseOR(F.lit(L))
+                        .alias("pcell"),
+                    ),
+                )
+            )
+        return F.filter(F.array(*structs), lambda x: x.isNotNull())
+
+    # pass 1: B cells at-or-below an A level, keyed by their A-level parent
+    b_up = b2.select(
+        F.col(b_id),
+        F.col("lsb_b").alias("overlap_leaves"),
+        F.explode(ancestors(F.col("cell_b"), F.col("lsb_b"), a_lsbs, False)).alias("anc"),
+    ).select(b_id, "overlap_leaves", F.col("anc.lvl_lsb").alias("lsb_a"),
+             F.col("anc.pcell").alias("cell_a"))
+    p1 = b_up.join(a2, ["lsb_a", "cell_a"]).select(a_id, b_id, "overlap_leaves")
+
+    # pass 2: A cells strictly below a B level, keyed by their B-level parent
+    a_up = a2.select(
+        F.col(a_id),
+        F.col("lsb_a").alias("overlap_leaves"),
+        F.explode(ancestors(F.col("cell_a"), F.col("lsb_a"), b_lsbs, True)).alias("anc"),
+    ).select(a_id, "overlap_leaves", F.col("anc.lvl_lsb").alias("lsb_b"),
+             F.col("anc.pcell").alias("cell_b"))
+    p2 = a_up.join(b2, ["lsb_b", "cell_b"]).select(a_id, b_id, "overlap_leaves")
+
+    return (
+        p1.unionByName(p2)
+        .groupBy(a_id, b_id)
+        .agg(F.sum("overlap_leaves").cast("bigint").alias("overlap_leaves"))
+    )

@@ -178,3 +178,60 @@ def test_adaptive_cover_feeds_containment_join(spark):
         for pid in pts_pdf["point_id"][m]:
             exp.add((int(rr["region_id"]), int(pid)))
     assert got == exp and len(exp) > 0
+
+
+def test_s2_cell_overlap_join_vs_interval_brute(spark):
+    """s2_cell_overlap_join (laminar parent equi-joins) must equal an
+    independent interval-arithmetic brute force over cell ranges, across
+    nesting, equality, sibling-union, and disjoint cases."""
+    import numpy as np
+
+    from osm_hadoop_spark.functions.s2 import (
+        cell_children,
+        cell_for_lonlat,
+        cell_parent,
+        cell_range_max,
+        cell_range_min,
+    )
+    from osm_hadoop_spark.operators.s2_join import s2_cell_overlap_join
+
+    leaf1 = int(cell_for_lonlat(np.array([10.0]), np.array([20.0]), 30)[0])
+    leaf2 = int(cell_for_lonlat(np.array([11.5]), np.array([21.5]), 30)[0])
+    leaf3 = int(cell_for_lonlat(np.array([-120.0]), np.array([-40.0]), 30)[0])
+    x4 = int(cell_parent(np.array([leaf1]), 4)[0])
+    y4 = int(cell_parent(np.array([leaf2]), 4)[0])
+    assert x4 != y4
+    a_rows = [(1, x4)] + [(2, int(c)) for c in cell_children(y4)]
+    b_rows = [
+        (10, int(cell_parent(np.array([leaf1]), 3)[0])),  # contains x4
+        (11, int(cell_parent(np.array([leaf1]), 6)[0])),  # inside x4
+        (12, y4),                                         # equals region 2
+        (13, int(cell_parent(np.array([leaf3]), 4)[0])),  # disjoint
+    ]
+    a = spark.createDataFrame(a_rows, "rid_a long, cell long")
+    b = spark.createDataFrame(b_rows, "rid_b long, cell long")
+
+    def rng(c):
+        return (int(cell_range_min(np.array([c]))[0]),
+                int(cell_range_max(np.array([c]))[0]))
+
+    want = {}
+    for ra, ca in a_rows:
+        for rb, cb in b_rows:
+            lo = max(rng(ca)[0], rng(cb)[0])
+            hi = min(rng(ca)[1], rng(cb)[1])
+            if hi >= lo:
+                want[(ra, rb)] = want.get((ra, rb), 0) + (hi - lo) // 2 + 1
+
+    got = {
+        (r["rid_a"], r["rid_b"]): r["overlap_leaves"]
+        for r in s2_cell_overlap_join(a, b).collect()
+    }
+    assert got == want
+    # the cases really occurred: containment both directions, equality
+    # (sibling union == parent), and the disjoint region absent
+    assert (1, 10) in got and (1, 11) in got
+    assert sum(v for (ra, _), v in got.items() if ra == 2) == got[(1, 10)] * 0 + sum(
+        v for (ra, rb), v in got.items() if ra == 2 and rb == 12
+    )
+    assert not any(rb == 13 for _, rb in got)
