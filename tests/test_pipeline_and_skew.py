@@ -739,3 +739,65 @@ def test_streaming_kde_matches_batch(spark, tmp_path):
             want[(wstart, r["cx"], r["cy"])] = r["density"]
     assert got_map == want
     assert len({k[0] for k in want}) >= 3  # several windows exercised
+
+
+def test_streaming_count_min_matches_batch(spark, tmp_path):
+    """Streaming CM sketch (stateless cell fan-out -> one watermarked
+    window sum) equals the batch count_min_cells applied per window, and
+    its state is bounded: <= d*w rows per window whatever the key count."""
+    import datetime as dt
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osm_hadoop_spark.operators.sketch import count_min_cells
+    from osm_hadoop_spark.streaming.cm import streaming_count_min
+
+    d, w = 4, 16
+    rng = np.random.default_rng(7)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = sorted(
+        (
+            t0 + dt.timedelta(seconds=int(rng.integers(0, 240))),
+            int(rng.integers(0, 200)),
+        )
+        for _ in range(500)
+    )
+    schema = "ts timestamp, uid long"
+
+    src = str(tmp_path / "cm_src")
+    ckpt = str(tmp_path / "cm_ckpt")
+    got = []
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_count_min(stream, "uid", d=d, w=w)
+            .writeStream.foreachBatch(lambda df, _b: got.extend(df.collect()))
+            .outputMode("complete").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    got_map = {(r["win"]["start"], r["r"], r["c"]): r["cnt"] for r in got}
+
+    batch = spark.createDataFrame(rows, schema).withColumn(
+        "win", F.window("ts", "1 minute")
+    )
+    want = {}
+    starts = {r["win"]["start"] for r in batch.select("win").collect()}
+    for wstart in starts:
+        sub = batch.filter(F.col("win.start") == wstart).select("uid")
+        for r in count_min_cells(sub, "uid", d=d, w=w).collect():
+            want[(wstart, r["r"], r["c"])] = r["cnt"]
+    assert got_map == want
+    assert len(starts) >= 3
+    # bounded state: never more than d*w cells per window
+    per_win = {}
+    for (ws, _, _), _v in got_map.items():
+        per_win[ws] = per_win.get(ws, 0) + 1
+    assert all(n <= d * w for n in per_win.values())
