@@ -2772,6 +2772,51 @@ FROM counts, tot t, jt
 """
 
 
+# --- morphological closing of the hotspot raster (operators/morphology.py) --
+# close = erode(dilate(S)) with the radius-1 Chebyshev SE: fills 1-cell
+# holes/gaps in the Black-cell set. Output marks which closed cells were
+# original vs gap-filled. Two scatter-aggregate stages, no join in the
+# morphology itself.
+def _q_morph_close(spark, sf_dir):
+    from osm_hadoop_spark.operators.autocorr import cell_census
+    from osm_hadoop_spark.operators.morphology import close_cells
+
+    cells = cell_census(_dbscan_points(spark, sf_dir), 25).filter(
+        F.col("n") >= 2
+    ).select("cx", "cy")
+    closed = close_cells(cells, radius=1)
+    return closed.join(
+        cells.withColumn("was_original", F.lit(True)), ["cx", "cy"], "left"
+    ).select(
+        F.col("cx").cast("bigint").alias("cx"),
+        F.col("cy").cast("bigint").alias("cy"),
+        F.coalesce("was_original", F.lit(False)).alias("was_original"),
+    )
+
+
+_ORACLE_MORPH_CLOSE = f"""
+WITH pts AS (
+  SELECT {_duck_dbscan_coord('nx', 'cx', 'dx')} AS x,
+         {_duck_dbscan_coord('ny', 'cy', 'dy')} AS y
+  FROM part),
+blk AS (
+  SELECT CAST(floor(CAST(x AS DOUBLE) / 25) AS BIGINT) AS cx,
+         CAST(floor(CAST(y AS DOUBLE) / 25) AS BIGINT) AS cy
+  FROM pts GROUP BY 1, 2 HAVING count(*) >= 2),
+offs AS (SELECT unnest(generate_series(-1, 1)) AS d),
+dil AS (
+  SELECT DISTINCT b.cx + ox.d AS cx, b.cy + oy.d AS cy
+  FROM blk b, offs ox, offs oy),
+ero AS (
+  SELECT d.cx - ox.d AS cx, d.cy - oy.d AS cy
+  FROM dil d, offs ox, offs oy),
+closed AS (
+  SELECT cx, cy FROM ero GROUP BY cx, cy HAVING count(*) = 9)
+SELECT c.cx, c.cy, (b.cx IS NOT NULL) AS was_original
+FROM closed c LEFT JOIN blk b ON b.cx = c.cx AND b.cy = c.cy
+"""
+
+
 # --- hot-region labeling (operators/autocorr.py + cc.py) --------------------
 # 4-connected components of Black cells rolled up per region (raster
 # polygonization stage 1). Engine = large/small-star CC; oracle = an
@@ -5439,6 +5484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_pairs_r40": _q_distance_pairs,    # distance-band join (grid equi-join)
         "join_counts_grid": _q_join_counts,         # spatial autocorrelation (join counts)
         "hot_regions": _q_hot_regions,              # 4-connected region labeling (CC)
+        "morph_close_hotspots": _q_morph_close,     # morphological closing (map algebra)
         "trip_segments": _q_trip_segments,          # trajectory split on gap/teleport
         "dissolve_regions": _q_dissolve_regions,    # shared-edge polygon dissolve
         "pyramid_counts": _q_pyramid_counts,        # 2x overview pyramid (gdaladdo analog)
@@ -5549,6 +5595,7 @@ def oracle_sql() -> dict[str, str]:
         "distance_pairs_r40": _ORACLE_DISTANCE_PAIRS,
         "join_counts_grid": _ORACLE_JOIN_COUNTS,
         "hot_regions": _ORACLE_HOT_REGIONS,
+        "morph_close_hotspots": _ORACLE_MORPH_CLOSE,
         "trip_segments": _ORACLE_TRIPS,
         "dissolve_regions": _ORACLE_DISSOLVE,
         "pyramid_counts": _ORACLE_PYRAMID,
