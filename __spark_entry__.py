@@ -3233,6 +3233,127 @@ GROUP BY 1, 2
 """
 
 
+# --- tile clipping (operators/clip.py) --------------------------------------
+# Exact Liang-Barsky clip of every segment to every z-grid tile it
+# crosses: the per-tile vector-extract dual of the J3 tile cover. The
+# clipped endpoints are exact rationals (scaled-integer numerators over
+# the entry/exit denominators), so the per-tile checksums below are
+# bit-exact across engines. Join-free: cover explode + codegen clip,
+# one final groupBy(tile) exchange.
+_CLIP_CELL = 64
+
+
+def _q_clip_segments(spark, sf_dir):
+    from osm_hadoop_spark.operators.clip import clip_segments
+    from osm_hadoop_spark.operators.textstats import h60
+
+    ok = F.col("o_orderkey")
+    s = ok.cast("string")
+
+    def j(tag, mod, off):
+        return h60(F.concat(F.lit(tag), s)) % mod - off
+
+    segs = (
+        _t(spark, sf_dir, "orders")
+        .filter(ok % 5 == 0)
+        .select(
+            (ok % 997).alias("way_id"),
+            ok.alias("seg_id"),
+            (j("kwx", 3400, 0) + j("kax", 161, 80)).alias("x1"),
+            (j("kwy", 1600, 0) + j("kay", 161, 80)).alias("y1"),
+            (j("kwx", 3400, 0) + j("kbx", 161, 80)).alias("x2"),
+            (j("kwy", 1600, 0) + j("kby", 161, 80)).alias("y2"),
+        )
+    )
+    return (
+        clip_segments(segs, cell=_CLIP_CELL)
+        .groupBy("tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum("ax_num").alias("sum_axn"),
+            F.sum("ay_num").alias("sum_ayn"),
+            F.sum("a_den").alias("sum_ad"),
+            F.sum("bx_num").alias("sum_bxn"),
+            F.sum("by_num").alias("sum_byn"),
+            F.sum("b_den").alias("sum_bd"),
+        )
+    )
+
+
+def _duck_clip_coord(ctag, cmod, jtag) -> str:
+    s = "CAST(o_orderkey AS VARCHAR)"
+    c = _duck_h60(f"'{ctag}' || " + s)
+    jj = _duck_h60(f"'{jtag}' || " + s)
+    return f"{c} % {cmod} + {jj} % 161 - 80"
+
+
+_ORACLE_CLIP = f"""
+WITH g AS (
+  SELECT o_orderkey % 997 AS way_id, o_orderkey AS seg_id,
+         {_duck_clip_coord('kwx', 3400, 'kax')} AS x1,
+         {_duck_clip_coord('kwy', 1600, 'kay')} AS y1,
+         {_duck_clip_coord('kwx', 3400, 'kbx')} AS x2,
+         {_duck_clip_coord('kwy', 1600, 'kby')} AS y2
+  FROM orders WHERE o_orderkey % 5 = 0),
+cx AS (
+  SELECT *, unnest(generate_series(
+           CAST(floor(least(x1, x2) / {_CLIP_CELL}.0) AS BIGINT),
+           CAST(floor(greatest(x1, x2) / {_CLIP_CELL}.0) AS BIGINT))) AS tx
+  FROM g),
+cov AS (
+  SELECT *, unnest(generate_series(
+           CAST(floor(least(y1, y2) / {_CLIP_CELL}.0) AS BIGINT),
+           CAST(floor(greatest(y1, y2) / {_CLIP_CELL}.0) AS BIGINT))) AS ty
+  FROM cx),
+cand AS (
+  SELECT way_id, seg_id, tx, ty, x1, y1, x2 - x1 AS dx, y2 - y1 AS dy,
+         tx * {_CLIP_CELL} AS xl, (tx + 1) * {_CLIP_CELL} AS xr,
+         ty * {_CLIP_CELL} AS yl, (ty + 1) * {_CLIP_CELL} AS yr
+  FROM cov),
+ent AS (
+  SELECT *,
+    CASE WHEN dx > 0 THEN xl - x1 WHEN dx < 0 THEN x1 - xr ELSE 0 END AS exn,
+    CASE WHEN dx <> 0 THEN abs(dx) ELSE 1 END AS exd,
+    CASE WHEN dy > 0 THEN yl - y1 WHEN dy < 0 THEN y1 - yr ELSE 0 END AS eyn,
+    CASE WHEN dy <> 0 THEN abs(dy) ELSE 1 END AS eyd,
+    CASE WHEN dx > 0 THEN xr - x1 WHEN dx < 0 THEN x1 - xl ELSE 1 END AS fxn,
+    CASE WHEN dx <> 0 THEN abs(dx) ELSE 1 END AS fxd,
+    CASE WHEN dy > 0 THEN yr - y1 WHEN dy < 0 THEN y1 - yl ELSE 1 END AS fyn,
+    CASE WHEN dy <> 0 THEN abs(dy) ELSE 1 END AS fyd
+  FROM cand),
+s1 AS (
+  SELECT *,
+    CASE WHEN exn <= 0 THEN 0 ELSE exn END AS t0n1,
+    CASE WHEN exn <= 0 THEN 1 ELSE exd END AS t0d1,
+    CASE WHEN fxd <= fxn THEN 1 ELSE fxn END AS t1n1,
+    CASE WHEN fxd <= fxn THEN 1 ELSE fxd END AS t1d1
+  FROM ent),
+s2 AS (
+  SELECT *,
+    CASE WHEN t0n1 * eyd >= eyn * t0d1 THEN t0n1 ELSE eyn END AS t0n,
+    CASE WHEN t0n1 * eyd >= eyn * t0d1 THEN t0d1 ELSE eyd END AS t0d,
+    CASE WHEN t1n1 * fyd <= fyn * t1d1 THEN t1n1 ELSE fyn END AS t1n,
+    CASE WHEN t1n1 * fyd <= fyn * t1d1 THEN t1d1 ELSE fyd END AS t1d
+  FROM s1),
+hits AS (
+  SELECT tx, ty,
+         x1 * t0d + dx * t0n AS ax_num, y1 * t0d + dy * t0n AS ay_num, t0d AS a_den,
+         x1 * t1d + dx * t1n AS bx_num, y1 * t1d + dy * t1n AS by_num, t1d AS b_den
+  FROM s2
+  WHERE (dx <> 0 OR (x1 BETWEEN xl AND xr))
+    AND (dy <> 0 OR (y1 BETWEEN yl AND yr))
+    AND t0n * t1d <= t1n * t0d)
+SELECT tx, ty, count(*) AS n_segs,
+       CAST(sum(ax_num) AS BIGINT) AS sum_axn,
+       CAST(sum(ay_num) AS BIGINT) AS sum_ayn,
+       CAST(sum(a_den) AS BIGINT) AS sum_ad,
+       CAST(sum(bx_num) AS BIGINT) AS sum_bxn,
+       CAST(sum(by_num) AS BIGINT) AS sum_byn,
+       CAST(sum(b_den) AS BIGINT) AS sum_bd
+FROM hits GROUP BY 1, 2
+"""
+
+
 # --- gaps-and-islands (operators/islands.py) --------------------------------
 # T5: merge each user's overlapping/touching activity intervals (event ts
 # + an h60-derived duration) into maximal islands. Single-sort window
@@ -5490,6 +5611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_counts": _q_pyramid_counts,        # 2x overview pyramid (gdaladdo analog)
         "od_matrix": _q_od_matrix,                  # origin-destination flow rollup
         "way_crossings": _q_way_crossings,          # planar overlay intersection join
+        "clip_segments_z": _q_clip_segments,        # exact Liang-Barsky tile clip
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
@@ -5601,6 +5723,7 @@ def oracle_sql() -> dict[str, str]:
         "pyramid_counts": _ORACLE_PYRAMID,
         "od_matrix": _ORACLE_OD,
         "way_crossings": _ORACLE_CROSSINGS,
+        "clip_segments_z": _ORACLE_CLIP,
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,
