@@ -3354,6 +3354,77 @@ FROM hits GROUP BY 1, 2
 """
 
 
+# --- marching squares (operators/contour.py) --------------------------------
+# Raster -> vector: contour segments around the cells hit by >= 2 order
+# points on a 160x80 grid. Scatter-aggregate (4x corner-bit fan-out, ONE
+# block agg), case decode + segment emit in codegen; doubled integer
+# midpoint coordinates keep everything exact. The oracle recomputes the
+# mask via an unnest scatter and joins a VALUES copy of the case table
+# (generated from the same pinned _CASES source); independence comes
+# from tests/test_contour.py's table-free closed-loop topology proof.
+def _q_contour(spark, sf_dir):
+    from osm_hadoop_spark.operators.contour import marching_squares
+    from osm_hadoop_spark.operators.textstats import h60
+
+    s = F.col("o_orderkey").cast("string")
+    cells = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            (h60(F.concat(F.lit("msx"), s)) % 160).alias("cx"),
+            (h60(F.concat(F.lit("msy"), s)) % 80).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("cx", "cy")
+    )
+    return (
+        marching_squares(cells)
+        .groupBy("mask")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum("x1d").alias("sum_x1d"),
+            F.sum("y1d").alias("sum_y1d"),
+            F.sum("x2d").alias("sum_x2d"),
+            F.sum("y2d").alias("sum_y2d"),
+        )
+    )
+
+
+def _oracle_contour() -> str:
+    from osm_hadoop_spark.operators.contour import _CASES
+
+    lut_rows = ", ".join(
+        f"({m}, {i}, {a[0]}, {a[1]}, {b[0]}, {b[1]})"
+        for m, segs in _CASES.items()
+        for i, (a, b) in enumerate(segs)
+    )
+    s = "CAST(o_orderkey AS VARCHAR)"
+    return f"""
+WITH ins AS (
+  SELECT {_duck_h60("'msx' || " + s)} % 160 AS cx,
+         {_duck_h60("'msy' || " + s)} % 80 AS cy
+  FROM orders GROUP BY 1, 2 HAVING count(*) >= 2),
+sc AS (
+  SELECT ins.cx - c.dx AS bx, ins.cy - c.dy AS by, c.bit
+  FROM ins, (VALUES (0,0,1), (1,0,2), (1,1,4), (0,1,8)) AS c(dx, dy, bit)),
+blocks AS (
+  SELECT bx, by, CAST(sum(bit) AS INT) AS mask FROM sc GROUP BY 1, 2),
+lut(mask, seg, rx1, ry1, rx2, ry2) AS (VALUES {lut_rows}),
+segs AS (
+  SELECT b.mask,
+         2 * b.bx + l.rx1 AS x1d, 2 * b.by + l.ry1 AS y1d,
+         2 * b.bx + l.rx2 AS x2d, 2 * b.by + l.ry2 AS y2d
+  FROM blocks b JOIN lut l USING (mask))
+SELECT mask, count(*) AS n_segs,
+       CAST(sum(x1d) AS BIGINT) AS sum_x1d,
+       CAST(sum(y1d) AS BIGINT) AS sum_y1d,
+       CAST(sum(x2d) AS BIGINT) AS sum_x2d,
+       CAST(sum(y2d) AS BIGINT) AS sum_y2d
+FROM segs GROUP BY 1
+"""
+
+
 # --- gaps-and-islands (operators/islands.py) --------------------------------
 # T5: merge each user's overlapping/touching activity intervals (event ts
 # + an h60-derived duration) into maximal islands. Single-sort window
@@ -5612,6 +5683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix": _q_od_matrix,                  # origin-destination flow rollup
         "way_crossings": _q_way_crossings,          # planar overlay intersection join
         "clip_segments_z": _q_clip_segments,        # exact Liang-Barsky tile clip
+        "contour_cells_t2": _q_contour,             # marching-squares contour segments
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
@@ -5724,6 +5796,7 @@ def oracle_sql() -> dict[str, str]:
         "od_matrix": _ORACLE_OD,
         "way_crossings": _ORACLE_CROSSINGS,
         "clip_segments_z": _ORACLE_CLIP,
+        "contour_cells_t2": _oracle_contour(),
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,
