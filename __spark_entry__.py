@@ -3354,6 +3354,78 @@ FROM hits GROUP BY 1, 2
 """
 
 
+# --- self-intersection stream (operators/overlay.py) ------------------------
+# ST_IsSimple violations: non-adjacent intersecting segment pairs WITHIN
+# each way. Polylines are derived closed-form as drift walks (vertex i =
+# way base + i*drift + jitter) so consecutive segments are spatially
+# local like real roads — no window/cumsum needed in either engine. The
+# join key is (way_id, cell); the oracle is the O(n^2) within-way
+# inequality join with the same exact CLRS predicate.
+def _sv_coord(axis: str, wcol, icol):
+    """Closed-form drift-walk vertex coordinate (Spark columns)."""
+    from osm_hadoop_spark.operators.textstats import h60
+
+    ws = wcol.cast("string")
+    return (
+        h60(F.concat(F.lit("sb" + axis), ws)) % 3000
+        + (h60(F.concat(F.lit("sd" + axis), ws)) % 21 - 10) * icol
+        + h60(
+            F.concat(F.lit("sw" + axis), ws, F.lit("_"), icol.cast("string"))
+        ) % 61 - 30
+    )
+
+
+def _q_self_intersect(spark, sf_dir):
+    from osm_hadoop_spark.operators.overlay import self_intersections
+
+    pk = F.col("p_partkey") - 1
+    w = pk % 50
+    i = F.floor(pk / 50).cast("long")
+    segs = _t(spark, sf_dir, "part").select(
+        w.alias("way_id"),
+        i.alias("seg_id"),
+        _sv_coord("x", w, i).alias("x1"),
+        _sv_coord("y", w, i).alias("y1"),
+        _sv_coord("x", w, i + 1).alias("x2"),
+        _sv_coord("y", w, i + 1).alias("y2"),
+    )
+    return (
+        self_intersections(segs, cell=32)
+        .groupBy("way_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_violations"),
+            F.sum("seg_a").alias("sum_seg_a"),
+            F.sum("seg_b").alias("sum_seg_b"),
+        )
+    )
+
+
+def _duck_sv_coord(axis: str, wexpr: str, iexpr: str) -> str:
+    ws = f"CAST({wexpr} AS VARCHAR)"
+    base = _duck_h60(f"'sb{axis}' || {ws}")
+    drift = _duck_h60(f"'sd{axis}' || {ws}")
+    jit = _duck_h60(f"'sw{axis}' || {ws} || '_' || CAST({iexpr} AS VARCHAR)")
+    return f"({base} % 3000 + ({drift} % 21 - 10) * ({iexpr}) + {jit} % 61 - 30)"
+
+
+_ORACLE_SELF_INTERSECT = f"""
+WITH g AS (
+  SELECT (p_partkey - 1) % 50 AS way_id,
+         (p_partkey - 1) // 50 AS seg_id,
+         {_duck_sv_coord('x', '(p_partkey - 1) % 50', '(p_partkey - 1) // 50')} AS x1,
+         {_duck_sv_coord('y', '(p_partkey - 1) % 50', '(p_partkey - 1) // 50')} AS y1,
+         {_duck_sv_coord('x', '(p_partkey - 1) % 50', '(p_partkey - 1) // 50 + 1')} AS x2,
+         {_duck_sv_coord('y', '(p_partkey - 1) % 50', '(p_partkey - 1) // 50 + 1')} AS y2
+  FROM part)
+SELECT a.way_id, count(*) AS n_violations,
+       CAST(sum(a.seg_id) AS BIGINT) AS sum_seg_a,
+       CAST(sum(b.seg_id) AS BIGINT) AS sum_seg_b
+FROM g a JOIN g b
+  ON a.way_id = b.way_id AND a.seg_id + 1 < b.seg_id AND ({_duck_intersects()})
+GROUP BY 1
+"""
+
+
 # --- marching squares (operators/contour.py) --------------------------------
 # Raster -> vector: contour segments around the cells hit by >= 2 order
 # points on a 160x80 grid. Scatter-aggregate (4x corner-bit fan-out, ONE
@@ -5684,6 +5756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_crossings": _q_way_crossings,          # planar overlay intersection join
         "clip_segments_z": _q_clip_segments,        # exact Liang-Barsky tile clip
         "contour_cells_t2": _q_contour,             # marching-squares contour segments
+        "ways_self_intersect": _q_self_intersect,   # ST_IsSimple violation stream
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
@@ -5797,6 +5870,7 @@ def oracle_sql() -> dict[str, str]:
         "way_crossings": _ORACLE_CROSSINGS,
         "clip_segments_z": _ORACLE_CLIP,
         "contour_cells_t2": _oracle_contour(),
+        "ways_self_intersect": _ORACLE_SELF_INTERSECT,
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,

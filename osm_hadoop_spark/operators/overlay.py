@@ -127,3 +127,52 @@ def segment_crossings(segs: DataFrame, cell: int = 8) -> DataFrame:
             F.col("wb").alias("way_b"), F.col("sb").alias("seg_b"),
         )
     )
+
+
+def self_intersections(segs: DataFrame, cell: int = 8) -> DataFrame:
+    """Non-adjacent intersecting segment pairs WITHIN each way — the
+    ST_IsSimple violation stream for open polylines.
+
+    Input: DataFrame(way_id, seg_id, x1, y1, x2, y2) where ``seg_id`` is
+    the CONSECUTIVE ordinal of the segment along its way (segment i
+    connects vertex i to vertex i+1), so ``seg_b == seg_a + 1`` pairs
+    share a vertex by construction and are excluded; any other
+    intersection — a proper crossing OR a revisited vertex — makes the
+    polyline non-simple.  Same plan as :func:`segment_crossings` with
+    ``way_id`` added to the join key: the equi-join is (way_id, cell),
+    so candidate volume is per-way local and metro-cell skew spreads
+    across ways.  Pairs are deduped by the identical first-shared-cell
+    corner rule; the refine is the same exact integer CLRS predicate.
+
+    Returns DataFrame(way_id, seg_a, seg_b) with seg_a + 1 < seg_b.
+    """
+    a = _covered(segs, cell, probe=True)
+    b = (
+        _covered(segs, cell, probe=True)
+        .select(
+            F.col("way_id").alias("wb"), F.col("seg_id").alias("sb"),
+            F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
+            F.col("x2").alias("bx2"), F.col("y2").alias("by2"),
+            F.col("cx0").alias("bcx0"), F.col("cy0").alias("bcy0"),
+            "cell",
+        )
+    )
+    first_shared = (
+        F.greatest(F.col("cx0"), F.col("bcx0")) * _PACK
+        + F.greatest(F.col("cy0"), F.col("bcy0"))
+    )
+    return (
+        a.join(b, (F.col("way_id") == F.col("wb")) & (a["cell"] == b["cell"]))
+        .filter(F.col("seg_id") + 1 < F.col("sb"))
+        .filter(a["cell"] == first_shared)
+        .filter(
+            segments_intersect(
+                F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"),
+                F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2"),
+            )
+        )
+        .select(
+            "way_id",
+            F.col("seg_id").alias("seg_a"), F.col("sb").alias("seg_b"),
+        )
+    )

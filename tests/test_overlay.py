@@ -98,3 +98,50 @@ def test_crossings_plan_no_cross_product(spark, seg_df):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _synth_polylines(n_ways, n_pts):
+    """Random-walk polylines; segment i connects vertex i to i+1."""
+    segs = []
+    for w in range(n_ways):
+        x, y = _h(f"px{w}", 200) - 100, _h(f"py{w}", 200) - 100
+        for i in range(n_pts - 1):
+            nx = x + _h(f"pdx{w}_{i}", 41) - 20
+            ny = y + _h(f"pdy{w}_{i}", 41) - 20
+            segs.append((w, i, x, y, nx, ny))
+            x, y = nx, ny
+    # handcrafted: figure-eight (revisits a vertex), proper bowtie cross,
+    # simple convex ring left open (no violation)
+    segs += [
+        (500, 0, 0, 0, 10, 0), (500, 1, 10, 0, 10, 10),
+        (500, 2, 10, 10, 0, 0), (500, 3, 0, 0, -10, 10),   # revisit (0,0): 0x3
+        (501, 0, 0, 0, 10, 10), (501, 1, 10, 10, 10, 0),
+        (501, 2, 10, 0, 0, 10),                              # seg2 crosses seg0
+        (502, 0, 0, 0, 10, 0), (502, 1, 10, 0, 12, 8),
+        (502, 2, 12, 8, 2, 9),                               # simple, no pairs
+    ]
+    return segs
+
+
+@pytest.mark.parametrize("cell", [8, 64])
+def test_self_intersections_match_brute(spark, cell):
+    from osm_hadoop_spark.operators.overlay import self_intersections
+
+    segs = _synth_polylines(60, 8)
+    df = spark.createDataFrame(
+        segs, "way_id long, seg_id long, x1 long, y1 long, x2 long, y2 long"
+    )
+    got = {
+        (r["way_id"], r["seg_a"], r["seg_b"])
+        for r in self_intersections(df, cell=cell).collect()
+    }
+    want = set()
+    for (wa, sa, *a) in segs:
+        for (wb, sb, *b) in segs:
+            if wa == wb and sa + 1 < sb and _brute_intersect(tuple(a), tuple(b)):
+                want.add((wa, sa, sb))
+    assert got == want
+    assert (500, 0, 3) in want
+    assert (501, 0, 2) in want
+    assert not any(w == 502 for w, _, _ in want)
+    assert len(want) > 10
