@@ -3354,6 +3354,59 @@ FROM hits GROUP BY 1, 2
 """
 
 
+# --- funnel analysis (operators/funnel.py) -----------------------------------
+# Greedy first-match funnel view -> click -> purchase with a 3-day
+# per-step window on the (ts, event_id) total order. Engine = ONE agg +
+# sorted-array codegen fold; oracle = a DIFFERENT mechanism (per-stage
+# row_number()=1 joins chaining the greedy matches).
+_FUNNEL_W_US = 3 * 24 * 3600 * 1_000_000
+
+
+def _q_funnel(spark, sf_dir):
+    from osm_hadoop_spark.operators.funnel import funnel_steps
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return funnel_steps(ev, ["view", "click", "purchase"], _FUNNEL_W_US)
+
+
+_ORACLE_FUNNEL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+s1 AS (
+  SELECT user_id, ts_us AS t1, event_id AS e1 FROM (
+    SELECT user_id, ts_us, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+    FROM ev WHERE event_type = 'view') WHERE rn = 1),
+s2 AS (
+  SELECT user_id, t2, e2 FROM (
+    SELECT c.user_id, c.ts_us AS t2, c.event_id AS e2,
+           row_number() OVER (PARTITION BY c.user_id ORDER BY c.ts_us, c.event_id) AS rn
+    FROM ev c JOIN s1 USING (user_id)
+    WHERE c.event_type = 'click' AND (c.ts_us, c.event_id) > (s1.t1, s1.e1)
+      AND c.ts_us - s1.t1 <= {_FUNNEL_W_US}) WHERE rn = 1),
+s3 AS (
+  SELECT user_id, t3, e3 FROM (
+    SELECT p.user_id, p.ts_us AS t3, p.event_id AS e3,
+           row_number() OVER (PARTITION BY p.user_id ORDER BY p.ts_us, p.event_id) AS rn
+    FROM ev p JOIN s2 USING (user_id)
+    WHERE p.event_type = 'purchase' AND (p.ts_us, p.event_id) > (s2.t2, s2.e2)
+      AND p.ts_us - s2.t2 <= {_FUNNEL_W_US}) WHERE rn = 1)
+SELECT u.user_id,
+       CASE WHEN s3.t3 IS NOT NULL THEN 3 WHEN s2.t2 IS NOT NULL THEN 2
+            WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS depth,
+       coalesce(s1.t1, -1) AS t1_us, coalesce(s1.e1, -1) AS e1,
+       coalesce(s2.t2, -1) AS t2_us, coalesce(s2.e2, -1) AS e2,
+       coalesce(s3.t3, -1) AS t3_us, coalesce(s3.e3, -1) AS e3
+FROM (SELECT DISTINCT user_id FROM ev) u
+LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
+
 # --- self-intersection stream (operators/overlay.py) ------------------------
 # ST_IsSimple violations: non-adjacent intersecting segment pairs WITHIN
 # each way. Polylines are derived closed-form as drift walks (vertex i =
@@ -5757,6 +5810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_segments_z": _q_clip_segments,        # exact Liang-Barsky tile clip
         "contour_cells_t2": _q_contour,             # marching-squares contour segments
         "ways_self_intersect": _q_self_intersect,   # ST_IsSimple violation stream
+        "funnel_conversion": _q_funnel,             # greedy first-match funnel fold
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
@@ -5871,6 +5925,7 @@ def oracle_sql() -> dict[str, str]:
         "clip_segments_z": _ORACLE_CLIP,
         "contour_cells_t2": _oracle_contour(),
         "ways_self_intersect": _ORACLE_SELF_INTERSECT,
+        "funnel_conversion": _ORACLE_FUNNEL,
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,
