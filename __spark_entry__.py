@@ -3354,6 +3354,56 @@ FROM hits GROUP BY 1, 2
 """
 
 
+# --- adaptive quadtree partitioner (operators/quadtree.py) -------------------
+# Occupancy-capped quadtree leaves over a skewed point set (1/3 of the
+# points in a 64x64 metro cluster, 2/3 uniform over the 1024^2 domain):
+# the spatial partition map a 100 TB join would repartition by. Engine =
+# closed-form ancestor-count rule (one explode agg + one broadcast
+# parent join); the SQL twin shares the closed form, so INDEPENDENCE
+# comes from tests/test_quadtree.py's textbook top-down recursive
+# splitter + cover/disjointness invariants.
+_QT_S, _QT_CAP, _QT_D = 10, 64, 6
+
+
+def _q_quadtree(spark, sf_dir):
+    from osm_hadoop_spark.operators.quadtree import quadtree_leaves
+    from osm_hadoop_spark.operators.textstats import h60
+
+    k = F.col("o_orderkey")
+    s = k.cast("string")
+    pts = _t(spark, sf_dir, "orders").select(
+        F.when(k % 3 == 0, 100 + h60(F.concat(F.lit("qcx"), s)) % 64)
+        .otherwise(h60(F.concat(F.lit("qux"), s)) % 1024)
+        .alias("x"),
+        F.when(k % 3 == 0, 700 + h60(F.concat(F.lit("qcy"), s)) % 64)
+        .otherwise(h60(F.concat(F.lit("quy"), s)) % 1024)
+        .alias("y"),
+    )
+    return quadtree_leaves(pts, size_pow=_QT_S, cap=_QT_CAP, max_depth=_QT_D)
+
+
+_ORACLE_QUADTREE = f"""
+WITH p AS (
+  SELECT CASE WHEN o_orderkey % 3 = 0
+              THEN 100 + {_duck_h60("'qcx' || CAST(o_orderkey AS VARCHAR)")} % 64
+              ELSE {_duck_h60("'qux' || CAST(o_orderkey AS VARCHAR)")} % 1024 END AS x,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN 700 + {_duck_h60("'qcy' || CAST(o_orderkey AS VARCHAR)")} % 64
+              ELSE {_duck_h60("'quy' || CAST(o_orderkey AS VARCHAR)")} % 1024 END AS y
+  FROM orders),
+anc AS (
+  SELECT d, x >> ({_QT_S} - d) AS cx, y >> ({_QT_S} - d) AS cy
+  FROM p, (SELECT unnest(generate_series(0, {_QT_D})) AS d)),
+counts AS (
+  SELECT d, cx, cy, count(*) AS n FROM anc GROUP BY 1, 2, 3)
+SELECT c.d AS depth, c.cx, c.cy, c.n AS n_points
+FROM counts c LEFT JOIN counts pr
+  ON pr.d = c.d - 1 AND pr.cx = c.cx >> 1 AND pr.cy = c.cy >> 1
+WHERE (c.d = 0 OR pr.n > {_QT_CAP})
+  AND (c.n <= {_QT_CAP} OR c.d = {_QT_D})
+"""
+
+
 # --- funnel analysis (operators/funnel.py) -----------------------------------
 # Greedy first-match funnel view -> click -> purchase with a 3-day
 # per-step window on the (ts, event_id) total order. Engine = ONE agg +
@@ -5811,6 +5861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_cells_t2": _q_contour,             # marching-squares contour segments
         "ways_self_intersect": _q_self_intersect,   # ST_IsSimple violation stream
         "funnel_conversion": _q_funnel,             # greedy first-match funnel fold
+        "quadtree_leaves_c64": _q_quadtree,         # occupancy-capped spatial partitioner
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
@@ -5926,6 +5977,7 @@ def oracle_sql() -> dict[str, str]:
         "contour_cells_t2": _oracle_contour(),
         "ways_self_intersect": _ORACLE_SELF_INTERSECT,
         "funnel_conversion": _ORACLE_FUNNEL,
+        "quadtree_leaves_c64": _ORACLE_QUADTREE,
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,
