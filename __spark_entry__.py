@@ -3354,6 +3354,70 @@ FROM hits GROUP BY 1, 2
 """
 
 
+# --- bigram LM quality gate (operators/lm.py) --------------------------------
+# CCNet-style LM scoring with the model trained on the corpus itself:
+# SCALE-quantized integer MLE terms, per-doc sum + per-bigram average.
+# Integer DIV everywhere -> exact twin.
+def _q_lm_scores(spark, sf_dir):
+    from osm_hadoop_spark.operators.lm import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_LM = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+t2 AS (SELECT doc_id, toks FROM toks WHERE len(toks) >= 2),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t2, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)),
+bgc AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+pc AS (SELECT w1, count(*) AS c_w1 FROM bg GROUP BY 1),
+terms AS (
+  SELECT doc_id, (c_bg * {1 << 20}) // c_w1 AS term
+  FROM bg JOIN bgc USING (w1, w2) JOIN pc USING (w1))
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(term) AS BIGINT) AS lm_score,
+       CAST(sum(term) // count(*) AS BIGINT) AS lm_q
+FROM terms GROUP BY 1
+"""
+
+
+# --- way noding (operators/noding.py) ----------------------------------------
+# Split the J1/J2 ways into routing edges at junction nodes (nodes used
+# >= 2 times anywhere) — the osm2pgrouting/osrm-extract step between way
+# assembly and the routing family. Runs on the SAME way_nodes derivation
+# as way_assembly_wkt, so the edges decompose the very ways the engine
+# assembles. Oracle = the same window mechanism in DuckDB (arg_min /
+# arg_max reduction); independence = the explicit per-way splitter +
+# chaining/conservation invariants in tests/test_noding.py.
+def _q_way_noding(spark, sf_dir):
+    from osm_hadoop_spark.operators.noding import node_ways
+
+    return node_ways(_way_nodes(spark, sf_dir))
+
+
+_ORACLE_WAY_NODING = f"""
+WITH wn AS ({_WAY_NODES_SQL}),
+usage AS (SELECT node_id, count(*) AS n_use FROM wn GROUP BY 1),
+f AS (SELECT wn.way_id, wn.ordinal, wn.node_id, u.n_use >= 2 AS shared
+      FROM wn JOIN usage u USING (node_id)),
+r AS (SELECT way_id, ordinal, node_id, shared,
+        row_number() OVER w AS pos,
+        count(*) OVER (PARTITION BY way_id) AS n,
+        lead(node_id) OVER w AS next_node
+      FROM f WINDOW w AS (PARTITION BY way_id ORDER BY ordinal, node_id)),
+s AS (SELECT way_id, pos, node_id, next_node,
+        sum(CASE WHEN pos = 1 OR pos = n OR shared THEN 1 ELSE 0 END)
+          OVER (PARTITION BY way_id ORDER BY ordinal, node_id ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM r WHERE next_node IS NOT NULL)
+SELECT way_id, CAST(cum_b - 1 AS BIGINT) AS edge_idx,
+       arg_min(node_id, pos) AS from_node,
+       arg_max(next_node, pos) AS to_node,
+       count(*) AS n_segments
+FROM s GROUP BY 1, 2
+"""
+
+
 # --- adaptive quadtree partitioner (operators/quadtree.py) -------------------
 # Occupancy-capped quadtree leaves over a skewed point set (1/3 of the
 # points in a 64x64 metro cluster, 2/3 uniform over the 1024^2 domain):
@@ -5862,6 +5926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ways_self_intersect": _q_self_intersect,   # ST_IsSimple violation stream
         "funnel_conversion": _q_funnel,             # greedy first-match funnel fold
         "quadtree_leaves_c64": _q_quadtree,         # occupancy-capped spatial partitioner
+        "way_noding_edges": _q_way_noding,          # junction split -> routing edges
+        "lm_bigram_scores": _q_lm_scores,           # corpus-MLE LM quality gate
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
@@ -5978,6 +6044,8 @@ def oracle_sql() -> dict[str, str]:
         "ways_self_intersect": _ORACLE_SELF_INTERSECT,
         "funnel_conversion": _ORACLE_FUNNEL,
         "quadtree_leaves_c64": _ORACLE_QUADTREE,
+        "way_noding_edges": _ORACLE_WAY_NODING,
+        "lm_bigram_scores": _ORACLE_LM,
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,
