@@ -3354,6 +3354,42 @@ FROM hits GROUP BY 1, 2
 """
 
 
+# --- zonal majority (operators/zonal.py::zonal_mode) --------------------------
+# GIS "zonal statistics: MAJORITY": modal raster class per zone with the
+# pinned (max count, min val) tie-break. Engine = two partial-agg hash
+# aggs and a struct-max (no window, no sort); oracle = a DIFFERENT
+# mechanism (row_number window argmax). Zones are an all-integer 34x16
+# grid over the A5 event derivation.
+def _q_zonal_mode(spark, sf_dir):
+    from osm_hadoop_spark.operators.zonal import zonal_mode
+
+    cells = _t(spark, sf_dir, "events").select(
+        (((F.col("event_id") * 11) % 2720) / F.lit(80)).cast("long").alias("zx"),
+        (((F.col("event_id") * 13) % 1280) / F.lit(80)).cast("long").alias("zy"),
+        (F.col("event_id") % 110).cast("long").alias("val"),
+    )
+    return zonal_mode(cells, zone_cols=["zx", "zy"]).select(
+        "zx", "zy", "mode_val", "mode_cnt", "n_vals"
+    )
+
+
+_ORACLE_ZONAL_MODE = """
+WITH cells AS (
+  SELECT (event_id * 11) % 2720 // 80 AS zx,
+         (event_id * 13) % 1280 // 80 AS zy,
+         event_id % 110 AS val
+  FROM events),
+cnts AS (SELECT zx, zy, val, count(*) AS cnt FROM cells GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT zx, zy, val, cnt,
+         row_number() OVER (PARTITION BY zx, zy ORDER BY cnt DESC, val ASC) AS rn,
+         count(*) OVER (PARTITION BY zx, zy) AS n_vals
+  FROM cnts)
+SELECT zx, zy, val AS mode_val, cnt AS mode_cnt, n_vals
+FROM ranked WHERE rn = 1
+"""
+
+
 # --- bigram LM quality gate (operators/lm.py) --------------------------------
 # CCNet-style LM scoring with the model trained on the corpus itself:
 # SCALE-quantized integer MLE terms, per-doc sum + per-bigram average.
@@ -5928,6 +5964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadtree_leaves_c64": _q_quadtree,         # occupancy-capped spatial partitioner
         "way_noding_edges": _q_way_noding,          # junction split -> routing edges
         "lm_bigram_scores": _q_lm_scores,           # corpus-MLE LM quality gate
+        "zonal_mode_grid": _q_zonal_mode,           # zonal majority, pinned tie-break
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
@@ -6046,6 +6083,7 @@ def oracle_sql() -> dict[str, str]:
         "quadtree_leaves_c64": _ORACLE_QUADTREE,
         "way_noding_edges": _ORACLE_WAY_NODING,
         "lm_bigram_scores": _ORACLE_LM,
+        "zonal_mode_grid": _ORACLE_ZONAL_MODE,
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,

@@ -91,3 +91,36 @@ def zonal_histogram_text(hist: DataFrame) -> DataFrame:
     return hist.select(
         "tile_id", F.concat_ws(":", F.col("val"), F.col("cnt")).alias("bin_text")
     )
+
+
+def zonal_mode(
+    cells: DataFrame, zone_cols: list[str] = None, val_bound: int = 1 << 20
+) -> DataFrame:
+    """Modal value per zone — the zonal-majority reducer (the A5 family's
+    argmax sibling; GIS "zonal statistics: MAJORITY").
+
+    Input: DataFrame(<zone cols...>, val) with 0 <= val < val_bound
+    (raster classes are small ints; the A5 contract is < 110 bins).
+    Tie-break is PINNED to (max count, then min val), encoded as a
+    single packed long ``cnt * val_bound + (val_bound - 1 - val)`` so
+    the argmax is a plain ``max`` — two partial-aggregatable HASH aggs,
+    no struct-max (which Spark plans as SortAggregate), no window, no
+    sort: the shape that survives 100 TB.
+
+    Returns DataFrame(<zone cols...>, mode_val, mode_cnt, n_vals) where
+    n_vals is the number of distinct values observed in the zone.
+    """
+    zone_cols = zone_cols or ["tile_id"]
+    counts = cells.groupBy(*zone_cols, "val").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    packed = F.col("cnt") * val_bound + (val_bound - 1 - F.col("val"))
+    return counts.groupBy(*zone_cols).agg(
+        F.max(packed).alias("k"),
+        F.count(F.lit(1)).alias("n_vals"),
+    ).select(
+        *zone_cols,
+        (val_bound - 1 - F.col("k") % val_bound).alias("mode_val"),
+        F.expr(f"div(k, {val_bound})").alias("mode_cnt"),
+        "n_vals",
+    )
