@@ -3354,6 +3354,66 @@ FROM hits GROUP BY 1, 2
 """
 
 
+# --- retention cohorts + OLS trend (operators/timeseries.py) -----------------
+# Classic product analytics over the event stream: (a) cohort retention
+# matrix keyed by first-activity day; (b) per-user OLS slope as EXACT
+# integer sufficient statistics (n*Sxy - Sx*Sy over n*Sx2 - Sx^2) — the
+# distributable one-pass regression, no float anywhere.
+def _q_retention(spark, sf_dir):
+    from osm_hadoop_spark.operators.timeseries import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        ).alias("day"),
+    )
+    return retention_cohorts(ev, day="day")
+
+
+_ORACLE_RETENTION = """
+WITH a AS (
+  SELECT DISTINCT user_id AS k, epoch_us(ts) // 86400000000 AS d FROM events),
+f AS (SELECT k, min(d) AS d0 FROM a GROUP BY 1),
+s AS (SELECT d0, count(*) AS n_cohort FROM f GROUP BY 1),
+r AS (SELECT f.d0 AS cohort_day, a.d - f.d0 AS day_k, count(*) AS n_active
+      FROM a JOIN f USING (k) GROUP BY 1, 2)
+SELECT cohort_day, day_k, n_active, n_cohort
+FROM r JOIN s ON r.cohort_day = s.d0
+"""
+
+
+def _q_trend(spark, sf_dir):
+    from osm_hadoop_spark.operators.timeseries import trend_stats
+    from osm_hadoop_spark.operators.textstats import h60
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        ).alias("x"),
+        (h60(F.concat(F.lit("tv"), F.col("event_id").cast("string"))) % 1000).alias("y"),
+    )
+    return trend_stats(ev)
+
+
+_ORACLE_TREND = f"""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS x,
+         {_duck_h60("'tv' || CAST(event_id AS VARCHAR)")} % 1000 AS y
+  FROM events),
+a AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+         CAST(sum(x * y) AS BIGINT) AS sum_xy, CAST(sum(x * x) AS BIGINT) AS sum_x2
+  FROM p GROUP BY 1)
+SELECT user_id, n, sum_x, sum_y,
+       n * sum_xy - sum_x * sum_y AS slope_num,
+       n * sum_x2 - sum_x * sum_x AS slope_den
+FROM a
+"""
+
+
 # --- zonal majority (operators/zonal.py::zonal_mode) --------------------------
 # GIS "zonal statistics: MAJORITY": modal raster class per zone with the
 # pinned (max count, min val) tie-break. Engine = two partial-agg hash
@@ -5965,6 +6025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_noding_edges": _q_way_noding,          # junction split -> routing edges
         "lm_bigram_scores": _q_lm_scores,           # corpus-MLE LM quality gate
         "zonal_mode_grid": _q_zonal_mode,           # zonal majority, pinned tie-break
+        "retention_cohorts": _q_retention,          # first-day cohort retention matrix
+        "trend_per_user": _q_trend,                 # exact integer OLS statistics
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
@@ -6084,6 +6146,8 @@ def oracle_sql() -> dict[str, str]:
         "way_noding_edges": _ORACLE_WAY_NODING,
         "lm_bigram_scores": _ORACLE_LM,
         "zonal_mode_grid": _ORACLE_ZONAL_MODE,
+        "retention_cohorts": _ORACLE_RETENTION,
+        "trend_per_user": _ORACLE_TREND,
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,

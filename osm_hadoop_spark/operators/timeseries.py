@@ -75,3 +75,60 @@ def resample_ffill(events: DataFrame, key: str = "user_id", ts: str = "ts",
         F.last("v_obs", ignorenulls=True).over(w).alias("value_ffill"),
         F.col("v_obs").isNotNull().cast("int").alias("observed"),
     )
+
+
+def retention_cohorts(events: DataFrame, key: str = "user_id",
+                      day: str = "day") -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted on each later activity day.
+
+    Input: DataFrame(key, day) — integer activity days (any granularity;
+    callers bucket timestamps first).  Returns DataFrame(cohort_day,
+    day_k, n_active, n_cohort): of the ``n_cohort`` users whose first
+    day is ``cohort_day``, ``n_active`` were active ``day_k`` days later
+    (day_k = 0 row always equals the cohort size).
+
+    Plan: distinct (key, day) -> first-day agg -> ONE equi-join back on
+    key -> (cohort, offset) count, + a broadcast of the tiny cohort-size
+    relation. Nothing holds per-user state beyond the first-day row.
+    """
+    active = events.select(F.col(key).alias("k"), F.col(day).alias("d")).distinct()
+    firsts = active.groupBy("k").agg(F.min("d").alias("d0"))
+    sizes = firsts.groupBy("d0").agg(F.count(F.lit(1)).alias("n_cohort"))
+    ret = (
+        active.join(firsts, "k")
+        .groupBy(F.col("d0").alias("cohort_day"), (F.col("d") - F.col("d0")).alias("day_k"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return ret.join(
+        F.broadcast(sizes.withColumnRenamed("d0", "cohort_day")), "cohort_day"
+    ).select("cohort_day", "day_k", "n_active", "n_cohort")
+
+
+def trend_stats(points: DataFrame, key: str = "user_id",
+                x: str = "x", y: str = "y") -> DataFrame:
+    """Per-key OLS slope as EXACT integer sufficient statistics.
+
+    The distributable regression form: one partial-aggregatable pass
+    collects (n, Σx, Σy, Σxy, Σx²) and the slope is the integer rational
+        slope = slope_num / slope_den
+        slope_num = n*Σxy - Σx*Σy,   slope_den = n*Σx² - (Σx)²
+    (den = 0 iff all x equal — emitted as-is, callers decide).  No float
+    appears anywhere, so the cross-engine twin is bit-exact; the float
+    slope is a deterministic post-division consumers apply at the edge.
+
+    Returns DataFrame(key, n, sum_x, sum_y, slope_num, slope_den).
+    """
+    xc, yc = F.col(x).cast("long"), F.col(y).cast("long")
+    agg = points.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xc).alias("sum_x"),
+        F.sum(yc).alias("sum_y"),
+        F.sum(xc * yc).alias("sum_xy"),
+        F.sum(xc * xc).alias("sum_x2"),
+    )
+    return agg.select(
+        key, "n", "sum_x", "sum_y",
+        (F.col("n") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")).alias("slope_num"),
+        (F.col("n") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x")).alias("slope_den"),
+    )
