@@ -3354,6 +3354,76 @@ FROM hits GROUP BY 1, 2
 """
 
 
+# --- k-core decomposition (operators/routing.py::k_core) ---------------------
+# Matula-Beck peeling on the SAME derived road graph as graph_bfs_h5
+# (hypercube + ring, canonicalized undirected): drop degree < 9 nodes
+# until fixpoint. Engine = data-dependent rounds with localCheckpoint
+# truncation (15 rounds at sf0.01, 3 at sf0.1 — measured); oracle = the
+# peel UNROLLED 20 rounds (a fixpoint is idempotent, so extra rounds are
+# no-ops once converged). Independence = the dict-based peeler +
+# clique/tail/chain cases in tests/test_kcore.py.
+_KCORE_K = 9
+
+
+def _kcore_edges(spark, sf_dir):
+    from osm_hadoop_spark.operators.textstats import h60
+
+    pk = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("u"))
+    gate = h60(
+        F.concat(
+            F.lit("rg"), F.col("u").cast("string"),
+            F.lit("_"), F.col("k").cast("string"),
+        )
+    )
+    hyper = (
+        pk.select("u", F.explode(F.sequence(F.lit(0), F.lit(11))).alias("k"))
+        .filter(gate % 4 != 0)
+        .select("u", F.expr("u ^ shiftleft(1, k)").alias("v"))
+    )
+    ring = pk.select("u", (F.col("u") + 1).alias("v"))
+    directed = hyper.unionByName(ring).join(
+        pk.select(F.col("u").alias("v")), "v", "semi"
+    )
+    return directed.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+
+
+def _q_k_core(spark, sf_dir):
+    from osm_hadoop_spark.operators.routing import k_core
+
+    return k_core(_kcore_edges(spark, sf_dir), k=_KCORE_K)
+
+
+def _oracle_k_core(rounds: int = 20) -> str:
+    gate = _duck_h60("'rg' || u || '_' || k")
+    parts = [f"""
+WITH pk AS (SELECT p_partkey AS u FROM part),
+hyper AS (
+  SELECT u, xor(u, 1 << k) AS v
+  FROM pk, (SELECT unnest(generate_series(0, 11)) AS k)
+  WHERE {gate} % 4 <> 0),
+dir AS (
+  SELECT u, v FROM (
+    SELECT u, v FROM hyper UNION ALL SELECT u, u + 1 AS v FROM pk) e
+  WHERE v IN (SELECT u FROM pk)),
+e0 AS MATERIALIZED (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM dir)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+d{i} AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e{i-1} UNION ALL SELECT b FROM e{i-1})
+  GROUP BY 1),
+e{i} AS MATERIALIZED (SELECT a, b FROM e{i-1}
+  WHERE a IN (SELECT node FROM d{i} WHERE deg >= {_KCORE_K})
+    AND b IN (SELECT node FROM d{i} WHERE deg >= {_KCORE_K}))""")
+    parts.append(f""",
+df AS (SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+  GROUP BY 1)
+SELECT node, deg AS core_deg FROM df WHERE deg >= {_KCORE_K}""")
+    return "".join(parts)
+
+
 # --- retention cohorts + OLS trend (operators/timeseries.py) -----------------
 # Classic product analytics over the event stream: (a) cohort retention
 # matrix keyed by first-activity day; (b) per-user OLS slope as EXACT
@@ -6027,6 +6097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_mode_grid": _q_zonal_mode,           # zonal majority, pinned tie-break
         "retention_cohorts": _q_retention,          # first-day cohort retention matrix
         "trend_per_user": _q_trend,                 # exact integer OLS statistics
+        "k_core_9": _q_k_core,                      # Matula-Beck peeling fixpoint
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
@@ -6148,6 +6219,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_mode_grid": _ORACLE_ZONAL_MODE,
         "retention_cohorts": _ORACLE_RETENTION,
         "trend_per_user": _ORACLE_TREND,
+        "k_core_9": _oracle_k_core(),
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,

@@ -266,3 +266,38 @@ def pagerank_int(
             .localCheckpoint(eager=True)
         )
     return pr
+
+
+def k_core(edges: DataFrame, k: int, src: str = "u", dst: str = "v") -> DataFrame:
+    """k-core decomposition membership: iteratively peel nodes of
+    degree < k until the fixpoint (Matula & Beck's algorithm, the
+    distributed peeling form used for community seeding / graph
+    sparsification).
+
+    Input: UNDIRECTED unique edges (one row per pair).  Returns
+    DataFrame(node, core_deg): the nodes of the k-core with their degree
+    inside the core subgraph.
+
+    Rounds are data-dependent but bounded by the longest peel chain
+    (O(log n) on real road/social graphs); each round is ONE degree agg
+    + two semi-joins, with `localCheckpoint` truncating lineage exactly
+    like bfs_hops/sssp above.  The fixpoint test is "no node dropped
+    this round" — a driver-side count, the same O(rounds) control the
+    reference's NodeJoiner restart story accepts.
+    """
+    cur = edges.select(src, dst).localCheckpoint(eager=True)
+    while True:
+        degs = (
+            cur.select(F.col(src).alias("node"))
+            .unionByName(cur.select(F.col(dst).alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+        ).localCheckpoint(eager=True)
+        n_nodes = degs.count()
+        keep = degs.filter(F.col("core_deg") >= k).select("node")
+        if keep.count() == n_nodes:
+            return degs.filter(F.col("core_deg") >= k)
+        cur = (
+            cur.join(keep.withColumnRenamed("node", src), src, "semi")
+            .join(keep.withColumnRenamed("node", dst), dst, "semi")
+        ).localCheckpoint(eager=True)
