@@ -4789,6 +4789,78 @@ FROM arr
 """
 
 
+def _q_tile_coverage(spark, sf_dir):
+    """Exact polygon∩cell coverage (clamped-Green closed form,
+    functions/coverage.py): synthetic h60 triangles over a 256-cell grid,
+    fixed-point 2*area*128 per bbox cell, signed by orientation.  The
+    formula is written once in functions/exprdsl.py and rendered to both
+    engines — the oracle below runs the SAME ladder through DuckDB."""
+    from osm_hadoop_spark.functions.coverage import tile_coverage
+    from osm_hadoop_spark.operators.textstats import h60
+
+    s = F.col("o_orderkey").cast("string")
+
+    def cc(tag, mod, off):
+        return h60(F.concat(F.lit(tag), s)) % mod - off
+
+    def vv(tag, k):
+        return h60(F.concat(F.lit(tag), F.lit(str(k)), s)) % 513 - 256
+
+    tri = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.col("o_orderkey").alias("way_id"),
+            F.array(
+                *[(cc("ccx", 1601, 800) + vv("cvx", k)).cast("long")
+                  for k in range(3)]
+            ).alias("xs"),
+            F.array(
+                *[(cc("ccy", 1601, 800) + vv("cvy", k)).cast("long")
+                  for k in range(3)]
+            ).alias("ys"),
+        )
+    )
+    return tile_coverage(tri, cell=256, scale=128)
+
+
+def _oracle_tile_coverage() -> str:
+    from osm_hadoop_spark.functions.coverage import coverage_sql
+
+    ladder = coverage_sql("SELECT * FROM cand", cell=256, scale=128)
+    return f"""
+WITH w AS (SELECT o_orderkey AS way_id FROM orders WHERE o_orderkey % 3 = 0),
+pts AS (
+  SELECT way_id, k,
+    {_duck_h60("'ccx' || CAST(way_id AS VARCHAR)")} % 1601 - 800
+      + {_duck_h60("'cvx' || CAST(k AS VARCHAR) || CAST(way_id AS VARCHAR)")} % 513 - 256 AS x,
+    {_duck_h60("'ccy' || CAST(way_id AS VARCHAR)")} % 1601 - 800
+      + {_duck_h60("'cvy' || CAST(k AS VARCHAR) || CAST(way_id AS VARCHAR)")} % 513 - 256 AS y
+  FROM w, (SELECT unnest([0, 1, 2]) AS k) t),
+bb AS (
+  SELECT way_id,
+    CAST(floor(min(x) / 256.0) AS BIGINT) AS tx0,
+    CAST(floor(max(x) / 256.0) AS BIGINT) AS tx1,
+    CAST(floor(min(y) / 256.0) AS BIGINT) AS ty0,
+    CAST(floor(max(y) / 256.0) AS BIGINT) AS ty1
+  FROM pts GROUP BY 1),
+edges AS (
+  SELECT a.way_id, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS byy
+  FROM pts a JOIN pts b ON a.way_id = b.way_id AND b.k = (a.k + 1) % 3),
+cx AS (
+  SELECT e.*, bb.ty0, bb.ty1,
+         unnest(generate_series(bb.tx0, bb.tx1)) AS tx
+  FROM edges e JOIN bb USING (way_id)),
+cand AS (
+  SELECT way_id, ax, ay, bx, byy, tx,
+         unnest(generate_series(ty0, ty1)) AS ty
+  FROM cx)
+SELECT way_id, tx, ty, CAST(SUM(cov_fp) AS BIGINT) AS cov2s
+FROM {ladder}
+GROUP BY way_id, tx, ty
+"""
+
+
 # ---------------------------------------------------------------------------
 # sketch family (engine additions): bloom join pruning, MG heavy hitters,
 # deterministic HLL registers — operators/sketch.py
@@ -6140,6 +6212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngrams": _q_decontaminate,   # benchmark decontamination
         "pii_redact": _q_pii_redact,                # PII detect + redact
         "way_shoelace": _q_way_shoelace,            # exact polygon area/centroid
+        "tile_coverage_c256": _q_tile_coverage,     # clamped-Green exact coverage
         "bloom_prune_semijoin": _q_bloom_semijoin,  # runtime-filter join pruning
         "heavy_hitters_tokens": _q_heavy_hitters,   # 2-pass Misra-Gries exact top-k
         "hll_user_registers": _q_hll_registers,     # deterministic HLL sketch state
@@ -6257,6 +6330,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["decontaminate_ngrams"] = _ORACLE_DECONTAMINATE
     oracles["pii_redact"] = _oracle_pii_redact()
     oracles["way_shoelace"] = _oracle_way_shoelace()
+    oracles["tile_coverage_c256"] = _oracle_tile_coverage()
     oracles["bloom_prune_semijoin"] = _ORACLE_BLOOM_SEMIJOIN
     oracles["heavy_hitters_tokens"] = _ORACLE_HEAVY_HITTERS
     oracles["hll_user_registers"] = _ORACLE_HLL_REGISTERS
