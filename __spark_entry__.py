@@ -4824,18 +4824,49 @@ def _q_tile_coverage(spark, sf_dir):
     return tile_coverage(tri, cell=256, scale=128)
 
 
-def _oracle_tile_coverage() -> str:
-    from osm_hadoop_spark.functions.coverage import coverage_sql
+def _q_areal_interp(spark, sf_dir):
+    """Dasymetric disaggregation (functions/coverage.py::areal_interpolate):
+    each synthetic zone's integer total split across grid cells by EXACT
+    overlap share (clamped-Green coverage), floored, orientation
+    canonicalized — the polygon->raster dual of the A5 zonal histogram.
+    One shuffle end-to-end (repartition reused by the aggregate and both
+    windows; plan-asserted in tests/test_coverage.py)."""
+    from osm_hadoop_spark.functions.coverage import areal_interpolate
+    from osm_hadoop_spark.operators.textstats import h60
 
-    ladder = coverage_sql("SELECT * FROM cand", cell=256, scale=128)
-    return f"""
+    s = F.col("o_orderkey").cast("string")
+
+    def cc(tag, mod, off):
+        return h60(F.concat(F.lit(tag), s)) % mod - off
+
+    def vv(tag, k):
+        return h60(F.concat(F.lit(tag), F.lit(str(k)), s)) % 513 - 256
+
+    tri = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.col("o_orderkey").alias("way_id"),
+            (cc("pop", 100000, -1)).cast("long").alias("total_v"),
+            F.array(
+                *[(cc("ccx", 1601, 800) + vv("cvx", k)).cast("long")
+                  for k in range(3)]
+            ).alias("xs"),
+            F.array(
+                *[(cc("ccy", 1601, 800) + vv("cvy", k)).cast("long")
+                  for k in range(3)]
+            ).alias("ys"),
+        )
+    )
+    return areal_interpolate(tri, "total_v", cell=256, scale=128)
+
+
+_COVERAGE_CAND_CTES = """
 WITH w AS (SELECT o_orderkey AS way_id FROM orders WHERE o_orderkey % 3 = 0),
 pts AS (
   SELECT way_id, k,
-    {_duck_h60("'ccx' || CAST(way_id AS VARCHAR)")} % 1601 - 800
-      + {_duck_h60("'cvx' || CAST(k AS VARCHAR) || CAST(way_id AS VARCHAR)")} % 513 - 256 AS x,
-    {_duck_h60("'ccy' || CAST(way_id AS VARCHAR)")} % 1601 - 800
-      + {_duck_h60("'cvy' || CAST(k AS VARCHAR) || CAST(way_id AS VARCHAR)")} % 513 - 256 AS y
+    {ccx} % 1601 - 800 + {cvx} % 513 - 256 AS x,
+    {ccy} % 1601 - 800 + {cvy} % 513 - 256 AS y
   FROM w, (SELECT unnest([0, 1, 2]) AS k) t),
 bb AS (
   SELECT way_id,
@@ -4855,6 +4886,52 @@ cand AS (
   SELECT way_id, ax, ay, bx, byy, tx,
          unnest(generate_series(ty0, ty1)) AS ty
   FROM cx)
+"""
+
+
+def _coverage_cand_ctes() -> str:
+    return _COVERAGE_CAND_CTES.format(
+        ccx=_duck_h60("'ccx' || CAST(way_id AS VARCHAR)"),
+        cvx=_duck_h60("'cvx' || CAST(k AS VARCHAR) || CAST(way_id AS VARCHAR)"),
+        ccy=_duck_h60("'ccy' || CAST(way_id AS VARCHAR)"),
+        cvy=_duck_h60("'cvy' || CAST(k AS VARCHAR) || CAST(way_id AS VARCHAR)"),
+    )
+
+
+def _oracle_areal_interp() -> str:
+    from osm_hadoop_spark.functions.coverage import coverage_sql
+
+    ladder = coverage_sql("SELECT * FROM cand", cell=256, scale=128)
+    pop = _duck_h60("'pop' || CAST(way_id AS VARCHAR)")
+    return f"""
+{_coverage_cand_ctes()},
+cov AS (
+  SELECT way_id, tx, ty, CAST(SUM(cov_fp) AS BIGINT) AS cov2s
+  FROM {ladder} GROUP BY 1, 2, 3),
+sgn AS (
+  SELECT *, SUM(cov2s) OVER (PARTITION BY way_id) AS tot2 FROM cov),
+canon AS (
+  SELECT way_id, tx, ty,
+         greatest(CASE WHEN tot2 < 0 THEN -cov2s ELSE cov2s END,
+                  CAST(0 AS BIGINT)) AS c
+  FROM sgn),
+dn AS (
+  SELECT *, SUM(c) OVER (PARTITION BY way_id) AS den,
+         {pop} % 100000 + 1 AS total_v
+  FROM canon)
+SELECT way_id, tx, ty,
+  CAST((total_v * c - (((total_v * c) % den) + den) % den) / den AS BIGINT)
+    AS alloc
+FROM dn WHERE den > 0
+"""
+
+
+def _oracle_tile_coverage() -> str:
+    from osm_hadoop_spark.functions.coverage import coverage_sql
+
+    ladder = coverage_sql("SELECT * FROM cand", cell=256, scale=128)
+    return f"""
+{_coverage_cand_ctes()}
 SELECT way_id, tx, ty, CAST(SUM(cov_fp) AS BIGINT) AS cov2s
 FROM {ladder}
 GROUP BY way_id, tx, ty
@@ -6213,6 +6290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,                # PII detect + redact
         "way_shoelace": _q_way_shoelace,            # exact polygon area/centroid
         "tile_coverage_c256": _q_tile_coverage,     # clamped-Green exact coverage
+        "areal_interp_c256": _q_areal_interp,       # dasymetric disaggregation
         "bloom_prune_semijoin": _q_bloom_semijoin,  # runtime-filter join pruning
         "heavy_hitters_tokens": _q_heavy_hitters,   # 2-pass Misra-Gries exact top-k
         "hll_user_registers": _q_hll_registers,     # deterministic HLL sketch state
@@ -6331,6 +6409,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["pii_redact"] = _oracle_pii_redact()
     oracles["way_shoelace"] = _oracle_way_shoelace()
     oracles["tile_coverage_c256"] = _oracle_tile_coverage()
+    oracles["areal_interp_c256"] = _oracle_areal_interp()
     oracles["bloom_prune_semijoin"] = _ORACLE_BLOOM_SEMIJOIN
     oracles["heavy_hitters_tokens"] = _ORACLE_HEAVY_HITTERS
     oracles["hll_user_registers"] = _ORACLE_HLL_REGISTERS

@@ -178,6 +178,7 @@ def tile_coverage(
     cell: int,
     scale: int = DEFAULT_SCALE,
     max_cells: int = 4096,
+    carry: list | None = None,
 ) -> DataFrame:
     """Signed fixed-point coverage of every bbox cell of every ring.
 
@@ -193,8 +194,11 @@ def tile_coverage(
     explode bbox cells -> the dual-rendered ladder -> one hash aggregate.
     No joins, no Python, no window.  `max_cells` drops corrupt rings
     whose bbox cover would amplify (F6-style guard, counted upstream if
-    the caller cares).
+    the caller cares).  `carry` names way-constant columns kept on the
+    output (they join the grouping keys — free, being functions of
+    way_id).
     """
+    carry = list(carry or [])
     c = float(cell)
     n = F.size("xs")
     pre = (
@@ -210,7 +214,7 @@ def tile_coverage(
         .filter(n >= 3)
         .withColumn("i", F.explode(F.sequence(F.lit(0), n - 1)))
         .select(
-            "way_id", "tx0", "tx1", "ty0", "ty1",
+            "way_id", *carry, "tx0", "tx1", "ty0", "ty1",
             F.element_at("xs", F.col("i") + 1).cast("long").alias("ax"),
             F.element_at("ys", F.col("i") + 1).cast("long").alias("ay"),
             F.element_at("xs", (F.col("i") + 1) % F.size("xs") + 1)
@@ -223,7 +227,7 @@ def tile_coverage(
     )
     return (
         bind_spark(pre, coverage_bindings(cell, scale))
-        .groupBy("way_id", "tx", "ty")
+        .groupBy("way_id", *carry, "tx", "ty")
         .agg(F.sum("cov_fp").alias("cov2s"))
     )
 
@@ -233,3 +237,60 @@ def coverage_sql(base_sql: str, cell: int, scale: int = DEFAULT_SCALE) -> str:
     (way_id, ax, ay, bx, byy, tx, ty) — one row per (edge, cell)
     candidate; the result is a relation ready for the final aggregate."""
     return sql_layers(base_sql, coverage_bindings(cell, scale))
+
+
+def areal_interpolate(
+    ways: DataFrame,
+    total_col: str,
+    cell: int,
+    scale: int = DEFAULT_SCALE,
+    max_cells: int = 4096,
+) -> DataFrame:
+    """Dasymetric (areal-weighted) disaggregation: split each zone's
+    integer total across grid cells proportionally to the EXACT overlap
+    area — the canonical polygon->raster population/count interpolation
+    (the raster dual of A5's raster->vector zonal histogram).
+
+    Semantics (pinned, engine-exact):
+      * per-way orientation is canonicalized by the sign of the way's
+        summed coverage, so CW and CCW rings allocate identically;
+      * the (-n_edges, 0] fixed-point residue of zero-overlap bbox cells
+        is clamped to 0 (it is never real coverage — the fixed-point
+        bound test proves |residue| < n_edges);
+      * shares are floored: alloc = floor(total * c / sum(c)); the
+        <n_cells rounding remainder stays unallocated by design (a
+        largest-remainder pass would need a per-way sort for <n_cells
+        units — not worth an Exchange);
+      * degenerate ways (zero canonical coverage everywhere) drop.
+
+    Plan: repartition(way_id) FIRST (spread-before-amplify, round-2
+    audit), so the kernel's (way_id, tx, ty) aggregate AND both way_id
+    windows all reuse that one Exchange — the whole operator costs
+    exactly one shuffle.
+    """
+    cov = tile_coverage(
+        ways.repartition("way_id"), cell, scale, max_cells, carry=[total_col]
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("way_id")
+    canon = cov.withColumn(
+        "c",
+        F.greatest(
+            F.when(F.sum("cov2s").over(w) < 0, -F.col("cov2s")).otherwise(
+                F.col("cov2s")
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+    num = F.col(total_col) * F.col("c")
+    den = F.sum("c").over(w)
+    return (
+        canon.withColumn("den", den)
+        .filter(F.col("den") > 0)
+        .select(
+            "way_id", "tx", "ty",
+            ((num - F.pmod(num, F.col("den"))) / F.col("den"))
+            .cast("long").alias("alloc"),
+        )
+    )

@@ -290,3 +290,82 @@ def test_plan_shape(spark):
     )
     assert "Python" not in plan and "Join" not in plan
     assert plan.count("Exchange") == 1  # the final hash aggregate only
+
+
+# ---------------------------------------------------------------------------
+# areal interpolation on top of the kernel
+# ---------------------------------------------------------------------------
+
+
+def _ref_alloc(pts, total, cell=CELL, scale=SCALE):
+    cov = _ref_coverage(pts, cell, scale)
+    tot2 = sum(cov.values())
+    canon = {k: max(-v if tot2 < 0 else v, 0) for k, v in cov.items()}
+    den = sum(canon.values())
+    if den <= 0:
+        return {}
+    return {k: (total * c) // den for k, c in canon.items()}
+
+
+def test_areal_interpolation_matches_reference(spark):
+    from osm_hadoop_spark.functions.coverage import areal_interpolate
+
+    rings = _rings(47, 30)
+    rng = random.Random(53)
+    totals = {wid: rng.randint(1, 100000) for wid, _ in rings}
+    df = spark.createDataFrame(
+        [
+            (wid, totals[wid], [p[0] for p in pts], [p[1] for p in pts])
+            for wid, pts in rings
+        ],
+        "way_id long, total_v long, xs array<long>, ys array<long>",
+    )
+    got = {
+        (r.way_id, r.tx, r.ty): r.alloc
+        for r in areal_interpolate(df, "total_v", CELL, SCALE).collect()
+    }
+    want = {
+        (wid,) + k: v
+        for wid, pts in rings
+        for k, v in _ref_alloc(pts, totals[wid]).items()
+    }
+    assert got == want
+    # conservation: floored shares never exceed the total, lose < n_cells
+    for wid, pts in rings:
+        alloc = [v for (w, _, _), v in got.items() if w == wid]
+        if alloc:
+            assert 0 <= totals[wid] - sum(alloc) < len(alloc)
+
+
+def test_areal_orientation_invariance(spark):
+    from osm_hadoop_spark.functions.coverage import areal_interpolate
+
+    tri = [(10, 10), (500, 40), (200, 480)]
+    df = spark.createDataFrame(
+        [
+            (1, 1000, [p[0] for p in tri], [p[1] for p in tri]),
+            (2, 1000, [p[0] for p in reversed(tri)], [p[1] for p in reversed(tri)]),
+        ],
+        "way_id long, total_v long, xs array<long>, ys array<long>",
+    )
+    got = {}
+    for r in areal_interpolate(df, "total_v", CELL, SCALE).collect():
+        got.setdefault(r.way_id, {})[(r.tx, r.ty)] = r.alloc
+    assert got[1] == got[2]
+
+
+def test_areal_single_exchange(spark):
+    from osm_hadoop_spark.functions.coverage import areal_interpolate
+
+    df = spark.createDataFrame(
+        [(1, 7, [0, 512, 512], [0, 0, 512])],
+        "way_id long, total_v long, xs array<long>, ys array<long>",
+    )
+    plan = (
+        areal_interpolate(df, "total_v", CELL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Join" not in plan
+    # the explicit repartition(way_id) is reused by the aggregate AND both
+    # way_id windows — one Exchange end to end
+    assert plan.count("Exchange") == 1
