@@ -4926,6 +4926,100 @@ FROM dn WHERE den > 0
 """
 
 
+_KM_K, _KM_ROUNDS, _KM_DIMS = 8, 3, 3
+# five true generating centers and eight init centroids, precomputed once
+# and inlined as LITERALS in both engines (no formula to transcribe twice)
+_KM_TRUE = [tuple((g * 7919 + d * 104729) % 2001 - 1000 for d in range(_KM_DIMS))
+            for g in range(5)]
+_KM_INIT = [tuple((j * m) % 2001 - 1000 for m in (2411, 1597, 911))
+            for j in range(_KM_K)]
+
+
+def _q_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means, 3 exact-integer rounds
+    (operators/clustering.py::kmeans_lloyd): points are drawn around 5
+    hidden centers (so assignments genuinely migrate between rounds),
+    k=8 candidates so some clusters go empty and the survivors-drop
+    policy is exercised.  Per round: literal-ladder assignment (no
+    shuffle) + one k-row aggregate collect — the full version of the
+    bounded-sample IVF centroid fit.  Oracle = the same rounds UNROLLED
+    as CTEs (k-core/pagerank precedent)."""
+    from osm_hadoop_spark.operators.clustering import kmeans_lloyd
+    from osm_hadoop_spark.operators.textstats import h60
+
+    s = F.col("event_id").cast("string")
+    g = h60(F.concat(F.lit("kc"), s)) % 5
+    cols = [F.col("event_id").alias("pid")]
+    for d in range(_KM_DIMS):
+        base = F.element_at(
+            F.array(*[F.lit(tc[d]) for tc in _KM_TRUE]), (g + 1).cast("int")
+        )
+        jit = h60(F.concat(F.lit(f"kj{d}"), s)) % 401 - 200
+        cols.append((base + jit).cast("long").alias(f"x{d}"))
+    pts = _t(spark, sf_dir, "events").select(*cols)
+    return kmeans_lloyd(pts, [f"x{d}" for d in range(_KM_DIMS)],
+                        _KM_INIT, _KM_ROUNDS)
+
+
+def _oracle_kmeans() -> str:
+    k, nd = _KM_K, _KM_DIMS
+    coord_exprs = []
+    for d in range(nd):
+        tc = "[" + ", ".join(str(t[d]) for t in _KM_TRUE) + "]"
+        jit = _duck_h60(f"'kj{d}' || CAST(event_id AS VARCHAR)")
+        coord_exprs.append(f"({tc})[CAST(g + 1 AS INT)] + {jit} % 401 - 200 AS x{d}")
+    g = _duck_h60("'kc' || CAST(event_id AS VARCHAR)")
+    ctes = [
+        "p AS (SELECT event_id AS pid, " + ", ".join(coord_exprs)
+        + f" FROM (SELECT event_id, {g} % 5 AS g FROM events))",
+        "c0 AS (SELECT * FROM (VALUES "
+        + ", ".join(
+            "(" + ", ".join([str(j)] + [str(c) for c in cs]) + ")"
+            for j, cs in enumerate(_KM_INIT)
+        )
+        + ") t(j, " + ", ".join(f"c{d}" for d in range(nd)) + "))",
+    ]
+    xs = ", ".join(f"x{d}" for d in range(nd))
+    d2 = " + ".join(f"(x{d} - c{d}) * (x{d} - c{d})" for d in range(nd))
+    for r in range(1, _KM_ROUNDS + 1):
+        ctes.append(
+            f"a{r} AS (SELECT pid, {xs}, MIN(({d2}) * {k} + j) AS pk"
+            f" FROM p, c{r - 1} GROUP BY pid, {xs})"
+        )
+        if r < _KM_ROUNDS:
+            means = ", ".join(
+                f"CAST((SUM(x{d}) - (((SUM(x{d}) % COUNT(*)) + COUNT(*))"
+                f" % COUNT(*))) / COUNT(*) AS BIGINT) AS c{d}"
+                for d in range(nd)
+            )
+            ctes.append(
+                f"c{r} AS (SELECT pk % {k} AS j, {means}"
+                f" FROM a{r} GROUP BY 1)"
+            )
+    last_assign = f"a{_KM_ROUNDS}"
+    # the engine returns the assignment AFTER the last centroid update:
+    # rounds updates then a final assign — so unroll one more centroid +
+    # assignment stage
+    means = ", ".join(
+        f"CAST((SUM(x{d}) - (((SUM(x{d}) % COUNT(*)) + COUNT(*))"
+        f" % COUNT(*))) / COUNT(*) AS BIGINT) AS c{d}"
+        for d in range(nd)
+    )
+    ctes.append(
+        f"cF AS (SELECT pk % {k} AS j, {means} FROM {last_assign} GROUP BY 1)"
+    )
+    ctes.append(
+        f"aF AS (SELECT pid, {xs}, MIN(({d2}) * {k} + j) AS pk"
+        f" FROM p, cF GROUP BY pid, {xs})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT pid, {xs},"
+        f" CAST(pk % {k} AS BIGINT) AS cluster,"
+        f" CAST((pk - pk % {k}) / {k} AS BIGINT) AS d2 FROM aF"
+    )
+
+
 def _oracle_tile_coverage() -> str:
     from osm_hadoop_spark.functions.coverage import coverage_sql
 
@@ -6291,6 +6385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_shoelace": _q_way_shoelace,            # exact polygon area/centroid
         "tile_coverage_c256": _q_tile_coverage,     # clamped-Green exact coverage
         "areal_interp_c256": _q_areal_interp,       # dasymetric disaggregation
+        "kmeans_lloyd_r3": _q_kmeans,               # exact-integer Lloyd rounds
         "bloom_prune_semijoin": _q_bloom_semijoin,  # runtime-filter join pruning
         "heavy_hitters_tokens": _q_heavy_hitters,   # 2-pass Misra-Gries exact top-k
         "hll_user_registers": _q_hll_registers,     # deterministic HLL sketch state
@@ -6410,6 +6505,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["way_shoelace"] = _oracle_way_shoelace()
     oracles["tile_coverage_c256"] = _oracle_tile_coverage()
     oracles["areal_interp_c256"] = _oracle_areal_interp()
+    oracles["kmeans_lloyd_r3"] = _oracle_kmeans()
     oracles["bloom_prune_semijoin"] = _ORACLE_BLOOM_SEMIJOIN
     oracles["heavy_hitters_tokens"] = _ORACLE_HEAVY_HITTERS
     oracles["hll_user_registers"] = _ORACLE_HLL_REGISTERS

@@ -246,3 +246,73 @@ def dbscan(
             F.coalesce("_ccl", "_bcl").alias("cluster"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd k-means: the centroid-based counterpart (semantic-dedup /
+# embedding-clustering primitive; the full distributed version of the
+# bounded-sample centroid fit operators/similarity.py::ann_ivf uses)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_assign(pts: DataFrame, dims: list, centroids: list, k: int) -> DataFrame:
+    """Assign each point to its nearest centroid — ONE codegen projection.
+
+    `centroids` is a bounded [(j, coord tuple), ...] list (k rows, the
+    per-round driver collect this family shares with the IVF sample fit);
+    the argmin over candidates is the packed-integer trick from the zonal
+    majority operator: min over j of (d2 * k + j), so ties break to the
+    smallest cluster id deterministically in every engine.  No join, no
+    shuffle — the candidate ladder is a literal expression.
+    """
+    packs = []
+    for j, cs in centroids:
+        d2 = None
+        for d, c in zip(dims, cs):
+            t = (F.col(d) - F.lit(int(c))) * (F.col(d) - F.lit(int(c)))
+            d2 = t if d2 is None else d2 + t
+        packs.append(d2 * k + F.lit(j))
+    pk = F.least(*packs) if len(packs) > 1 else packs[0]
+    out = pts.withColumn("_pk", pk)
+    return out.select(
+        *pts.columns,
+        (F.col("_pk") % k).alias("cluster"),
+        ((F.col("_pk") - F.col("_pk") % k) / k).cast("long").alias("d2"),
+    )
+
+
+def kmeans_lloyd(
+    pts: DataFrame, dims: list, init: list, rounds: int
+) -> DataFrame:
+    """Exact-integer Lloyd iterations, fully distributed per round.
+
+    Each round is: literal-ladder assignment (no shuffle) + ONE hash
+    aggregate collecting k rows to the driver (bounded, like the IVF
+    sample fit).  Centroid update is the FLOORED per-dimension mean
+    (Python `//` == the signed-mod floor both engines replicate), so
+    every round is engine-exact and a DuckDB twin can unroll the same
+    rounds as CTEs.  Empty clusters DROP from the candidate list (the
+    natural SQL semantics — an empty cluster has no centroid row);
+    surviving ids keep their original j, so labels are stable.
+
+    Returns the assignment after `rounds` updates: pts columns +
+    (cluster, d2).  At 100 TB each round is one pass over the points
+    with a k-row result — the collect is O(k * dims), never O(n).
+    """
+    k = len(init)
+    cents = [(j, tuple(int(c) for c in cs)) for j, cs in enumerate(init)]
+    for _ in range(rounds):
+        agg = (
+            kmeans_assign(pts, dims, cents, k)
+            .groupBy("cluster")
+            .agg(
+                *[F.sum(d).alias(f"s_{d}") for d in dims],
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        cents = sorted(
+            (int(r["cluster"]), tuple(int(r[f"s_{d}"]) // int(r["n"]) for d in dims))
+            for r in agg
+        )
+    return kmeans_assign(pts, dims, cents, k)

@@ -123,3 +123,69 @@ def test_dbscan_plan_has_no_cross_product(spark, clustered_points):
     plan = dbscan(df, eps=40, min_pts=5)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Lloyd k-means (kmeans_lloyd) vs an independent Python brute force
+# ---------------------------------------------------------------------------
+
+
+def _brute_kmeans(pts, dims, init, rounds):
+    """Textbook Lloyd with the operator's exact-integer contract:
+    packed argmin (ties -> smallest j), floor-div centroid means,
+    empty clusters dropped. Shares no code with the operator."""
+    k = len(init)
+    cents = [(j, tuple(cs)) for j, cs in enumerate(init)]
+
+    def assign(cents):
+        out = {}
+        for row in pts:
+            pid, coords = row[0], row[1:]
+            pk = min(
+                sum((c - x) ** 2 for c, x in zip(cs, coords)) * k + j
+                for j, cs in cents
+            )
+            out[pid] = (pk % k, (pk - pk % k) // k)
+        return out
+
+    for _ in range(rounds):
+        lab = assign(cents)
+        sums = {}
+        for row in pts:
+            j = lab[row[0]][0]
+            s, n = sums.get(j, ((0,) * len(dims), 0))
+            sums[j] = (tuple(a + b for a, b in zip(s, row[1:])), n + 1)
+        cents = sorted(
+            (j, tuple(s // n for s in ss)) for j, (ss, n) in sums.items()
+        )
+    return assign(cents)
+
+
+def test_kmeans_matches_brute_force(spark):
+    from osm_hadoop_spark.operators.clustering import kmeans_lloyd
+
+    # 4 tight blobs + negative coords (exercises floor-div on negative
+    # sums) and k=6 inits so two clusters go empty and must drop
+    pts = []
+    centers = [(-900, 400), (800, -700), (50, 50), (-400, -900)]
+    for i in range(300):
+        cx, cy = centers[i % 4]
+        pts.append((i, cx + _h(f"kx{i}", 121) - 60, cy + _h(f"ky{i}", 121) - 60))
+    init = [((j * 641) % 1801 - 900, (j * 911) % 1801 - 900) for j in range(6)]
+
+    df = spark.createDataFrame(pts, "pid long, x0 long, x1 long")
+    got = {
+        r["pid"]: (r["cluster"], r["d2"])
+        for r in kmeans_lloyd(df, ["x0", "x1"], init, rounds=3).collect()
+    }
+    assert got == _brute_kmeans(pts, ["x0", "x1"], init, 3)
+
+
+def test_kmeans_assign_is_shuffle_free(spark):
+    from osm_hadoop_spark.operators.clustering import kmeans_assign
+
+    df = spark.createDataFrame([(1, 2, 3)], "pid long, x0 long, x1 long")
+    out = kmeans_assign(df, ["x0", "x1"], [(0, (0, 0)), (1, (5, 5))], 2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # literal candidate ladder: one projection
+    assert "Python" not in plan  # stays in whole-stage codegen
