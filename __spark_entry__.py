@@ -5020,6 +5020,60 @@ def _oracle_kmeans() -> str:
     )
 
 
+_HIL_ORDER = 8
+
+
+def _q_hilbert_layout(spark, sf_dir):
+    """Space-filling-curve layout keys (functions/hilbert.py): Hilbert
+    index via ONE `F.aggregate` bit-plane walk + closed-form Morton key
+    for comparison — the data-layout primitive `layout_by_hilbert`
+    range-partitions 100 TB writes on.  Both keys per point so the
+    oracle pins the full curve, not a sample.  Oracle = the same walk
+    unrolled as one CTE per bit-plane (pagerank/k-means precedent);
+    tests/test_hilbert.py proves the walk against the independent
+    textbook xy2d and the Manhattan-1 adjacency property by full
+    enumeration."""
+    from osm_hadoop_spark.functions.hilbert import hilbert_key, zorder_key
+    from osm_hadoop_spark.operators.textstats import h60
+
+    s = F.col("event_id").cast("string")
+    n = 1 << _HIL_ORDER
+    pts = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("pid"),
+        (h60(F.concat(F.lit("hx"), s)) % n).alias("hx"),
+        (h60(F.concat(F.lit("hy"), s)) % n).alias("hy"),
+    )
+    return pts.select(
+        "pid",
+        "hx",
+        "hy",
+        hilbert_key(F.col("hx"), F.col("hy"), _HIL_ORDER).alias("hkey"),
+        zorder_key(F.col("hx"), F.col("hy"), _HIL_ORDER).alias("zkey"),
+    )
+
+
+def _oracle_hilbert_layout() -> str:
+    from osm_hadoop_spark.functions.hilbert import hilbert_unrolled_sql
+
+    n = 1 << _HIL_ORDER
+    hx = _duck_h60("'hx' || CAST(event_id AS VARCHAR)")
+    hy = _duck_h60("'hy' || CAST(event_id AS VARCHAR)")
+    chain, last = hilbert_unrolled_sql(_HIL_ORDER, "x", "y")
+    zkey = " + ".join(
+        f"(CASE WHEN (hx & {1 << i}) > 0 THEN 1 ELSE 0 END) * {1 << (2 * i)}"
+        f" + (CASE WHEN (hy & {1 << i}) > 0 THEN 1 ELSE 0 END) * {1 << (2 * i + 1)}"
+        for i in range(_HIL_ORDER)
+    )
+    return (
+        "WITH h0 AS (SELECT pid, hx, hy, hx AS x, hy AS y, 0 AS d FROM"
+        f" (SELECT event_id AS pid, {hx} % {n} AS hx, {hy} % {n} AS hy"
+        " FROM events)),\n"
+        + chain
+        + f"\nSELECT pid, hx, hy, CAST(d AS BIGINT) AS hkey,"
+        f" CAST({zkey} AS BIGINT) AS zkey FROM {last}"
+    )
+
+
 def _oracle_tile_coverage() -> str:
     from osm_hadoop_spark.functions.coverage import coverage_sql
 
@@ -6386,6 +6440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_coverage_c256": _q_tile_coverage,     # clamped-Green exact coverage
         "areal_interp_c256": _q_areal_interp,       # dasymetric disaggregation
         "kmeans_lloyd_r3": _q_kmeans,               # exact-integer Lloyd rounds
+        "hilbert_layout_keys": _q_hilbert_layout,   # space-filling-curve layout
         "bloom_prune_semijoin": _q_bloom_semijoin,  # runtime-filter join pruning
         "heavy_hitters_tokens": _q_heavy_hitters,   # 2-pass Misra-Gries exact top-k
         "hll_user_registers": _q_hll_registers,     # deterministic HLL sketch state
@@ -6506,6 +6561,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["tile_coverage_c256"] = _oracle_tile_coverage()
     oracles["areal_interp_c256"] = _oracle_areal_interp()
     oracles["kmeans_lloyd_r3"] = _oracle_kmeans()
+    oracles["hilbert_layout_keys"] = _oracle_hilbert_layout()
     oracles["bloom_prune_semijoin"] = _ORACLE_BLOOM_SEMIJOIN
     oracles["heavy_hitters_tokens"] = _ORACLE_HEAVY_HITTERS
     oracles["hll_user_registers"] = _ORACLE_HLL_REGISTERS

@@ -25,10 +25,13 @@ FORBIDDEN = [
 # reference's ShapeWriter also accumulates features driver-side;
 # s2_join.py collects only the distinct region LEVELS, <= 31 rows;
 # sketch.py collects only the bloom word table, m_bits/64 bigints — a
-# config-sized constant embedded as a literal predicate)
+# config-sized constant embedded as a literal predicate;
+# clustering.py's kmeans_lloyd collects k centroid rows per round —
+# O(k * dims) per pass, the same bounded shape as the IVF sample fit)
 COLLECT_ALLOWED = {
     "rasterize.py", "catalog.py", "fixtures.py", "way_assembly.py",
     "similarity.py", "shapefile.py", "s2_join.py", "sketch.py",
+    "clustering.py",
 }
 COLLECT_RE = re.compile(r"\.(collect|toPandas)\s*\(")
 
