@@ -6314,6 +6314,112 @@ SELECT * FROM (SELECT * FROM seg UNION SELECT * FROM tri)
 """
 
 
+# ---------------------------------------------------------------------------
+# line-of-sight over a gridded DEM (operators/visibility.py)
+# ---------------------------------------------------------------------------
+
+_LOS_GRID, _LOS_HMOD, _LOS_HOFF, _LOS_EMOD = 48, 900, 400, 1500
+
+
+def _q_line_of_sight(spark, sf_dir):
+    """Intervisibility verdicts (operators/visibility.py::line_of_sight):
+    synthetic observer->target pairs from orders walk the SAME Bresenham
+    closed form as E5 over a DEM derived from part (max-dedup per cell),
+    blocking decided by exact cross-multiplied integer comparison against
+    the interpolated sight line.  The whole ladder is written once in the
+    dual-render DSL (functions/exprdsl.py) and the oracle below renders
+    the identical formula to DuckDB — bit-exact, no floats anywhere."""
+    from osm_hadoop_spark.operators.textstats import h60
+    from osm_hadoop_spark.operators.visibility import line_of_sight
+
+    s = F.col("o_orderkey").cast("string")
+
+    def coord(tag):
+        return (h60(F.concat(F.lit(tag), s)) % _LOS_GRID).cast("long")
+
+    def height(tag):
+        return (h60(F.concat(F.lit(tag), s)) % _LOS_HMOD + _LOS_HOFF).cast("long")
+
+    pairs = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.col("o_orderkey").alias("pair_id"),
+            coord("vox").alias("ox"),
+            coord("voy").alias("oy"),
+            coord("vtx").alias("tx"),
+            coord("vty").alias("ty"),
+            height("voh").alias("oh"),
+            height("vth").alias("th"),
+        )
+    )
+    p = F.col("p_partkey").cast("string")
+    dem = (
+        _t(spark, sf_dir, "part")
+        .select(
+            (h60(F.concat(F.lit("dmx"), p)) % _LOS_GRID).cast("long").alias("cx"),
+            (h60(F.concat(F.lit("dmy"), p)) % _LOS_GRID).cast("long").alias("cy"),
+            (h60(F.concat(F.lit("dme"), p)) % _LOS_EMOD + 1).cast("long").alias("e"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.max("e").alias("elev"))
+    )
+    return line_of_sight(pairs, dem)
+
+
+def _oracle_line_of_sight() -> str:
+    from osm_hadoop_spark.functions.exprdsl import sql_layers
+    from osm_hadoop_spark.operators.visibility import (
+        los_block_bindings,
+        los_norm_bindings,
+        los_step_bindings,
+    )
+
+    def hp(tag):
+        return _duck_h60(f"'{tag}' || CAST(o_orderkey AS VARCHAR)")
+
+    def hd(tag):
+        return _duck_h60(f"'{tag}' || CAST(p_partkey AS VARCHAR)")
+
+    norm = sql_layers("SELECT * FROM pairs", los_norm_bindings())
+    step = sql_layers("SELECT * FROM walk0", los_step_bindings())
+    blk = sql_layers("SELECT * FROM wd", los_block_bindings())
+    return f"""
+WITH pairs AS (
+  SELECT o_orderkey AS pair_id,
+         {hp('vox')} % {_LOS_GRID} AS ox, {hp('voy')} % {_LOS_GRID} AS oy,
+         {hp('vtx')} % {_LOS_GRID} AS tx, {hp('vty')} % {_LOS_GRID} AS ty,
+         {hp('voh')} % {_LOS_HMOD} + {_LOS_HOFF} AS oh,
+         {hp('vth')} % {_LOS_HMOD} + {_LOS_HOFF} AS th
+  FROM orders WHERE o_orderkey % 5 = 0),
+dem AS (
+  SELECT cx, cy, MAX(e) AS elev FROM (
+    SELECT {hd('dmx')} % {_LOS_GRID} AS cx,
+           {hd('dmy')} % {_LOS_GRID} AS cy,
+           {hd('dme')} % {_LOS_EMOD} + 1 AS e
+    FROM part) GROUP BY cx, cy),
+norm AS (SELECT * FROM {norm}),
+walk0 AS (
+  SELECT *, UNNEST(generate_series(CAST(1 AS BIGINT), dfast - 1)) AS k
+  FROM norm WHERE dfast >= 2),
+stepd AS (SELECT * FROM {step}),
+wd AS (
+  SELECT s.*, COALESCE(d.elev, 0) AS elev
+  FROM stepd s LEFT JOIN dem d ON s.cx = d.cx AND s.cy = d.cy)
+SELECT pair_id, CAST(dfast AS BIGINT) AS steps,
+       CAST(0 AS BIGINT) AS n_blocked, CAST(NULL AS BIGINT) AS first_block,
+       CAST(1 AS BIGINT) AS visible
+FROM norm WHERE dfast < 2
+UNION ALL
+SELECT pair_id, CAST(dfast AS BIGINT) AS steps,
+       CAST(SUM(blockedi) AS BIGINT) AS n_blocked,
+       CAST(MIN(CASE WHEN blockedi = 1 THEN obs_k END) AS BIGINT) AS first_block,
+       CAST(CASE WHEN SUM(blockedi) = 0 THEN 1 ELSE 0 END AS BIGINT) AS visible
+FROM {blk}
+GROUP BY pair_id, dfast
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -6446,6 +6552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_user_registers": _q_hll_registers,     # deterministic HLL sketch state
         "cm_user_freq": _q_count_min,               # count-min point estimates
         "resample_ffill_events": _q_resample_ffill,  # dense series + gap fill
+        "line_of_sight_dem": _q_line_of_sight,      # DEM intervisibility
     }
 
 
@@ -6567,6 +6674,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["hll_user_registers"] = _ORACLE_HLL_REGISTERS
     oracles["cm_user_freq"] = _ORACLE_COUNT_MIN
     oracles["resample_ffill_events"] = _ORACLE_RESAMPLE_FFILL
+    oracles["line_of_sight_dem"] = _oracle_line_of_sight()
     oracles["s2_cell_assign_l12"] = _oracle_s2_cells()
     oracles["s2_region_contain"] = _oracle_s2_region_contain()
     oracles["s2_cover_l7"] = _oracle_s2_cover()
