@@ -6353,8 +6353,16 @@ def _q_line_of_sight(spark, sf_dir):
             height("vth").alias("th"),
         )
     )
+    return line_of_sight(pairs, _los_dem(spark, sf_dir))
+
+
+def _los_dem(spark, sf_dir):
+    """Hash-derived synthetic terrain shared by the visibility and D8
+    hydrology queries: one max-deduped elevation per covered cell."""
+    from osm_hadoop_spark.operators.textstats import h60
+
     p = F.col("p_partkey").cast("string")
-    dem = (
+    return (
         _t(spark, sf_dir, "part")
         .select(
             (h60(F.concat(F.lit("dmx"), p)) % _LOS_GRID).cast("long").alias("cx"),
@@ -6364,7 +6372,18 @@ def _q_line_of_sight(spark, sf_dir):
         .groupBy("cx", "cy")
         .agg(F.max("e").alias("elev"))
     )
-    return line_of_sight(pairs, dem)
+
+
+def _los_dem_sql() -> str:
+    def hd(tag):
+        return _duck_h60(f"'{tag}' || CAST(p_partkey AS VARCHAR)")
+
+    return f"""
+  SELECT cx, cy, MAX(e) AS elev FROM (
+    SELECT {hd('dmx')} % {_LOS_GRID} AS cx,
+           {hd('dmy')} % {_LOS_GRID} AS cy,
+           {hd('dme')} % {_LOS_EMOD} + 1 AS e
+    FROM part) GROUP BY cx, cy"""
 
 
 def _oracle_line_of_sight() -> str:
@@ -6378,9 +6397,6 @@ def _oracle_line_of_sight() -> str:
     def hp(tag):
         return _duck_h60(f"'{tag}' || CAST(o_orderkey AS VARCHAR)")
 
-    def hd(tag):
-        return _duck_h60(f"'{tag}' || CAST(p_partkey AS VARCHAR)")
-
     norm = sql_layers("SELECT * FROM pairs", los_norm_bindings())
     step = sql_layers("SELECT * FROM walk0", los_step_bindings())
     blk = sql_layers("SELECT * FROM wd", los_block_bindings())
@@ -6392,12 +6408,7 @@ WITH pairs AS (
          {hp('voh')} % {_LOS_HMOD} + {_LOS_HOFF} AS oh,
          {hp('vth')} % {_LOS_HMOD} + {_LOS_HOFF} AS th
   FROM orders WHERE o_orderkey % 5 = 0),
-dem AS (
-  SELECT cx, cy, MAX(e) AS elev FROM (
-    SELECT {hd('dmx')} % {_LOS_GRID} AS cx,
-           {hd('dmy')} % {_LOS_GRID} AS cy,
-           {hd('dme')} % {_LOS_EMOD} + 1 AS e
-    FROM part) GROUP BY cx, cy),
+dem AS ({_los_dem_sql()}),
 norm AS (SELECT * FROM {norm}),
 walk0 AS (
   SELECT *, UNNEST(generate_series(CAST(1 AS BIGINT), dfast - 1)) AS k
@@ -6418,6 +6429,107 @@ SELECT pair_id, CAST(dfast AS BIGINT) AS steps,
 FROM {blk}
 GROUP BY pair_id, dfast
 """
+
+
+# ---------------------------------------------------------------------------
+# D8 hydrology over the shared DEM (operators/hydrology.py)
+# ---------------------------------------------------------------------------
+
+_D8_ROUNDS = 6
+
+
+def _q_d8_flow_dir(spark, sf_dir):
+    """Per-cell D8 drainage verdict (operators/hydrology.py::
+    d8_flow_direction) over the SAME hash-derived DEM the visibility
+    query reads: steepest-descent neighbor by exact cross-multiplied
+    integer slope^2, compass-rank tie-break, ESRI codes (0 = sink).
+    One scatter + one hash aggregate + a codegen argmax ladder — the
+    ladder is written once in the dual-render DSL and the oracle runs
+    the identical formula."""
+    from osm_hadoop_spark.operators.hydrology import d8_flow_direction
+
+    return d8_flow_direction(_los_dem(spark, sf_dir))
+
+
+def _q_flow_accum(spark, sf_dir):
+    """Bounded-round D8 flow accumulation (operators/hydrology.py::
+    flow_accumulation): acc(c) = cells whose drainage path reaches c
+    within _D8_ROUNDS hops, each round one slim (cx, cy, a) join against
+    the checkpointed pointer table.  The oracle unrolls the identical
+    recurrence round by round (the pagerank unrolled-twin pattern)."""
+    from osm_hadoop_spark.operators.hydrology import flow_accumulation
+
+    return flow_accumulation(_los_dem(spark, sf_dir), _D8_ROUNDS)
+
+
+def _d8_dir_ctes() -> str:
+    """Shared CTE chain dem -> scatter -> pivot -> pick/rank ladders ->
+    `dirs` (cx, cy, dir, nx, ny, dropv), the DuckDB twin of
+    d8_flow_direction rendered from the same bindings."""
+    from osm_hadoop_spark.functions.exprdsl import sql_layers
+    from osm_hadoop_spark.operators.hydrology import (
+        D8_OFFSETS,
+        d8_pick_bindings,
+        d8_rank_bindings,
+    )
+
+    offs = ", ".join(
+        f"({dx}, {dy}, {k})" for k, (dx, dy, _) in enumerate(D8_OFFSETS)
+    )
+    pivots = ",\n    ".join(
+        f"COALESCE(MAX(CASE WHEN rnk = {k} THEN elev END), 0) AS e{k}"
+        for k in range(8)
+    )
+    pick = sql_layers("SELECT * FROM agg", d8_pick_bindings())
+    rnkd = sql_layers("SELECT * FROM pick", d8_rank_bindings())
+    return f"""
+dem AS ({_los_dem_sql()}),
+offs AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy, rnk)),
+scat AS (
+  SELECT d.cx - o.dx AS cx, d.cy - o.dy AS cy, o.rnk AS rnk, d.elev AS elev
+  FROM dem d CROSS JOIN offs o
+  UNION ALL
+  SELECT cx, cy, 8 AS rnk, elev FROM dem),
+agg AS (
+  SELECT cx, cy, MAX(CASE WHEN rnk = 8 THEN elev END) AS ce,
+    {pivots}
+  FROM scat GROUP BY cx, cy
+  HAVING MAX(CASE WHEN rnk = 8 THEN elev END) IS NOT NULL),
+pick AS (SELECT * FROM {pick}),
+rnkd AS (SELECT * FROM {rnkd}),
+dirs AS (
+  SELECT cx, cy, CAST(dircode AS BIGINT) AS dir,
+         CAST(CASE WHEN rnk >= 0 THEN cx + dxv END AS BIGINT) AS nx,
+         CAST(CASE WHEN rnk >= 0 THEN cy + dyv END AS BIGINT) AS ny,
+         CAST(CASE WHEN rnk >= 0 THEN dropv END AS BIGINT) AS dropv
+  FROM rnkd)"""
+
+
+def _oracle_d8_flow_dir() -> str:
+    return f"WITH {_d8_dir_ctes()}\nSELECT * FROM dirs"
+
+
+def _oracle_flow_accum() -> str:
+    rounds = []
+    for t in range(1, _D8_ROUNDS + 1):
+        rounds.append(f"""
+a{t} AS (
+  SELECT m.cx, m.cy, m.a FROM (
+    SELECT p.nx AS cx, p.ny AS cy, CAST(SUM(a.a) AS BIGINT) AS a
+    FROM a{t - 1} a JOIN ptr p ON a.cx = p.cx AND a.cy = p.cy
+    GROUP BY p.nx, p.ny) m
+  JOIN cells c ON m.cx = c.cx AND m.cy = c.cy)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM a{t}" for t in range(_D8_ROUNDS + 1)
+    )
+    return f"""
+WITH {_d8_dir_ctes()},
+ptr AS (SELECT cx, cy, nx, ny FROM dirs WHERE dir > 0),
+cells AS (SELECT cx, cy FROM dem),
+a0 AS (SELECT cx, cy, CAST(1 AS BIGINT) AS a FROM cells),
+{','.join(rounds)}
+SELECT cx, cy, CAST(SUM(a) AS BIGINT) AS acc
+FROM ({union}) GROUP BY cx, cy"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6553,6 +6665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_user_freq": _q_count_min,               # count-min point estimates
         "resample_ffill_events": _q_resample_ffill,  # dense series + gap fill
         "line_of_sight_dem": _q_line_of_sight,      # DEM intervisibility
+        "d8_flow_dir": _q_d8_flow_dir,              # D8 steepest-descent drainage
+        "flow_accum_r6": _q_flow_accum,             # bounded-round flow accumulation
     }
 
 
@@ -6675,6 +6789,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["cm_user_freq"] = _ORACLE_COUNT_MIN
     oracles["resample_ffill_events"] = _ORACLE_RESAMPLE_FFILL
     oracles["line_of_sight_dem"] = _oracle_line_of_sight()
+    oracles["d8_flow_dir"] = _oracle_d8_flow_dir()
+    oracles["flow_accum_r6"] = _oracle_flow_accum()
     oracles["s2_cell_assign_l12"] = _oracle_s2_cells()
     oracles["s2_region_contain"] = _oracle_s2_region_contain()
     oracles["s2_cover_l7"] = _oracle_s2_cover()

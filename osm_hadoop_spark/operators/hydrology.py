@@ -1,0 +1,203 @@
+"""D8 hydrology over a gridded DEM: flow direction + flow accumulation.
+
+The raster stack's drainage primitives (the hydrology companion to the
+zonal/visibility operators; the reference's raster layer,
+raster/Rasterizer.java + rasterstats/ImageRegions, stops at rendering
+and zonal readback). D8 (O'Callaghan & Mark 1984): every cell drains to
+the steepest-descent neighbor of its 8-neighborhood; flow accumulation
+counts the cells whose drainage path passes through each cell.
+
+All arithmetic is exact integer. The steepest-descent comparison is
+slope^2 = drop^2 / dist^2 with dist^2 in {1, 2}, cross-multiplied to
+m = 2*drop^2 (straight) vs m = drop^2 (diagonal) — monotone in slope and
+tie-FREE across categories (2a^2 = b^2 has no positive integer solution,
+sqrt(2) being irrational), so the only possible ties are equal drops in
+the same distance class, broken deterministically by compass rank
+(E < SE < S < SW < W < NW < N < NE, ESRI codes 1..128). Missing
+neighbors read as `default_elev` (cells on the study-area rim drain
+outward); a cell with no strictly-lower neighbor is a sink (dir 0).
+
+Plan shape (the hexgrid 4-candidate-argmin precedent, scaled to 8):
+direction needs every cell's 8 neighbor elevations, which is NOT a join
+— each DEM row scatters its elevation to its 8 neighbor positions
+(explode over a literal offset array), the center rows union in, and ONE
+hash aggregate pivots the <=9 records per cell into (ce, e0..e7); the
+argmax is a pure codegen projection over a packed score
+m*8 + (7 - rank). One Exchange end to end, no self-join, no Python.
+
+Accumulation is the bounded-round recurrence A_0 = 1,
+A_{t+1}(c) = sum over {u : next(u) = c} of A_t(u) (cells reaching c in
+exactly t+1 hops), acc = sum of all rounds — each round is one slim
+(cx, cy, a) shuffle join against the pointer table plus a semi-join back
+to the DEM (flow leaving the study area vanishes). Drops strictly
+decrease along a path, so the flow graph is a forest and `rounds` bounds
+path length, exactly like the bounded-hop SSSP/pagerank precedents; each
+round is localCheckpoint'ed (the kNN per-round pattern) so Catalyst
+never re-executes the chain per consumer. At 100 TB the DEM partitions
+by cell key, the scatter is a fixed 9x row amplification of slim rows,
+and every round's shuffle carries three int64 columns.
+
+Every scalar ladder is written ONCE against the dual-render DSL
+(functions/exprdsl.py) and rendered to both engines, so the DuckDB twin
+in __spark_entry__.py runs the IDENTICAL formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm_hadoop_spark.functions.exprdsl import Var, bind_spark, greatest, iff
+
+# rank -> (dx, dy, ESRI code); odd ranks are diagonals (dist^2 = 2)
+D8_OFFSETS = [
+    (1, 0, 1),      # E
+    (1, 1, 2),      # SE
+    (0, 1, 4),      # S
+    (-1, 1, 8),     # SW
+    (-1, 0, 16),    # W
+    (-1, -1, 32),   # NW
+    (0, -1, 64),    # N
+    (1, -1, 128),   # NE
+]
+
+
+def _chain(rnk, values, default):
+    """rank-indexed 8-way select as a nested iff ladder."""
+    e = default
+    for k in range(7, -1, -1):
+        e = iff(rnk.eq(k), values[k], e)
+    return e
+
+
+def d8_pick_bindings():
+    """Packed-argmax ladder; inputs ce, e0..e7 (already defaulted).
+
+    Binds the per-rank drop / scaled slope^2 / score columns and `best`,
+    the max packed score (-1 when every neighbor is at or above ce).
+    """
+    ce = Var("ce")
+    b = []
+
+    def let(name, e):
+        b.append((name, e))
+        return Var(name)
+
+    scores = []
+    for k in range(8):
+        drop = let(f"dr{k}", ce - Var(f"e{k}"))
+        scale = 1 if k % 2 == 1 else 2
+        m = let(f"m{k}", drop * drop * scale)
+        scores.append(let(f"sc{k}", iff(drop > 0, m * 8 + (7 - k), -1)))
+    let("best", greatest(*scores))
+    return b
+
+
+def d8_rank_bindings():
+    """Decode rank and per-rank constants from the packed best score."""
+    from osm_hadoop_spark.functions.exprdsl import Mod
+
+    best = Var("best")
+    b = []
+
+    def let(name, e):
+        b.append((name, e))
+        return Var(name)
+
+    rnk = let("rnk", iff(best < 0, -1, 7 - Mod(best, 8)))
+    let("dxv", _chain(rnk, [o[0] for o in D8_OFFSETS], 0))
+    let("dyv", _chain(rnk, [o[1] for o in D8_OFFSETS], 0))
+    let("dircode", _chain(rnk, [o[2] for o in D8_OFFSETS], 0))
+    let("esel", _chain(rnk, [Var(f"e{k}") for k in range(8)], Var("ce")))
+    let("dropv", Var("ce") - Var("esel"))
+    return b
+
+
+def d8_flow_direction(dem: DataFrame, default_elev: int = 0) -> DataFrame:
+    """Per-cell D8 verdict.
+
+    `dem`: (cx, cy, elev) — at most one row per cell. Returns
+    (cx, cy, dir, nx, ny, dropv): `dir` the ESRI code (0 = sink),
+    (nx, ny) the downstream cell (NULL for sinks), `dropv` the
+    elevation drop to it (NULL for sinks).
+    """
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).cast("long").alias("dx"),
+                F.lit(dy).cast("long").alias("dy"),
+                F.lit(k).cast("long").alias("rnk"),
+            )
+            for k, (dx, dy, _) in enumerate(D8_OFFSETS)
+        ]
+    )
+    scat = dem.select(
+        F.explode(offs).alias("o"), "cx", "cy", "elev"
+    ).select(
+        (F.col("cx") - F.col("o.dx")).alias("cx"),
+        (F.col("cy") - F.col("o.dy")).alias("cy"),
+        F.col("o.rnk").alias("rnk"),
+        F.col("elev").cast("long").alias("elev"),
+    )
+    center = dem.select(
+        "cx", "cy", F.lit(8).cast("long").alias("rnk"), F.col("elev").cast("long")
+    )
+    agg = (
+        center.unionByName(scat)
+        .groupBy("cx", "cy")
+        .agg(
+            F.max(F.when(F.col("rnk") == 8, F.col("elev"))).alias("ce"),
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("rnk") == k, F.col("elev"))),
+                    F.lit(default_elev).cast("long"),
+                ).alias(f"e{k}")
+                for k in range(8)
+            ],
+        )
+        .filter(F.col("ce").isNotNull())
+    )
+    out = bind_spark(bind_spark(agg, d8_pick_bindings()), d8_rank_bindings())
+    sink = F.col("rnk") < 0
+    return out.select(
+        "cx",
+        "cy",
+        F.col("dircode").cast("bigint").alias("dir"),
+        F.when(~sink, F.col("cx") + F.col("dxv")).cast("bigint").alias("nx"),
+        F.when(~sink, F.col("cy") + F.col("dyv")).cast("bigint").alias("ny"),
+        F.when(~sink, F.col("dropv")).cast("bigint").alias("dropv"),
+    )
+
+
+def flow_accumulation(
+    dem: DataFrame, rounds: int, default_elev: int = 0, checkpoint: bool = True
+) -> DataFrame:
+    """Bounded-round D8 flow accumulation.
+
+    acc(c) = number of DEM cells (including c itself) whose drainage
+    path reaches c within `rounds` hops. Exact for any DEM whose longest
+    flow chain is <= rounds; a documented lower bound otherwise.
+    """
+    ptr = (
+        d8_flow_direction(dem, default_elev)
+        .filter(F.col("dir") > 0)
+        .select("cx", "cy", "nx", "ny")
+    )
+    cells = dem.select("cx", "cy")
+    if checkpoint:
+        ptr = ptr.localCheckpoint(eager=True)
+    a = cells.withColumn("a", F.lit(1).cast("long"))
+    total = a
+    for _ in range(rounds):
+        moved = (
+            a.join(ptr, ["cx", "cy"])
+            .select(
+                F.col("nx").alias("cx"), F.col("ny").alias("cy"), F.col("a")
+            )
+            .groupBy("cx", "cy")
+            .agg(F.sum("a").alias("a"))
+            .join(cells, ["cx", "cy"], "left_semi")
+        )
+        a = moved.localCheckpoint(eager=True) if checkpoint else moved
+        total = total.unionByName(a)
+    return total.groupBy("cx", "cy").agg(F.sum("a").cast("bigint").alias("acc"))

@@ -1,0 +1,162 @@
+"""D8 hydrology (operators/hydrology.py): brute force + plan shape.
+
+The independent anchor computes steepest descent with exact
+`fractions.Fraction` slopes (drop^2 / dist^2 — a different formulation
+from the operator's cross-multiplied packed score) over a dict DEM, and
+accumulation by literally walking every cell's drainage path. Crafted
+features on top of the hash noise: a long monotone ramp (chain deeper
+than the round budget), a pit (interior sink), a flat plateau pair, and
+rim cells draining off-grid through the default elevation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from fractions import Fraction
+
+from osm_hadoop_spark.operators.hydrology import (
+    D8_OFFSETS,
+    d8_flow_direction,
+    flow_accumulation,
+)
+
+GRID = 24
+
+
+def _h(s: str, mod: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % mod
+
+
+def _dem():
+    cells = {}
+    for i in range(450):
+        cx, cy = _h(f"hx{i}", GRID), _h(f"hy{i}", GRID)
+        cells[(cx, cy)] = max(cells.get((cx, cy), 0), _h(f"he{i}", 1400) + 1)
+    # monotone ramp: a 12-cell walled corridor (chain deeper than
+    # rounds=4; without walls every cell would drain off-DEM, since the
+    # drop to the default-0 outside always beats any in-DEM drop)
+    for j in range(12):
+        cells[(30 + j, 5)] = 2000 - 100 * j
+    for x in range(28, 44):
+        cells[(x, 4)] = 3000
+        cells[(x, 6)] = 3000
+    cells[(29, 5)] = 3000
+    cells[(42, 5)] = 3000
+    # pit: 5x5 block, high rim so the inner ring cannot drain off-DEM ->
+    # ring drains into the center, center sinks
+    for dx in (-2, -1, 0, 1, 2):
+        for dy in (-2, -1, 0, 1, 2):
+            r = max(abs(dx), abs(dy))
+            cells[(50 + dx, 50 + dy)] = {2: 800, 1: 500, 0: 100}[r]
+    # flat plateau pair: equal elevations, both must sink or drain out
+    cells[(60, 60)] = 700
+    cells[(61, 60)] = 700
+    return cells
+
+
+def _brute_d8(dem, default=0):
+    out = {}
+    for (cx, cy), e in dem.items():
+        best_key, best_rank = None, None
+        for rank, (dx, dy, _) in enumerate(D8_OFFSETS):
+            ne = dem.get((cx + dx, cy + dy), default)
+            drop = e - ne
+            if drop <= 0:
+                continue
+            slope2 = Fraction(drop * drop, 2 if rank % 2 == 1 else 1)
+            key = (slope2, -rank)
+            if best_key is None or key > best_key:
+                best_key, best_rank = key, rank
+        if best_rank is None:
+            out[(cx, cy)] = (0, None, None, None)
+        else:
+            dx, dy, code = D8_OFFSETS[best_rank]
+            out[(cx, cy)] = (code, cx + dx, cy + dy, e - dem.get((cx + dx, cy + dy), default))
+    return out
+
+
+def _brute_acc(dem, dirs, rounds):
+    acc = {c: 0 for c in dem}
+    for u in dem:
+        cur = u
+        acc[cur] += 1
+        for _ in range(rounds):
+            code, nx, ny, _ = dirs[cur]
+            if code == 0 or (nx, ny) not in dem:
+                break
+            cur = (nx, ny)
+            acc[cur] += 1
+    return acc
+
+
+def _dem_df(spark, dem):
+    return spark.createDataFrame(
+        [(cx, cy, e) for (cx, cy), e in dem.items()], "cx long, cy long, elev long"
+    )
+
+
+def test_d8_direction_matches_brute(spark):
+    dem = _dem()
+    got = {
+        (r["cx"], r["cy"]): (r["dir"], r["nx"], r["ny"], r["dropv"])
+        for r in d8_flow_direction(_dem_df(spark, dem)).collect()
+    }
+    want = _brute_d8(dem)
+    assert got == want
+    # crafted features behaved: pit center is a sink, ring drains inward
+    assert want[(50, 50)][0] == 0
+    assert want[(49, 50)] == (1, 50, 50, 400)
+    # ramp links forward; plateau cells never drain into each other
+    assert want[(30, 5)][1:3] == (31, 5)
+    assert want[(60, 60)][1:3] != (61, 60)
+    assert want[(61, 60)][1:3] != (60, 60)
+    # mix of sinks and drainers
+    codes = [v[0] for v in want.values()]
+    assert 0 < codes.count(0) < len(codes)
+
+
+def test_d8_tie_breaks_prefer_low_rank(spark):
+    # center with two equal straight drops (E and S) -> E (rank 0) wins;
+    # equal diag drops (SE and SW) with shallower straight -> SE wins
+    dem = {
+        (5, 5): 100, (6, 5): 40, (5, 6): 40,
+        (20, 20): 100, (21, 21): 10, (19, 21): 10, (21, 20): 95,
+    }
+    got = {
+        (r["cx"], r["cy"]): (r["dir"], r["nx"], r["ny"])
+        for r in d8_flow_direction(_dem_df(spark, dem), default_elev=99).collect()
+    }
+    assert got[(5, 5)] == (1, 6, 5)
+    # straight drop 5 -> slope^2 25; diag drop 90 -> slope^2 4050: SE wins
+    assert got[(20, 20)] == (2, 21, 21)
+    assert got == {k: (v[0], v[1], v[2]) for k, v in _brute_d8(dem, 99).items()}
+
+
+def test_flow_accumulation_matches_brute(spark):
+    dem = _dem()
+    for rounds in (1, 4):
+        got = {
+            (r["cx"], r["cy"]): r["acc"]
+            for r in flow_accumulation(_dem_df(spark, dem), rounds).collect()
+        }
+        want = _brute_acc(dem, _brute_d8(dem), rounds)
+        assert got == want
+    # the ramp head contributes to cell 4 hops down but not 5
+    want4 = _brute_acc(dem, _brute_d8(dem), 4)
+    want5 = _brute_acc(dem, _brute_d8(dem), 5)
+    assert want5[(35, 5)] == want4[(35, 5)] + 1
+
+
+def test_d8_plan_shape(spark):
+    dem = _dem_df(spark, {(1, 1): 5, (2, 1): 3})
+    plan = (
+        d8_flow_direction(dem)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # union + ONE hash-aggregate exchange + codegen projection: no join,
+    # no Python, nothing quadratic
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan and "BatchEval" not in plan
