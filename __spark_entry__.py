@@ -6509,6 +6509,37 @@ def _oracle_d8_flow_dir() -> str:
     return f"WITH {_d8_dir_ctes()}\nSELECT * FROM dirs"
 
 
+_WATERSHED_DOUBLINGS = 5
+
+
+def _q_watershed(spark, sf_dir):
+    """Basin labels (operators/hydrology.py::watershed_basins): pointer
+    doubling over the D8 forest — 5 doubling rounds resolve every
+    drainage chain up to 32 hops, each round ONE slim 4-column shuffle
+    join (the O(log L) alternative to hop-at-a-time walking).  The
+    oracle unrolls the same squaring: p_{k+1} = p_k o p_k as self-joins."""
+    from osm_hadoop_spark.operators.hydrology import watershed_basins
+
+    return watershed_basins(_los_dem(spark, sf_dir), _WATERSHED_DOUBLINGS)
+
+
+def _oracle_watershed() -> str:
+    dbl = [
+        f"""
+p{k} AS (
+  SELECT a.cx, a.cy, b.px, b.py
+  FROM p{k - 1} a JOIN p{k - 1} b ON a.px = b.cx AND a.py = b.cy)"""
+        for k in range(1, _WATERSHED_DOUBLINGS + 1)
+    ]
+    return f"""
+WITH {_d8_dir_ctes()},
+p0 AS (
+  SELECT r.cx, r.cy, COALESCE(e.cx, r.cx) AS px, COALESCE(e.cy, r.cy) AS py
+  FROM dirs r LEFT JOIN dem e ON r.nx = e.cx AND r.ny = e.cy),
+{','.join(dbl)}
+SELECT cx, cy, px AS bx, py AS "by" FROM p{_WATERSHED_DOUBLINGS}"""
+
+
 def _oracle_flow_accum() -> str:
     rounds = []
     for t in range(1, _D8_ROUNDS + 1):
@@ -6667,6 +6698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_of_sight_dem": _q_line_of_sight,      # DEM intervisibility
         "d8_flow_dir": _q_d8_flow_dir,              # D8 steepest-descent drainage
         "flow_accum_r6": _q_flow_accum,             # bounded-round flow accumulation
+        "watershed_basins_d5": _q_watershed,        # pointer-doubling basin labels
     }
 
 
@@ -6791,6 +6823,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["line_of_sight_dem"] = _oracle_line_of_sight()
     oracles["d8_flow_dir"] = _oracle_d8_flow_dir()
     oracles["flow_accum_r6"] = _oracle_flow_accum()
+    oracles["watershed_basins_d5"] = _oracle_watershed()
     oracles["s2_cell_assign_l12"] = _oracle_s2_cells()
     oracles["s2_region_contain"] = _oracle_s2_region_contain()
     oracles["s2_cover_l7"] = _oracle_s2_cover()

@@ -18,6 +18,7 @@ from osm_hadoop_spark.operators.hydrology import (
     D8_OFFSETS,
     d8_flow_direction,
     flow_accumulation,
+    watershed_basins,
 )
 
 GRID = 24
@@ -145,6 +146,54 @@ def test_flow_accumulation_matches_brute(spark):
     want4 = _brute_acc(dem, _brute_d8(dem), 4)
     want5 = _brute_acc(dem, _brute_d8(dem), 5)
     assert want5[(35, 5)] == want4[(35, 5)] + 1
+
+
+def _brute_basin(dem, dirs, applications):
+    """Label = the `applications`-th absorbing pointer application."""
+    out = {}
+    for u in dem:
+        cur = u
+        for _ in range(applications):
+            code, nx, ny, _ = dirs[cur]
+            if code == 0 or (nx, ny) not in dem:
+                break
+            cur = (nx, ny)
+        out[u] = cur
+    return out
+
+
+def test_watershed_basins_matches_brute(spark):
+    dem = _dem()
+    dirs = _brute_d8(dem)
+    # 5 doublings cover chains <= 32; the deepest crafted chain is the
+    # 12-cell ramp, so this is full convergence
+    got = {
+        (r["cx"], r["cy"]): (r["bx"], r["by"])
+        for r in watershed_basins(_dem_df(spark, dem), 5).collect()
+    }
+    want = _brute_basin(dem, dirs, 1 << 5)
+    assert got == want
+    # converged: every label is a terminal (sink or edge-drainer)
+    for bx, by in set(got.values()):
+        code, nx, ny, _ = dirs[(bx, by)]
+        assert code == 0 or (nx, ny) not in dem
+    # the whole ramp corridor drains to one basin; the pit ring labels
+    # onto the pit center
+    ramp_labels = {got[(30 + j, 5)] for j in range(12)}
+    assert len(ramp_labels) == 1
+    assert got[(49, 50)] == (50, 50) and got[(50, 50)] == (50, 50)
+    assert len(set(got.values())) > 1
+
+
+def test_watershed_partial_doubling_is_pow2_successor(spark):
+    dem = _dem()
+    got = {
+        (r["cx"], r["cy"]): (r["bx"], r["by"])
+        for r in watershed_basins(_dem_df(spark, dem), 2).collect()
+    }
+    assert got == _brute_basin(dem, _brute_d8(dem), 4)
+    # the ramp head is NOT yet at its terminal after only 4 hops
+    assert got[(30, 5)] != _brute_basin(dem, _brute_d8(dem), 32)[(30, 5)]
 
 
 def test_d8_plan_shape(spark):
