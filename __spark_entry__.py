@@ -5719,6 +5719,132 @@ SELECT point_id, seg_id, d2q FROM (
 """
 
 
+# --- Viterbi map matching (operators/viterbi.py) ----------------------------
+# Sequential decode on top of snap's candidate stage: per-trip GPS walks
+# (cumsum of hash steps around (500,500)) matched onto the SAME
+# part-derived segment field snap_points_r50 uses; emission = exact
+# quantized point-to-segment distance, transition = switch penalty, DP
+# collapsed to best-or-stay (provably lossless — see operator docstring)
+# so each step is one aggregate + one slim equi-join, never K x K. The
+# oracle unrolls the identical recursion step by step; tests/test_viterbi
+# anchors it against the UNcollapsed quadratic transition product.
+_VIT_T, _VIT_PEN, _VIT_INF = 5, 30 << 20, 1 << 50
+
+
+def _q_viterbi(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from osm_hadoop_spark.operators.textstats import h60
+    from osm_hadoop_spark.operators.viterbi import viterbi_map_match
+
+    s = F.col("event_id").cast("string")
+
+    def hmod(tag, key, m):
+        return h60(F.concat(F.lit(tag), key.cast("string"))) % m
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    walk = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("trip_id"),
+            F.row_number().over(w).alias("k"),
+            (
+                F.lit(500)
+                + F.sum(h60(F.concat(F.lit("vwx"), s)) % 31 - 15).over(w)
+            ).alias("x"),
+            (
+                F.lit(500)
+                + F.sum(h60(F.concat(F.lit("vwy"), s)) % 31 - 15).over(w)
+            ).alias("y"),
+        )
+        .filter(F.col("k") <= _VIT_T)
+    )
+    pk = _t(spark, sf_dir, "part")
+    segs = pk.select(
+        F.col("p_partkey").alias("seg_id"),
+        hmod("sax", F.col("p_partkey"), 1000).alias("ax"),
+        hmod("say", F.col("p_partkey"), 1000).alias("ay"),
+        (
+            hmod("sax", F.col("p_partkey"), 1000)
+            + hmod("sbx", F.col("p_partkey"), 201)
+            - 100
+        ).alias("bx"),
+        (
+            hmod("say", F.col("p_partkey"), 1000)
+            + hmod("sby", F.col("p_partkey"), 201)
+            - 100
+        ).alias("by"),
+    )
+    return viterbi_map_match(
+        walk, segs, radius=_SNAP_R, penalty=_VIT_PEN, steps=_VIT_T
+    )
+
+
+def _oracle_viterbi() -> str:
+    steps = []
+    for t in range(2, _VIT_T + 1):
+        steps.append(f"""
+s{t} AS (
+  SELECT c.trip_id, c.seg_id,
+         c.d2q + least(COALESCE(p.score, {_VIT_INF}), b.best + {_VIT_PEN})
+           AS score
+  FROM (SELECT * FROM cand WHERE k = {t}) c
+  JOIN (SELECT trip_id, MIN(score) AS best FROM s{t - 1} GROUP BY trip_id) b
+    ON b.trip_id = c.trip_id
+  LEFT JOIN s{t - 1} p ON p.trip_id = c.trip_id AND p.seg_id = c.seg_id)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT trip_id, CAST({t} AS BIGINT) AS k, seg_id, score FROM s{t}"
+        for t in range(1, _VIT_T + 1)
+    )
+    return f"""
+WITH w0 AS (
+  SELECT user_id AS trip_id, event_id, ts,
+         {_duck_h60("'vwx' || CAST(event_id AS VARCHAR)")} % 31 - 15 AS sx,
+         {_duck_h60("'vwy' || CAST(event_id AS VARCHAR)")} % 31 - 15 AS sy
+  FROM events),
+pos AS (
+  SELECT trip_id, row_number() OVER w AS k,
+         500 + CAST(sum(sx) OVER w AS BIGINT) AS x,
+         500 + CAST(sum(sy) OVER w AS BIGINT) AS y
+  FROM w0
+  WINDOW w AS (PARTITION BY trip_id ORDER BY ts, event_id)),
+pts AS (SELECT * FROM pos WHERE k <= {_VIT_T}),
+segs AS (
+  SELECT p_partkey AS seg_id,
+         {_duck_h60("'sax' || p_partkey")} % 1000 AS ax,
+         {_duck_h60("'say' || p_partkey")} % 1000 AS ay,
+         {_duck_h60("'sax' || p_partkey")} % 1000
+           + {_duck_h60("'sbx' || p_partkey")} % 201 - 100 AS bx,
+         {_duck_h60("'say' || p_partkey")} % 1000
+           + {_duck_h60("'sby' || p_partkey")} % 201 - 100 AS by
+  FROM part),
+raw AS (
+  SELECT p.trip_id, p.k, s.seg_id,
+    (p.x-s.ax)*(s.bx-s.ax) + (p.y-s.ay)*(s.by-s.ay) AS dt,
+    (s.bx-s.ax)*(s.bx-s.ax) + (s.by-s.ay)*(s.by-s.ay) AS len2,
+    (p.x-s.ax)*(s.by-s.ay) - (p.y-s.ay)*(s.bx-s.ax) AS cr,
+    (p.x-s.ax)*(p.x-s.ax) + (p.y-s.ay)*(p.y-s.ay) AS ap2,
+    (p.x-s.bx)*(p.x-s.bx) + (p.y-s.by)*(p.y-s.by) AS bp2
+  FROM pts p, segs s),
+cand0 AS (
+  SELECT trip_id, k, seg_id,
+    CASE WHEN dt <= 0 THEN ap2 * 1048576
+         WHEN dt >= len2 THEN bp2 * 1048576
+         ELSE (cr * cr * 1048576) // len2 END AS d2q
+  FROM raw
+  WHERE CASE WHEN dt <= 0 THEN ap2 <= {_SNAP_R**2}
+             WHEN dt >= len2 THEN bp2 <= {_SNAP_R**2}
+             ELSE cr * cr <= {_SNAP_R**2} * len2 END),
+full_trips AS (
+  SELECT trip_id FROM (SELECT DISTINCT trip_id, k FROM cand0)
+  GROUP BY trip_id HAVING count(*) = {_VIT_T}),
+cand AS (
+  SELECT c.* FROM cand0 c JOIN full_trips f ON c.trip_id = f.trip_id),
+s1 AS (SELECT trip_id, seg_id, d2q AS score FROM cand WHERE k = 1),
+{','.join(steps)}
+{union}"""
+
+
 # --- triangle enumeration (operators/triangles.py) -------------------------
 # R4: the degree-ordered triangle join over a derived graph: nodes =
 # p_partkey, edges = hash-gated pairs within 32-node id blocks (dense
@@ -6649,6 +6775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
         "pagerank_r3": _q_pagerank,                 # fixed-point integer PageRank
         "snap_points_r50": _q_snap_points,          # nearest-segment map matching
+        "viterbi_match_t5": _q_viterbi,             # HMM map matching DP table
         "triangle_blocks": _q_triangles,            # degree-ordered triangle join
         "focal_stats_3x3": _q_focal_stats,          # raster map-algebra focal window
         "gradient_sobel": _q_gradient,              # multi-kernel sparse convolution
@@ -6779,6 +6906,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,
         "pagerank_r3": _oracle_pagerank(),
         "snap_points_r50": _ORACLE_SNAP,
+        "viterbi_match_t5": _oracle_viterbi(),
         "triangle_blocks": _ORACLE_TRIANGLES,
         "focal_stats_3x3": _ORACLE_FOCAL,
         "gradient_sobel": _ORACLE_GRADIENT,

@@ -48,23 +48,26 @@ def _cells_1d(lo: Column, hi: Column, cell: int) -> Column:
     )
 
 
-def snap_points(
+def snap_candidates(
     points: DataFrame,
     segments: DataFrame,
     radius: int,
     cell_size: int | None = None,
     scale_bits: int = 20,
 ) -> DataFrame:
-    """Nearest segment within `radius` for each point.
+    """ALL (point, segment) pairs within `radius`, exactly scored.
 
-    points:   (point_id, x, y) integer coordinates.
+    points:   (..., x, y) integer coordinates — every non-coordinate
+    column (point_id, trip/step keys, ...) is carried through untouched.
     segments: (seg_id, ax, ay, bx, by) integer endpoints.
-    Returns (point_id, seg_id, d2q): the winning segment and the
-    quantized squared distance floor(d2 * 2^scale_bits); points with no
-    segment within `radius` are absent.
+    Returns the point's carried columns + (seg_id, d2q), one row per
+    in-radius pair (the home-cell join guarantees no duplicates). This
+    is the shared filter-and-refine stage: `snap_points` reduces it to
+    the argmin, the Viterbi matcher feeds it to the DP recursion.
     """
     cell = cell_size or radius
     scale = 1 << scale_bits
+    carry = [c for c in points.columns if c not in ("x", "y")]
 
     seg_cells = segments.select(
         "seg_id",
@@ -87,7 +90,7 @@ def snap_points(
     )
 
     pts = points.select(
-        "point_id",
+        *carry,
         "x",
         "y",
         F.floor(F.col("x").cast("double") / cell).cast("bigint").alias("cx"),
@@ -105,9 +108,9 @@ def snap_points(
     ap2, bp2 = apx * apx + apy * apy, bpx * bpx + bpy * bpy
     r2 = radius * radius
 
-    refined = (
+    return (
         cand.select(
-            "point_id",
+            *carry,
             "seg_id",
             dot.alias("_dot"),
             len2.alias("_len2"),
@@ -121,7 +124,7 @@ def snap_points(
         )
         .filter("_keep")
         .select(
-            "point_id",
+            *carry,
             "seg_id",
             F.when(F.col("_dot") <= 0, F.col("_ap2q"))
             .when(F.col("_dot") >= F.col("_len2"), F.col("_bp2q"))
@@ -130,6 +133,23 @@ def snap_points(
         )
     )
 
+
+def snap_points(
+    points: DataFrame,
+    segments: DataFrame,
+    radius: int,
+    cell_size: int | None = None,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Nearest segment within `radius` for each point.
+
+    points:   (point_id, x, y) integer coordinates.
+    segments: (seg_id, ax, ay, bx, by) integer endpoints.
+    Returns (point_id, seg_id, d2q): the winning segment and the
+    quantized squared distance floor(d2 * 2^scale_bits); points with no
+    segment within `radius` are absent.
+    """
+    refined = snap_candidates(points, segments, radius, cell_size, scale_bits)
     best = refined.groupBy("point_id").agg(
         F.min(F.struct("d2q", "seg_id")).alias("_b")
     )
