@@ -6336,6 +6336,53 @@ FROM s
 """
 
 
+# --- content-defined chunking (operators/curation.py::cdc_chunks) ----------
+# The shift-resilient sibling of chunk_documents: boundaries are a pure
+# local-content predicate (rolling polynomial hash of the trailing 8
+# chars = 0 mod 32), so the WHERE clause below is the EXACT string the
+# Spark filter lambda runs (cdc_boundary_pred — engine-shared SQL).
+_CDC_W, _CDC_BASE, _CDC_DIV = 8, 31, 32
+
+
+def _q_cdc_chunks(spark, sf_dir):
+    from osm_hadoop_spark.operators.curation import cdc_chunks
+
+    return cdc_chunks(
+        _t(spark, sf_dir, "documents"), _CDC_W, _CDC_BASE, _CDC_DIV
+    )
+
+
+def _oracle_cdc_chunks() -> str:
+    from osm_hadoop_spark.operators.curation import cdc_boundary_pred
+
+    pred = cdc_boundary_pred("text", "p", _CDC_W, _CDC_BASE, _CDC_DIV)
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+  FROM documents WHERE length(text) > 0),
+ins AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, text,
+           UNNEST(generate_series(CAST({_CDC_W + 1} AS BIGINT), n)) AS p
+    FROM d WHERE n >= {_CDC_W + 1})
+  WHERE {pred}),
+cuts AS (
+  SELECT doc_id, CAST(1 AS BIGINT) AS p FROM d
+  UNION ALL SELECT doc_id, p FROM ins
+  UNION ALL SELECT doc_id, n + 1 FROM d),
+paired AS (
+  SELECT doc_id, p AS start,
+         lead(p) OVER w - p AS clen,
+         row_number() OVER w - 1 AS chunk_id
+  FROM cuts
+  WINDOW w AS (PARTITION BY doc_id ORDER BY p))
+SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id, c.start,
+       c.clen AS n_chars,
+       {_duck_h60("substr(d.text, CAST(c.start AS INT), CAST(c.clen AS INT))")} AS fp
+FROM paired c JOIN d ON d.doc_id = c.doc_id
+WHERE c.clen IS NOT NULL"""
+
+
 # --- IDW interpolated surface (operators/idw.py) ----------------------------
 # A-family addition: fixed-point inverse-distance-weighted gridding of
 # the clustered sample points (same derivation as dbscan/kde, plus a
@@ -6783,6 +6830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_hausdorff": _q_simplify_hausdorff,  # simplification error bound
         "idw_surface": _q_idw_surface,              # scatter IDW vs gather oracle
         "chunk_documents": _q_chunk_documents,      # passage windows, single stage
+        "cdc_chunk_spans": _q_cdc_chunks,           # content-defined chunking
         "pack_documents": _q_pack_documents,        # sequence packing (concat-and-chunk)
         "way_diameter": _q_way_diameter,            # hull-reduced farthest pair
         "pareto_skyline": _q_pareto_skyline,        # single-sort dominance frontier
@@ -6914,6 +6962,7 @@ def oracle_sql() -> dict[str, str]:
         "simplify_hausdorff": _ORACLE_HAUSDORFF,
         "idw_surface": _oracle_idw(),
         "chunk_documents": _ORACLE_CHUNKS,
+        "cdc_chunk_spans": _oracle_cdc_chunks(),
         "pack_documents": _ORACLE_PACK_DOCS,
         "way_diameter": _ORACLE_DIAMETER,
         "pareto_skyline": _ORACLE_SKYLINE,

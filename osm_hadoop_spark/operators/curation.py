@@ -247,6 +247,99 @@ def chunk_documents(
     )
 
 
+def cdc_boundary_pred(
+    text_expr: str,
+    p_expr: str,
+    window: int = 8,
+    base: int = 31,
+    divisor: int = 32,
+) -> str:
+    """Engine-shared SQL predicate: the rolling polynomial hash of the
+    `window` characters ending just before cut position `p_expr`
+    (1-based) is ≡ 0 (mod divisor). Plain ascii/substr/CAST SQL that
+    Spark SQL and DuckDB both accept VERBATIM — written once, used by
+    the operator's filter lambda and by the driver oracle, the exprdsl
+    dual-render idea specialized to string kernels.
+
+    No intermediate modulus is needed: codepoints < 2^21 times
+    31^7 < 2^35 summed 8 ways stays far below 2^63, so the single final
+    `%` is exact int64 in both engines.
+    """
+    terms = " + ".join(
+        f"CAST(ascii(substr({text_expr}, CAST({p_expr} - {window - j} AS INT), 1))"
+        f" AS BIGINT) * {base ** (window - 1 - j)}"
+        for j in range(window)
+    )
+    return f"({terms}) % {divisor} = 0"
+
+
+def cdc_chunks(
+    documents: DataFrame,
+    window: int = 8,
+    base: int = 31,
+    divisor: int = 32,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (Rabin/Gear-style): cut wherever the
+    rolling hash of the trailing `window` chars hits 0 mod `divisor`.
+
+    Unlike fixed-size chunking (chunk_documents), boundaries are a pure
+    function of LOCAL content, so inserting a prefix into a document
+    shifts only the chunks before the first surviving boundary — every
+    later chunk keeps its exact span content and fingerprint. That
+    shift-resilience is why dedup stores and incremental-sync pipelines
+    chunk this way; `tests/test_curation_cdc.py` pins it.
+
+    Deliberately NO min/max chunk-size clamp: the clamp makes boundary
+    placement depend on the previous boundary (sequential per document),
+    while the pure form keeps every position's verdict independent — one
+    spread exchange (the CPU-bound-scan precedent, dedup._spread) and
+    then a single JVM projection over higher-order functions, no Python,
+    and the oracle can state it as one WHERE clause. Expected chunk
+    length is `divisor` chars; tails are bounded only by document
+    length.
+
+    Returns (doc_id, chunk_id, start, n_chars, fp): 0-based chunk index
+    in document order, 1-based start, exact char length, and the shared
+    60-bit md5 fingerprint of the chunk text.
+    """
+    pred = cdc_boundary_pred(text, "p", window, base, divisor)
+    from osm_hadoop_spark.operators.dedup import _spread
+
+    d = _spread(documents.filter(F.length(text) > 0)).select(
+        doc_id, text, F.length(text).cast("long").alias("_n")
+    )
+    # The cut array must be EVALUATED ONCE per document. Naming it with
+    # withColumn is not enough: project collapsing re-inlines the whole
+    # filter(sequence(...)) expression at every reference, so
+    # element_at(_cuts, i + 2) inside the pairing transform would re-run
+    # the boundary scan per chunk (measured 17x slowdown). Binding it as
+    # a lambda variable — transform over a 1-element array — forces one
+    # evaluation, keeping the operator a single codegen stage.
+    cuts_sql = f"""concat(
+  array(CAST(1 AS BIGINT)),
+  CASE WHEN _n >= {window + 1}
+       THEN filter(sequence(CAST({window + 1} AS BIGINT), _n), p -> {pred})
+       ELSE CAST(array() AS ARRAY<BIGINT>) END,
+  array(_n + 1))"""
+    chunks_sql = f"""element_at(transform(array({cuts_sql}),
+  cs -> transform(slice(cs, 1, size(cs) - 1),
+        (s, i) -> struct(s AS start, element_at(cs, i + 2) - s AS clen))), 1)"""
+    out = d.select(
+        doc_id, text, F.posexplode(F.expr(chunks_sql)).alias("chunk_id", "_c")
+    )
+    return out.select(
+        doc_id,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("_c.start").alias("start"),
+        F.col("_c.clen").alias("n_chars"),
+        h60(
+            F.expr(f"substr({text}, CAST(_c.start AS INT), CAST(_c.clen AS INT))")
+        ).alias("fp"),
+    )
+
+
 def pack_documents(
     documents: DataFrame,
     capacity: int = 256,
