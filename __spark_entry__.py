@@ -3484,6 +3484,48 @@ FROM a
 """
 
 
+# --- Theil-Sen robust slope (operators/timeseries.py::theil_sen) -----------
+# The robust twin of trend_per_user over the SAME (user, day, value)
+# derivation: median pairwise slope, reported as the exact integer pair
+# selected by the engine-shared (double value, den, num) order — see the
+# operator docstring for why the double is a legitimate exact sort key.
+def _q_theil_sen(spark, sf_dir):
+    from osm_hadoop_spark.operators.textstats import h60
+    from osm_hadoop_spark.operators.timeseries import theil_sen
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        ).alias("x"),
+        (h60(F.concat(F.lit("tv"), F.col("event_id").cast("string"))) % 1000).alias("y"),
+    )
+    return theil_sen(ev)
+
+
+_ORACLE_THEIL_SEN = f"""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS x,
+         {_duck_h60("'tv' || CAST(event_id AS VARCHAR)")} % 1000 AS y
+  FROM events),
+pairs AS (
+  SELECT a.user_id,
+         CAST(b.y - a.y AS BIGINT) AS num,
+         CAST(b.x - a.x AS BIGINT) AS den
+  FROM p a JOIN p b ON a.user_id = b.user_id AND a.x < b.x),
+ranked AS (
+  SELECT user_id, num, den,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+                                     den, num) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS m
+  FROM pairs)
+SELECT user_id, CAST(m AS BIGINT) AS m_pairs,
+       num AS slope_num, den AS slope_den
+FROM ranked WHERE rn = (m + 1) // 2
+"""
+
+
 # --- zonal majority (operators/zonal.py::zonal_mode) --------------------------
 # GIS "zonal statistics: MAJORITY": modal raster class per zone with the
 # pinned (max count, min val) tie-break. Engine = two partial-agg hash
@@ -6816,6 +6858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_mode_grid": _q_zonal_mode,           # zonal majority, pinned tie-break
         "retention_cohorts": _q_retention,          # first-day cohort retention matrix
         "trend_per_user": _q_trend,                 # exact integer OLS statistics
+        "theil_sen_slope": _q_theil_sen,            # robust median pairwise slope
         "k_core_9": _q_k_core,                      # Matula-Beck peeling fixpoint
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
@@ -6948,6 +6991,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_mode_grid": _ORACLE_ZONAL_MODE,
         "retention_cohorts": _ORACLE_RETENTION,
         "trend_per_user": _ORACLE_TREND,
+        "theil_sen_slope": _ORACLE_THEIL_SEN,
         "k_core_9": _oracle_k_core(),
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,

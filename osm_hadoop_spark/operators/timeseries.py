@@ -132,3 +132,51 @@ def trend_stats(points: DataFrame, key: str = "user_id",
         (F.col("n") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")).alias("slope_num"),
         (F.col("n") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x")).alias("slope_den"),
     )
+
+
+def theil_sen(points: DataFrame, key: str = "user_id",
+              x: str = "x", y: str = "y") -> DataFrame:
+    """Per-key Theil–Sen slope: the MEDIAN pairwise slope — the robust
+    twin of trend_stats (OLS breaks down at one outlier; Theil–Sen
+    tolerates ~29% contamination).
+
+    Exactness without gcd or floats in the VALUE: the selected slope is
+    reported as the integer pair (slope_num, slope_den), den > 0. Pairs
+    are ranked by the IEEE double num/den — legitimate as a pure sort
+    key because int64/int64 division is bit-identical across engines,
+    and for |num| ≤ 2^20, den ≤ 2^20 two distinct rationals differ by
+    ≥ 1/(d₁d₂) ≥ 2^-40 while the double carries 52 bits — order can tie
+    only at exactly equal values. Value-ties are then ordered by
+    (den, num), so every engine selects the same concrete pair. The
+    lower median (rank ⌈m/2⌉) is used; pairs with equal x are excluded
+    (vertical slope), keys with no valid pair are absent.
+
+    Scale: the pair join is the textbook O(n²)-per-key construction —
+    per-key n here is bounded (events per user per retention window);
+    for unbounded keys use the repeated-median or sampled variant. The
+    join and the ranking window share the same `key` shuffle.
+
+    Returns DataFrame(key, m_pairs, slope_num, slope_den).
+    """
+    a = points.select(F.col(key), F.col(x).alias("_xa"), F.col(y).alias("_ya"))
+    b = points.select(F.col(key), F.col(x).alias("_xb"), F.col(y).alias("_yb"))
+    pairs = a.join(b, key).filter(F.col("_xa") < F.col("_xb")).select(
+        key,
+        (F.col("_yb") - F.col("_ya")).cast("long").alias("num"),
+        (F.col("_xb") - F.col("_xa")).cast("long").alias("den"),
+    )
+    w = Window.partitionBy(key)
+    ranked = pairs.select(
+        key, "num", "den",
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias("_v"),
+    ).select(
+        key, "num", "den",
+        F.row_number().over(w.orderBy("_v", "den", "num")).alias("_rn"),
+        F.count(F.lit(1)).over(w).alias("m_pairs"),
+    )
+    return ranked.filter(
+        F.col("_rn") == F.expr("(m_pairs + 1) DIV 2")
+    ).select(
+        key, F.col("m_pairs").cast("long"),
+        F.col("num").alias("slope_num"), F.col("den").alias("slope_den"),
+    )

@@ -74,3 +74,65 @@ def test_raw_events_scanned_once(spark, tmp_path):
     # inside the checkpoint job)
     assert plan.count("Scan parquet") == 0
     assert plan.count("Scan ExistingRDD") == 2
+
+
+# --- Theil-Sen robust slope --------------------------------------------------
+
+
+def _brute_theil_sen(pts):
+    """Fraction-exact median pairwise slope, lower median selected by
+    (value, den, num) — an independent re-derivation of the rule."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    by_key = defaultdict(list)
+    for k, x, y in pts:
+        by_key[k].append((x, y))
+    out = {}
+    for k, ps in by_key.items():
+        slopes = []
+        for i, (xa, ya) in enumerate(ps):
+            for xb, yb in ps[i + 1:]:
+                if xa == xb:
+                    continue
+                num, den = yb - ya, xb - xa
+                if den < 0:
+                    num, den = -num, -den
+                slopes.append((Fraction(num, den), den, num))
+        if not slopes:
+            continue
+        slopes.sort()
+        _, den, num = slopes[(len(slopes) + 1) // 2 - 1]
+        out[k] = (len(slopes), num, den)
+    return out
+
+
+def test_theil_sen_matches_fraction_brute(spark):
+    import hashlib
+
+    from osm_hadoop_spark.operators.timeseries import theil_sen
+
+    def h(s, m):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % m
+
+    pts = [
+        (u, h(f"tsx{u}_{i}", 40), h(f"tsy{u}_{i}", 1000))
+        for u in range(25)
+        for i in range(h(f"tsn{u}", 30))
+    ]
+    # crafted: a clean line y = 3x + 7 with ONE wild outlier — Theil-Sen
+    # must still report slope exactly 3 (OLS would not)
+    pts += [(99, x, 3 * x + 7) for x in range(12)] + [(99, 12, 100000)]
+    # all-equal-x key: no valid pair, absent from output
+    pts += [(98, 5, v) for v in (1, 2, 3)]
+    df = spark.createDataFrame(pts, "user_id long, x long, y long")
+    got = {
+        r["user_id"]: (r["m_pairs"], r["slope_num"], r["slope_den"])
+        for r in theil_sen(df).collect()
+    }
+    want = _brute_theil_sen(pts)
+    assert got == want
+    assert 98 not in got
+    m, num, den = got[99]
+    assert num == 3 * den and den > 0
+    assert len(got) > 10
