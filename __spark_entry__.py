@@ -5887,6 +5887,75 @@ s1 AS (SELECT trip_id, seg_id, d2q AS score FROM cand WHERE k = 1),
 {union}"""
 
 
+# --- PassJoin edit-distance self-join (operators/fuzzyjoin.py) --------------
+# Record-linkage candidate blocking with COMPLETE recall: the oracle is
+# the blocking-free quadratic levenshtein join, so a green row proves the
+# pigeonhole segment scheme loses no pair. Strings are a two-word +
+# numeric-suffix derivation over part — suffix-only variants are
+# guaranteed near-dups, and word pairs like amber/umber add cross-class
+# edits. Both engines' levenshtein are pinned equal in pytest.
+_FUZZ_W1 = [
+    "crimson", "amber", "cobalt", "jade", "ivory", "slate", "coral",
+    "bronze", "maroon", "teal", "ochre", "pearl", "onyx", "copper",
+    "silver", "indigo", "scarlet", "umber", "azure", "sable", "fawn",
+    "rust", "plum", "mint", "sienna", "ebony", "lilac", "olive",
+    "sepia", "topaz", "garnet", "beryl", "flint", "ashen", "sand",
+    "moss", "dusk", "fern", "iron", "gold",
+]
+_FUZZ_W2 = [
+    "widget", "flange", "bracket", "rotor", "gasket", "spindle",
+    "bearing", "sprocket", "valve", "piston", "lever", "cam", "shaft",
+    "pulley", "hinge", "bolt", "washer", "clamp", "socket", "spring",
+    "gear", "axle", "crank", "strut",
+]
+
+
+def _q_fuzzy_join(spark, sf_dir):
+    from osm_hadoop_spark.operators.fuzzyjoin import edit_distance_selfjoin
+    from osm_hadoop_spark.operators.textstats import h60
+
+    key = F.col("p_partkey").cast("string")
+
+    def pick(words, tag):
+        return F.element_at(
+            F.array(*[F.lit(w) for w in words]),
+            (h60(F.concat(F.lit(tag), key)) % len(words) + 1).cast("int"),
+        )
+
+    strings = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("sid"),
+        F.concat(
+            pick(_FUZZ_W1, "fa"),
+            F.lit(" "),
+            pick(_FUZZ_W2, "fb"),
+            F.lit(" "),
+            (h60(F.concat(F.lit("fc"), key)) % 1000).cast("string"),
+        ).alias("s"),
+    )
+    return edit_distance_selfjoin(strings, k=1)
+
+
+def _oracle_fuzzy_join() -> str:
+    def hp(tag):
+        return _duck_h60(f"'{tag}' || CAST(p_partkey AS VARCHAR)")
+
+    w1 = "[" + ", ".join(f"'{w}'" for w in _FUZZ_W1) + "]"
+    w2 = "[" + ", ".join(f"'{w}'" for w in _FUZZ_W2) + "]"
+    return f"""
+WITH s0 AS (
+  SELECT p_partkey AS sid,
+         list_extract({w1}, CAST({hp("fa")} % {len(_FUZZ_W1)} + 1 AS INT))
+           || ' ' ||
+         list_extract({w2}, CAST({hp("fb")} % {len(_FUZZ_W2)} + 1 AS INT))
+           || ' ' || CAST({hp("fc")} % 1000 AS VARCHAR) AS s
+  FROM part)
+SELECT a.sid AS a_id, b.sid AS b_id,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM s0 a JOIN s0 b
+  ON a.sid < b.sid AND abs(length(a.s) - length(b.s)) <= 1
+WHERE levenshtein(a.s, b.s) <= 1"""
+
+
 # --- triangle enumeration (operators/triangles.py) -------------------------
 # R4: the degree-ordered triangle join over a derived graph: nodes =
 # p_partkey, edges = hash-gated pairs within 32-node id blocks (dense
@@ -6833,6 +6902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "jaccard_join_exact": _q_jaccard_join_exact,  # PPJoin prefix filter, complete recall
+        "fuzzy_join_ed1": _q_fuzzy_join,            # PassJoin edit-distance blocking
         "dup_substring_spans": _q_dup_substrings,   # cross-doc repeated-span extraction
         "inverted_index": _q_inverted_index,        # sharded postings full-text index
         "cooccurrence_pmi": _q_cooccurrence,        # word co-occurrence / PMI stats
@@ -6966,6 +7036,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _ORACLE_DEDUP_JACCARD,
         "dedup_minhash_lsh": _ORACLE_DEDUP_MINHASH,
         "jaccard_join_exact": _ORACLE_JACCARD_EXACT,
+        "fuzzy_join_ed1": _oracle_fuzzy_join(),
         "dup_substring_spans": _ORACLE_DUP_SUBSTRINGS,
         "inverted_index": _ORACLE_INVERTED_INDEX,
         "cooccurrence_pmi": _ORACLE_COOCCURRENCE,
