@@ -5681,6 +5681,68 @@ GROUP BY b.node, b.dist
 """
 
 
+# --- temporal earliest arrival (operators/routing.py) -----------------------
+# Time-respecting reachability over a contact network derived from
+# events: a contact (u, v, t) carries flow only if t >= the arrival time
+# at u, so paths with a time inversion are BLOCKED — the property static
+# BFS gets wrong (pinned in tests/test_routing.py). Bounded-round
+# Bellman-Ford shape with a time gate on the join; oracle unrolls the
+# identical min-merge recurrence round by round.
+_TEA_N, _TEA_T, _TEA_ROUNDS = 4000, 1000, 4
+
+
+def _tea_edges_spark(spark, sf_dir):
+    from osm_hadoop_spark.operators.textstats import h60
+
+    s = F.col("event_id").cast("string")
+
+    def hmod(tag, m):
+        return h60(F.concat(F.lit(tag), s)) % m
+
+    return _t(spark, sf_dir, "events").select(
+        hmod("tgu", _TEA_N).alias("u"),
+        hmod("tgv", _TEA_N).alias("v"),
+        (hmod("tgt", _TEA_T) + 1).alias("t"),
+    )
+
+
+def _q_temporal_ea(spark, sf_dir):
+    from osm_hadoop_spark.operators.routing import temporal_earliest_arrival
+
+    edges = _tea_edges_spark(spark, sf_dir)
+    sources = (
+        edges.select("u").distinct().filter(F.col("u") % 101 == 5)
+        .select(F.col("u").alias("node"))
+    )
+    return temporal_earliest_arrival(edges, sources, rounds=_TEA_ROUNDS)
+
+
+def _oracle_temporal_ea() -> str:
+    def he(tag):
+        return _duck_h60(f"'{tag}' || CAST(event_id AS VARCHAR)")
+
+    cte = f"""
+WITH edges AS (
+  SELECT {he("tgu")} % {_TEA_N} AS u,
+         {he("tgv")} % {_TEA_N} AS v,
+         {he("tgt")} % {_TEA_T} + 1 AS t
+  FROM events),
+ea0 AS (
+  SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS ea
+  FROM edges WHERE u % 101 = 5)"""
+    for r in range(1, _TEA_ROUNDS + 1):
+        cte += f""",
+x{r} AS (
+  SELECT e.v AS node, CAST(MIN(e.t) AS BIGINT) AS ea
+  FROM ea{r - 1} a JOIN edges e ON e.u = a.node AND e.t >= a.ea
+  GROUP BY e.v),
+ea{r} AS (
+  SELECT node, CAST(MIN(ea) AS BIGINT) AS ea FROM (
+    SELECT * FROM ea{r - 1} UNION ALL SELECT * FROM x{r})
+  GROUP BY node)"""
+    return cte + f"\nSELECT node, ea FROM ea{_TEA_ROUNDS}"
+
+
 # --- snap points to nearest segment (operators/snap.py) --------------------
 # R2: map-matching primitive — nearest road segment within r=50 per probe
 # point, exact fixed-point (2^-20-quantized) squared distance, ties by
@@ -6933,6 +6995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
+        "temporal_ea_r4": _q_temporal_ea,           # time-respecting reachability
         "pagerank_r3": _q_pagerank,                 # fixed-point integer PageRank
         "snap_points_r50": _q_snap_points,          # nearest-segment map matching
         "viterbi_match_t5": _q_viterbi,             # HMM map matching DP table
@@ -7067,6 +7130,7 @@ def oracle_sql() -> dict[str, str]:
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,
+        "temporal_ea_r4": _oracle_temporal_ea(),
         "pagerank_r3": _oracle_pagerank(),
         "snap_points_r50": _ORACLE_SNAP,
         "viterbi_match_t5": _oracle_viterbi(),

@@ -93,6 +93,65 @@ def bfs_hops(
     return visited
 
 
+def temporal_earliest_arrival(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src: str = "u",
+    dst: str = "v",
+    ts: str = "t",
+    node: str = "node",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Earliest arrival over a TEMPORAL graph (time-respecting paths).
+
+    Static reachability (bfs_hops) is wrong for contact networks: an
+    edge that fired BEFORE you arrived at its tail cannot carry you. A
+    path respects time iff contact timestamps are non-decreasing along
+    it; this computes EA_r(v) = the earliest arrival time at v over all
+    time-respecting paths of <= `rounds` hops from any source (sources
+    seeded at time 0; edges are directed instantaneous contacts).
+
+    The relaxation is the Bellman-Ford-shaped bounded-round recurrence
+    of the bfs/sssp family with a TIME GATE on the join:
+        EA_{r+1}(v) = min(EA_r(v), min{t : (u,v,t) in E, t >= EA_r(u)})
+    EA is monotone non-increasing in r, so each round is one slim
+    (node, ea) equi-join against the checkpointed edge relation plus a
+    min-merge aggregate — same 100 TB posture as sssp, with the gate
+    `t >= ea` applied JVM-side inside the join stage.
+
+    Returns DataFrame(node, ea) for every node reached within `rounds`
+    hops; sources report ea = 0.
+    """
+    e = edges.select(
+        F.col(src).alias("eu"),
+        F.col(dst).alias("ev"),
+        F.col(ts).cast("long").alias("et"),
+    )
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    ea = sources.select(
+        F.col(node).alias("node"), F.lit(0).cast("long").alias("ea")
+    )
+    if checkpoint:
+        ea = ea.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relax = (
+            ea.join(e, ea["node"] == e["eu"])
+            .filter(F.col("et") >= F.col("ea"))
+            .groupBy(F.col("ev").alias("node"))
+            .agg(F.min("et").alias("ea"))
+        )
+        ea = (
+            ea.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("ea").alias("ea"))
+        )
+        if checkpoint:
+            ea = ea.localCheckpoint(eager=True)
+    return ea
+
+
 def sssp(
     edges: DataFrame,
     sources: DataFrame,

@@ -238,3 +238,80 @@ def test_pagerank_int_vs_python(spark):
     assert got[10] == got[11] == got[12]
     assert got[1] == max(got.values())
     assert min(got.values()) >= base
+
+
+# --- temporal earliest arrival ----------------------------------------------
+
+
+def _brute_ea(edges, seeds, rounds):
+    ea = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(ea)
+        for u, v, t in edges:
+            if u in ea and t >= ea[u] and t < nxt.get(v, 1 << 60):
+                nxt[v] = t
+        ea = nxt
+    return ea
+
+
+def test_temporal_ea_matches_brute(spark):
+    import hashlib
+
+    from osm_hadoop_spark.operators.routing import temporal_earliest_arrival
+
+    def h(s, m):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % m
+
+    edges = [
+        (h(f"tu{i}", 60), h(f"tv{i}", 60), h(f"tt{i}", 50) + 1)
+        for i in range(400)
+    ]
+    # crafted: an increasing chain from seed 0 (fully reachable), the
+    # same chain with a time INVERSION (blocked past it — the property
+    # static BFS gets wrong), an equal-time pair (passable, 2 rounds)
+    edges += [(100, 101, 10), (101, 102, 20), (102, 103, 30)]
+    edges += [(100, 111, 10), (111, 112, 5), (112, 113, 30)]
+    edges += [(100, 121, 7), (121, 122, 7)]
+    seeds = [0, 100]
+    df = spark.createDataFrame(edges, "u long, v long, t long")
+    sf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    for rounds in (1, 4):
+        got = {
+            r["node"]: r["ea"]
+            for r in temporal_earliest_arrival(df, sf, rounds).collect()
+        }
+        assert got == _brute_ea(edges, seeds, rounds)
+    got4 = _brute_ea(edges, seeds, 4)
+    assert got4[103] == 30          # increasing chain flows through
+    assert 113 not in got4          # inversion blocks: 5 < arrival 10
+    assert got4[111] == 10
+    assert got4[122] == 7           # equal times pass (non-decreasing)
+    # a static BFS would have claimed 113 reachable — pin the divergence
+    assert 113 in {v for _, v, _ in edges}
+
+
+def test_temporal_ea_is_monotone_in_rounds(spark):
+    import hashlib
+
+    from osm_hadoop_spark.operators.routing import temporal_earliest_arrival
+
+    def h(s, m):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % m
+
+    edges = [
+        (h(f"mu{i}", 30), h(f"mv{i}", 30), h(f"mt{i}", 40) + 1)
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(edges, "u long, v long, t long")
+    sf = spark.createDataFrame([(1,), (2,)], "node long")
+    prev = None
+    for rounds in (1, 2, 3):
+        got = {
+            r["node"]: r["ea"]
+            for r in temporal_earliest_arrival(df, sf, rounds).collect()
+        }
+        if prev is not None:
+            assert set(prev) <= set(got)
+            for n, v in prev.items():
+                assert got[n] <= v
+        prev = got
