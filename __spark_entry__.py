@@ -5681,6 +5681,42 @@ GROUP BY b.node, b.dist
 """
 
 
+# --- exact balanced range partitioning (operators/ranges.py) ----------------
+# Layout-planning machinery: every row's true global rank in key order
+# WITHOUT a global sort — per-key counts, a coarse-bucket prefix sum
+# (the only ordered global window, over the bounded subtotal relation),
+# partitioned cumsums below it. Oracle is the naive single-window
+# row_number — opposite mechanism, identical buckets. Bucket aggregates
+# are invariant to intra-key order (the rank multiset per key is fixed).
+_BRB_B, _BRB_MOD, _BRB_COARSE = 32, 5000, 256
+
+
+def _q_balanced_ranges(spark, sf_dir):
+    from osm_hadoop_spark.operators.ranges import balanced_range_buckets
+    from osm_hadoop_spark.operators.textstats import h60
+
+    rows = _t(spark, sf_dir, "events").select(
+        (
+            h60(F.concat(F.lit("brk"), F.col("event_id").cast("string")))
+            % _BRB_MOD
+        ).alias("k")
+    )
+    return balanced_range_buckets(rows, _BRB_B, coarse_div=_BRB_COARSE)
+
+
+_ORACLE_BALANCED_RANGES = f"""
+WITH r AS (
+  SELECT {_duck_h60("'brk' || CAST(event_id AS VARCHAR)")} % {_BRB_MOD} AS k
+  FROM events),
+ranked AS (
+  SELECT k, row_number() OVER (ORDER BY k) - 1 AS rnk,
+         count(*) OVER () AS n
+  FROM r)
+SELECT CAST((rnk * {_BRB_B}) // n AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows, MIN(k) AS lo, MAX(k) AS hi
+FROM ranked GROUP BY 1"""
+
+
 # --- temporal earliest arrival (operators/routing.py) -----------------------
 # Time-respecting reachability over a contact network derived from
 # events: a contact (u, v, t) carries flow only if t >= the arrival time
@@ -7041,6 +7077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "areal_interp_c256": _q_areal_interp,       # dasymetric disaggregation
         "kmeans_lloyd_r3": _q_kmeans,               # exact-integer Lloyd rounds
         "hilbert_layout_keys": _q_hilbert_layout,   # space-filling-curve layout
+        "balanced_ranges_b32": _q_balanced_ranges,  # exact range-partition planner
         "bloom_prune_semijoin": _q_bloom_semijoin,  # runtime-filter join pruning
         "heavy_hitters_tokens": _q_heavy_hitters,   # 2-pass Misra-Gries exact top-k
         "hll_user_registers": _q_hll_registers,     # deterministic HLL sketch state
@@ -7171,6 +7208,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["areal_interp_c256"] = _oracle_areal_interp()
     oracles["kmeans_lloyd_r3"] = _oracle_kmeans()
     oracles["hilbert_layout_keys"] = _oracle_hilbert_layout()
+    oracles["balanced_ranges_b32"] = _ORACLE_BALANCED_RANGES
     oracles["bloom_prune_semijoin"] = _ORACLE_BLOOM_SEMIJOIN
     oracles["heavy_hitters_tokens"] = _ORACLE_HEAVY_HITTERS
     oracles["hll_user_registers"] = _ORACLE_HLL_REGISTERS
