@@ -5681,6 +5681,73 @@ GROUP BY b.node, b.dist
 """
 
 
+# --- polyline chain merging (operators/linemerge.py) ------------------------
+# JTS LineMerger / osm2pgsql way-joining semantics: ways merge wherever
+# EXACTLY two way endpoints meet; junctions (degree 1 or 3+) terminate
+# chains. Engine = degree filter + incidence self-join + the shared
+# large/small-star CC; oracle = recursive-CTE min-label closure over the
+# same mergeable pairs (the dissolve precedent) — independent labeling
+# mechanism, identical chains.
+_LM_SAMPLE = 3
+
+
+def _q_merge_chains(spark, sf_dir):
+    from osm_hadoop_spark.operators.linemerge import merge_chains
+    from osm_hadoop_spark.operators.textstats import h60
+
+    s = F.col("o_orderkey").cast("string")
+
+    def hh(tag):
+        return h60(F.concat(F.lit(tag), s))
+
+    base = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % _LM_SAMPLE == 0
+    )
+    # node space = way count, so average endpoint degree is 2 at EVERY
+    # scale factor (a fixed modulus merges nothing once ways >> nodes)
+    m = base.groupBy().agg(F.count(F.lit(1)).alias("_m"))
+    ways = base.crossJoin(F.broadcast(m)).select(
+        F.col("o_orderkey").alias("way_id"),
+        (hh("wna") % F.col("_m")).alias("na"),
+        (hh("wnb") % F.col("_m")).alias("nb"),
+        (hh("wle") % 500 + 1).alias("len"),
+    )
+    return merge_chains(ways)
+
+
+def _oracle_merge_chains() -> str:
+    def ho(tag):
+        return _duck_h60(f"'{tag}' || CAST(o_orderkey AS VARCHAR)")
+
+    return f"""
+WITH RECURSIVE
+base AS (SELECT * FROM orders WHERE o_orderkey % {_LM_SAMPLE} = 0),
+ways AS (
+  SELECT o_orderkey AS w,
+         {ho("wna")} % (SELECT count(*) FROM base) AS na,
+         {ho("wnb")} % (SELECT count(*) FROM base) AS nb,
+         {ho("wle")} % 500 + 1 AS len
+  FROM base),
+inc AS (
+  SELECT w, na AS node FROM ways UNION ALL SELECT w, nb AS node FROM ways),
+deg2 AS (SELECT node FROM inc GROUP BY node HAVING count(*) = 2),
+pairs AS (
+  SELECT a.w AS wa, b.w AS wb
+  FROM inc a JOIN inc b ON a.node = b.node AND a.w < b.w
+  WHERE a.node IN (SELECT node FROM deg2)),
+sym AS (SELECT wa AS u, wb AS v FROM pairs
+        UNION SELECT wb AS u, wa AS v FROM pairs),
+reach(w, r) AS (
+  SELECT w, w FROM ways
+  UNION
+  SELECT s.v, r.r FROM reach r JOIN sym s ON s.u = r.w),
+comp AS (SELECT w, MIN(r) AS chain_id FROM reach GROUP BY w)
+SELECT c.chain_id, CAST(count(*) AS BIGINT) AS n_ways,
+       CAST(sum(y.len) AS BIGINT) AS total_len
+FROM comp c JOIN ways y ON y.w = c.w
+GROUP BY c.chain_id"""
+
+
 # --- exact balanced range partitioning (operators/ranges.py) ----------------
 # Layout-planning machinery: every row's true global rank in key order
 # WITHOUT a global sort — per-key counts, a coarse-bucket prefix sum
@@ -7022,6 +7089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel,             # greedy first-match funnel fold
         "quadtree_leaves_c64": _q_quadtree,         # occupancy-capped spatial partitioner
         "way_noding_edges": _q_way_noding,          # junction split -> routing edges
+        "merge_chains_ways": _q_merge_chains,       # LineMerger degree-2 chains
         "lm_bigram_scores": _q_lm_scores,           # corpus-MLE LM quality gate
         "zonal_mode_grid": _q_zonal_mode,           # zonal majority, pinned tie-break
         "retention_cohorts": _q_retention,          # first-day cohort retention matrix
@@ -7158,6 +7226,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_conversion": _ORACLE_FUNNEL,
         "quadtree_leaves_c64": _ORACLE_QUADTREE,
         "way_noding_edges": _ORACLE_WAY_NODING,
+        "merge_chains_ways": _oracle_merge_chains(),
         "lm_bigram_scores": _ORACLE_LM,
         "zonal_mode_grid": _ORACLE_ZONAL_MODE,
         "retention_cohorts": _ORACLE_RETENTION,
