@@ -6612,6 +6612,45 @@ FROM s
 """
 
 
+# --- BPE merge application (operators/bpe.py) -------------------------------
+# LLM-pipeline addition: apply a FIXED ordered byte-pair-encoding merge
+# table (Sennrich et al. 2016 apply step) to the first 40 chars of each
+# document. Each rank is one greedy left-to-right non-overlapping fold;
+# the Spark side is a nested-aggregate() ladder (pure codegen, no
+# Python), the oracle is the SAME merge table rendered as DuckDB
+# list_reduce() by the twin renderer in operators/bpe.py. The table
+# exercises rank chaining four deep ("t a"->"ta"->"tab"->"tabl"->
+# "table") plus a cross-word space merge ("e"+" ").
+_BPE_MERGES = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"), ("e", " "),
+]
+_BPE_PREFIX = 40
+
+
+def _q_bpe_tokens(spark, sf_dir):
+    from osm_hadoop_spark.operators.bpe import bpe_apply
+
+    return bpe_apply(
+        _t(spark, sf_dir, "documents"), _BPE_MERGES, prefix_len=_BPE_PREFIX
+    )
+
+
+def _oracle_bpe():
+    from osm_hadoop_spark.operators.bpe import duckdb_fold_sql
+
+    fold = duckdb_fold_sql(
+        _BPE_MERGES, f"string_split(substr(text, 1, {_BPE_PREFIX}), '')"
+    )
+    return f"""
+WITH f AS (SELECT doc_id, {fold} AS t
+           FROM documents WHERE length(text) > 0)
+SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       array_to_string(t, '|') AS toks
+FROM f
+"""
+
+
 # --- content-defined chunking (operators/curation.py::cdc_chunks) ----------
 # The shift-resilient sibling of chunk_documents: boundaries are a pure
 # local-content predicate (rolling polynomial hash of the trailing 8
@@ -7112,6 +7151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,      # passage windows, single stage
         "cdc_chunk_spans": _q_cdc_chunks,           # content-defined chunking
         "pack_documents": _q_pack_documents,        # sequence packing (concat-and-chunk)
+        "bpe_apply_tokens": _q_bpe_tokens,          # ordered BPE merge-rank folds
         "way_diameter": _q_way_diameter,            # hull-reduced farthest pair
         "pareto_skyline": _q_pareto_skyline,        # single-sort dominance frontier
         "hex_bin_density": _q_hex_density,          # from-scratch hex cell index
@@ -7249,6 +7289,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _ORACLE_CHUNKS,
         "cdc_chunk_spans": _oracle_cdc_chunks(),
         "pack_documents": _ORACLE_PACK_DOCS,
+        "bpe_apply_tokens": _oracle_bpe(),
         "way_diameter": _ORACLE_DIAMETER,
         "pareto_skyline": _ORACLE_SKYLINE,
         "hex_bin_density": _oracle_hex(),

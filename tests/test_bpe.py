@@ -1,0 +1,100 @@
+"""BPE merge application (operators/bpe.py).
+
+The brute force is a literal per-rank greedy scan in Python (index
+walking, not a fold), so agreement proves the fold formulation
+implements greedy left-to-right non-overlapping merging. Crafted cases:
+an overlapping run ("aaa" under (a,a) -> [aa, a]), chained merges (a
+later rank consuming an earlier rank's token), and the DuckDB rendering
+of the SAME merge table executed directly against duckdb to pin the
+cross-engine twin at the unit level.
+"""
+
+from __future__ import annotations
+
+from osm_hadoop_spark.operators.bpe import (
+    bpe_apply,
+    duckdb_fold_sql,
+    spark_fold_sql,
+)
+
+MERGES = [("e", " "), ("e ", "t"), ("a", "s"), ("t", "a"), ("s", " "), ("ta", "b")]
+
+
+def _brute_one(s, merges):
+    toks = list(s)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def test_brute_crafted_semantics():
+    # greedy non-overlap and chaining, pinned at the brute level first
+    assert _brute_one("aaa", [("a", "a")]) == ["aa", "a"]
+    assert _brute_one("aaaa", [("a", "a")]) == ["aa", "aa"]
+    assert _brute_one("value table", MERGES)[:3] == ["v", "a", "l"]
+    # 'e'+' ' -> 'e ', then 'e '+'t' -> 'e t' (rank chaining)
+    assert "e t" in _brute_one("value table", MERGES)
+    # 't'+'a' -> 'ta', then 'ta'+'b' -> 'tab' (double chaining); in
+    # "value table" the space-t was already eaten by rank 2 ("e ", "t"),
+    # so chain order matters — pin it on an input where the t survives
+    assert _brute_one("tables", MERGES) == ["tab", "l", "e", "s"]
+    assert "tab" not in _brute_one("value table", MERGES)
+
+
+def test_bpe_apply_matches_brute(spark):
+    docs = {
+        1: "value table scan of the stable database",
+        2: "aaaa",
+        3: "e te te t",
+        4: "x",
+        5: "",  # dropped
+        6: "fast sort pass cast",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["toks"])
+        for r in bpe_apply(df, MERGES, prefix_len=40).collect()
+    }
+    want = {
+        d: (len(t), "|".join(t))
+        for d, s in docs.items()
+        if s
+        for t in [_brute_one(s[:40], MERGES)]
+    }
+    assert got == want
+    assert 5 not in got
+    # MERGES has no (a, a) rank, so "aaaa" passes through untouched
+    assert got[2] == (4, "a|a|a|a")
+
+
+def test_duckdb_fold_twin_matches_brute():
+    import duckdb
+
+    con = duckdb.connect()
+    for s in ("value table scan", "aaaa", "e te te t", "stable tabs"):
+        sql = duckdb_fold_sql(MERGES, "string_split(?, '')")
+        got = con.execute(f"SELECT {sql}", [s]).fetchone()[0]
+        assert got == _brute_one(s, MERGES), s
+
+
+def test_bpe_plan_shape(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(1, "value table")], "doc_id long, text string")
+    plan = (
+        bpe_apply(df, MERGES)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "BatchEval" not in plan
+    # exactly the spread exchange; the fold ladder is one projection
+    assert plan.count("Exchange") == 1
