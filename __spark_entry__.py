@@ -6636,6 +6636,68 @@ def _q_bpe_tokens(spark, sf_dir):
     )
 
 
+# BPE TRAINING (the learn side of the apply step above): 6 rounds of
+# adjacent-pair census -> (max count, min pa, min pb) argmax -> append.
+# The oracle is DERIVED INDUCTIVELY: DuckDB re-runs the training itself
+# at oracle-build time, and round k's SQL embeds only the merges DuckDB
+# derived for rounds < k — which the UNION'd rounds < k of the same
+# oracle have already verified against the engine. No engine output
+# leaks into the oracle, so it is a sound independent recomputation
+# (the ann_ivf_topk precedent, without even sharing fit code).
+_BPE_TRAIN_ROUNDS = 6
+
+
+def _q_bpe_train(spark, sf_dir):
+    from osm_hadoop_spark.operators.bpe import bpe_train
+
+    return bpe_train(
+        _t(spark, sf_dir, "documents"),
+        rounds=_BPE_TRAIN_ROUNDS,
+        prefix_len=_BPE_PREFIX,
+    )
+
+
+def _oracle_bpe_train() -> str | None:
+    import os
+
+    from osm_hadoop_spark.operators.bpe import duckdb_fold_sql
+
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        "documents.parquet",
+    )
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    learned: list[tuple[str, str]] = []
+    parts = []
+    for k in range(_BPE_TRAIN_ROUNDS):
+        fold = duckdb_fold_sql(
+            learned, f"string_split(substr(text, 1, {_BPE_PREFIX}), '')"
+        )
+        part = f"""
+SELECT CAST({k} AS BIGINT) AS merge_rank, p[1] AS pa, p[2] AS pb,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM (SELECT unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS p
+      FROM (SELECT {fold} AS t
+            FROM documents WHERE length(text) > 0)
+      WHERE len(t) > 1)
+GROUP BY 2, 3
+ORDER BY n_pairs DESC, pa, pb
+LIMIT 1
+"""
+        row = con.execute(part).fetchone()
+        if row is None:
+            break
+        parts.append(part.strip())
+        learned.append((row[1], row[2]))
+    con.close()
+    return "\nUNION ALL\n".join(f"({p})" for p in parts)
+
+
 def _oracle_bpe():
     from osm_hadoop_spark.operators.bpe import duckdb_fold_sql
 
@@ -7152,6 +7214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk_spans": _q_cdc_chunks,           # content-defined chunking
         "pack_documents": _q_pack_documents,        # sequence packing (concat-and-chunk)
         "bpe_apply_tokens": _q_bpe_tokens,          # ordered BPE merge-rank folds
+        "bpe_train_merges": _q_bpe_train,           # iterative pair-census training
         "way_diameter": _q_way_diameter,            # hull-reduced farthest pair
         "pareto_skyline": _q_pareto_skyline,        # single-sort dominance frontier
         "hex_bin_density": _q_hex_density,          # from-scratch hex cell index
@@ -7342,4 +7405,7 @@ def oracle_sql() -> dict[str, str]:
     pq = _oracle_ann_pq()
     if pq is not None:
         oracles["ann_pq_topk"] = pq
+    bpt = _oracle_bpe_train()
+    if bpt is not None:
+        oracles["bpe_train_merges"] = bpt
     return oracles

@@ -65,6 +65,85 @@ def duckdb_fold_sql(merges: list[tuple[str, str]], chars_expr: str) -> str:
     return expr
 
 
+def pair_counts(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    prefix_len: int = 40,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Adjacent-pair census of the corpus AFTER applying `merges`.
+
+    The training inner loop: tokenize with the fold ladder, emit every
+    adjacent token pair, ONE partial-aggregating hash count. The fold is
+    bound exactly once per row (array-wrap + flatten — projection
+    collapse would otherwise re-run the ladder per field read), and the
+    count is map-side combinable, so at 100 TB each round is one scan +
+    one slim (pa, pb, n) shuffle. Returns (pa, pb, n_pairs).
+    """
+    from osm_hadoop_spark.operators.dedup import _spread
+
+    folded = spark_fold_sql(merges, "split(_t, '')")
+    d = _spread(documents.filter(F.length(text) > 0)).select(
+        F.expr(f"substr({text}, 1, {prefix_len})").alias("_t")
+    )
+    return (
+        d.select(
+            F.expr(
+                f"explode(flatten(transform(array({folded}), t -> "
+                f"transform(slice(t, 1, size(t) - 1), (x, i) -> "
+                f"struct(x AS pa, element_at(t, i + 2) AS pb))))) AS p"
+            )
+        )
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def bpe_train(
+    documents: DataFrame,
+    rounds: int = 8,
+    prefix_len: int = 40,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Learn an ordered BPE merge table from the corpus (Sennrich et al.
+    2016 training): `rounds` iterations of census -> argmax -> append.
+
+    Ties break (max n_pairs, then min pa, then min pb) — a total order,
+    so training is deterministic. Per round the driver receives exactly
+    ONE row (the argmax via TakeOrdered, never a full sort) — the same
+    bounded parameter-collect posture as the IVF centroid fit. Round k
+    re-tokenizes from raw characters through a depth-k ladder (O(K^2)
+    character work total); at 100 TB you would checkpoint the token
+    stream per round instead, but recount-from-source keeps every round
+    a pure one-scan stateless job, which is how distributed BPE trainers
+    actually ship (delta counting is a single-machine optimization that
+    needs mutable state).
+
+    Returns the learned table: (merge_rank, pa, pb, n_pairs). Stops
+    early if no pair remains (every doc a single token).
+    """
+    learned: list[tuple[str, str]] = []
+    rows = []
+    for k in range(rounds):
+        top = (
+            pair_counts(documents, learned, prefix_len, doc_id, text)
+            .orderBy(F.desc("n_pairs"), F.asc("pa"), F.asc("pb"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        rows.append((k, r["pa"], r["pb"], r["n_pairs"]))
+        learned.append((r["pa"], r["pb"]))
+    return documents.sparkSession.createDataFrame(
+        rows, "merge_rank bigint, pa string, pb string, n_pairs bigint"
+    )
+
+
 def bpe_apply(
     documents: DataFrame,
     merges: list[tuple[str, str]],

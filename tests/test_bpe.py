@@ -85,6 +85,77 @@ def test_duckdb_fold_twin_matches_brute():
         assert got == _brute_one(s, MERGES), s
 
 
+def _brute_train(corpus, rounds):
+    """Literal reference trainer: per-round Counter census over the
+    per-doc greedy tokenization, argmax by (-count, pa, pb)."""
+    from collections import Counter
+
+    learned, out = [], []
+    for k in range(rounds):
+        c = Counter()
+        for s in corpus:
+            toks = _brute_one(s, learned)
+            c.update(zip(toks, toks[1:]))
+        if not c:
+            break
+        (pa, pb), n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((k, pa, pb, n))
+        learned.append((pa, pb))
+    return out
+
+
+def test_bpe_train_matches_brute(spark):
+    from osm_hadoop_spark.operators.bpe import bpe_train
+
+    corpus = [
+        "the table the table the stable",
+        "that that that hat",
+        "a tab a tab a tab",
+        "x",
+        "",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    got = [
+        (r["merge_rank"], r["pa"], r["pb"], r["n_pairs"])
+        for r in bpe_train(df, rounds=6, prefix_len=40)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    want = _brute_train([s[:40] for s in corpus if s], 6)
+    assert got == want
+    # training must CHAIN: some later rank consumes an earlier rank's
+    # merged token (the whole point of BPE over unigram counting)
+    merged = {pa + pb for _, pa, pb, _ in want}
+    assert any(pa in merged or pb in merged for _, pa, pb, _ in want)
+
+
+def test_bpe_train_exhausts_early(spark):
+    from osm_hadoop_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame([(1, "ab"), (2, "ab")], "doc_id long, text string")
+    got = bpe_train(df, rounds=5).collect()
+    # round 0 merges (a, b); afterwards every doc is one token -> stop
+    assert len(got) == 1
+    assert (got[0]["pa"], got[0]["pb"], got[0]["n_pairs"]) == ("a", "b", 2)
+
+
+def test_pair_counts_plan_shape(spark):
+    from osm_hadoop_spark.operators.bpe import pair_counts
+
+    df = spark.createDataFrame([(1, "value table")], "doc_id long, text string")
+    plan = (
+        pair_counts(df, MERGES)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "BatchEval" not in plan
+    # spread exchange + the single count-aggregate exchange, nothing else
+    assert plan.count("Exchange") == 2
+
+
 def test_bpe_plan_shape(spark):
     import pyspark.sql.functions as F
 
