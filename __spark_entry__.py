@@ -2361,6 +2361,18 @@ _DUCK_SHINGLES = (
 )
 
 
+def _duck_shingles_k(k: int) -> str:
+    """The _DUCK_SHINGLES twin of dedup.shingles_col for arbitrary k."""
+    gram = " || ' ' || ".join(
+        "toks[i]" if j == 0 else f"toks[i+{j}]" for j in range(k)
+    )
+    return (
+        "list_sort(list_distinct(list_transform("
+        f"generate_series(1, greatest(len(toks) - {k - 1}, 0)), "
+        f"i -> {_duck_h60(gram)})))"
+    )
+
+
 def _q_dedup_jaccard(spark, sf_dir):
     from osm_hadoop_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -6636,6 +6648,40 @@ def _q_bpe_tokens(spark, sf_dir):
     )
 
 
+# --- benchmark decontamination (operators/decontam.py) ----------------------
+# LLM-pipeline addition: the eval-leak gate — flag training documents
+# sharing any word 4-gram with a deterministic held-out "benchmark"
+# subset (doc_id % 23 = 7). Engine = two scans (benchmark predicate
+# pushed to parquet) + a BROADCAST of the tiny distinct benchmark gram
+# set + one slim per-doc count aggregate; no corpus-side shuffle before
+# the join (the only shape that survives a 100 TB corpus vs a MB-scale
+# benchmark). Grams are the dedup family's shared h60 word-k-gram
+# shingles, twinned below via _duck_shingles_k.
+_DECON_K = 4
+_DECON_BENCH = "doc_id % 23 = 7"
+
+
+def _q_decontam(spark, sf_dir):
+    from osm_hadoop_spark.operators.decontam import decontaminate
+
+    return decontaminate(
+        _t(spark, sf_dir, "documents"), _DECON_BENCH, k=_DECON_K
+    )
+
+
+_ORACLE_DECONTAM = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks
+              FROM documents WHERE length(text) > 0),
+g AS (SELECT doc_id, unnest({_duck_shingles_k(_DECON_K)}) AS gram
+      FROM toks),
+bg AS (SELECT DISTINCT gram FROM g WHERE {_DECON_BENCH}),
+tr AS (SELECT doc_id, gram FROM g WHERE NOT ({_DECON_BENCH}))
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM tr JOIN bg USING (gram)
+GROUP BY tr.doc_id
+"""
+
+
 # BPE TRAINING (the learn side of the apply step above): 6 rounds of
 # adjacent-pair census -> (max count, min pa, min pb) argmax -> append.
 # The oracle is DERIVED INDUCTIVELY: DuckDB re-runs the training itself
@@ -7215,6 +7261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": _q_pack_documents,        # sequence packing (concat-and-chunk)
         "bpe_apply_tokens": _q_bpe_tokens,          # ordered BPE merge-rank folds
         "bpe_train_merges": _q_bpe_train,           # iterative pair-census training
+        "decontam_4gram": _q_decontam,              # benchmark eval-leak gate
         "way_diameter": _q_way_diameter,            # hull-reduced farthest pair
         "pareto_skyline": _q_pareto_skyline,        # single-sort dominance frontier
         "hex_bin_density": _q_hex_density,          # from-scratch hex cell index
@@ -7353,6 +7400,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunk_spans": _oracle_cdc_chunks(),
         "pack_documents": _ORACLE_PACK_DOCS,
         "bpe_apply_tokens": _oracle_bpe(),
+        "decontam_4gram": _ORACLE_DECONTAM,
         "way_diameter": _ORACLE_DIAMETER,
         "pareto_skyline": _ORACLE_SKYLINE,
         "hex_bin_density": _oracle_hex(),
