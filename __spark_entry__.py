@@ -3465,6 +3465,36 @@ FROM r JOIN s ON r.cohort_day = s.d0
 """
 
 
+# CUSUM single-changepoint per user (timeseries.py::cusum_changepoint):
+# D_i = n*prefix_i - i*total over the (ts, event_id)-ordered cents
+# series, argmax |D_i| with earliest-index ties. One window exchange,
+# argmax reuses the same partitioning (plan-asserted 1 Exchange).
+def _q_cusum(spark, sf_dir):
+    from osm_hadoop_spark.operators.timeseries import cusum_changepoint
+
+    return cusum_changepoint(_t(spark, sf_dir, "events"))
+
+
+_ORACLE_CUSUM = """
+WITH c AS (SELECT user_id, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS x FROM events),
+r AS (SELECT user_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+        sum(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+        sum(x) OVER (PARTITION BY user_id) AS tot,
+        count(*) OVER (PARTITION BY user_id) AS n
+      FROM c),
+d AS (SELECT user_id, i, abs(n * pre - i * tot) AS d_abs, n
+      FROM r WHERE i < n)
+SELECT user_id, CAST(i AS BIGINT) AS cp_i,
+       CAST(d_abs AS BIGINT) AS d_abs, CAST(n AS BIGINT) AS n
+FROM d
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY d_abs DESC, i) = 1
+"""
+
+
 def _q_trend(spark, sf_dir):
     from osm_hadoop_spark.operators.timeseries import trend_stats
     from osm_hadoop_spark.operators.textstats import h60
@@ -7241,6 +7271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_mode_grid": _q_zonal_mode,           # zonal majority, pinned tie-break
         "retention_cohorts": _q_retention,          # first-day cohort retention matrix
         "trend_per_user": _q_trend,                 # exact integer OLS statistics
+        "cusum_changepoint": _q_cusum,              # integer CUSUM argmax split
         "theil_sen_slope": _q_theil_sen,            # robust median pairwise slope
         "k_core_9": _q_k_core,                      # Matula-Beck peeling fixpoint
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
@@ -7381,6 +7412,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_mode_grid": _ORACLE_ZONAL_MODE,
         "retention_cohorts": _ORACLE_RETENTION,
         "trend_per_user": _ORACLE_TREND,
+        "cusum_changepoint": _ORACLE_CUSUM,
         "theil_sen_slope": _ORACLE_THEIL_SEN,
         "k_core_9": _oracle_k_core(),
         "activity_islands": _ORACLE_ISLANDS,

@@ -180,3 +180,58 @@ def theil_sen(points: DataFrame, key: str = "user_id",
         key, F.col("m_pairs").cast("long"),
         F.col("num").alias("slope_num"), F.col("den").alias("slope_den"),
     )
+
+
+def cusum_changepoint(events: DataFrame, key: str = "user_id",
+                      ts: str = "ts", tiebreak: str = "event_id",
+                      value: str = "value", scale: int = 100) -> DataFrame:
+    """Single-changepoint CUSUM per key, EXACT integer form.
+
+    For the per-key series x_1..x_n ordered by (ts, tiebreak), the
+    classic CUSUM deviation at split i is prefix_i - (i/n)*total — the
+    gap between the observed prefix and the no-change expectation. We
+    keep it integral by scaling through n:
+
+        D_i = n * prefix_i - i * total        (D_n = 0 identically)
+
+    and report argmax |D_i| over 1 <= i < n, ties to the EARLIEST i.
+    Values become integers via the shared floor(x*scale + 0.5) cents
+    convention, so the twin is bit-exact cross-engine.
+
+    Plan: ONE exchange+sort gives prefix/rank/total in a single Window
+    pass (same partition key and order, frames differ); the argmax is a
+    lexicographic struct-max hash aggregate on the SAME key, so Catalyst
+    reuses the window's partitioning — no second shuffle. Per-key state
+    is the key's own row count (retention-bounded), never data-scale.
+
+    Returns DataFrame(key, cp_i, d_abs, n): the 1-based split index,
+    the scaled deviation |D_i|, and the series length. Keys with n < 2
+    have no interior split and are dropped.
+    """
+    cents = F.floor(F.col(value) * scale + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    wall = Window.partitionBy(key)
+    rows = events.select(
+        F.col(key),
+        F.row_number().over(w).alias("_i"),
+        F.sum(cents).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_pre"),
+        F.sum(cents).over(wall).alias("_tot"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    ).filter(F.col("_i") < F.col("_n"))
+    d = F.col("_n") * F.col("_pre") - F.col("_i") * F.col("_tot")
+    best = rows.select(
+        key,
+        F.struct(
+            F.abs(d).alias("d_abs"),
+            (-F.col("_i")).alias("_neg_i"),
+            F.col("_n").alias("n"),
+        ).alias("_s"),
+    ).groupBy(key).agg(F.max("_s").alias("_s"))
+    return best.select(
+        key,
+        (-F.col("_s._neg_i")).alias("cp_i"),
+        F.col("_s.d_abs").alias("d_abs"),
+        F.col("_s.n").alias("n"),
+    )
