@@ -5628,6 +5628,52 @@ def _sssp_edges(spark, sf_dir):
     return edges.select("u", "v", w.cast("long").alias("w")), pk
 
 
+# Link prediction over the SAME derived road graph (operators/
+# linkpred.py): every distance-2 NON-adjacent pair scored by common-
+# neighbor count + both degrees (integer Jaccard sufficient stats).
+# Pairs generate through the shared neighbor — one adjacency self-join,
+# never all-pairs; the degree-cap hub guard is exercised in pytest.
+def _q_linkpred(spark, sf_dir):
+    from osm_hadoop_spark.operators.linkpred import common_neighbor_scores
+
+    edges, _pk = _sssp_edges(spark, sf_dir)
+    return common_neighbor_scores(edges.select("u", "v"))
+
+
+def _oracle_linkpred() -> str:
+    return f"""
+WITH
+pk AS (SELECT p_partkey AS u FROM part),
+hyper AS (
+  SELECT u, xor(u, 1 << k) AS v
+  FROM pk, (SELECT unnest(generate_series(0, 11)) AS k)
+  WHERE {_duck_h60("'rg' || u || '_' || k")} % 4 <> 0),
+edges AS (
+  SELECT u, v FROM (
+    SELECT u, v FROM hyper
+    UNION ALL
+    SELECT u, u + 1 AS v FROM pk) e
+  WHERE v IN (SELECT u FROM pk)),
+sym AS (
+  SELECT u, v FROM edges WHERE u <> v
+  UNION
+  SELECT v AS u, u AS v FROM edges WHERE u <> v),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+cand AS (
+  SELECT s1.u AS a, s2.u AS b, CAST(count(*) AS BIGINT) AS cn
+  FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
+  GROUP BY 1, 2),
+nonadj AS (
+  SELECT * FROM cand
+  WHERE NOT EXISTS (SELECT 1 FROM sym
+                    WHERE sym.u = cand.a AND sym.v = cand.b))
+SELECT a, b, cn, da.d AS deg_a, db.d AS deg_b
+FROM nonadj
+JOIN deg da ON da.u = nonadj.a
+JOIN deg db ON db.u = nonadj.b
+"""
+
+
 # R5: fixed-point integer PageRank over the SAME derived road graph —
 # power iteration truncated at 3 rounds, every rank a bigint (integer DIV
 # throughout), so the unrolled SQL twin matches bit-for-bit. The one
@@ -7279,6 +7325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
         "temporal_ea_r4": _q_temporal_ea,           # time-respecting reachability
         "pagerank_r3": _q_pagerank,                 # fixed-point integer PageRank
+        "link_pred_cn": _q_linkpred,                # common-neighbor candidates
         "snap_points_r50": _q_snap_points,          # nearest-segment map matching
         "viterbi_match_t5": _q_viterbi,             # HMM map matching DP table
         "triangle_blocks": _q_triangles,            # degree-ordered triangle join
@@ -7420,6 +7467,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,
         "temporal_ea_r4": _oracle_temporal_ea(),
         "pagerank_r3": _oracle_pagerank(),
+        "link_pred_cn": _oracle_linkpred(),
         "snap_points_r50": _ORACLE_SNAP,
         "viterbi_match_t5": _oracle_viterbi(),
         "triangle_blocks": _ORACLE_TRIANGLES,
