@@ -2249,6 +2249,47 @@ FROM orders
 """
 
 
+def _q_cube_lineitem(spark, sf_dir):
+    """OLAP CUBE over (l_returnflag, l_linestatus): all four grouping
+    sets in ONE pass (Spark expands to a single Expand + hash aggregate
+    — map-side partial per set, no per-set rescan, which is the point
+    of CUBE at 100 TB vs four UNION'd aggregates). grouping_id
+    disambiguates subtotal NULLs from data NULLs; both engines build it
+    with the first cube column as the high bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents).alias("sum_cents"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            F.col("gid").cast("bigint").alias("gid"),
+            "n_rows",
+            "sum_cents",
+        )
+    )
+
+
+_ORACLE_CUBE = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       CAST(2 * GROUPING(l_returnflag)
+            + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def _q_exact_quantiles(spark, sf_dir):
     """Exact linear-interpolation percentiles per group. Spark
     `percentile` and DuckDB `quantile_cont` share the (n-1)*p definition
@@ -5674,6 +5715,55 @@ JOIN deg db ON db.u = nonadj.b
 """
 
 
+# Label propagation community detection over the SAME derived road
+# graph (routing.py::label_propagation): synchronous rounds, self-vote,
+# (max count, min label) tie — a total order, so the oracle UNROLLS the
+# rounds as sequential CTEs (the pagerank_r3 convention).
+_LP_ROUNDS = 3
+
+
+def _q_labelprop(spark, sf_dir):
+    from osm_hadoop_spark.operators.routing import label_propagation
+
+    edges, _pk = _sssp_edges(spark, sf_dir)
+    return label_propagation(edges.select("u", "v"), rounds=_LP_ROUNDS)
+
+
+def _oracle_labelprop() -> str:
+    ctes = [
+        "pk AS (SELECT p_partkey AS u FROM part)",
+        f"""hyper AS (
+  SELECT u, xor(u, 1 << k) AS v
+  FROM pk, (SELECT unnest(generate_series(0, 11)) AS k)
+  WHERE {_duck_h60("'rg' || u || '_' || k")} % 4 <> 0)""",
+        """edges AS (
+  SELECT u, v FROM (
+    SELECT u, v FROM hyper
+    UNION ALL
+    SELECT u, u + 1 AS v FROM pk) e
+  WHERE v IN (SELECT u FROM pk))""",
+        """sym AS (
+  SELECT u, v FROM edges WHERE u <> v
+  UNION
+  SELECT v AS u, u AS v FROM edges WHERE u <> v)""",
+        "l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym)",
+    ]
+    for k in range(1, _LP_ROUNDS + 1):
+        ctes.append(f"""v{k} AS (
+  SELECT s.u AS node, l.lbl FROM sym s JOIN l{k - 1} l ON l.node = s.v
+  UNION ALL
+  SELECT node, lbl FROM l{k - 1})""")
+        ctes.append(f"""l{k} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl, count(*) AS c FROM v{k} GROUP BY node, lbl)
+  QUALIFY row_number() OVER (PARTITION BY node
+                             ORDER BY c DESC, lbl) = 1)""")
+    return (
+        "WITH\n" + ",\n".join(ctes)
+        + f"\nSELECT node, lbl AS community FROM l{_LP_ROUNDS}"
+    )
+
+
 # R5: fixed-point integer PageRank over the SAME derived road graph —
 # power iteration truncated at 3 rounds, every rank a bigint (integer DIV
 # throughout), so the unrolled SQL twin matches bit-for-bit. The one
@@ -7283,6 +7373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_customers": _q_semi_anti,        # semi/anti joins
         "exact_quantiles_events": _q_exact_quantiles,  # percentile agg
         "running_total_orders": _q_running_total,   # cumulative window agg
+        "cube_lineitem": _q_cube_lineitem,          # one-pass CUBE grouping sets
         "pivot_event_counts": _q_pivot_events,      # long -> wide pivot
         "rollup_orders": _q_rollup_orders,          # grouping sets / rollup
         # training-data pipeline additions
@@ -7326,6 +7417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_ea_r4": _q_temporal_ea,           # time-respecting reachability
         "pagerank_r3": _q_pagerank,                 # fixed-point integer PageRank
         "link_pred_cn": _q_linkpred,                # common-neighbor candidates
+        "label_prop_r3": _q_labelprop,              # deterministic LPA communities
         "snap_points_r50": _q_snap_points,          # nearest-segment map matching
         "viterbi_match_t5": _q_viterbi,             # HMM map matching DP table
         "triangle_blocks": _q_triangles,            # degree-ordered triangle join
@@ -7426,6 +7518,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_anti_customers": _ORACLE_SEMI_ANTI,
         "exact_quantiles_events": _ORACLE_EXACT_QUANTILES,
         "running_total_orders": _ORACLE_RUNNING_TOTAL,
+        "cube_lineitem": _ORACLE_CUBE,
         "pivot_event_counts": _ORACLE_PIVOT_EVENTS,
         "rollup_orders": _ORACLE_ROLLUP_ORDERS,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
@@ -7468,6 +7561,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_ea_r4": _oracle_temporal_ea(),
         "pagerank_r3": _oracle_pagerank(),
         "link_pred_cn": _oracle_linkpred(),
+        "label_prop_r3": _oracle_labelprop(),
         "snap_points_r50": _ORACLE_SNAP,
         "viterbi_match_t5": _oracle_viterbi(),
         "triangle_blocks": _ORACLE_TRIANGLES,

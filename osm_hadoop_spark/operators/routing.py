@@ -360,3 +360,53 @@ def k_core(edges: DataFrame, k: int, src: str = "u", dst: str = "v") -> DataFram
             cur.join(keep.withColumnRenamed("node", src), src, "semi")
             .join(keep.withColumnRenamed("node", dst), dst, "semi")
         ).localCheckpoint(eager=True)
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3,
+                      src: str = "u", dst: str = "v") -> DataFrame:
+    """Synchronous label propagation community detection (Raghavan et
+    al. 2007), made DETERMINISTIC: each round every node adopts the
+    most frequent label among its neighbors PLUS ITSELF (the self-vote
+    kills two-coloring oscillation and covers degree-0 nodes
+    uniformly), ties to the SMALLEST label — a total order, so rounds
+    are reproducible and the cross-engine twin can unroll them.
+
+    Per round: one equi-join (neighbor label lookup), one (node, lbl)
+    vote count, one lexicographic struct-max argmax — all hash
+    aggregates on the node key, map-side combinable; labels are
+    eagerly localCheckpoint'ed per round (lineage truncation, the
+    iterative-family convention shared with pagerank_int/k_core).
+    Nodes are the endpoints of the symmetrized edge set.
+
+    Returns DataFrame(node, community) after `rounds` rounds.
+    """
+    e = edges.filter(F.col(src) != F.col(dst)).select(src, dst)
+    sym = (
+        e.unionByName(e.select(F.col(dst).alias(src), F.col(src).alias(dst)))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col(src).alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(rounds):
+        nbr = sym.join(
+            labels.select(F.col("node").alias(dst), "lbl"), dst
+        ).select(F.col(src).alias("node"), "lbl")
+        votes = nbr.unionByName(labels)
+        cnt = votes.groupBy("node", "lbl").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = (
+            cnt.select(
+                "node",
+                F.struct(
+                    F.col("c").alias("c"), (-F.col("lbl")).alias("nl")
+                ).alias("s"),
+            )
+            .groupBy("node")
+            .agg(F.max("s").alias("s"))
+            .select("node", (-F.col("s.nl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
