@@ -7325,6 +7325,256 @@ SELECT cx, cy, CAST(SUM(a) AS BIGINT) AS acc
 FROM ({union}) GROUP BY cx, cy"""
 
 
+# ---------------------------------------------------------------------------
+# modality-interleaving statistics (operators/span_stats.py)
+# The input_hint's interleaved text+media documents, characterized AS
+# interleavings: per-doc RLE of span kinds (pure codegen array lambdas —
+# zero explode, zero shuffle) and the corpus kind-transition matrix (slim
+# bigram explode into a map-side-combinable aggregate). Docs are synthesized
+# with VARIABLE span counts (2..7) so runs are non-trivial; the oracle
+# rebuilds the same kind sequences with DuckDB list lambdas and re-derives
+# runs/transitions independently (1-indexed list algebra vs Spark's
+# 0-indexed — same math, different indexing conventions).
+
+
+def _interleaved_kind_docs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    null_s = F.lit(None).cast("string")
+    return o.select(
+        F.concat(F.lit("o"), F.col("o_orderkey")).alias("doc_id"),
+        F.expr(
+            "transform(sequence(0, cast(o_orderkey % 6 + 1 AS int)), i -> "
+            "struct(CASE (o_orderkey * (i + 1)) % 4 WHEN 2 THEN 'media' "
+            "WHEN 3 THEN 'osm.node' ELSE 'text' END AS kind, "
+            "cast(NULL AS string) AS text, cast(NULL AS string) AS media_ref, "
+            "cast(i AS int) AS offset))"
+        ).alias("spans"),
+    )
+
+
+_DUCK_KIND_DOCS = """
+  SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+         list_transform(range(0, CAST(o_orderkey % 6 + 2 AS INT)), i ->
+           CASE (o_orderkey * (i + 1)) % 4 WHEN 2 THEN 'media'
+                WHEN 3 THEN 'osm.node' ELSE 'text' END) AS kinds
+  FROM orders
+"""
+
+
+def _q_span_kind_rle(spark, sf_dir):
+    from osm_hadoop_spark.operators.span_stats import kind_runs
+
+    return kind_runs(_interleaved_kind_docs(spark, sf_dir))
+
+
+_ORACLE_SPAN_RLE = f"""
+WITH d AS ({_DUCK_KIND_DOCS}),
+r AS (
+  SELECT doc_id, kinds, len(kinds) AS n_spans,
+         list_filter(range(0, len(kinds)),
+                     i -> i = 0 OR kinds[i + 1] != kinds[i]) AS starts
+  FROM d),
+runs AS (
+  SELECT doc_id, n_spans, starts,
+         list_transform(range(0, len(starts)), j ->
+           (CASE WHEN j + 1 < len(starts) THEN starts[j + 2]
+                 ELSE n_spans END) - starts[j + 1]) AS lens,
+         list_transform(range(0, len(starts)), j -> kinds[starts[j + 1] + 1])
+           AS run_kinds
+  FROM r)
+SELECT doc_id, CAST(n_spans AS INT) AS n_spans,
+       CAST(len(starts) AS INT) AS n_runs,
+       CAST(list_aggregate(lens, 'max') AS INT) AS max_run,
+       array_to_string(list_transform(range(0, len(starts)),
+         j -> run_kinds[j + 1] || ':' || CAST(lens[j + 1] AS VARCHAR)), '|')
+         AS runs_rle
+FROM runs
+"""
+
+
+def _q_span_transitions(spark, sf_dir):
+    from osm_hadoop_spark.operators.span_stats import kind_transitions
+
+    return kind_transitions(_interleaved_kind_docs(spark, sf_dir))
+
+
+_ORACLE_SPAN_TRANSITIONS = f"""
+WITH d AS ({_DUCK_KIND_DOCS}),
+p AS (
+  SELECT unnest(list_transform(range(0, len(kinds) + 1), i -> struct_pack(
+           kf := CASE WHEN i = 0 THEN '^' ELSE kinds[i] END,
+           kt := CASE WHEN i = len(kinds) THEN '$' ELSE kinds[i + 1] END)))
+         AS s
+  FROM d)
+SELECT s.kf AS kind_from, s.kt AS kind_to,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM p GROUP BY 1, 2
+"""
+
+
+def _q_span_media_density(spark, sf_dir):
+    from osm_hadoop_spark.operators.span_stats import media_density
+
+    return media_density(_interleaved_kind_docs(spark, sf_dir))
+
+
+_ORACLE_SPAN_MEDIA_DENSITY = f"""
+WITH d AS ({_DUCK_KIND_DOCS})
+SELECT doc_id, CAST(len(kinds) AS INT) AS n_spans,
+       CAST(len(list_filter(kinds, k -> k = 'media')) AS INT) AS n_media
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# media-asset dedup (operators/media_dedup.py): collapse duplicate media
+# assets to canonical refs and rewrite documents, preserving the span
+# sequence everywhere but the substituted media_ref cells. Assets are
+# simulated deterministically (ref r -> content r % 100, ~5 mirrors per
+# asset) so the DuckDB twin re-derives identical content hashes; the
+# rewrite query proves the whole chain (explode -> map join -> ordered
+# reassembly -> fingerprint) end-to-end as ONE value-oracled row per doc.
+
+
+def _media_ref_docs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    null_s = F.lit(None).cast("string")
+
+    def media_span(ref_expr, off):
+        return F.struct(
+            F.lit("media").alias("kind"),
+            null_s.alias("text"),
+            F.concat(F.lit("media://"), ref_expr.cast("string")).alias(
+                "media_ref"
+            ),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    return o.select(
+        F.concat(F.lit("o"), F.col("o_orderkey")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("o_orderpriority").alias("text"),
+                null_s.alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            ),
+            media_span(F.col("o_orderkey") % 499, 1),
+            media_span((F.col("o_orderkey") * 7) % 499, 2),
+        ).alias("spans"),
+    )
+
+
+def _media_content_h():
+    # production: h60 over asset bytes; simulation: ref r -> content r % 100
+    c = F.substring(F.col("media_ref"), 9, 10).cast("bigint") % 100
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("asset"), c.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def _q_media_asset_dedup(spark, sf_dir):
+    from osm_hadoop_spark.operators.media_dedup import (
+        asset_table,
+        canonical_assets,
+    )
+
+    docs = _media_ref_docs(spark, sf_dir)
+    return canonical_assets(asset_table(docs, _media_content_h()))
+
+
+_DUCK_REFS = """
+  SELECT r, 'media://' || CAST(r AS VARCHAR) AS media_ref,
+         {h} AS content_h
+  FROM range(0, 499) t(r)
+""".format(h=_duck_h60("'asset' || CAST(r % 100 AS VARCHAR)"))
+
+_DUCK_LIVE_REFS = """
+  SELECT DISTINCT r FROM (
+    SELECT o_orderkey % 499 AS r FROM orders
+    UNION ALL SELECT (o_orderkey * 7) % 499 FROM orders)
+"""
+
+_ORACLE_MEDIA_ASSET_DEDUP = f"""
+WITH refs AS ({_DUCK_REFS}),
+live AS ({_DUCK_LIVE_REFS})
+SELECT content_h, min(media_ref) AS canonical_ref,
+       CAST(count(*) AS BIGINT) AS n_refs
+FROM refs JOIN live USING (r)
+GROUP BY content_h
+"""
+
+
+def _q_media_rewrite_fp(spark, sf_dir):
+    from osm_hadoop_spark.operators.media_dedup import (
+        asset_table,
+        ref_to_canonical,
+        rewrite_documents,
+    )
+    from osm_hadoop_spark.sources.spans import span_fingerprint60
+
+    docs = _media_ref_docs(spark, sf_dir)
+    ref_map = ref_to_canonical(asset_table(docs, _media_content_h()))
+    return span_fingerprint60(rewrite_documents(docs, ref_map))
+
+
+_ORACLE_MEDIA_REWRITE_FP = f"""
+WITH refs AS ({_DUCK_REFS}),
+live AS ({_DUCK_LIVE_REFS}),
+canon AS (
+  SELECT content_h, min(media_ref) AS canonical_ref
+  FROM refs JOIN live USING (r) GROUP BY content_h),
+rmap AS (
+  SELECT refs.r, canon.canonical_ref
+  FROM refs JOIN canon USING (content_h)),
+d AS (
+  SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+         [ 'text' || chr(2) || o_orderpriority || chr(2) || '' || chr(2) || '0',
+           'media' || chr(2) || '' || chr(2) || m1.canonical_ref || chr(2) || '1',
+           'media' || chr(2) || '' || chr(2) || m2.canonical_ref || chr(2) || '2'
+         ] AS span_strs
+  FROM orders
+  JOIN rmap m1 ON m1.r = o_orderkey % 499
+  JOIN rmap m2 ON m2.r = (o_orderkey * 7) % 499)
+SELECT doc_id,
+       {_duck_h60("array_to_string(span_strs, chr(1))")} AS span_fp
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# distributed exact moment matrix (operators/linalg.py): the one-pass
+# partial-Gram shape (one slim row per Arrow batch crosses the exchange —
+# the vectors never shuffle), fixed-point floor(x*2^10) quantization shared
+# with the PQ index so the DuckDB twin re-derives identical int64 moments
+# by brute-force pair self-join. PCA power iteration consumes the same
+# rows driver-side (pytest-pinned against numpy.linalg.eigh).
+
+
+def _q_gram_matrix(spark, sf_dir):
+    from osm_hadoop_spark.operators.linalg import gram_moments
+
+    return gram_moments(_t(spark, sf_dir, "embeddings"))
+
+
+_ORACLE_GRAM_MATRIX = """
+WITH q AS (
+  SELECT vec_id, CAST(i - 1 AS INT) AS i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i))
+SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS val
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+UNION ALL
+SELECT CAST(-1 AS INT), i, CAST(sum(v) AS BIGINT) FROM q GROUP BY 2
+UNION ALL
+SELECT CAST(-1 AS INT), CAST(-1 AS INT), CAST(count(*) AS BIGINT)
+FROM embeddings
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -7339,6 +7589,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_point_z14": _q_tile_point,            # J5/E10
         "tile_point_jvm_z14": _q_tile_point_jvm,   # J5, streaming-shared JVM cells
         "osm_apply_diff": _q_apply_diff,            # changeset application (osmosis rules)
+        "span_kind_rle": _q_span_kind_rle,          # interleaving RLE, zero-shuffle codegen
+        "span_transition_matrix": _q_span_transitions,  # modality bigram matrix
+        "span_media_density": _q_span_media_density,    # per-doc media share (int pair)
+        "media_asset_dedup": _q_media_asset_dedup,  # asset-level content dedup
+        "media_rewrite_fp": _q_media_rewrite_fp,    # canonical-ref doc rewrite
+        "gram_matrix_fp": _q_gram_matrix,           # one-pass exact moment matrix
         "way_length_mm": _q_way_length,             # geodesic measure (exact int sum)
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
@@ -7491,6 +7747,12 @@ def oracle_sql() -> dict[str, str]:
         "tile_point_z14": _ORACLE_TILE_POINT,
         "tile_point_jvm_z14": _ORACLE_TILE_POINT,
         "osm_apply_diff": _ORACLE_APPLY_DIFF,
+        "span_kind_rle": _ORACLE_SPAN_RLE,
+        "span_transition_matrix": _ORACLE_SPAN_TRANSITIONS,
+        "span_media_density": _ORACLE_SPAN_MEDIA_DENSITY,
+        "media_asset_dedup": _ORACLE_MEDIA_ASSET_DEDUP,
+        "media_rewrite_fp": _ORACLE_MEDIA_REWRITE_FP,
+        "gram_matrix_fp": _ORACLE_GRAM_MATRIX,
         "way_length_mm": _oracle_way_length(),
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,

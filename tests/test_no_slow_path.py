@@ -27,11 +27,15 @@ FORBIDDEN = [
 # sketch.py collects only the bloom word table, m_bits/64 bigints — a
 # config-sized constant embedded as a literal predicate;
 # clustering.py's kmeans_lloyd collects k centroid rows per round —
-# O(k * dims) per pass, the same bounded shape as the IVF sample fit)
+# O(k * dims) per pass, the same bounded shape as the IVF sample fit;
+# bpe.py's bpe_train collects exactly ONE argmax row per merge round
+# via .limit(1) — a learned-parameter fetch, never corpus data;
+# linalg.py's pca_top_eigen collects the d^2/2 moment rows — learned
+# parameters bounded by the embedding dimension)
 COLLECT_ALLOWED = {
     "rasterize.py", "catalog.py", "fixtures.py", "way_assembly.py",
     "similarity.py", "shapefile.py", "s2_join.py", "sketch.py",
-    "clustering.py",
+    "clustering.py", "bpe.py", "linalg.py",
 }
 COLLECT_RE = re.compile(r"\.(collect|toPandas)\s*\(")
 
