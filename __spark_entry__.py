@@ -7575,6 +7575,81 @@ FROM embeddings
 """
 
 
+# ---------------------------------------------------------------------------
+# chi-square token drift (operators/textstats.py::token_drift_chi2): exact
+# 2x2 contingency chi-square per token between the 'en' slice and its
+# complement, fraction emitted UNREDUCED as decimal-integer strings so the
+# cross-engine compare is exact (Spark DECIMAL(38,0) vs DuckDB HUGEINT).
+
+
+def _q_token_drift(spark, sf_dir):
+    from osm_hadoop_spark.operators.textstats import token_drift_chi2
+
+    return token_drift_chi2(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en", min_total=5
+    )
+
+
+_ORACLE_TOKEN_DRIFT = f"""
+WITH t AS (
+  SELECT lang = 'en' AS sl, lower(tok) AS token
+  FROM documents, unnest({_DUCK_TOKS}) AS u(tok)),
+per AS (
+  SELECT token,
+         CAST(sum(CASE WHEN sl THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(count(*) AS BIGINT) AS ab_tot
+  FROM t GROUP BY token),
+tot AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+               CAST(sum(ab_tot) AS BIGINT) AS n FROM per),
+x AS (
+  SELECT token, a, ab_tot, na, n,
+         ab_tot - a AS b, na - a AS c, n - na - ab_tot + a AS d
+  FROM per, tot)
+SELECT token, a, b,
+       CAST(CAST(n AS HUGEINT)
+            * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+            * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+            AS VARCHAR) AS chi2_num,
+       CAST(CAST(ab_tot AS HUGEINT) * (n - ab_tot)
+            * CAST(na AS HUGEINT) * (n - na) AS VARCHAR) AS chi2_den
+FROM x WHERE ab_tot >= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-key autocorrelation moments (operators/timeseries.py::acf_stats):
+# all lags from ONE window sort, slim lag unpivot, exact quantized int64
+# moment sums; the twin re-derives identical leads with DuckDB windows.
+
+
+def _q_acf_stats(spark, sf_dir):
+    from osm_hadoop_spark.operators.timeseries import acf_stats
+
+    return acf_stats(_t(spark, sf_dir, "events"), max_lag=5)
+
+
+_ORACLE_ACF = """
+WITH d AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v,
+         ts, event_id
+  FROM events),
+l AS (SELECT unnest(generate_series(1, 5)) AS lag_n),
+p AS (
+  SELECT event_type, lag_n, v AS x,
+         lead(v, lag_n) OVER (PARTITION BY event_type, lag_n
+                              ORDER BY ts, event_id) AS y
+  FROM d CROSS JOIN l)
+SELECT event_type, CAST(lag_n AS INT) AS lag_n,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       CAST(sum(x * y) AS BIGINT) AS sxy,
+       CAST(sum(x * x) AS BIGINT) AS sxx,
+       CAST(sum(y * y) AS BIGINT) AS syy
+FROM p WHERE y IS NOT NULL
+GROUP BY event_type, lag_n
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -7595,6 +7670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_asset_dedup": _q_media_asset_dedup,  # asset-level content dedup
         "media_rewrite_fp": _q_media_rewrite_fp,    # canonical-ref doc rewrite
         "gram_matrix_fp": _q_gram_matrix,           # one-pass exact moment matrix
+        "token_drift_chi2": _q_token_drift,         # exact slice-drift chi-square
+        "acf_lag_stats": _q_acf_stats,              # windowed ACF moment sums
         "way_length_mm": _q_way_length,             # geodesic measure (exact int sum)
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
@@ -7753,6 +7830,8 @@ def oracle_sql() -> dict[str, str]:
         "media_asset_dedup": _ORACLE_MEDIA_ASSET_DEDUP,
         "media_rewrite_fp": _ORACLE_MEDIA_REWRITE_FP,
         "gram_matrix_fp": _ORACLE_GRAM_MATRIX,
+        "token_drift_chi2": _ORACLE_TOKEN_DRIFT,
+        "acf_lag_stats": _ORACLE_ACF,
         "way_length_mm": _oracle_way_length(),
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,

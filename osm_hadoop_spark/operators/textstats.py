@@ -308,3 +308,75 @@ def cooccurrence_pairs(
         .crossJoin(F.broadcast(tot))
         .select("a", "b", "n_ab", "n_a", "n_b", "n_tot")
     )
+
+
+def token_drift_chi2(
+    documents: DataFrame,
+    slice_pred: Column,
+    min_total: int = 5,
+    text: str = "text",
+) -> DataFrame:
+    """Per-token chi-square drift statistics between a corpus slice and its
+    complement — the standard test for vocabulary drift / contamination /
+    domain shift between training-data slices (keyword chi-square feature
+    scoring, Manning & Schütze ch. 5 shape).
+
+    For each token t, the 2x2 contingency table over token OCCURRENCES:
+        a = occurrences of t in the slice        b = occurrences outside
+        c = other slice tokens (Na - a)          d = other outside tokens
+    chi2 = N*(ad - bc)^2 / (ab_tot*(N - ab_tot)*Na*(N - Na)) where
+    ab_tot = a + b. The fraction is emitted UNREDUCED as exact decimal
+    integer strings (chi2_num, chi2_den) — ranking by the float quotient is
+    the consumer's (lossy) choice; the cross-engine value oracle compares
+    the exact integers. Spark DECIMAL(38,0) / DuckDB HUGEINT bound the
+    intermediate products (documented: |num| < N^3 — at 10^12 tokens switch
+    the two count factors to per-shard sums before the final multiply).
+
+    Plan: one token explode -> one map-side-combinable (token, slice)
+    aggregate; the two corpus totals come from the tiny per-token census
+    (a broadcast single-row cross join), never a second scan.
+    """
+    toks = tokens_col(text)
+    t = documents.select(
+        slice_pred.alias("sl"), F.explode(toks).alias("tok")
+    ).select("sl", F.lower(F.col("tok")).alias("token"))
+    per = t.groupBy("token").agg(
+        F.sum(F.when(F.col("sl"), 1).otherwise(0)).cast("bigint").alias("a"),
+        F.count(F.lit(1)).cast("bigint").alias("ab_tot"),
+    )
+    # the census feeds both the totals row and the per-token output; lazy
+    # localCheckpoint (the timeseries.py idiom) materializes it once so the
+    # corpus scan + explode is not re-executed for the totals branch
+    # (pinned by tests/test_token_drift.py's plan audit)
+    per = per.localCheckpoint(eager=False)
+    tot = per.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("ab_tot").cast("bigint").alias("n"),
+    )
+    d38 = "decimal(38,0)"
+    j = per.crossJoin(F.broadcast(tot))
+    b = (F.col("ab_tot") - F.col("a")).alias("b")
+    c = (F.col("na") - F.col("a")).alias("c")
+    d = (F.col("n") - F.col("na") - F.col("ab_tot") + F.col("a")).alias("d")
+    j = j.select("token", "a", "ab_tot", "na", "n", b, c, d)
+    delta = (
+        F.col("a").cast(d38) * F.col("d").cast(d38)
+        - F.col("b").cast(d38) * F.col("c").cast(d38)
+    )
+    num = (F.col("n").cast(d38) * delta * delta).cast(d38)
+    den = (
+        F.col("ab_tot").cast(d38)
+        * (F.col("n") - F.col("ab_tot")).cast(d38)
+        * F.col("na").cast(d38)
+        * (F.col("n") - F.col("na")).cast(d38)
+    ).cast(d38)
+    return (
+        j.filter(F.col("ab_tot") >= min_total)
+        .select(
+            "token",
+            "a",
+            b,
+            num.cast("string").alias("chi2_num"),
+            den.cast("string").alias("chi2_den"),
+        )
+    )

@@ -235,3 +235,56 @@ def cusum_changepoint(events: DataFrame, key: str = "user_id",
         F.col("_s.d_abs").alias("d_abs"),
         F.col("_s.n").alias("n"),
     )
+
+
+def acf_stats(events: DataFrame, key: str = "event_type", ts: str = "ts",
+              value: str = "value", max_lag: int = 5,
+              quantum: int = 100) -> DataFrame:
+    """Per-key autocorrelation moment sums at lags 1..max_lag — the inputs
+    to the sample ACF (Box-Jenkins model identification, seasonality and
+    burst detection over metric streams).
+
+    Values are quantized v = floor(value*quantum) once (the engine's exact-
+    integer discipline), so every emitted moment is an exact int64 and the
+    consumer forms r_L = (n·Σxy − Σx·Σy) / sqrt((n·Σxx − (Σx)²)(n·Σyy −
+    (Σy)²)) in whatever precision it wants. Pair (x_t, x_{t+L}) means
+    consecutive BY ORDER within the key's time series (ts, then the id
+    column as total-order tiebreak).
+
+    Plan: ONE window sort per key computes all max_lag leads in a single
+    pass (WindowExec evaluates the lead frame once per row), the lag axis
+    unpivots via an inline array (slim: 2 ints per (row, lag)), and a
+    map-side-combinable hash aggregate reduces to key × max_lag rows. One
+    shuffle total (the window's), reused by the aggregate only through the
+    slim unpivoted projection. A key's series must fit one task — the
+    standard windowed-series contract (bound the retention window, or
+    pre-bucket time into sessions upstream).
+    """
+    v = F.floor(F.col(value) * quantum).cast("bigint")
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col("event_id"))
+    d = events.select(key, ts, "event_id", v.alias("v"))
+    leads = [F.lead("v", L).over(w).alias(f"_l{L}") for L in range(1, max_lag + 1)]
+    d = d.select(key, "v", *leads)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(L).alias("lag_n"),
+                F.col("v").alias("x"),
+                F.col(f"_l{L}").alias("y"),
+            )
+            for L in range(1, max_lag + 1)
+        ]
+    )
+    e = (
+        d.select(key, F.explode(pairs).alias("p"))
+        .filter(F.col("p.y").isNotNull())
+        .select(key, "p.lag_n", "p.x", "p.y")
+    )
+    return e.groupBy(key, "lag_n").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )

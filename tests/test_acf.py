@@ -1,0 +1,44 @@
+"""ACF moment sums (timeseries.acf_stats): hand-computed lags on a tiny
+series; single window pass for all lags."""
+
+import datetime
+
+
+def _events(spark, vals):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(hours=i), 1, "a", float(v), "{}")
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_acf_hand_computed(spark):
+    from osm_hadoop_spark.operators.timeseries import acf_stats
+
+    # quantized values (x100): 100, 200, 300, 400
+    df = _events(spark, [1.0, 2.0, 3.0, 4.0])
+    got = {r["lag_n"]: r for r in acf_stats(df, max_lag=3).collect()}
+    r1 = got[1]  # pairs (100,200),(200,300),(300,400)
+    assert (r1["n_pairs"], r1["sx"], r1["sy"]) == (3, 600, 900)
+    assert r1["sxy"] == 100 * 200 + 200 * 300 + 300 * 400
+    assert r1["sxx"] == 100**2 + 200**2 + 300**2
+    r3 = got[3]  # one pair (100,400)
+    assert (r3["n_pairs"], r3["sxy"]) == (1, 40000)
+
+
+def test_acf_single_window_pass(spark):
+    from osm_hadoop_spark.operators.timeseries import acf_stats
+
+    df = _events(spark, [1.0, 2.0, 3.0])
+    plan = (
+        acf_stats(df, max_lag=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # all four leads from one Window operator, one unpivot explode
+    assert plan.count("Window") == 1
+    assert plan.count("Generate") == 1
