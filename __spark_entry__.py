@@ -7650,6 +7650,100 @@ GROUP BY event_type, lag_n
 """
 
 
+# ---------------------------------------------------------------------------
+# discrete-Fréchet trajectory-similarity join (operators/frechet.py):
+# anchor-cell blocked candidate pairs, batch-vectorized DP refine. The
+# DuckDB twin REPLAYS the DP cell-by-cell in a recursive CTE carrying
+# (prev row, current row prefix) — an inductive derivation of the same
+# recurrence, exercised over every candidate pair.
+
+_FRECHET_TAU2 = 30000
+
+
+def _q_frechet_join(spark, sf_dir):
+    from osm_hadoop_spark.operators.frechet import frechet_join
+    from osm_hadoop_spark.operators.textstats import h60
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    tid = F.col("o_orderkey")
+    d = o.select(
+        tid.alias("tid"),
+        tid.cast("string").alias("ts_"),
+        (h60(F.concat(F.lit("tx"), tid.cast("string"))) % 4000).alias("x0"),
+        (h60(F.concat(F.lit("ty"), tid.cast("string"))) % 4000).alias("y0"),
+        (tid % 4 + 3).cast("int").alias("m"),
+    )
+    h = ("cast(conv(substring(md5(concat('{tag}', ts_, '_', "
+         "cast(i as string))), 1, 15), 16, 10) as bigint)")
+    traj = d.select(
+        "tid",
+        F.expr("x0 div 256").alias("cellx"),
+        F.expr("y0 div 256").alias("celly"),
+        F.expr(
+            "transform(sequence(1, m), i -> x0 + "
+            + h.format(tag="dx") + " % 81 - 40)"
+        ).alias("xs"),
+        F.expr(
+            "transform(sequence(1, m), i -> y0 + "
+            + h.format(tag="dy") + " % 81 - 40)"
+        ).alias("ys"),
+    )
+    return frechet_join(traj, tau_sq=_FRECHET_TAU2)
+
+
+def _oracle_frechet() -> str:
+    i2 = "(CASE WHEN j + 1 < n THEN i ELSE i + 1 END)"
+    j2 = "(CASE WHEN j + 1 < n THEN j + 1 ELSE 0 END)"
+    d2v = (
+        f"((axs[{i2} + 1] - bxs[{j2} + 1]) * (axs[{i2} + 1] - bxs[{j2} + 1])"
+        f" + (ays[{i2} + 1] - bys[{j2} + 1]) * (ays[{i2} + 1] - bys[{j2} + 1]))"
+    )
+    val = (
+        f"CASE WHEN {j2} = 0 THEN greatest({d2v}, cur[1]) "
+        f"WHEN {i2} = 0 THEN greatest({d2v}, cur[{j2}]) "
+        f"ELSE greatest({d2v}, least(prev[{j2} + 1], prev[{j2}], cur[{j2}])) "
+        f"END"
+    )
+    hx = _duck_h60("'dx' || ts_ || '_' || CAST(i AS VARCHAR)")
+    hy = _duck_h60("'dy' || ts_ || '_' || CAST(i AS VARCHAR)")
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT o_orderkey AS tid, CAST(o_orderkey AS VARCHAR) AS ts_,
+         {_duck_h60("'tx' || CAST(o_orderkey AS VARCHAR)")} % 4000 AS x0,
+         {_duck_h60("'ty' || CAST(o_orderkey AS VARCHAR)")} % 4000 AS y0,
+         CAST(o_orderkey % 4 + 3 AS INT) AS m
+  FROM orders WHERE o_orderkey % 11 = 0),
+traj AS (
+  SELECT tid, x0 // 256 AS cellx, y0 // 256 AS celly,
+         list_transform(range(1, m + 1), i -> x0 + {hx} % 81 - 40) AS xs,
+         list_transform(range(1, m + 1), i -> y0 + {hy} % 81 - 40) AS ys
+  FROM t),
+pairs AS (
+  SELECT a.tid AS ta, b.tid AS tb,
+         a.xs AS axs, a.ys AS ays, b.xs AS bxs, b.ys AS bys,
+         len(a.xs) AS m, len(b.xs) AS n
+  FROM traj a JOIN traj b
+    ON a.cellx = b.cellx AND a.celly = b.celly AND a.tid < b.tid),
+dp AS (
+  SELECT ta, tb, m, n, axs, ays, bxs, bys,
+         0 AS i, 0 AS j,
+         CAST([] AS BIGINT[]) AS prev,
+         [(axs[1] - bxs[1]) * (axs[1] - bxs[1])
+          + (ays[1] - bys[1]) * (ays[1] - bys[1])] AS cur
+  FROM pairs
+  UNION ALL
+  SELECT ta, tb, m, n, axs, ays, bxs, bys,
+         {i2} AS i, {j2} AS j,
+         CASE WHEN {j2} = 0 THEN cur ELSE prev END AS prev,
+         CASE WHEN {j2} = 0 THEN [{val}]
+              ELSE list_append(cur, {val}) END AS cur
+  FROM dp WHERE NOT (i = m - 1 AND j = n - 1))
+SELECT ta AS tid_a, tb AS tid_b, cur[n] AS frechet_d2
+FROM dp
+WHERE i = m - 1 AND j = n - 1 AND cur[n] <= {_FRECHET_TAU2}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -7672,6 +7766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_matrix_fp": _q_gram_matrix,           # one-pass exact moment matrix
         "token_drift_chi2": _q_token_drift,         # exact slice-drift chi-square
         "acf_lag_stats": _q_acf_stats,              # windowed ACF moment sums
+        "frechet_traj_join": _q_frechet_join,       # blocked trajectory similarity
         "way_length_mm": _q_way_length,             # geodesic measure (exact int sum)
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
@@ -7832,6 +7927,7 @@ def oracle_sql() -> dict[str, str]:
         "gram_matrix_fp": _ORACLE_GRAM_MATRIX,
         "token_drift_chi2": _ORACLE_TOKEN_DRIFT,
         "acf_lag_stats": _ORACLE_ACF,
+        "frechet_traj_join": _oracle_frechet(),
         "way_length_mm": _oracle_way_length(),
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,
