@@ -7744,6 +7744,76 @@ WHERE i = m - 1 AND j = n - 1 AND cur[n] <= {_FRECHET_TAU2}
 """
 
 
+# ---------------------------------------------------------------------------
+# weighted priority sampling (operators/sampling.py::priority_sample):
+# Duffield-Lund-Thorup top-k-by-w/u, exact integer priorities via h60 and
+# integer division, WindowGroupLimit partial top-k per stratum.
+
+
+def _q_priority_sample(spark, sf_dir):
+    from osm_hadoop_spark.operators.sampling import priority_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return priority_sample(
+        docs, key="source", id_col="doc_id", weight_col="n_chars", k=5
+    ).select("source", "doc_id", "sample_pri")
+
+
+_ORACLE_PRIORITY_SAMPLE = f"""
+WITH h AS (
+  SELECT source, doc_id,
+         (CAST(n_chars AS HUGEINT) * {2**30}) //
+         (({_duck_h60("'p0' || CAST(doc_id AS VARCHAR)")} % {2**30}) + 1)
+           AS sample_pri
+  FROM documents),
+r AS (
+  SELECT source, doc_id, CAST(sample_pri AS BIGINT) AS sample_pri,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY sample_pri DESC, doc_id ASC) AS rn
+  FROM h)
+SELECT source, doc_id, sample_pri FROM r WHERE rn <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# bilinear raster upsample (operators/resample_raster.py): join-free
+# scatter of (2k-1)^2 weighted contributions per coarse cell into one hash
+# aggregate, completeness by the exact weight-sum == k^2 predicate. The
+# twin GATHERS instead (anchor + three LEFT-JOINed corners with per-corner
+# presence rules) — two independent derivations of the same surface.
+
+
+def _q_bilinear_upsample(spark, sf_dir):
+    from osm_hadoop_spark.operators.resample_raster import bilinear_upsample
+
+    return bilinear_upsample(_los_dem(spark, sf_dir), k=4)
+
+
+def _oracle_bilinear() -> str:
+    return f"""
+WITH dem AS ({_los_dem_sql()}),
+c AS (
+  SELECT d.cx, d.cy, d.elev AS v00, r.elev AS v10, u.elev AS v01,
+         q.elev AS v11
+  FROM dem d
+  LEFT JOIN dem r ON r.cx = d.cx + 1 AND r.cy = d.cy
+  LEFT JOIN dem u ON u.cx = d.cx AND u.cy = d.cy + 1
+  LEFT JOIN dem q ON q.cx = d.cx + 1 AND q.cy = d.cy + 1),
+g AS (
+  SELECT cx * 4 + fx AS px, cy * 4 + fy AS py,
+         (4 - fx) * (4 - fy) * v00 + fx * (4 - fy) * COALESCE(v10, 0)
+         + (4 - fx) * fy * COALESCE(v01, 0)
+         + fx * fy * COALESCE(v11, 0) AS val_num
+  FROM c, range(0, 4) t1(fx), range(0, 4) t2(fy)
+  WHERE (fx = 0 OR v10 IS NOT NULL)
+    AND (fy = 0 OR v01 IS NOT NULL)
+    AND (fx = 0 OR fy = 0 OR v11 IS NOT NULL))
+SELECT CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
+       CAST(val_num AS BIGINT) AS val_num
+FROM g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -7767,6 +7837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_drift_chi2": _q_token_drift,         # exact slice-drift chi-square
         "acf_lag_stats": _q_acf_stats,              # windowed ACF moment sums
         "frechet_traj_join": _q_frechet_join,       # blocked trajectory similarity
+        "priority_sample_w": _q_priority_sample,    # weighted top-k sampling
+        "bilinear_upsample_k4": _q_bilinear_upsample,  # join-free raster resample
         "way_length_mm": _q_way_length,             # geodesic measure (exact int sum)
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
@@ -7928,6 +8000,8 @@ def oracle_sql() -> dict[str, str]:
         "token_drift_chi2": _ORACLE_TOKEN_DRIFT,
         "acf_lag_stats": _ORACLE_ACF,
         "frechet_traj_join": _oracle_frechet(),
+        "priority_sample_w": _ORACLE_PRIORITY_SAMPLE,
+        "bilinear_upsample_k4": _oracle_bilinear(),
         "way_length_mm": _oracle_way_length(),
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,

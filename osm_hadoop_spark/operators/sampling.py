@@ -76,3 +76,45 @@ def topk_per_key(
         .filter(F.col("sample_rank") <= k)
         .drop("sample_rank")
     )
+
+
+def priority_sample(
+    df: DataFrame, key: str, id_col: str, weight_col: str, k: int,
+    salt: str = "p0", res_bits: int = 30,
+) -> DataFrame:
+    """Deterministic weighted top-k sampling per key — priority sampling
+    (Duffield, Lund & Thorup, JACM 2007): each row gets priority w/u for
+    u ~ Uniform(0,1]; the k highest priorities form a sample whose
+    Horvitz-Thompson estimates are near-optimal for subset-sum queries.
+    The size-biased cousin of `topk_per_key` (heavy rows are
+    proportionally more likely to survive) — the right sampler for
+    quality-weighted or length-weighted corpus subsampling.
+
+    Determinism + exactness: u comes from the low res_bits of the salted
+    content hash (u ≈ (h'+1)/2^res_bits with h' = h mod 2^res_bits), and
+    the priority is the exact integer
+        pri = floor(w · 2^res_bits / (h' + 1))
+    — integer division, bit-identical in Spark and DuckDB, no float pow
+    anywhere. res_bits trades u-resolution against headroom: the product
+    w · 2^30 needs w < 2^33. Ties (same pri) break by id for a total
+    order.
+
+    Plan: identical to topk_per_key — one shuffle on the key, partial
+    top-k via WindowGroupLimit (rank <= k prunes inside the sort).
+    """
+    # exact integer division (not float division-then-cast): use `div`
+    pri = F.expr(
+        f"(CAST({weight_col} AS BIGINT) * CAST({2**res_bits} AS BIGINT)) "
+        f"div ((CAST(conv(substring(md5(concat('{salt}', "
+        f"CAST({id_col} AS STRING))), 1, 15), 16, 10) AS BIGINT) "
+        f"% {2**res_bits}) + 1)"
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.col("sample_pri").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("sample_pri", pri)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("sample_rank")
+    )

@@ -69,3 +69,36 @@ def test_topk_plan_uses_window_group_limit(spark):
 
     plan = topk_per_key(_docs(spark), "stratum", "doc_id", 5)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_priority_sample_exact_and_size_biased(spark):
+    from osm_hadoop_spark.operators.sampling import priority_sample
+
+    rows = [(f"d{i}", "s", 10 if i < 30 else 1000) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, w bigint")
+    out = priority_sample(df, key="source", id_col="doc_id",
+                          weight_col="w", k=8).collect()
+    assert len(out) == 8
+    # exact integer priority: recompute one row by hand
+    import hashlib
+    r = out[0]
+    h = int(hashlib.md5(f"p0{r['doc_id']}".encode()).hexdigest()[:15], 16)
+    w = 10 if int(r["doc_id"][1:]) < 30 else 1000
+    assert r["sample_pri"] == (w * 2**30) // ((h % 2**30) + 1)
+    # size bias: the 10 heavy rows (100x weight) should dominate the top-8
+    heavy = sum(1 for r in out if int(r["doc_id"][1:]) >= 30)
+    assert heavy >= 6
+
+
+def test_priority_sample_partial_topk_plan(spark):
+    from osm_hadoop_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        [("a", "s", 5)], "doc_id string, source string, w bigint"
+    )
+    plan = (
+        priority_sample(df, key="source", id_col="doc_id", weight_col="w",
+                        k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
