@@ -80,6 +80,19 @@ def kind_runs(documents: DataFrame, spans_col: str = "spans") -> DataFrame:
     )
 
 
+def transition_pairs_col(kinds_col: str = "_kinds") -> F.Column:
+    """The (kind_from, kind_to) bigram array with ^/$ sentinels over a
+    kind-array column — one pure codegen expression, shared verbatim by
+    the batch aggregate and the streaming twin (streaming/spans.py) so
+    their semantics cannot drift."""
+    return F.expr(
+        f"transform(sequence(0, size({kinds_col})), i -> struct("
+        f"  CASE WHEN i = 0 THEN '^' ELSE {kinds_col}[i - 1] END AS kind_from, "
+        f"  CASE WHEN i = size({kinds_col}) THEN '$' ELSE {kinds_col}[i] END "
+        f"  AS kind_to))"
+    )
+
+
 def kind_transitions(documents: DataFrame, spans_col: str = "spans") -> DataFrame:
     """Corpus-level kind-transition counts (the modality bigram matrix).
 
@@ -92,13 +105,8 @@ def kind_transitions(documents: DataFrame, spans_col: str = "spans") -> DataFram
     """
     kinds = _kinds(spans_col)
     d = documents.select("doc_id", kinds.alias("_kinds"))
-    pairs = F.expr(
-        "transform(sequence(0, size(_kinds)), i -> struct("
-        "  CASE WHEN i = 0 THEN '^' ELSE _kinds[i - 1] END AS kind_from, "
-        "  CASE WHEN i = size(_kinds) THEN '$' ELSE _kinds[i] END AS kind_to))"
-    )
     return (
-        d.select(F.explode(pairs).alias("p"))
+        d.select(F.explode(transition_pairs_col("_kinds")).alias("p"))
         .groupBy(
             F.col("p.kind_from").alias("kind_from"),
             F.col("p.kind_to").alias("kind_to"),

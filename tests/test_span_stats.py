@@ -77,3 +77,39 @@ def test_media_density_counts(spark):
     got = {r["doc_id"]: (r["n_media"], r["n_spans"])
            for r in media_density(docs).collect()}
     assert got == {"d0": (2, 3), "d1": (0, 1)}
+
+
+def test_streaming_transitions_match_batch(spark, tmp_path):
+    """§2.7 twin: windowed streaming transition counts, summed over
+    windows, equal the batch matrix on the same documents."""
+    from osm_hadoop_spark.operators.span_stats import kind_transitions
+    from osm_hadoop_spark.sources.fixtures import gen_documents
+    from osm_hadoop_spark.streaming.spans import streaming_transition_counts
+
+    docs = gen_documents(spark, 200, seed=9).withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(F.lit(1700000000) + (F.crc32("doc_id") % 120)),
+    )
+    src = str(tmp_path / "span_stream_src")
+    docs.write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = streaming_transition_counts(stream, window="1 minute",
+                                      watermark="5 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("span_transitions_stream")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["kind_from"], r["kind_to"]): r["n"]
+        for r in spark.sql(
+            "SELECT kind_from, kind_to, CAST(sum(n_transitions) AS BIGINT) n "
+            "FROM span_transitions_stream GROUP BY 1, 2"
+        ).collect()
+    }
+    batch = {
+        (r["kind_from"], r["kind_to"]): r["n_transitions"]
+        for r in kind_transitions(spark.read.parquet(src)).collect()
+    }
+    assert got == batch and len(batch) > 2
