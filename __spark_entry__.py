@@ -7814,6 +7814,56 @@ FROM g
 """
 
 
+# ---------------------------------------------------------------------------
+# PCA projection (operators/linalg.py::pca_project): map-only broadcast
+# matmul against quantized principal directions, exact integer scores in
+# pure codegen. Derived-literal oracle (the IVF shared-fit discipline):
+# the engine fits directions from the DISTRIBUTED exact moment table, the
+# oracle from NumPy over the same parquet — both moment paths yield
+# identical integers and share the same float power recursion, so the
+# embedded direction literals agree bit-for-bit.
+
+
+def _q_pca_project(spark, sf_dir):
+    from osm_hadoop_spark.operators.linalg import (
+        gram_moments,
+        pca_directions_q,
+        pca_project,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dirs = pca_directions_q(gram_moments(emb), r=2)
+    return pca_project(emb, dirs)
+
+
+def _oracle_pca_project() -> str | None:
+    import os
+
+    from osm_hadoop_spark.operators.linalg import pca_directions_numpy
+
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        "embeddings.parquet",
+    )
+    if not os.path.exists(path):
+        return None
+    dirs = pca_directions_numpy(path, r=2)
+    d1 = "[" + ", ".join(str(x) for x in dirs[0]) + "]"
+    d2 = "[" + ", ".join(str(x) for x in dirs[1]) + "]"
+    return f"""
+WITH q AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+dirs AS (SELECT {d1}::BIGINT[] AS u1, {d2}::BIGINT[] AS u2)
+SELECT vec_id,
+       CAST(sum(v * u1[i]) AS BIGINT) AS pc1_q,
+       CAST(sum(v * u2[i]) AS BIGINT) AS pc2_q
+FROM q, dirs
+GROUP BY vec_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -7839,6 +7889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frechet_traj_join": _q_frechet_join,       # blocked trajectory similarity
         "priority_sample_w": _q_priority_sample,    # weighted top-k sampling
         "bilinear_upsample_k4": _q_bilinear_upsample,  # join-free raster resample
+        "pca_project_q": _q_pca_project,            # broadcast-matmul projection
         "way_length_mm": _q_way_length,             # geodesic measure (exact int sum)
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
@@ -8138,6 +8189,9 @@ def oracle_sql() -> dict[str, str]:
     pq = _oracle_ann_pq()
     if pq is not None:
         oracles["ann_pq_topk"] = pq
+    pca = _oracle_pca_project()
+    if pca is not None:
+        oracles["pca_project_q"] = pca
     bpt = _oracle_bpe_train()
     if bpt is not None:
         oracles["bpe_train_merges"] = bpt

@@ -122,3 +122,103 @@ def pca_top_eigen(
         v = w / nw
     eig = float(v @ cov_scaled @ v) / float(n) ** 2
     return v, eig
+
+
+def _power_directions(
+    n: int, s: np.ndarray, g: np.ndarray, r: int = 2, iters: int = 300
+) -> list[np.ndarray]:
+    """Deterministic top-r principal directions by deflated power iteration
+    over n²·Cov = n·G − s·sᵀ. Shared VERBATIM by the engine fit (moments
+    from gram_moments) and the oracle fit (moments from NumPy over the same
+    parquet): both moment paths produce identical exact integers, and this
+    float recursion is a pure function of them — so the two fits agree
+    bit-for-bit (the IVF shared-fit discipline, similarity.py)."""
+    d = len(s)
+    cov = (n * g - np.outer(s, s)).astype(np.float64)
+    dirs: list[np.ndarray] = []
+    for _ in range(r):
+        v = np.ones(d) / np.sqrt(d)
+        for _ in range(iters):
+            w = cov @ v
+            nw = np.linalg.norm(w)
+            if nw == 0.0:
+                break
+            v = w / nw
+        lam = float(v @ cov @ v)
+        dirs.append(v.copy())
+        cov = cov - lam * np.outer(v, v)
+    return dirs
+
+
+def _moments_arrays(rows) -> tuple[int, np.ndarray, np.ndarray]:
+    n = next(r["val"] for r in rows if r["i"] == -1 and r["j"] == -1)
+    d = max(r["j"] for r in rows) + 1
+    s = np.zeros(d, dtype=np.int64)
+    g = np.zeros((d, d), dtype=np.int64)
+    for r in rows:
+        if r["i"] == -1 and r["j"] >= 0:
+            s[r["j"]] = r["val"]
+        elif r["i"] >= 0:
+            g[r["i"], r["j"]] = r["val"]
+            g[r["j"], r["i"]] = r["val"]
+    return int(n), s, g
+
+
+def pca_directions_q(
+    moments: DataFrame, r: int = 2, quant_bits: int = 12
+) -> list[list[int]]:
+    """Quantized principal directions u_q = floor(u·2^quant_bits) from the
+    distributed exact moment table (bounded d² collect)."""
+    n, s, g = _moments_arrays(moments.collect())
+    return [
+        [int(x) for x in np.floor(v * (1 << quant_bits)).astype(np.int64)]
+        for v in _power_directions(n, s, g, r=r)
+    ]
+
+
+def pca_directions_numpy(
+    path: str, r: int = 2, scale_bits: int = SCALE_BITS, quant_bits: int = 12
+) -> list[list[int]]:
+    """Oracle-side twin of pca_directions_q: identical exact integer
+    moments straight from the parquet, identical float recursion."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=["embedding"])
+    m = np.stack(tbl.column("embedding").to_pylist())
+    q = np.floor(m.astype(np.float64) * (1 << scale_bits)).astype(np.int64)
+    n = q.shape[0]
+    s = q.sum(axis=0)
+    g = q.T @ q
+    return [
+        [int(x) for x in np.floor(v * (1 << quant_bits)).astype(np.int64)]
+        for v in _power_directions(n, s, g, r=r)
+    ]
+
+
+def pca_project(
+    embeddings: DataFrame,
+    directions_q: list[list[int]],
+    vec_col: str = "embedding",
+    scale_bits: int = SCALE_BITS,
+) -> DataFrame:
+    """Project every vector onto the quantized directions — exact integer
+    scores p_j = Σ q_i·u_q[j][i], entirely in whole-stage codegen (array
+    zip_with/aggregate against literal direction arrays; no Python, no
+    shuffle — a map-only broadcast matmul, THE scalable projection shape)."""
+    scale = 1 << scale_bits
+    qarr = F.expr(
+        f"transform({vec_col}, v -> "
+        f"cast(floor(cast(v AS double) * {scale}) AS bigint))"
+    )
+    out = embeddings.select("vec_id", qarr.alias("_q"))
+    cols = []
+    for j, u in enumerate(directions_q):
+        lit = F.array(*[F.lit(int(x)) for x in u])
+        cols.append(
+            F.aggregate(
+                F.zip_with(F.col("_q"), lit, lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias(f"pc{j + 1}_q")
+        )
+    return out.select("vec_id", *cols)

@@ -30,7 +30,9 @@ def _entry():
 # re-fit from the embeddings table): on a machine without /root/testdata
 # these fall back to rows-only, which is a documented environment
 # limitation, not a contract break.
-ENV_DEPENDENT_ORACLES = {"ann_ivf_topk", "ann_pq_topk", "bpe_train_merges"}
+ENV_DEPENDENT_ORACLES = {
+    "ann_ivf_topk", "ann_pq_topk", "bpe_train_merges", "pca_project_q",
+}
 
 
 def test_every_query_has_an_oracle():

@@ -66,3 +66,40 @@ def test_pca_matches_eigh(spark):
     # eigenvector defined up to sign
     assert min(np.linalg.norm(v - top), np.linalg.norm(v + top)) < 1e-6
     assert eig == pytest.approx(w[-1], rel=1e-9)
+
+
+def test_shared_fit_and_projection(spark, tmp_path):
+    """Engine fit (distributed moments) and oracle fit (NumPy over the
+    parquet) must produce identical quantized directions, and the codegen
+    projection must equal the NumPy integer dot products."""
+    from osm_hadoop_spark.operators.linalg import (
+        gram_moments, pca_directions_numpy, pca_directions_q, pca_project,
+    )
+
+    df, m = _emb_df(spark, n=80, d=6, seed=21)
+    path = str(tmp_path / "emb.parquet")
+    df.write.parquet(path)
+    back = spark.read.parquet(path)
+
+    d_engine = pca_directions_q(gram_moments(back), r=2)
+    d_oracle = pca_directions_numpy(path, r=2)
+    assert d_engine == d_oracle
+
+    got = {r["vec_id"]: (r["pc1_q"], r["pc2_q"])
+           for r in pca_project(back, d_engine).collect()}
+    q = np.floor(m.astype(np.float64) * 1024).astype(np.int64)
+    u = np.array(d_engine, dtype=np.int64)
+    for r in range(len(m)):
+        assert got[r] == (int(q[r] @ u[0]), int(q[r] @ u[1]))
+
+
+def test_projection_plan_is_map_only(spark):
+    from osm_hadoop_spark.operators.linalg import pca_project
+
+    df, _ = _emb_df(spark, n=5, d=4)
+    plan = (
+        pca_project(df, [[1, 2, 3, 4], [4, 3, 2, 1]])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # no shuffle: broadcast-literal matmul
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
