@@ -1,0 +1,65 @@
+"""Registry-wide physical-plan audit: EVERY driver query is planned and
+checked for scale-killer nodes. Complements test_no_slow_path.py (source
+grep) with what Catalyst actually planned:
+
+  - BatchEvalPython  = a row-at-a-time Python UDF reached the plan — never
+    allowed anywhere (the engine's UDF surface is Arrow-only).
+  - CartesianProduct = an unkeyed join of two big sides — never allowed.
+  - BroadcastNestedLoopJoin = allowed ONLY on the allowlist below, where
+    the build side is a bounded relation by construction (a one-row global
+    totals/stats aggregate, or a bounded broadcast query/dim set). A new
+    query that accidentally plans a BNLJ on two data-sized sides fails
+    here before it ships.
+
+Costs one analysis pass per query at sf0.001 (plans only — nothing is
+executed beyond the bounded parameter fits some queries run at build
+time).
+"""
+
+import importlib.util
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# BNLJ build sides that are bounded BY CONSTRUCTION (not by luck):
+#   one-row global aggregates: bm25 corpus stats, PMI totals, chi2 totals,
+#     join-count global CSR stats, balanced-ranges global count
+#   bounded broadcast sets: ANN/PQ/SQ8 + brute top-k query vectors
+#     (fixed query sample), PIP triangle/polygon dims (literal fixture
+#     size), merge-chains junction table (bounded by degree filter),
+#     way_polygon boundary dims
+BNLJ_ALLOWED = {
+    "ann_pq_topk", "ann_sq8_topk", "embedding_topk", "bm25_topk_terms",
+    "cooccurrence_pmi", "token_drift_chi2", "join_counts_grid",
+    "balanced_ranges_b32", "merge_chains_ways", "pip_outside",
+    "pip_triangles", "way_polygon_contain",
+}
+
+
+@pytest.fixture(scope="module")
+def entry():
+    spec = importlib.util.spec_from_file_location(
+        "entry_registry_audit", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_registry_plans_free_of_scale_killers(spark, entry):
+    bad = {}
+    for name, fn in entry.queries().items():
+        plan = (
+            fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        )
+        marks = []
+        if "BatchEvalPython" in plan:
+            marks.append("row-wise PythonUDF")
+        if "CartesianProduct" in plan:
+            marks.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            marks.append("unapproved BroadcastNestedLoopJoin")
+        if marks:
+            bad[name] = marks
+    assert not bad, bad
