@@ -7864,6 +7864,45 @@ GROUP BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# rendezvous sharding (operators/sharding.py): map-only argmax assignment
+# + the migration-diff query (adding a shard moves keys ONLY onto it).
+
+_HRW_SHARDS = ["shard-a", "shard-b", "shard-c", "shard-d", "shard-e"]
+
+
+def _q_hrw_migration(spark, sf_dir):
+    from osm_hadoop_spark.operators.sharding import hrw_migration
+
+    return hrw_migration(
+        _t(spark, sf_dir, "customer"), "c_custkey", _HRW_SHARDS, "shard-f"
+    )
+
+
+def _oracle_hrw() -> str:
+    shards = ", ".join(f"('{s}')" for s in _HRW_SHARDS)
+    h = _duck_h60("CAST(c_custkey AS VARCHAR) || '@' || s.name")
+    return f"""
+WITH s6(name) AS (VALUES {shards}, ('shard-f')),
+sc AS (
+  SELECT c_custkey, s.name AS shard, {h} AS score,
+         s.name = 'shard-f' AS is_new
+  FROM customer, s6 s),
+r AS (
+  SELECT c_custkey, shard, is_new,
+         row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY score DESC, shard DESC) AS rn_all,
+         row_number() OVER (PARTITION BY c_custkey, is_new
+                            ORDER BY score DESC, shard DESC) AS rn_grp
+  FROM sc),
+o AS (SELECT c_custkey, shard AS old_shard FROM r
+      WHERE NOT is_new AND rn_grp = 1),
+n AS (SELECT c_custkey, shard AS new_shard FROM r WHERE rn_all = 1)
+SELECT old_shard, new_shard, CAST(count(*) AS BIGINT) AS n_keys
+FROM o JOIN n USING (c_custkey) GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -7890,6 +7929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample_w": _q_priority_sample,    # weighted top-k sampling
         "bilinear_upsample_k4": _q_bilinear_upsample,  # join-free raster resample
         "pca_project_q": _q_pca_project,            # broadcast-matmul projection
+        "hrw_shard_migration": _q_hrw_migration,    # rendezvous re-shard diff
         "way_length_mm": _q_way_length,             # geodesic measure (exact int sum)
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
@@ -8053,6 +8093,7 @@ def oracle_sql() -> dict[str, str]:
         "frechet_traj_join": _oracle_frechet(),
         "priority_sample_w": _ORACLE_PRIORITY_SAMPLE,
         "bilinear_upsample_k4": _oracle_bilinear(),
+        "hrw_shard_migration": _oracle_hrw(),
         "way_length_mm": _oracle_way_length(),
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,
