@@ -7903,6 +7903,56 @@ FROM o JOIN n USING (c_custkey) GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# mergeable-sketch hierarchy rollup (operators/sketch.py::hll_merge): the
+# engine computes coarse-cell HLL registers by MERGING fine-cell register
+# sets (max per bucket); the oracle computes the coarse registers directly
+# from the raw visits — agreement proves the lossless re-aggregation law,
+# not just the hash arithmetic.
+
+
+def _q_hll_tile_rollup(spark, sf_dir):
+    from osm_hadoop_spark.operators.sketch import hll_merge, hll_registers
+    from osm_hadoop_spark.operators.textstats import h60
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id").cast("string")
+    visits = ev.select(
+        (
+            (h60(F.concat(F.lit("etx"), e)) % 128) * 128
+            + h60(F.concat(F.lit("ety"), e)) % 128
+        ).alias("fine_cell"),
+        "user_id",
+    )
+    fine = hll_registers(visits, "fine_cell", "user_id", p=6)
+    coarse = hll_merge(
+        fine,
+        (F.expr("fine_cell div 128 div 16") * 8
+         + F.expr("(fine_cell % 128) div 16")),
+        "coarse_cell",
+    )
+    return coarse.select(
+        "coarse_cell", "bucket", F.col("max_rho").cast("int").alias("max_rho")
+    )
+
+
+_ORACLE_HLL_ROLLUP = f"""
+WITH v AS (
+  SELECT ({_duck_h60("'etx' || CAST(event_id AS VARCHAR)")} % 128) // 16 * 8
+         + ({_duck_h60("'ety' || CAST(event_id AS VARCHAR)")} % 128) // 16
+           AS coarse_cell,
+         user_id
+  FROM events),
+h AS (SELECT coarse_cell,
+             {_duck_h60("concat('hll:', CAST(user_id AS VARCHAR))")} AS h
+      FROM v)
+SELECT coarse_cell, h % 64 AS bucket,
+  CAST(MAX(CASE WHEN (h >> 6) = 0 THEN 55
+                ELSE 55 - length(bin(h >> 6)) END) AS INT) AS max_rho
+FROM h GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -7930,6 +7980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bilinear_upsample_k4": _q_bilinear_upsample,  # join-free raster resample
         "pca_project_q": _q_pca_project,            # broadcast-matmul projection
         "hrw_shard_migration": _q_hrw_migration,    # rendezvous re-shard diff
+        "hll_tile_rollup": _q_hll_tile_rollup,      # sketch-merge hierarchy proof
         "way_length_mm": _q_way_length,             # geodesic measure (exact int sum)
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
@@ -8094,6 +8145,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample_w": _ORACLE_PRIORITY_SAMPLE,
         "bilinear_upsample_k4": _oracle_bilinear(),
         "hrw_shard_migration": _oracle_hrw(),
+        "hll_tile_rollup": _ORACLE_HLL_ROLLUP,
         "way_length_mm": _oracle_way_length(),
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,

@@ -31,7 +31,7 @@ import struct
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from osm_hadoop_spark.operators.textstats import h60
@@ -368,4 +368,18 @@ def count_min_estimate(
         .join(F.broadcast(sk), ["r", "c"], "left")
         .groupBy("k")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cm_est"))
+    )
+
+
+def hll_merge(registers: DataFrame, group: Column, alias: str) -> DataFrame:
+    """Merge HLL register sets upward along any grouping (the sketch's
+    defining property: register max is associative/commutative, so
+    sketches re-aggregate losslessly along a hierarchy — tile pyramids,
+    time windows, source -> domain rollups). One partial-aggregating max;
+    the driver query's oracle computes the COARSE level directly from the
+    raw data, so a green row PROVES the merge law, not just the
+    arithmetic."""
+    return (
+        registers.groupBy(group.alias(alias), "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
     )

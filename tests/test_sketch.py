@@ -184,3 +184,38 @@ def test_count_min_vs_python_and_guarantee(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BroadcastExchange" in plan
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    """Register merge law: merging fine-group sketches must yield exactly
+    the sketch built directly at the coarse group."""
+    import pyspark.sql.functions as F
+
+    from osm_hadoop_spark.operators.sketch import hll_merge, hll_registers
+
+    rows = [(i % 40, f"u{i % 97}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "fine bigint, user string")
+    fine = hll_registers(df, "fine", "user", p=5)
+    merged = {
+        (r["coarse"], r["bucket"]): r["max_rho"]
+        for r in hll_merge(fine, F.expr("fine div 10"), "coarse").collect()
+    }
+    direct = {
+        (r["coarse"], r["bucket"]): r["max_rho"]
+        for r in hll_registers(
+            df.withColumn("coarse", F.expr("fine div 10")), "coarse", "user",
+            p=5,
+        ).collect()
+    }
+    assert merged == direct
+    # two-step merge (fine -> mid -> global) equals one-step (associativity)
+    mid = hll_merge(fine, F.expr("fine div 5"), "mid")
+    two = {
+        (r["g"], r["bucket"]): r["max_rho"]
+        for r in hll_merge(mid, F.lit(0), "g").collect()
+    }
+    one = {
+        (r["g"], r["bucket"]): r["max_rho"]
+        for r in hll_merge(fine, F.lit(0), "g").collect()
+    }
+    assert two == one
