@@ -7953,6 +7953,61 @@ FROM h GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# greedy max-coverage selection (operators/selection.py): the submodular
+# greedy sweep as a k-round argmax ladder (bounded covered set broadcast
+# anti-join, one argmax row per round). The twin UNROLLS the rounds as
+# chained CTEs re-deriving each round's argmax from scratch — no learned
+# literals anywhere.
+
+_COVER_ROUNDS = 6
+
+
+def _q_greedy_cover(spark, sf_dir):
+    from osm_hadoop_spark.operators.selection import (
+        greedy_cover,
+        word_gram_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return greedy_cover(word_gram_pairs(docs, n=3), k=_COVER_ROUNDS)
+
+
+def _oracle_greedy_cover() -> str:
+    rounds = []
+    for r in range(_COVER_ROUNDS):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT doc_id FROM s{t}" for t in range(r)
+        )
+        not_sel = (
+            f"AND doc_id NOT IN ({prev_sel})" if r else ""
+        )
+        cov = (
+            f"AND gram NOT IN (SELECT g.gram FROM g JOIN ({prev_sel}) p "
+            f"ON g.doc_id = p.doc_id)" if r else ""
+        )
+        rounds.append(f"""
+s{r} AS (
+  SELECT {r} AS sel_round, doc_id, count(*) AS n_new_grams
+  FROM g WHERE 1 = 1 {not_sel} {cov}
+  GROUP BY doc_id
+  ORDER BY n_new_grams DESC, doc_id ASC LIMIT 1)""")
+    union = " UNION ALL ".join(f"SELECT * FROM s{t}"
+                               for t in range(_COVER_ROUNDS))
+    return f"""
+WITH toks_t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, {_duck_h60(_GRAM3)} AS gram
+  FROM toks_t, unnest(generate_series(1, greatest(len(toks) - 2, 0)))
+       AS u(i)),
+{','.join(rounds)}
+SELECT CAST(sel_round AS BIGINT) AS sel_round, doc_id,
+       CAST(n_new_grams AS BIGINT) AS n_new_grams
+FROM ({union})
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -7981,6 +8036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project_q": _q_pca_project,            # broadcast-matmul projection
         "hrw_shard_migration": _q_hrw_migration,    # rendezvous re-shard diff
         "hll_tile_rollup": _q_hll_tile_rollup,      # sketch-merge hierarchy proof
+        "greedy_cover_sel": _q_greedy_cover,        # submodular coverage ladder
         "way_length_mm": _q_way_length,             # geodesic measure (exact int sum)
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
@@ -8146,6 +8202,7 @@ def oracle_sql() -> dict[str, str]:
         "bilinear_upsample_k4": _oracle_bilinear(),
         "hrw_shard_migration": _oracle_hrw(),
         "hll_tile_rollup": _ORACLE_HLL_ROLLUP,
+        "greedy_cover_sel": _oracle_greedy_cover(),
         "way_length_mm": _oracle_way_length(),
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,

@@ -1,0 +1,89 @@
+"""Greedy maximum-coverage corpus selection (submodular greedy).
+
+Data curation at scale repeatedly needs a SMALL subset of documents that
+covers as much of the corpus's vocabulary/feature space as possible —
+seed-set selection for annotation, eval-set construction, diverse few-shot
+pools. Coverage is submodular, so the greedy sweep (pick the document with
+the largest number of still-uncovered grams, repeat) is the standard
+(1 − 1/e)-approximation (Nemhauser, Wolsey & Fisher 1978).
+
+Distributed shape, per round (the BPE-ladder discipline, operators/bpe.py):
+  - the covered-gram set is grams of ≤ k already-selected documents — a
+    BOUNDED, broadcastable relation (k × grams/doc), never corpus-sized;
+  - gains = one scan of the distinct (doc, gram) table, broadcast
+    anti-join against the covered set, one partial-aggregating count;
+  - the argmax row (ties → min doc_id) reaches the driver via limit(1) —
+    a learned-parameter fetch, one row per round.
+The distinct (doc, gram) table is lazily localCheckpoint'ed once and
+re-read by every round instead of re-tokenizing the corpus k times.
+
+Stops early when no document adds a new gram. The DuckDB twin UNROLLS the
+same k rounds as chained CTEs computing each argmax from scratch — a
+from-first-principles derivation with no learned literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def greedy_cover(
+    doc_grams: DataFrame, k: int = 8
+) -> DataFrame:
+    """doc_grams: distinct (doc_id, gram) pairs. Returns the selection
+    ladder (sel_round, doc_id, n_new_grams)."""
+    grams = doc_grams.select("doc_id", "gram").distinct().localCheckpoint(
+        eager=False
+    )
+    spark = doc_grams.sparkSession
+    selected: list = []
+    rows = []
+    for r in range(k):
+        remaining = grams
+        if selected:
+            remaining = remaining.filter(~F.col("doc_id").isin(selected))
+            cov = (
+                grams.filter(F.col("doc_id").isin(selected))
+                .select("gram")
+                .distinct()
+            )
+            remaining = remaining.join(
+                F.broadcast(cov), "gram", "left_anti"
+            )
+        top = (
+            remaining.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_new"))
+            .orderBy(F.desc("n_new"), F.asc("doc_id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        rows.append((r, top[0]["doc_id"], top[0]["n_new"]))
+        selected.append(top[0]["doc_id"])
+    return spark.createDataFrame(
+        rows, "sel_round bigint, doc_id bigint, n_new_grams bigint"
+    )
+
+
+def word_gram_pairs(
+    documents: DataFrame, n: int = 3, text: str = "text"
+) -> DataFrame:
+    """Distinct (doc_id, gram) pairs of h60'd word n-grams — the shared
+    tokenization (textstats conventions; same gram arithmetic as
+    curation.decontaminate so the SQL twin is a known quantity)."""
+    from osm_hadoop_spark.operators.textstats import tokens_col
+
+    toks = tokens_col(text)
+    d = documents.select("doc_id", toks.alias("_t")).filter(
+        F.size("_t") >= n
+    )
+    gram = F.expr(
+        "transform(sequence(1, size(_t) - {nm1}), i -> "
+        "cast(conv(substring(md5(concat_ws(' ', slice(_t, i, {n}))), 1, 15),"
+        " 16, 10) as bigint))".format(nm1=n - 1, n=n)
+    )
+    return (
+        d.select("doc_id", F.explode(gram).alias("gram")).distinct()
+    )

@@ -36,6 +36,9 @@ COLLECT_ALLOWED = {
     "rasterize.py", "catalog.py", "fixtures.py", "way_assembly.py",
     "similarity.py", "shapefile.py", "s2_join.py", "sketch.py",
     "clustering.py", "bpe.py", "linalg.py",
+    # selection.py's greedy_cover collects ONE argmax row per round via
+    # .limit(1) — the BPE-ladder learned-parameter posture
+    "selection.py",
 }
 COLLECT_RE = re.compile(r"\.(collect|toPandas)\s*\(")
 
