@@ -8008,6 +8008,36 @@ FROM ({union})
 """
 
 
+# ---------------------------------------------------------------------------
+# distributed suffix ranking (operators/suffix.py): Manber-Myers prefix
+# doubling, no global window anywhere (two-level prefix-sum dense ranks).
+# The twin materializes suffix STRINGS and dense-ranks them with a plain
+# ORDER BY — byte-wise UTF-8 order equals the engine's codepoint order, so
+# the derivations share no mechanism. Docs are clipped to 128 chars to
+# bound the driver/bench corpus (the operator itself is length-agnostic).
+
+
+def _q_suffix_ranks(spark, sf_dir):
+    from osm_hadoop_spark.operators.suffix import suffix_ranks
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 128).alias("text")
+    )
+    return suffix_ranks(docs)
+
+
+_ORACLE_SUFFIX_RANKS = """
+WITH p AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, substr(text, i) AS suf
+  FROM (SELECT doc_id, substr(text, 1, 128) AS text FROM documents),
+       unnest(generate_series(1, length(text))) AS t(i)
+  WHERE length(text) > 0)
+SELECT doc_id, pos,
+       CAST(dense_rank() OVER (ORDER BY suf) - 1 AS BIGINT) AS suffix_rank
+FROM p
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -8037,6 +8067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hrw_shard_migration": _q_hrw_migration,    # rendezvous re-shard diff
         "hll_tile_rollup": _q_hll_tile_rollup,      # sketch-merge hierarchy proof
         "greedy_cover_sel": _q_greedy_cover,        # submodular coverage ladder
+        "suffix_rank_global": _q_suffix_ranks,      # prefix-doubling suffix array
         "way_length_mm": _q_way_length,             # geodesic measure (exact int sum)
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
@@ -8203,6 +8234,7 @@ def oracle_sql() -> dict[str, str]:
         "hrw_shard_migration": _oracle_hrw(),
         "hll_tile_rollup": _ORACLE_HLL_ROLLUP,
         "greedy_cover_sel": _oracle_greedy_cover(),
+        "suffix_rank_global": _ORACLE_SUFFIX_RANKS,
         "way_length_mm": _oracle_way_length(),
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,

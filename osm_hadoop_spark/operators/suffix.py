@@ -1,0 +1,118 @@
+"""Distributed suffix ranking by prefix doubling (Manber-Myers).
+
+The suffix array is the deep machinery behind substring-level dedup
+(Lee et al. 2022 §4 builds one over the whole corpus), LRS mining, and
+BWT-style compression stats. This implements the corpus-scale primitive:
+rank every suffix of every document in global lexicographic order of its
+content, by prefix doubling — round k upgrades h-order ranks to 2h-order
+ranks using the pair (rank[pos], rank[pos+h]), so O(log maxlen) rounds
+total (Manber & Myers 1993), each round = one equi-self-join + one dense
+rank. Equal suffixes (across documents) share a rank; a suffix that runs
+out inside the horizon takes rank2 = −1, which is exactly "shorter sorts
+first" under string order.
+
+No global window anywhere: dense rank is the two-level prefix-sum shape
+shared with operators/ranges.py — per-key collapse, coarse-bucket
+subtotals (the only ordered window, over a relation ~#distinct-keys /
+2^coarse_bits — the caller's documented bound, same contract as
+balanced_range_buckets), partitioned ranks within coarse buckets. Pair
+keys pack as rank << 32 | (rank2+1), exact for corpora under 2^31
+positions per shard (shard the corpus above that, ranks compose by
+concatenation of shard order).
+
+Early stop: a round that leaves every rank distinct has fully ordered the
+suffixes; the check is one count/count-distinct aggregate (a bounded
+scalar to the driver, the kNN round-control posture). Each round's frame
+is localCheckpoint'ed — iterative-lineage truncation, the cc.py idiom.
+
+The DuckDB twin is maximally independent: it materializes suffix STRINGS
+(substr(text, pos)) and dense-ranks them with a plain ORDER BY — byte-wise
+UTF-8 string order, which equals the codepoint order the engine induces
+from its initial character ranks (UTF-8 is order-preserving), so the two
+derivations share no mechanism at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dense_rank_scalable(
+    df: DataFrame, key: str, out: str = "r", coarse_bits: int = 20
+) -> DataFrame:
+    """Append a 0-based dense rank of `key` (bigint) without a global
+    window: distinct keys -> coarse subtotals (one ordered window over the
+    coarse relation) -> partitioned within-bucket ranks -> join back."""
+    keys = df.select(F.col(key).alias("_k")).distinct()
+    keys = keys.withColumn("_coarse", F.expr(f"_k div {1 << coarse_bits}"))
+    sub = keys.groupBy("_coarse").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = Window.orderBy("_coarse").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sub = sub.select(
+        "_coarse", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_coarse").orderBy("_k")
+    ranked = (
+        keys.join(sub, "_coarse")
+        .select("_k", (F.col("_off") + F.row_number().over(w_in) - 1).alias(out))
+    )
+    return df.join(ranked, df[key] == ranked["_k"]).drop("_k")
+
+
+def suffix_positions(docs: DataFrame, text: str = "text") -> DataFrame:
+    """(doc_id, pos 1-based, code = codepoint of the char at pos)."""
+    d = docs.select("doc_id", F.col(text).alias("_t")).filter(
+        F.length("_t") > 0
+    )
+    return d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("_t"))).alias("pos"),
+        F.expr("ascii(substring(_t, pos, 1))").alias("code"),
+    )
+
+
+def suffix_ranks(
+    docs: DataFrame, text: str = "text", max_rounds: int = 12
+) -> DataFrame:
+    """(doc_id, pos, suffix_rank): dense global rank of every suffix by
+    content. See module docstring for the round structure."""
+    cur = dense_rank_scalable(
+        suffix_positions(docs, text).withColumn(
+            "code", F.col("code").cast("bigint")
+        ),
+        "code",
+        out="rank",
+    ).select("doc_id", "pos", "rank").localCheckpoint(eager=True)
+    n_total = cur.count()
+    h = 1
+    for _ in range(max_rounds):
+        stats = cur.agg(
+            F.countDistinct("rank").alias("d")
+        ).collect()[0]
+        if stats["d"] == n_total:
+            break
+        nxt = cur.alias("a").join(
+            cur.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + h),
+            "left",
+        ).select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.pos").alias("pos"),
+            (
+                F.shiftleft(F.col("a.rank"), 32)
+                + F.coalesce(F.col("b.rank"), F.lit(-1))
+                + 1
+            ).alias("pair"),
+        )
+        cur = (
+            dense_rank_scalable(nxt, "pair", out="rank", coarse_bits=40)
+            .select("doc_id", "pos", "rank")
+            .localCheckpoint(eager=True)
+        )
+        h *= 2
+    return cur.select(
+        "doc_id", "pos", F.col("rank").alias("suffix_rank")
+    )

@@ -37,8 +37,10 @@ COLLECT_ALLOWED = {
     "similarity.py", "shapefile.py", "s2_join.py", "sketch.py",
     "clustering.py", "bpe.py", "linalg.py",
     # selection.py's greedy_cover collects ONE argmax row per round via
-    # .limit(1) — the BPE-ladder learned-parameter posture
-    "selection.py",
+    # .limit(1) — the BPE-ladder learned-parameter posture;
+    # suffix.py collects one count-distinct scalar per doubling round —
+    # the kNN round-control posture
+    "selection.py", "suffix.py",
 }
 COLLECT_RE = re.compile(r"\.(collect|toPandas)\s*\(")
 
