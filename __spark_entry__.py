@@ -8038,6 +8038,50 @@ FROM p
 """
 
 
+# ---------------------------------------------------------------------------
+# LCP array over the suffix ranking (operators/suffix.py::lcp_adjacent):
+# repeated-substring mining via rank-adjacency EQUI-join + the prefix-
+# monotonicity LCP count. The twin re-ranks suffix strings with ORDER BY
+# and applies the same adjacency/LCP definitions to ITS ranking.
+
+
+def _q_lcp_repeats(spark, sf_dir):
+    from osm_hadoop_spark.operators.suffix import lcp_adjacent, suffix_ranks
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 128).alias("text")
+    )
+    return lcp_adjacent(suffix_ranks(docs), docs, horizon=64, min_lcp=8)
+
+
+_ORACLE_LCP_REPEATS = """
+WITH docs128 AS (
+  SELECT doc_id, substr(text, 1, 128) AS text FROM documents),
+p AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, substr(text, i) AS suf,
+         substr(text, i, 64) AS pre
+  FROM docs128, unnest(generate_series(1, length(text))) AS t(i)
+  WHERE length(text) > 0),
+r AS (
+  SELECT doc_id, pos, pre,
+         dense_rank() OVER (ORDER BY suf) - 1 AS rnk,
+         row_number() OVER (PARTITION BY suf ORDER BY doc_id, pos) AS rep_rn
+  FROM p),
+reps AS (SELECT rnk, doc_id, pos, pre FROM r WHERE rep_rn = 1),
+j AS (
+  SELECT a.rnk AS rank,
+         len(list_filter(range(1, 65), i ->
+             substr(a.pre, 1, CAST(i AS INT))
+             = substr(b.pre, 1, CAST(i AS INT)))) AS lcp,
+         a.doc_id AS doc_a, a.pos AS pos_a,
+         b.doc_id AS doc_b, b.pos AS pos_b
+  FROM reps a JOIN reps b ON a.rnk + 1 = b.rnk)
+SELECT CAST(rank AS BIGINT) AS rank, CAST(lcp AS INT) AS lcp,
+       doc_a, pos_a, doc_b, pos_b
+FROM j WHERE lcp >= 8
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -8068,6 +8112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_tile_rollup": _q_hll_tile_rollup,      # sketch-merge hierarchy proof
         "greedy_cover_sel": _q_greedy_cover,        # submodular coverage ladder
         "suffix_rank_global": _q_suffix_ranks,      # prefix-doubling suffix array
+        "lcp_repeat_mining": _q_lcp_repeats,        # LCP repeated substrings
         "way_length_mm": _q_way_length,             # geodesic measure (exact int sum)
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
@@ -8235,6 +8280,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_tile_rollup": _ORACLE_HLL_ROLLUP,
         "greedy_cover_sel": _oracle_greedy_cover(),
         "suffix_rank_global": _ORACLE_SUFFIX_RANKS,
+        "lcp_repeat_mining": _ORACLE_LCP_REPEATS,
         "way_length_mm": _oracle_way_length(),
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,

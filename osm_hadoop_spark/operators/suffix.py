@@ -116,3 +116,64 @@ def suffix_ranks(
     return cur.select(
         "doc_id", "pos", F.col("rank").alias("suffix_rank")
     )
+
+
+def lcp_adjacent(
+    ranks: DataFrame,
+    docs: DataFrame,
+    text: str = "text",
+    horizon: int = 64,
+    min_lcp: int = 8,
+) -> DataFrame:
+    """Bounded-horizon LCP array over the suffix ranking — the repeated-
+    substring miner (an LCP ≥ t at adjacent ranks means a t-char substring
+    occurs at both suffixes; the max over the array is the corpus LRS).
+
+    Per dense rank, the representative suffix is the (min doc_id, min pos)
+    holder — well-defined because equal ranks are equal strings. Adjacent
+    ranks pair by the EQUI-join rank+1 = rank (ranks are dense), never a
+    global sort. The LCP is computed on `horizon`-char prefixes with the
+    prefix-monotonicity trick: equality of the first i chars is monotone
+    in i, so lcp = count of i ∈ [1, horizon] with prefix_i(a) = prefix_i(b)
+    — one codegen filter/size over a sequence, no loops, identical
+    expression shape in the DuckDB twin.
+
+    Returns (rank, lcp, doc_a, pos_a, doc_b, pos_b) for lcp ≥ min_lcp.
+    """
+    reps = (
+        ranks.groupBy("suffix_rank")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("rep"))
+        .select(
+            "suffix_rank",
+            F.col("rep.doc_id").alias("doc_id"),
+            F.col("rep.pos").alias("pos"),
+        )
+    )
+    d = docs.select(
+        F.col("doc_id").alias("_d"), F.col(text).alias("_t")
+    )
+    withp = reps.join(d, reps["doc_id"] == d["_d"]).select(
+        "suffix_rank", "doc_id", "pos",
+        F.expr(f"substring(_t, pos, {horizon})").alias("pre"),
+    )
+    a = withp.select(
+        F.col("suffix_rank").alias("rank"),
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"),
+        F.col("pre").alias("pre_a"),
+    )
+    b = withp.select(
+        (F.col("suffix_rank")).alias("rank_b"),
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"),
+        F.col("pre").alias("pre_b"),
+    )
+    j = a.join(b, a["rank"] + 1 == b["rank_b"])
+    lcp = F.size(
+        F.expr(
+            f"filter(sequence(1, {horizon}), i -> "
+            "substring(pre_a, 1, i) = substring(pre_b, 1, i))"
+        )
+    )
+    return (
+        j.select("rank", lcp.alias("lcp"), "doc_a", "pos_a", "doc_b", "pos_b")
+        .filter(F.col("lcp") >= min_lcp)
+    )

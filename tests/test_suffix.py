@@ -73,3 +73,31 @@ def test_dense_rank_helper_has_no_global_window(spark):
         (r["k"], r["r"]) for r in dense_rank_scalable(df, "k").collect()
     )
     assert got == sorted((i % 7, i % 7) for i in range(50))
+
+
+def test_lcp_finds_planted_repeat(spark):
+    from osm_hadoop_spark.operators.suffix import lcp_adjacent, suffix_ranks
+
+    docs = _docs(spark, ["xxTHEREPEATEDBITyy", "qqTHEREPEATEDBITzz",
+                         "nothing here"])
+    ranks = suffix_ranks(docs)
+    rows = lcp_adjacent(ranks, docs, horizon=32, min_lcp=10).collect()
+    # the planted substring must surface as an adjacent-rank pair:
+    # suffixes at pos 3 of each doc, "THEREPEATEDBITyy" vs
+    # "THEREPEATEDBITzz", share exactly the 14 planted chars
+    best = max(rows, key=lambda r: r["lcp"])
+    assert best["lcp"] == 14
+    pair_docs = {best["doc_a"], best["doc_b"]}
+    assert pair_docs == {0, 1}
+
+
+def test_lcp_exact_value(spark):
+    from osm_hadoop_spark.operators.suffix import lcp_adjacent, suffix_ranks
+
+    docs = _docs(spark, ["abcdefgh", "abcdxyzw"])
+    ranks = suffix_ranks(docs)
+    rows = lcp_adjacent(ranks, docs, horizon=32, min_lcp=1).collect()
+    got = {(r["doc_a"], r["pos_a"], r["doc_b"], r["pos_b"]): r["lcp"]
+           for r in rows}
+    # suffix "abcdefgh" (0,1) is rank-adjacent to "abcdxyzw" (1,1): lcp 4
+    assert got.get((0, 1, 1, 1)) == 4
