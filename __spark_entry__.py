@@ -8082,6 +8082,71 @@ FROM j WHERE lcp >= 8
 """
 
 
+# ---------------------------------------------------------------------------
+# Needleman-Wunsch token alignment (operators/align.py): the alignment
+# family — batch-vectorized DP over candidate doc pairs, exact integer
+# scores; the twin replays the recurrence in a recursive CTE with the
+# closed-form gap base row (Fréchet oracle pattern, NW recurrence).
+
+
+def _q_nw_align(spark, sf_dir):
+    from osm_hadoop_spark.operators.align import nw_align
+    from osm_hadoop_spark.operators.textstats import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = F.expr(
+        "transform(slice(_t, 1, 16), t -> "
+        "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+    )
+    d = (
+        docs.select("doc_id", tokens_col().alias("_t"))
+        .select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 1)
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tb"))
+    pairs = a.join(
+        b,
+        (F.col("doc_b") == F.col("doc_a") + 1) & (F.col("doc_a") % 2 == 0),
+    )
+    return nw_align(pairs)
+
+
+_ORACLE_NW_ALIGN = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_transform(list_slice({{toks}}, 1, 16),
+                        tk -> {_duck_h60('tk')}) AS tk
+  FROM documents),
+elig AS (SELECT doc_id, tk, len(tk) AS l FROM t WHERE len(tk) >= 1),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.tk AS ta, b.tk AS tb,
+         a.l AS m, b.l AS n
+  FROM elig a JOIN elig b
+    ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0),
+dp AS (
+  SELECT da, db, ta, tb, m, n, 1 AS i, 0 AS j,
+         list_transform(range(0, n + 1), c -> -c) AS prev,
+         [CAST(-1 AS BIGINT)] AS cur
+  FROM pairs
+  UNION ALL
+  SELECT da, db, ta, tb, m, n,
+         CASE WHEN j < n THEN i ELSE i + 1 END,
+         CASE WHEN j < n THEN j + 1 ELSE 0 END,
+         CASE WHEN j < n THEN prev ELSE cur END,
+         CASE WHEN j < n
+           THEN list_append(cur, greatest(
+                  prev[j + 1]
+                    + CASE WHEN ta[i] = tb[j + 1] THEN 2 ELSE -1 END,
+                  prev[j + 2] - 1,
+                  cur[j + 1] - 1))
+           ELSE [CAST(-(i + 1) AS BIGINT)] END
+  FROM dp WHERE NOT (i = m AND j = n))
+SELECT da AS doc_a, db AS doc_b, CAST(cur[n + 1] AS BIGINT) AS align_score
+FROM dp WHERE i = m AND j = n
+""".format(toks=_DUCK_TOKS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -8113,6 +8178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_cover_sel": _q_greedy_cover,        # submodular coverage ladder
         "suffix_rank_global": _q_suffix_ranks,      # prefix-doubling suffix array
         "lcp_repeat_mining": _q_lcp_repeats,        # LCP repeated substrings
+        "nw_align_pairs": _q_nw_align,              # token-sequence alignment DP
         "way_length_mm": _q_way_length,             # geodesic measure (exact int sum)
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
@@ -8281,6 +8347,7 @@ def oracle_sql() -> dict[str, str]:
         "greedy_cover_sel": _oracle_greedy_cover(),
         "suffix_rank_global": _ORACLE_SUFFIX_RANKS,
         "lcp_repeat_mining": _ORACLE_LCP_REPEATS,
+        "nw_align_pairs": _ORACLE_NW_ALIGN,
         "way_length_mm": _oracle_way_length(),
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,
