@@ -8147,6 +8147,32 @@ FROM dp WHERE i = m AND j = n
 """.format(toks=_DUCK_TOKS)
 
 
+# ---------------------------------------------------------------------------
+# fixed-point EWMA state summaries (operators/timeseries.py::ewma_final):
+# ordered collect + one codegen fold; DuckDB list_reduce twin over the
+# identically-ordered list.
+
+
+def _q_ewma_users(spark, sf_dir):
+    from osm_hadoop_spark.operators.timeseries import ewma_final
+
+    return ewma_final(_t(spark, sf_dir, "events"))
+
+
+_ORACLE_EWMA = """
+WITH d AS (
+  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS v, ts, event_id
+  FROM events),
+g AS (
+  SELECT user_id, list(v ORDER BY ts, event_id, v) AS ser
+  FROM d GROUP BY user_id)
+SELECT user_id, CAST(len(ser) AS INT) AS n_events,
+       CAST(list_reduce(ser, (acc, x) ->
+            CAST(floor((3 * acc + x) / 4) AS BIGINT)) AS BIGINT) AS ewma_q
+FROM g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -8179,6 +8205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_rank_global": _q_suffix_ranks,      # prefix-doubling suffix array
         "lcp_repeat_mining": _q_lcp_repeats,        # LCP repeated substrings
         "nw_align_pairs": _q_nw_align,              # token-sequence alignment DP
+        "ewma_user_state": _q_ewma_users,           # fixed-point ordered fold
         "way_length_mm": _q_way_length,             # geodesic measure (exact int sum)
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
@@ -8348,6 +8375,7 @@ def oracle_sql() -> dict[str, str]:
         "suffix_rank_global": _ORACLE_SUFFIX_RANKS,
         "lcp_repeat_mining": _ORACLE_LCP_REPEATS,
         "nw_align_pairs": _ORACLE_NW_ALIGN,
+        "ewma_user_state": _ORACLE_EWMA,
         "way_length_mm": _oracle_way_length(),
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,

@@ -288,3 +288,38 @@ def acf_stats(events: DataFrame, key: str = "event_type", ts: str = "ts",
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
+
+
+def ewma_final(events: DataFrame, key: str = "user_id", ts: str = "ts",
+               value: str = "value", quantum: int = 100) -> DataFrame:
+    """Per-key exponentially-weighted moving average with α = 1/4, folded
+    in exact fixed-point integers — the keyed-state summary a feature
+    store or drift monitor keeps per entity (the batch twin of a stateful
+    streaming accumulator).
+
+    Recursion: e_1 = v_1;  e_t = floor((3·e_{t-1} + v_t) / 4)
+    with v = floor(value·quantum). The divide-by-4 uses floor on an
+    EXACT double (|3e+v| < 2^50), the one rounding rule Spark and DuckDB
+    share for negatives — integer `div` truncates toward zero in Spark
+    and would diverge below zero.
+
+    Plan: one hash aggregate builds the per-key ordered series
+    (array_sort on (ts, id, v) structs — map-side combinable collect),
+    then the fold is a single codegen aggregate() over the array. A key's
+    history must fit a row — the same bounded-series contract as
+    resample_ffill; cap the retention window upstream.
+    """
+    v = F.floor(F.col(value) * quantum).cast("bigint")
+    d = events.select(key, F.struct(ts, "event_id", v.alias("v")).alias("s"))
+    g = d.groupBy(key).agg(
+        F.array_sort(F.collect_list("s")).alias("_ser")
+    )
+    fold = F.expr(
+        "aggregate(slice(_ser, 2, size(_ser) - 1), _ser[0].v, "
+        "(acc, x) -> cast(floor((3 * acc + x.v) / 4) AS bigint))"
+    )
+    return g.select(
+        key,
+        F.size("_ser").alias("n_events"),
+        fold.alias("ewma_q"),
+    )

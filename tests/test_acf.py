@@ -42,3 +42,25 @@ def test_acf_single_window_pass(spark):
     # all four leads from one Window operator, one unpivot explode
     assert plan.count("Window") == 1
     assert plan.count("Generate") == 1
+
+
+def test_ewma_hand_computed(spark):
+    from osm_hadoop_spark.operators.timeseries import ewma_final
+
+    # v(x100): 400, 800, 100 -> e1=400, e2=floor((1200+800)/4)=500,
+    # e3=floor((1500+100)/4)=400
+    df = _events(spark, [4.0, 8.0, 1.0])
+    r = ewma_final(df, key="user_id").collect()[0]
+    assert (r["n_events"], r["ewma_q"]) == (3, 400)
+
+
+def test_ewma_negative_floor_semantics(spark):
+    from osm_hadoop_spark.operators.timeseries import ewma_final
+
+    # negatives must FLOOR (toward -inf), not truncate toward zero:
+    # v = -100, -300 -> e2 = floor((-300 + -300)/4) = floor(-150) = -150
+    # then a case with a non-integer quotient:
+    # v = -100, 1 -> e2 = floor((-300 + 1)/4) = floor(-74.75) = -75
+    df = _events(spark, [-1.0, 0.01])
+    r = ewma_final(df, key="user_id").collect()[0]
+    assert r["ewma_q"] == -75
