@@ -8173,6 +8173,48 @@ FROM g
 """
 
 
+# ---------------------------------------------------------------------------
+# Strahler stream order (operators/hydrology.py::strahler_order): bounded-
+# round fixpoint over the shared D8 forest; per round the children census
+# reduces through a (parent, order) partial agg then ONE max-struct argmax.
+# The twin unrolls the identical rounds over the shared dirs CTE.
+
+_STRAHLER_ROUNDS = 8
+
+
+def _q_strahler(spark, sf_dir):
+    from osm_hadoop_spark.operators.hydrology import strahler_order
+
+    return strahler_order(_los_dem(spark, sf_dir), _STRAHLER_ROUNDS)
+
+
+def _oracle_strahler() -> str:
+    rounds = []
+    for t in range(1, _STRAHLER_ROUNDS + 1):
+        rounds.append(f"""
+o{t} AS (
+  SELECT c.cx, c.cy, COALESCE(s.v, 1) AS o
+  FROM cells c LEFT JOIN (
+    SELECT px, py, o + CASE WHEN cnt >= 2 THEN 1 ELSE 0 END AS v
+    FROM (
+      SELECT px, py, o, cnt,
+             row_number() OVER (PARTITION BY px, py ORDER BY o DESC) AS rn
+      FROM (
+        SELECT p.nx AS px, p.ny AS py, ch.o, count(*) AS cnt
+        FROM o{t - 1} ch JOIN ptr p ON ch.cx = p.cx AND ch.cy = p.cy
+        GROUP BY 1, 2, 3))
+    WHERE rn = 1) s
+  ON c.cx = s.px AND c.cy = s.py)""")
+    return f"""
+WITH {_d8_dir_ctes()},
+ptr AS (SELECT cx, cy, nx, ny FROM dirs WHERE dir > 0),
+cells AS (SELECT cx, cy FROM dem),
+o0 AS (SELECT cx, cy, CAST(1 AS BIGINT) AS o FROM cells),
+{','.join(rounds)}
+SELECT cx, cy, CAST(o AS BIGINT) AS strahler FROM o{_STRAHLER_ROUNDS}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -8206,6 +8248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcp_repeat_mining": _q_lcp_repeats,        # LCP repeated substrings
         "nw_align_pairs": _q_nw_align,              # token-sequence alignment DP
         "ewma_user_state": _q_ewma_users,           # fixed-point ordered fold
+        "strahler_order_d8": _q_strahler,           # drainage-network hierarchy
         "way_length_mm": _q_way_length,             # geodesic measure (exact int sum)
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
@@ -8376,6 +8419,7 @@ def oracle_sql() -> dict[str, str]:
         "lcp_repeat_mining": _ORACLE_LCP_REPEATS,
         "nw_align_pairs": _ORACLE_NW_ALIGN,
         "ewma_user_state": _ORACLE_EWMA,
+        "strahler_order_d8": _oracle_strahler(),
         "way_length_mm": _oracle_way_length(),
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,

@@ -249,3 +249,60 @@ def flow_accumulation(
         a = moved.localCheckpoint(eager=True) if checkpoint else moved
         total = total.unionByName(a)
     return total.groupBy("cx", "cy").agg(F.sum("a").cast("bigint").alias("acc"))
+
+
+def strahler_order(
+    dem: DataFrame, rounds: int, default_elev: int = 0, checkpoint: bool = True
+) -> DataFrame:
+    """Strahler stream order over the D8 forest (Strahler 1957): leaves
+    are order 1; a cell fed by children of max order m is order m+1 when
+    two or more children attain m, else m. The classic drainage-network
+    classifier (channel hierarchy, stream-network generalization).
+
+    Bounded-round fixpoint: round k finalizes every cell whose upstream
+    depth is <= k (same contract as flow_accumulation — exact when the
+    longest flow chain fits in `rounds`, a documented lower bound
+    otherwise). Each round is one slim (cell, order) join onto the
+    pointer forest plus a two-level aggregate: children group by
+    (parent, order) with map-side combine, then ONE max-struct argmax
+    per parent picks (max order, count at max) — never a collect_list of
+    child orders, so a hub cell with millions of inflows costs two hash
+    aggregations, not a wide row.
+    """
+    ptr = (
+        d8_flow_direction(dem, default_elev)
+        .filter(F.col("dir") > 0)
+        .select("cx", "cy", "nx", "ny")
+    )
+    cells = dem.select("cx", "cy")
+    if checkpoint:
+        ptr = ptr.localCheckpoint(eager=True)
+    o = cells.withColumn("o", F.lit(1).cast("long"))
+    for _ in range(rounds):
+        fed = (
+            o.join(ptr, ["cx", "cy"])
+            .groupBy(
+                F.col("nx").alias("px"), F.col("ny").alias("py"), "o"
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("px", "py")
+            .agg(F.max(F.struct("o", "cnt")).alias("m"))
+            .select(
+                "px", "py",
+                (
+                    F.col("m.o")
+                    + F.when(F.col("m.cnt") >= 2, 1).otherwise(0)
+                ).alias("v"),
+            )
+        )
+        o = (
+            cells.join(
+                fed,
+                (cells.cx == fed.px) & (cells.cy == fed.py),
+                "left",
+            )
+            .select("cx", "cy", F.coalesce("v", F.lit(1)).cast("long").alias("o"))
+        )
+        if checkpoint:
+            o = o.localCheckpoint(eager=True)
+    return o.select("cx", "cy", F.col("o").alias("strahler"))

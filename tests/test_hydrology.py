@@ -209,3 +209,32 @@ def test_d8_plan_shape(spark):
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_strahler_textbook_confluence(spark):
+    """Two order-1 streams meeting make order 2; a third order-1 joining
+    downstream keeps order 2 (the defining Strahler asymmetry)."""
+    import pyspark.sql.functions as F
+
+    from osm_hadoop_spark.operators.hydrology import strahler_order
+
+    # elevations force the D8 paths: two ridges draining into a channel
+    #   (0,0)=9  (2,0)=9   -> both flow to (1,1)=5 -> (1,2)=3 -> (1,3)=1
+    #   (0,2)=8 joins at (1,3)? no: let it join at (1,2)'s successor
+    rows = [
+        (0, 0, 9), (2, 0, 9),        # headwaters (order 1)
+        (1, 1, 5),                   # confluence of two order-1 -> 2
+        (1, 2, 3),                   # passes through (still 2)
+        (0, 2, 8),                   # side headwater (order 1)
+        (1, 3, 1),                   # side stream joins main: max(2,1)=2
+    ]
+    dem = spark.createDataFrame(rows, "cx long, cy long, elev long")
+    # default_elev=99 walls the border so drainage stays inside the DEM
+    got = {(r["cx"], r["cy"]): r["strahler"]
+           for r in strahler_order(dem, rounds=6, default_elev=99).collect()}
+    assert got[(0, 0)] == 1 and got[(2, 0)] == 1 and got[(0, 2)] == 1
+    assert got[(1, 1)] == 2
+    assert got[(1, 2)] == 2
+    # (1,3) receives the order-2 main stem and the order-1 side stream:
+    # orders differ, so it stays 2
+    assert got[(1, 3)] == 2
