@@ -8215,6 +8215,49 @@ SELECT cx, cy, CAST(o AS BIGINT) AS strahler FROM o{_STRAHLER_ROUNDS}
 """
 
 
+# ---------------------------------------------------------------------------
+# robust median/MAD outlier census (timeseries.robust_outlier_stats):
+# rank-DEFINED medians (never an engine median() builtin), exact int64.
+
+
+def _q_robust_outliers(spark, sf_dir):
+    from osm_hadoop_spark.operators.timeseries import robust_outlier_stats
+
+    return robust_outlier_stats(_t(spark, sf_dir, "events"))
+
+
+_ORACLE_ROBUST = """
+WITH d AS (
+  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS v, event_id
+  FROM events),
+r AS (
+  SELECT user_id, v, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY v, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM d),
+med AS (
+  SELECT user_id, v AS med_q, n AS n_events
+  FROM r WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)),
+dd AS (
+  SELECT d.user_id, abs(d.v - m.med_q) AS ad, d.event_id, m.med_q,
+         m.n_events
+  FROM d JOIN med m USING (user_id)),
+r2 AS (
+  SELECT user_id, ad, med_q, n_events,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ad, event_id) AS rn
+  FROM dd),
+mad AS (
+  SELECT user_id, ad AS mad_q, med_q, n_events
+  FROM r2 WHERE rn = CAST(floor((n_events + 1) / 2.0) AS BIGINT))
+SELECT m.user_id, CAST(m.n_events AS BIGINT) AS n_events, m.med_q, m.mad_q,
+       CAST(sum(CASE WHEN dd.ad > 3 * m.mad_q THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM mad m JOIN dd ON dd.user_id = m.user_id
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -8249,6 +8292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nw_align_pairs": _q_nw_align,              # token-sequence alignment DP
         "ewma_user_state": _q_ewma_users,           # fixed-point ordered fold
         "strahler_order_d8": _q_strahler,           # drainage-network hierarchy
+        "robust_outlier_mad": _q_robust_outliers,   # rank-defined median/MAD
         "way_length_mm": _q_way_length,             # geodesic measure (exact int sum)
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
@@ -8420,6 +8464,7 @@ def oracle_sql() -> dict[str, str]:
         "nw_align_pairs": _ORACLE_NW_ALIGN,
         "ewma_user_state": _ORACLE_EWMA,
         "strahler_order_d8": _oracle_strahler(),
+        "robust_outlier_mad": _ORACLE_ROBUST,
         "way_length_mm": _oracle_way_length(),
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,

@@ -323,3 +323,70 @@ def ewma_final(events: DataFrame, key: str = "user_id", ts: str = "ts",
         F.size("_ser").alias("n_events"),
         fold.alias("ewma_q"),
     )
+
+
+def robust_outlier_stats(events: DataFrame, key: str = "user_id",
+                         value: str = "value",
+                         quantum: int = 100) -> DataFrame:
+    """Per-key robust location/scale + outlier census: lower median and
+    MAD (median absolute deviation) over quantized values, then the count
+    of points beyond 3 MADs — the standard contamination-resistant
+    screen for metric streams (mean/stddev break down under the very
+    outliers being hunted).
+
+    Exactness: the median is DEFINED as the element at 1-based rank
+    floor((n+1)/2) under the total order (v, event_id) — a rank-based
+    definition both engines implement identically (never an engine
+    median() builtin, whose interpolation rules differ). All outputs are
+    exact int64.
+
+    Plan: two partitioned window passes (rank + per-key count in one
+    window frame each) and two hash aggregates — no global windows, no
+    Python. Key cardinality bounds the joins; per-key series length only
+    affects the partitioned sorts.
+    """
+    v = F.floor(F.col(value) * quantum).cast("bigint")
+    d = events.select(key, v.alias("v"), "event_id")
+    w = Window.partitionBy(key).orderBy("v", "event_id")
+    wc = Window.partitionBy(key)
+    ranked = d.select(
+        key, "v", "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    med = ranked.groupBy(key).agg(
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("v"))
+        ).alias("med_q"),
+        F.max("n").alias("n_events"),
+    )
+    dd = d.join(med, key).select(
+        key, "v", "event_id", "med_q", "n_events",
+        F.abs(F.col("v") - F.col("med_q")).alias("ad"),
+    )
+    w2 = Window.partitionBy(key).orderBy("ad", "event_id")
+    ranked2 = dd.select(
+        key, "ad", "med_q", "n_events",
+        F.row_number().over(w2).alias("rn"),
+    )
+    mad = ranked2.groupBy(key).agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("n_events") + 1) / 2),
+                F.col("ad"),
+            )
+        ).alias("mad_q"),
+        F.max("med_q").alias("med_q"),
+        F.max("n_events").alias("n_events"),
+    )
+    out = dd.select(key, "ad").join(mad, key).groupBy(
+        key
+    ).agg(
+        F.max("med_q").alias("med_q"),
+        F.max("mad_q").alias("mad_q"),
+        F.max("n_events").alias("n_events"),
+        F.sum(
+            F.when(F.col("ad") > 3 * F.col("mad_q"), 1).otherwise(0)
+        ).cast("bigint").alias("n_outliers"),
+    )
+    return out.select(key, "n_events", "med_q", "mad_q", "n_outliers")

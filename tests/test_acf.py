@@ -64,3 +64,25 @@ def test_ewma_negative_floor_semantics(spark):
     df = _events(spark, [-1.0, 0.01])
     r = ewma_final(df, key="user_id").collect()[0]
     assert r["ewma_q"] == -75
+
+
+def test_robust_outliers_hand_computed(spark):
+    from osm_hadoop_spark.operators.timeseries import robust_outlier_stats
+
+    # v(x100): 100,200,300,400,10000 -> lower median (n=5, rank 3) = 300
+    # ad: 200,100,0,100,9700 -> sorted 0,100,100,200,9700, rank 3 -> 100
+    # outliers: ad > 300 -> only 9700
+    df = _events(spark, [1.0, 2.0, 3.0, 4.0, 100.0])
+    r = robust_outlier_stats(df, key="user_id").collect()[0]
+    assert (r["n_events"], r["med_q"], r["mad_q"], r["n_outliers"]) == (
+        5, 300, 100, 1,
+    )
+
+
+def test_robust_outliers_even_n_lower_median(spark):
+    from osm_hadoop_spark.operators.timeseries import robust_outlier_stats
+
+    # n=4: rank floor(5/2)=2 -> LOWER median: sorted 100,200,300,400 -> 200
+    df = _events(spark, [1.0, 2.0, 3.0, 4.0])
+    r = robust_outlier_stats(df, key="user_id").collect()[0]
+    assert r["med_q"] == 200
