@@ -8258,6 +8258,58 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus vocabulary growth + key-skew audit (operators/textstats.py):
+# first-occurrence bucketing (no prefix rescans) and the exact-integer
+# Gini shuffle-planning diagnostic.
+
+
+def _q_vocab_growth(spark, sf_dir):
+    from osm_hadoop_spark.operators.textstats import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"), step=10, ngram=2)
+
+
+_ORACLE_VOCAB_GROWTH = f"""
+WITH d AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+t AS (
+  SELECT doc_id, lower(toks[u.i]) || ' ' || lower(toks[u.i + 1]) AS token
+  FROM d, unnest(range(1, len(toks))) AS u(i)),
+f AS (SELECT token, min(doc_id) AS fd FROM t GROUP BY 1),
+b AS (SELECT fd // 10 AS b, count(*) AS new_tokens FROM f GROUP BY 1)
+SELECT CAST((b + 1) * 10 AS BIGINT) AS k_docs,
+       CAST(new_tokens AS BIGINT) AS new_tokens,
+       CAST(sum(new_tokens) OVER (ORDER BY b
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+FROM b
+"""
+
+
+def _q_key_skew(spark, sf_dir):
+    from osm_hadoop_spark.operators.textstats import key_skew_audit
+
+    return key_skew_audit(_t(spark, sf_dir, "events"), "event_type",
+                          "user_id")
+
+
+_ORACLE_KEY_SKEW = """
+WITH c AS (
+  SELECT event_type AS grp, user_id AS k, count(*) AS c
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT grp, c,
+         row_number() OVER (PARTITION BY grp ORDER BY c, k) AS i,
+         count(*) OVER (PARTITION BY grp) AS m
+  FROM c)
+SELECT grp, CAST(max(m) AS BIGINT) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS total_rows,
+       CAST(max(c) AS BIGINT) AS top1_rows,
+       CAST(sum((2 * i - m - 1) * c) AS BIGINT) AS gini_num,
+       CAST(max(m) * sum(c) AS BIGINT) AS gini_den
+FROM r GROUP BY grp
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -8293,6 +8345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_user_state": _q_ewma_users,           # fixed-point ordered fold
         "strahler_order_d8": _q_strahler,           # drainage-network hierarchy
         "robust_outlier_mad": _q_robust_outliers,   # rank-defined median/MAD
+        "vocab_growth_curve": _q_vocab_growth,      # Heaps-law corpus audit
+        "key_skew_audit": _q_key_skew,              # exact Gini shuffle planning
         "way_length_mm": _q_way_length,             # geodesic measure (exact int sum)
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
@@ -8465,6 +8519,8 @@ def oracle_sql() -> dict[str, str]:
         "ewma_user_state": _ORACLE_EWMA,
         "strahler_order_d8": _oracle_strahler(),
         "robust_outlier_mad": _ORACLE_ROBUST,
+        "vocab_growth_curve": _ORACLE_VOCAB_GROWTH,
+        "key_skew_audit": _ORACLE_KEY_SKEW,
         "way_length_mm": _oracle_way_length(),
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,

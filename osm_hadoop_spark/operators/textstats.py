@@ -380,3 +380,77 @@ def token_drift_chi2(
             den.cast("string").alias("chi2_den"),
         )
     )
+
+
+def vocab_growth(documents: DataFrame, step: int = 100,
+                 text: str = "text", ngram: int = 1) -> DataFrame:
+    """Vocabulary growth curve (Heaps'-law audit): distinct-n-gram count
+    among the first k documents, for k at every `step` boundary — the
+    standard corpus-health diagnostic (a growth curve that flattens too
+    early signals template spam; one that never flattens signals noise/
+    encoding damage). `ngram` > 1 tracks token n-grams (space-joined),
+    whose vocabulary is far larger and saturates far later — the curve
+    a real corpus audit actually plots.
+
+    Shape: the curve NEVER rescans prefixes. Each n-gram's FIRST document
+    (min doc_id — one map-side-combinable aggregate over the exploded
+    n-grams) lands in one step bucket; bucket counts then prefix-sum with
+    a single ordered window over the ~(n_docs/step)-row bucket relation —
+    the bounded-relation window contract (ranges.py). Exact integers.
+    The n-gram construction is a JVM `transform(sequence(...))` over the
+    lowered token array: no Python, no second explode.
+    """
+    toks = F.transform(tokens_col(text), lambda t: F.lower(t))
+    if ngram > 1:
+        grams = F.expr(
+            f"transform(sequence(0, size(__toks) - {ngram}),"
+            f" i -> array_join(slice(__toks, i + 1, {ngram}), ' '))"
+        )
+        exploded = (
+            documents.select("doc_id", toks.alias("__toks"))
+            .where(F.size("__toks") >= ngram)
+            .select("doc_id", F.explode(grams).alias("token"))
+        )
+    else:
+        exploded = documents.select("doc_id", F.explode(toks).alias("token"))
+    first = exploded.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    buckets = first.groupBy(
+        F.expr(f"first_doc div {step}").alias("b")
+    ).agg(F.count(F.lit(1)).alias("new_tokens"))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    return buckets.select(
+        ((F.col("b") + 1) * step).alias("k_docs"),
+        F.col("new_tokens"),
+        F.sum("new_tokens").over(w).alias("vocab_size"),
+    )
+
+
+def key_skew_audit(df: DataFrame, group: str, key: str) -> DataFrame:
+    """Per-group key-skew report: the shuffle-planning diagnostic run
+    BEFORE launching a big keyed job (salting / AQE-skew decisions need
+    numbers, not vibes). For each group: distinct keys, total rows, the
+    hottest key's count, and the exact integer Gini pair
+        gini_num = Σ_i (2i − m − 1)·c_i   (keys sorted by (count, key)),
+        gini_den = m · Σ c_i
+    so gini = num/den needs no floats and the cross-engine hash is exact.
+
+    One hash aggregate collapses rows to (group, key) counts; the rank
+    window is PARTITIONED by group (never global)."""
+    counts = df.groupBy(
+        F.col(group).alias("grp"), F.col(key).alias("k")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("grp").orderBy("c", "k")
+    ranked = counts.select(
+        "grp", "c",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("m"),
+    )
+    return ranked.groupBy("grp").agg(
+        F.max("m").alias("n_keys"),
+        F.sum("c").alias("total_rows"),
+        F.max("c").alias("top1_rows"),
+        F.sum(
+            (2 * F.col("i") - F.col("m") - 1) * F.col("c")
+        ).alias("gini_num"),
+        (F.max("m") * F.sum("c")).alias("gini_den"),
+    )
