@@ -8310,6 +8310,127 @@ FROM r GROUP BY grp
 """
 
 
+# --- sweep-line peak concurrency (operators/sweepline.py) -------------------
+# T6: max simultaneous open intervals per user + earliest instant the peak
+# is reached. Same h60-derived [start, end) intervals as activity_islands
+# (T5 measures coverage, T6 measures depth). All-integer -> exact twin.
+def _q_peak_concurrency(spark, sf_dir):
+    from osm_hadoop_spark.operators.sweepline import peak_concurrency
+    from osm_hadoop_spark.operators.textstats import h60
+
+    iv = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + h60(F.concat(F.lit("dur"), F.col("event_id").cast("string")))
+            % 43_200_000_000
+            + 1
+        ).alias("end_us"),
+    )
+    return peak_concurrency(iv)
+
+
+_ORACLE_PEAK_CONCURRENCY = f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS start_us,
+         epoch_us(ts)
+           + {_duck_h60("'dur' || CAST(event_id AS VARCHAR)")} % 43200000000
+           + 1 AS end_us
+  FROM events),
+ev AS (
+  SELECT user_id, start_us AS ts, CAST(1 AS BIGINT) AS delta FROM iv
+  UNION ALL
+  SELECT user_id, end_us AS ts, CAST(-1 AS BIGINT) AS delta FROM iv),
+d AS (
+  SELECT user_id, ts,
+         sum(delta) OVER (PARTITION BY user_id ORDER BY ts, delta
+                          ROWS UNBOUNDED PRECEDING) AS depth
+  FROM ev),
+p AS (
+  SELECT user_id, ts, depth,
+         max(depth) OVER (PARTITION BY user_id) AS pk
+  FROM d)
+SELECT user_id,
+       CAST(max(pk) AS BIGINT) AS peak,
+       CAST(min(CASE WHEN depth = pk THEN ts END) AS BIGINT) AS first_peak_us,
+       CAST(count(*) / 2 AS BIGINT) AS n_intervals
+FROM p GROUP BY user_id
+"""
+
+
+# --- column profiler (operators/profile.py) ---------------------------------
+# ANALYZE-style exact per-column stats in ONE scan (Expand multi-distinct
+# plan) + an exact fixed-bound equi-width histogram. Engine-utility family:
+# what you run at ingest before choosing partition/cluster keys.
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def _q_table_profile(spark, sf_dir):
+    from osm_hadoop_spark.operators.profile import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+_ORACLE_TABLE_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+def _q_price_histogram(spark, sf_dir):
+    from osm_hadoop_spark.operators.profile import equi_width_histogram
+
+    cents = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).alias("cents")
+    )
+    return equi_width_histogram(cents, "cents", lo=0, hi=60_000_000, buckets=32)
+
+
+# floor(v*100) on the shared parquet doubles is one IEEE multiply + floor —
+# bit-identical across engines (Spark's double->bigint CAST truncates while
+# DuckDB's rounds, so the explicit floor IS the contract).
+_ORACLE_PRICE_HISTOGRAM = """
+SELECT CAST(greatest(0, least(31,
+         floor((floor(o_totalprice * 100) - 0) * 32 / 60000000))) AS BIGINT)
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+"""
+
+
+# --- blocklist census (operators/curation.py) -------------------------------
+# Curation gate: case-insensitive substring census of a literal blocklist.
+# Map-side |terms|-way fan-out + tiny partial-agg groupBy; occurrence count
+# is the codegen length-difference identity in BOTH engines.
+_BLOCKLIST_TERMS = ["spark", "slow scan", "vector", "hash"]
+
+
+def _q_blocklist_census(spark, sf_dir):
+    from osm_hadoop_spark.operators.curation import blocklist_census
+
+    return blocklist_census(_t(spark, sf_dir, "documents"), _BLOCKLIST_TERMS)
+
+
+_ORACLE_BLOCKLIST = f"""
+WITH t AS (SELECT unnest({[t.lower() for t in _BLOCKLIST_TERMS]!r}) AS term),
+probe AS (
+  SELECT t.term,
+         CAST((length(lower(d.text))
+               - length(replace(lower(d.text), t.term, '')))
+              / length(t.term) AS BIGINT) AS occ
+  FROM documents d CROSS JOIN t)
+SELECT term, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(occ) AS BIGINT) AS n_occurrences
+FROM probe WHERE occ > 0 GROUP BY term
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -8347,6 +8468,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outlier_mad": _q_robust_outliers,   # rank-defined median/MAD
         "vocab_growth_curve": _q_vocab_growth,      # Heaps-law corpus audit
         "key_skew_audit": _q_key_skew,              # exact Gini shuffle planning
+        "peak_concurrency": _q_peak_concurrency,    # T6 sweep-line max depth
+        "table_profile_orders": _q_table_profile,   # one-scan ANALYZE stats
+        "price_histogram_b32": _q_price_histogram,  # exact fixed-bound histogram
+        "blocklist_census": _q_blocklist_census,    # curation blocklist gate
         "way_length_mm": _q_way_length,             # geodesic measure (exact int sum)
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
@@ -8521,6 +8646,10 @@ def oracle_sql() -> dict[str, str]:
         "robust_outlier_mad": _ORACLE_ROBUST,
         "vocab_growth_curve": _ORACLE_VOCAB_GROWTH,
         "key_skew_audit": _ORACLE_KEY_SKEW,
+        "peak_concurrency": _ORACLE_PEAK_CONCURRENCY,
+        "table_profile_orders": _ORACLE_TABLE_PROFILE,
+        "price_histogram_b32": _ORACLE_PRICE_HISTOGRAM,
+        "blocklist_census": _ORACLE_BLOCKLIST,
         "way_length_mm": _oracle_way_length(),
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,

@@ -399,3 +399,56 @@ def pack_documents(
         (lo - F.col("start_off")).cast("bigint").alias("tok_start_in_doc"),
         (hi - lo).cast("bigint").alias("tok_in_pack"),
     )
+
+
+def blocklist_census(
+    documents: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Blocklist-term census: per term, how many documents contain it and
+    how many occurrences exist corpus-wide (case-insensitive substring).
+
+    The filtering gate every training-data pipeline runs before anything
+    else (bad-word lists, brand blocklists, policy strings). The term
+    list is tiny and broadcast AS LITERALS — each doc row fans out to
+    |terms| slim probe rows via posexplode of a literal array, entirely
+    map-side; occurrence counting is the codegen length-difference
+    identity (no regex, no Python):
+
+        occ(text, t) = (len(text) - len(replace(text, t, ''))) / len(t)
+
+    Output: (term, n_docs, n_occurrences), only terms that hit.
+
+    100 TB posture: one projection with a fixed |terms|-way fan-out, one
+    partial-aggregatable groupBy on a key whose cardinality is |terms| —
+    map-side combine collapses almost everything before the (tiny)
+    shuffle. For |terms| in the thousands-to-millions (true Aho-Corasick
+    territory) switch to a broadcast-automaton mapInPandas; the literal
+    fan-out is the right plan while |terms| is a config-file-sized list.
+    Exactness: counts are integers; lower() on ASCII terms matches
+    DuckDB's lower() — the oracle is the same expression per term.
+    """
+    lit_terms = F.array(*[F.lit(t.lower()) for t in terms])
+    lowered = documents.select(
+        F.col(doc_id), F.lower(F.col(text_col)).alias("_lt")
+    )
+    probes = lowered.select(
+        doc_id, "_lt", F.posexplode(lit_terms).alias("_ti", "term")
+    ).select(
+        doc_id,
+        "term",
+        (
+            (F.length("_lt") - F.length(F.expr("replace(_lt, term, '')")))
+            / F.length("term")
+        ).cast("bigint").alias("occ"),
+    )
+    return (
+        probes.where(F.col("occ") > 0)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("occ").alias("n_occurrences"),
+        )
+    )

@@ -1,0 +1,98 @@
+"""Peak-concurrency sweep line, column profiler, blocklist census."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_peak_concurrency_known(spark):
+    from osm_hadoop_spark.operators.sweepline import peak_concurrency
+
+    # u1: [0,10) [10,20) touch -> never concurrent; [5,8) overlaps the
+    # first -> depth 2 first reached at t=5.
+    # u2: three nested intervals -> depth 3 at t=2.
+    # u3: single interval -> peak 1 at its start.
+    rows = [
+        (1, 0, 10), (1, 10, 20), (1, 5, 8),
+        (2, 0, 100), (2, 1, 50), (2, 2, 30),
+        (3, 7, 9),
+    ]
+    iv = spark.createDataFrame(rows, "user_id long, start_us long, end_us long")
+    got = {
+        r["user_id"]: (r["peak"], r["first_peak_us"], r["n_intervals"])
+        for r in peak_concurrency(iv).collect()
+    }
+    assert got == {1: (2, 5, 3), 2: (3, 2, 3), 3: (1, 7, 1)}
+
+
+def test_peak_concurrency_half_open(spark):
+    """An interval ending at t does NOT overlap one starting at t — the
+    (ts, delta) sort closes before it opens."""
+    from osm_hadoop_spark.operators.sweepline import peak_concurrency
+
+    iv = spark.createDataFrame(
+        [(9, 0, 5), (9, 5, 10), (9, 10, 15)],
+        "user_id long, start_us long, end_us long",
+    )
+    [r] = peak_concurrency(iv).collect()
+    assert (r["peak"], r["first_peak_us"]) == (1, 0)
+
+
+def test_profile_columns_stats(spark):
+    from osm_hadoop_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (2, None), (7, "a")], "k long, s string"
+    )
+    got = {r["col_name"]: r.asDict() for r in profile_columns(df, ["k", "s"]).collect()}
+    assert got["k"]["n_rows"] == 4 and got["k"]["n_null"] == 0
+    assert got["k"]["ndv"] == 3
+    assert (got["k"]["min_val"], got["k"]["max_val"]) == ("1", "7")
+    assert got["s"]["n_null"] == 1 and got["s"]["ndv"] == 2
+    assert (got["s"]["min_val"], got["s"]["max_val"]) == ("a", "b")
+
+
+def test_profile_single_scan(spark):
+    """The multi-column profile must plan ONE scan of the input (Expand
+    multi-distinct strategy), not one scan per column."""
+    from osm_hadoop_spark.operators.profile import profile_columns
+
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b")
+    )
+    plan = profile_columns(df, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 100") == 1
+    assert "Expand" in plan
+
+
+def test_equi_width_histogram_clamps(spark):
+    from osm_hadoop_spark.operators.profile import equi_width_histogram
+
+    df = spark.createDataFrame(
+        [(v,) for v in [-5, 0, 9, 10, 19, 99, 100, 250]], "v long"
+    )
+    got = {r["bucket"]: r["n"] for r in
+           equi_width_histogram(df, "v", lo=0, hi=100, buckets=10).collect()}
+    # -5 clamps into bucket 0; 100 and 250 clamp into bucket 9
+    assert got == {0: 3, 1: 2, 9: 3}
+    assert sum(got.values()) == 8
+
+
+def test_blocklist_census_counts(spark):
+    from osm_hadoop_spark.operators.curation import blocklist_census
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Spark spark SPARKLE"),        # 'spark' x3 (substring, ci)
+            (2, "nothing to see"),
+            (3, "aaa"),                         # 'aa' overlap: non-overlapping count = 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["term"]: (r["n_docs"], r["n_occurrences"]) for r in
+           blocklist_census(docs, ["spark", "aa", "absent"]).collect()}
+    assert got["spark"] == (1, 3)
+    # replace() consumes matches left-to-right, so 'aaa' counts ONE 'aa' —
+    # the non-overlapping convention, identical in DuckDB's replace()
+    assert got["aa"] == (1, 1)
+    assert "absent" not in got
