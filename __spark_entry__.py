@@ -8431,6 +8431,68 @@ FROM probe WHERE occ > 0 GROUP BY term
 """
 
 
+# --- table reconciliation (operators/reconcile.py) --------------------------
+# Anti-entropy bucketed content checksum + Merkle-style diff. The diff query
+# plants a deterministic mutation (doc 7's text changed, doc 11 dropped) in
+# snapshot B and must localize EXACTLY those buckets.
+_RECON_COLS = ["doc_id", "text", "lang", "source"]
+
+
+def _q_table_checksum(spark, sf_dir):
+    from osm_hadoop_spark.operators.reconcile import table_checksum
+
+    return table_checksum(
+        _t(spark, sf_dir, "documents"), "doc_id", _RECON_COLS, buckets=64
+    )
+
+
+def _duck_checksum(src: str) -> str:
+    canon = "concat_ws('|', CAST(doc_id AS VARCHAR), text, lang, source)"
+    return f"""
+  SELECT {_duck_h60("CAST(doc_id AS VARCHAR)")} % 64 AS bucket,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(bit_xor({_duck_h60(canon)}) AS BIGINT) AS xor60
+  FROM {src} GROUP BY 1"""
+
+
+_ORACLE_TABLE_CHECKSUM = _duck_checksum("documents")
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    from osm_hadoop_spark.operators.reconcile import checksum_diff, table_checksum
+
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.where(F.col("doc_id") != 11).select(
+        "doc_id",
+        F.when(F.col("doc_id") == 7, F.lit("tampered")).otherwise(
+            F.col("text")
+        ).alias("text"),
+        "lang",
+        "source",
+    )
+    cs = lambda d: table_checksum(d, "doc_id", _RECON_COLS, buckets=64)  # noqa: E731
+    return checksum_diff(cs(docs), cs(mutated))
+
+
+_ORACLE_SNAPSHOT_DIFF = f"""
+WITH mut AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = 7 THEN 'tampered' ELSE text END AS text,
+         lang, source
+  FROM documents WHERE doc_id != 11),
+ca AS ({_duck_checksum("documents")}),
+cb AS ({_duck_checksum("mut")})
+SELECT coalesce(ca.bucket, cb.bucket) AS bucket,
+       ca.n_rows AS n_rows_a, cb.n_rows AS n_rows_b,
+       ca.xor60 AS xor_a, cb.xor60 AS xor_b,
+       CASE WHEN ca.n_rows IS DISTINCT FROM cb.n_rows THEN 'count'
+            ELSE 'content' END AS status
+FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+WHERE ca.n_rows IS DISTINCT FROM cb.n_rows
+   OR ca.xor60 IS DISTINCT FROM cb.xor60
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -8472,6 +8534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile_orders": _q_table_profile,   # one-scan ANALYZE stats
         "price_histogram_b32": _q_price_histogram,  # exact fixed-bound histogram
         "blocklist_census": _q_blocklist_census,    # curation blocklist gate
+        "table_checksum_docs": _q_table_checksum,   # anti-entropy bucket checksum
+        "snapshot_diff_buckets": _q_snapshot_diff,  # Merkle-style snapshot diff
         "way_length_mm": _q_way_length,             # geodesic measure (exact int sum)
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
@@ -8650,6 +8714,8 @@ def oracle_sql() -> dict[str, str]:
         "table_profile_orders": _ORACLE_TABLE_PROFILE,
         "price_histogram_b32": _ORACLE_PRICE_HISTOGRAM,
         "blocklist_census": _ORACLE_BLOCKLIST,
+        "table_checksum_docs": _ORACLE_TABLE_CHECKSUM,
+        "snapshot_diff_buckets": _ORACLE_SNAPSHOT_DIFF,
         "way_length_mm": _oracle_way_length(),
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,
