@@ -8431,6 +8431,101 @@ FROM probe WHERE occ > 0 GROUP BY term
 """
 
 
+# --- SCD2 dimension build (operators/scd.py) --------------------------------
+# T7: change log -> type-2 validity intervals with no-op collapse; the
+# producer of what asof_join consumes. All-integer timestamps -> exact twin.
+def _q_scd2_user_status(spark, sf_dir):
+    from osm_hadoop_spark.operators.scd import scd2_build
+
+    changes = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    return scd2_build(changes, "user_id", "ts_us", ["event_type"], "event_id")
+
+
+_ORACLE_SCD2 = """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+p AS (
+  SELECT user_id, ts_us, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS pe,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS rn
+  FROM c),
+s AS (SELECT * FROM p WHERE rn = 1 OR event_type IS DISTINCT FROM pe)
+SELECT user_id, event_type,
+       ts_us AS valid_from,
+       lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         AS valid_to,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+            - 1 AS BIGINT) AS version,
+       lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         IS NULL AS is_current
+FROM s
+"""
+
+
+# --- island gaps (operators/islands.py) --------------------------------------
+# T5b: the uncovered spans between a user's activity islands — downtime
+# reporting; same h60 intervals as activity_islands.
+def _q_activity_gaps(spark, sf_dir):
+    from osm_hadoop_spark.operators.islands import island_gaps
+    from osm_hadoop_spark.operators.textstats import h60
+
+    iv = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + h60(F.concat(F.lit("dur"), F.col("event_id").cast("string")))
+            % 43_200_000_000
+            + 1
+        ).alias("end_us"),
+    )
+    return island_gaps(iv)
+
+
+_ORACLE_GAPS = f"""
+WITH iv AS (
+  SELECT user_id, event_id AS interval_id, epoch_us(ts) AS start_us,
+         epoch_us(ts)
+           + {_duck_h60("'dur' || CAST(event_id AS VARCHAR)")} % 43200000000
+           + 1 AS end_us
+  FROM iv_src),
+staged AS (
+  SELECT user_id, start_us, end_us,
+         max(end_us) OVER (PARTITION BY user_id ORDER BY start_us, interval_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pme,
+         interval_id
+  FROM iv),
+lab AS (
+  SELECT user_id, start_us, end_us,
+         CAST(sum(CASE WHEN pme IS NULL OR start_us > pme THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY start_us, interval_id
+                    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS island
+  FROM staged),
+isl AS (
+  SELECT user_id, island, min(start_us) AS island_start,
+         max(end_us) AS island_end
+  FROM lab GROUP BY user_id, island),
+g AS (
+  SELECT user_id,
+         lag(island_end) OVER (PARTITION BY user_id ORDER BY island)
+           AS gap_start,
+         island_start AS gap_end
+  FROM isl)
+SELECT user_id, gap_start, gap_end,
+       CAST(gap_end - gap_start AS BIGINT) AS gap_us
+FROM g WHERE gap_start IS NOT NULL
+""".replace("FROM iv_src", "FROM events")
+
+
 # --- table reconciliation (operators/reconcile.py) --------------------------
 # Anti-entropy bucketed content checksum + Merkle-style diff. The diff query
 # plants a deterministic mutation (doc 7's text changed, doc 11 dropped) in
@@ -8536,6 +8631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_census": _q_blocklist_census,    # curation blocklist gate
         "table_checksum_docs": _q_table_checksum,   # anti-entropy bucket checksum
         "snapshot_diff_buckets": _q_snapshot_diff,  # Merkle-style snapshot diff
+        "scd2_user_status": _q_scd2_user_status,    # T7 change log -> versions
+        "activity_gaps": _q_activity_gaps,          # T5b island complement
         "way_length_mm": _q_way_length,             # geodesic measure (exact int sum)
         "cell_rollup_z14_z7": _q_cell_rollup,       # hierarchical cell rollup
         "s2_cell_assign_l12": _q_s2_cells,          # from-scratch S2 (Hilbert) index
@@ -8716,6 +8813,8 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_census": _ORACLE_BLOCKLIST,
         "table_checksum_docs": _ORACLE_TABLE_CHECKSUM,
         "snapshot_diff_buckets": _ORACLE_SNAPSHOT_DIFF,
+        "scd2_user_status": _ORACLE_SCD2,
+        "activity_gaps": _ORACLE_GAPS,
         "way_length_mm": _oracle_way_length(),
         "cell_rollup_z14_z7": _ORACLE_CELL_ROLLUP,
         "tile_cover_count_z5": _ORACLE_TILE_COVER,

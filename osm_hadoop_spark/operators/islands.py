@@ -64,3 +64,29 @@ def merge_islands(
         F.max(end).alias("island_end"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+def island_gaps(intervals: DataFrame, **kw) -> DataFrame:
+    """DataFrame(key, gap_start, gap_end, gap_us) — the uncovered spans
+    BETWEEN a key's islands (the complement of merge_islands within the
+    key's [first start, last end] hull; nothing outside the hull is a
+    gap). Downtime/availability reporting in one extra window over the
+    already-tiny island rollup: gap = [prev island_end, island_start)
+    wherever that span is non-empty.
+
+    Plan: merge_islands' window+agg, then one lag window over island
+    rows (orders of magnitude fewer than intervals) on the SAME key
+    partitioning — Catalyst adds no exchange beyond the rollup's own.
+    """
+    key = kw.get("key", "user_id")
+    isl = merge_islands(intervals, **kw)
+    w = Window.partitionBy(key).orderBy("island")
+    g = isl.select(
+        F.col(key),
+        F.lag("island_end").over(w).alias("gap_start"),
+        F.col("island_start").alias("gap_end"),
+    ).where(F.col("gap_start").isNotNull())
+    return g.select(
+        key, "gap_start", "gap_end",
+        (F.col("gap_end") - F.col("gap_start")).alias("gap_us"),
+    )
