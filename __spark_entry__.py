@@ -8431,6 +8431,34 @@ FROM probe WHERE occ > 0 GROUP BY term
 """
 
 
+# --- media context windows (operators/span_stats.py) ------------------------
+# Interleaved-payload axis: per media span, the contiguous text-run length on
+# each side — the caption-pairing primitive. Pure codegen array algebra; only
+# media positions explode. DuckDB twin uses 1-indexed list algebra.
+def _q_media_context(spark, sf_dir):
+    from osm_hadoop_spark.operators.span_stats import media_context_windows
+
+    return media_context_windows(_interleaved_kind_docs(spark, sf_dir))
+
+
+_ORACLE_MEDIA_CONTEXT = """
+WITH d AS ({kind_docs}),
+m AS (
+  SELECT doc_id, kinds, len(kinds) AS n,
+         unnest(list_filter(range(0, len(kinds)),
+                            i -> kinds[i + 1] = 'media')) AS mo
+  FROM d)
+SELECT doc_id, CAST(mo AS BIGINT) AS media_offset,
+       CAST(mo - 1 - coalesce(list_max(list_filter(range(0, n),
+              j -> j < mo AND kinds[j + 1] <> 'text')), -1) AS BIGINT)
+         AS n_pre_text,
+       CAST(coalesce(list_min(list_filter(range(0, n),
+              j -> j > mo AND kinds[j + 1] <> 'text')), n) - mo - 1 AS BIGINT)
+         AS n_post_text
+FROM m
+""".format(kind_docs=_DUCK_KIND_DOCS)
+
+
 # --- SCD2 dimension build (operators/scd.py) --------------------------------
 # T7: change log -> type-2 validity intervals with no-op collapse; the
 # producer of what asof_join consumes. All-integer timestamps -> exact twin.
@@ -8631,6 +8659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_census": _q_blocklist_census,    # curation blocklist gate
         "table_checksum_docs": _q_table_checksum,   # anti-entropy bucket checksum
         "snapshot_diff_buckets": _q_snapshot_diff,  # Merkle-style snapshot diff
+        "media_context_windows": _q_media_context,  # caption-pairing primitive
         "scd2_user_status": _q_scd2_user_status,    # T7 change log -> versions
         "activity_gaps": _q_activity_gaps,          # T5b island complement
         "way_length_mm": _q_way_length,             # geodesic measure (exact int sum)
@@ -8813,6 +8842,7 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_census": _ORACLE_BLOCKLIST,
         "table_checksum_docs": _ORACLE_TABLE_CHECKSUM,
         "snapshot_diff_buckets": _ORACLE_SNAPSHOT_DIFF,
+        "media_context_windows": _ORACLE_MEDIA_CONTEXT,
         "scd2_user_status": _ORACLE_SCD2,
         "activity_gaps": _ORACLE_GAPS,
         "way_length_mm": _oracle_way_length(),

@@ -128,3 +128,63 @@ def media_density(documents: DataFrame, spans_col: str = "spans") -> DataFrame:
         F.size(F.col(spans_col)).alias("n_spans"),
         F.size(F.filter(kinds, lambda k: k == F.lit("media"))).alias("n_media"),
     )
+
+
+def media_context_windows(
+    documents: DataFrame, spans_col: str = "spans"
+) -> DataFrame:
+    """Per media span: the length of the contiguous TEXT run immediately
+    before and after it — the caption-pairing primitive. A multimodal
+    training pipeline builds (image, surrounding-text) examples exactly
+    this way: a media span with n_pre_text = n_post_text = 0 is context-
+    free (drop or backfill); long one-sided runs say which side captions
+    live on for a given source.
+
+    DataFrame(doc_id, media_offset, n_pre_text, n_post_text).
+
+    Plan: kinds projected once per doc; media positions found with a
+    codegen filter over one shared index sequence; ONLY those positions
+    explode (media spans, not all spans). Run lengths are array algebra
+    against the nearest non-text neighbor:
+
+        pre(i)  = i - 1 - max{j < i : kind[j] != 'text'}   (or -1)
+        post(i) = min{j > i : kind[j] != 'text'} - i - 1    (or n)
+
+    computed per exploded row from the carried kinds array — no window,
+    no shuffle at all (the operator is a pure projection + generate).
+    100 TB posture: output is bounded by the corpus media-span count;
+    everything stays in WholeStageCodegen; nothing leaves the row's
+    partition.
+    """
+    n = F.expr(f"size({spans_col})")
+    base = documents.select(
+        "doc_id",
+        _kinds(spans_col).alias("_kinds"),
+        F.expr(f"sequence(0, size({spans_col}) - 1)").alias("_idx"),
+        n.alias("_n"),
+    ).select(
+        "doc_id",
+        "_kinds",
+        "_n",
+        F.explode(
+            F.expr("filter(_idx, i -> _kinds[i] = 'media')")
+        ).alias("media_offset"),
+    )
+    nearest_pre = (
+        "array_max(filter(sequence(0, _n - 1), "
+        "j -> j < media_offset AND _kinds[j] <> 'text'))"
+    )
+    nearest_post = (
+        "array_min(filter(sequence(0, _n - 1), "
+        "j -> j > media_offset AND _kinds[j] <> 'text'))"
+    )
+    return base.select(
+        "doc_id",
+        F.col("media_offset").cast("bigint").alias("media_offset"),
+        (
+            F.col("media_offset") - 1 - F.coalesce(F.expr(nearest_pre), F.lit(-1))
+        ).cast("bigint").alias("n_pre_text"),
+        (
+            F.coalesce(F.expr(nearest_post), F.col("_n")) - F.col("media_offset") - 1
+        ).cast("bigint").alias("n_post_text"),
+    )

@@ -96,3 +96,45 @@ def test_blocklist_census_counts(spark):
     # the non-overlapping convention, identical in DuckDB's replace()
     assert got["aa"] == (1, 1)
     assert "absent" not in got
+
+
+def test_media_context_windows_known(spark):
+    from osm_hadoop_spark.operators.span_stats import media_context_windows
+
+    def doc(doc_id, kinds):
+        return (doc_id, [(k, None, None, i) for i, k in enumerate(kinds)])
+
+    docs = spark.createDataFrame(
+        [
+            doc("a", ["text", "text", "media", "text", "osm.node"]),
+            doc("b", ["media", "media"]),
+            doc("c", ["text", "osm.node", "media"]),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = sorted(
+        (r["doc_id"], r["media_offset"], r["n_pre_text"], r["n_post_text"])
+        for r in media_context_windows(docs).collect()
+    )
+    assert got == [
+        ("a", 2, 2, 1),   # two text before, one text then osm.node after
+        ("b", 0, 0, 0),   # adjacent media on both sides
+        ("b", 1, 0, 0),
+        ("c", 2, 0, 0),   # osm.node immediately before, end after
+    ]
+
+
+def test_media_context_no_shuffle(spark):
+    from osm_hadoop_spark.operators.span_stats import media_context_windows
+
+    docs = spark.createDataFrame(
+        [("a", [("media", None, None, 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    plan = (
+        media_context_windows(docs)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
