@@ -8431,6 +8431,40 @@ FROM probe WHERE occ > 0 GROUP BY term
 """
 
 
+# --- sorted-neighborhood dedup (operators/dedup.py) --------------------------
+# Hernandez-Stolfo blocking: ONE strip-partitioned sort, fixed-width
+# neighborhood via lead() — linear candidate count, skew-free by
+# construction. Oracle replays it as a rank-band self-join.
+def _q_dedup_snm(spark, sf_dir):
+    from osm_hadoop_spark.operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "documents"), window=4, k=3, min_jaccard_pct=30
+    )
+
+
+_ORACLE_DEDUP_SNM = f"""
+WITH toks AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+sh AS (SELECT doc_id, {{shingles}} AS sh FROM toks),
+keyed AS (
+  SELECT doc_id, sh, sh[1] AS bk, sh[1] >> 50 AS strip
+  FROM sh WHERE len(sh) > 0),
+rk AS (
+  SELECT doc_id, sh, strip,
+         row_number() OVER (PARTITION BY strip ORDER BY bk, doc_id) AS rn
+  FROM keyed),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_n,
+         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+              AS BIGINT) AS union_n
+  FROM rk a JOIN rk b
+    ON a.strip = b.strip AND b.rn BETWEEN a.rn + 1 AND a.rn + 3)
+SELECT doc_a, doc_b, inter_n, union_n
+FROM cand WHERE inter_n * 100 >= 30 * union_n
+""".format(toks=_DUCK_TOKS, shingles=_DUCK_SHINGLES)
+
+
 # --- media context windows (operators/span_stats.py) ------------------------
 # Interleaved-payload axis: per media span, the contiguous text-run length on
 # each side — the caption-pairing primitive. Pure codegen array algebra; only
@@ -8659,6 +8693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_census": _q_blocklist_census,    # curation blocklist gate
         "table_checksum_docs": _q_table_checksum,   # anti-entropy bucket checksum
         "snapshot_diff_buckets": _q_snapshot_diff,  # Merkle-style snapshot diff
+        "dedup_sorted_neighborhood": _q_dedup_snm,  # SNM linear-candidate dedup
         "media_context_windows": _q_media_context,  # caption-pairing primitive
         "scd2_user_status": _q_scd2_user_status,    # T7 change log -> versions
         "activity_gaps": _q_activity_gaps,          # T5b island complement
@@ -8842,6 +8877,7 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_census": _ORACLE_BLOCKLIST,
         "table_checksum_docs": _ORACLE_TABLE_CHECKSUM,
         "snapshot_diff_buckets": _ORACLE_SNAPSHOT_DIFF,
+        "dedup_sorted_neighborhood": _ORACLE_DEDUP_SNM,
         "media_context_windows": _ORACLE_MEDIA_CONTEXT,
         "scd2_user_status": _ORACLE_SCD2,
         "activity_gaps": _ORACLE_GAPS,

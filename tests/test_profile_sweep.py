@@ -138,3 +138,42 @@ def test_media_context_no_shuffle(spark):
         .executedPlan().toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sorted_neighborhood_finds_planted_dups(spark):
+    from osm_hadoop_spark.operators.dedup import sorted_neighborhood_pairs
+
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+        (3, "completely different words here instead now"),
+        (4, "alpha beta gamma delta epsilon eta"),    # near dup of 1/2
+        (5, "unrelated text about other things entirely"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): (r["inter_n"], r["union_n"])
+             for r in sorted_neighborhood_pairs(
+                 docs, window=4, min_jaccard_pct=30).collect()}
+    # exact duplicates share their ENTIRE shingle set, hence the same
+    # blocking key and strip, hence sort-adjacency: guaranteed recall
+    assert (1, 2) in pairs and pairs[(1, 2)][0] == pairs[(1, 2)][1]
+    # precision: every emitted pair genuinely clears the gate (the verify
+    # is exact, so no emitted pair can be below threshold)
+    assert all(100 * i >= 30 * u for i, u in pairs.values())
+    # (near-dup 4 is found only when its min shingle coincides with 1/2's
+    # — the documented probabilistic-recall tradeoff of SNM blocking)
+
+
+def test_sorted_neighborhood_candidates_linear(spark):
+    """Candidate count before the gate is <= (window-1) * n, and the plan
+    has no self-join (the neighborhood comes from lead over one sort)."""
+    from osm_hadoop_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = sorted_neighborhood_pairs(docs, window=4, min_jaccard_pct=0)
+    assert out.count() <= 3 * 40
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # no self-join: lead() over the strip sort
