@@ -8431,6 +8431,117 @@ FROM probe WHERE occ > 0 GROUP BY term
 """
 
 
+# --- leakage-safe split (operators/corpus.py) --------------------------------
+# Train/val/test assignment hashed on the DEDUP CLUSTER root, so near-dups
+# cannot straddle splits. Oracle re-derives clusters with the recursive
+# transitive closure (independent of large/small-star) + the same h60 bucket.
+def _q_leakage_split(spark, sf_dir):
+    from osm_hadoop_spark.operators.corpus import leakage_safe_split
+    from osm_hadoop_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, m=8, bands=4, t_num=3, t_den=10, bucket_cap=None
+    ).select("doc_a", "doc_b")
+    return leakage_safe_split(docs, pairs)
+
+
+def _oracle_leakage_split() -> str:
+    return f"""
+WITH RECURSIVE {_MINHASH_CTES},
+pr AS (SELECT doc_a, doc_b FROM j WHERE inter * 10 >= uni * 3),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pr
+          UNION SELECT doc_b, doc_a FROM pr),
+reach(src, dst) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+comp AS (SELECT src AS doc_id, least(src, min(dst)) AS c
+         FROM reach GROUP BY src),
+m AS (
+  SELECT d.doc_id, coalesce(comp.c, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp USING (doc_id)),
+b AS (
+  SELECT doc_id, cluster_id,
+         {_duck_h60("'split' || CAST(cluster_id AS VARCHAR)")} % 100 AS bk
+  FROM m)
+SELECT doc_id, cluster_id,
+       CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+# --- span-level PII redaction (operators/curation.py) ------------------------
+# Content transform INSIDE span arrays: kind/media_ref/order provably
+# untouched (kinds_fp), text payloads redacted in codegen transform.
+def _q_pii_redact_spans(spark, sf_dir):
+    from osm_hadoop_spark.operators.curation import (
+        pii_redact_spans,
+        with_synthetic_pii,
+    )
+
+    docs = with_synthetic_pii(_t(spark, sf_dir, "documents"), every=3)
+    null_s = F.lit(None).cast("string")
+    spanned = docs.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("pii_text").alias("text"),
+                null_s.alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"),
+                null_s.alias("text"),
+                F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias(
+                    "media_ref"
+                ),
+                F.lit(1).cast("int").alias("offset"),
+            ),
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                null_s.alias("media_ref"),
+                F.lit(2).cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return pii_redact_spans(spanned)
+
+
+def _oracle_pii_redact_spans() -> str:
+    from osm_hadoop_spark.operators.curation import EMAIL_RE, PHONE_RE
+
+    return f"""
+WITH p AS (
+  SELECT doc_id, text,
+    CASE WHEN doc_id % 3 = 0
+      THEN text || ' reach user' || CAST(doc_id AS VARCHAR)
+           || '@example.com or +1 555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      ELSE text END AS pii
+  FROM documents),
+r AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(pii, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PHONE_RE}', '<PHONE>', 'g') AS red1,
+    regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PHONE_RE}', '<PHONE>', 'g') AS red2,
+    CAST(len(regexp_extract_all(pii, '{EMAIL_RE}'))
+         + len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+    CAST(len(regexp_extract_all(pii, '{PHONE_RE}'))
+         + len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones
+  FROM p)
+SELECT doc_id, n_emails, n_phones,
+  md5('text;' || red1 || ';;0|media;;m' || CAST(doc_id AS VARCHAR)
+      || ';1|text;' || red2 || ';;2') AS spans_fp,
+  md5('text;0|media;1|text;2') AS kinds_fp
+FROM r
+"""
+
+
 # --- sorted-neighborhood dedup (operators/dedup.py) --------------------------
 # Hernandez-Stolfo blocking: ONE strip-partitioned sort, fixed-width
 # neighborhood via lead() — linear candidate count, skew-free by
@@ -8694,6 +8805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checksum_docs": _q_table_checksum,   # anti-entropy bucket checksum
         "snapshot_diff_buckets": _q_snapshot_diff,  # Merkle-style snapshot diff
         "dedup_sorted_neighborhood": _q_dedup_snm,  # SNM linear-candidate dedup
+        "leakage_safe_split": _q_leakage_split,     # cluster-rooted train/val/test
+        "pii_redact_spans": _q_pii_redact_spans,    # in-span PII scrub, order-proof
         "media_context_windows": _q_media_context,  # caption-pairing primitive
         "scd2_user_status": _q_scd2_user_status,    # T7 change log -> versions
         "activity_gaps": _q_activity_gaps,          # T5b island complement
@@ -8988,6 +9101,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["repetition_signals"] = _ORACLE_REPETITION
     oracles["decontaminate_ngrams"] = _ORACLE_DECONTAMINATE
     oracles["pii_redact"] = _oracle_pii_redact()
+    oracles["pii_redact_spans"] = _oracle_pii_redact_spans()
+    oracles["leakage_safe_split"] = _oracle_leakage_split()
     oracles["way_shoelace"] = _oracle_way_shoelace()
     oracles["tile_coverage_c256"] = _oracle_tile_coverage()
     oracles["areal_interp_c256"] = _oracle_areal_interp()

@@ -69,3 +69,57 @@ def corpus_prep(
         _rate_col(F.col("doc_id").cast("string"), salt) < rate
     )
     return sampled.select("doc_id", "pred_lang")
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    dup_pairs: DataFrame,
+    weights: tuple[int, int, int] = (90, 5, 5),
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: the unit of assignment is the DUPLICATE CLUSTER, not the
+    document. Hashing doc_id directly (the naive split) puts two
+    near-identical documents in train and test with probability
+    2 * p_train * p_test — the classic eval-contamination bug; hashing
+    the cluster root makes straddling impossible by construction.
+
+    documents(doc_id, ...), dup_pairs(doc_a, doc_b) -> DataFrame(doc_id,
+    cluster_id, split) where split in {'train','val','test'} with
+    integer percent weights. Singletons (docs in no pair) are their own
+    cluster.
+
+    Plan: connected components over the pair set (O(log n) rounds, the
+    pair set is tiny relative to the corpus), then ONE left join of the
+    corpus against the (doc_id, cluster) map — broadcastable whenever
+    duplicates are a small fraction, which is the operating point of
+    every real corpus — and a map-only hash bucket for the split. The
+    corpus itself shuffles zero times when the map broadcasts.
+
+    Determinism: the bucket is h60(salt || cluster_id) % 100, so the
+    assignment is reproducible across runs, engines, and partitionings,
+    and re-running after ADDING documents only moves docs whose cluster
+    membership changed (stable splits under corpus growth).
+    """
+    from osm_hadoop_spark.operators.cc import connected_components
+    from osm_hadoop_spark.operators.textstats import h60
+
+    t_train, t_val, t_test = weights
+    assert t_train + t_val + t_test == 100
+    comp = connected_components(dup_pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("_c")
+    )
+    rooted = documents.select("doc_id").join(
+        F.broadcast(comp), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("_c"), F.col("doc_id")).alias("cluster_id")
+    )
+    bucket = h60(F.concat(F.lit(salt), F.col("cluster_id").cast("string"))) % 100
+    return rooted.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < t_train, F.lit("train"))
+        .when(bucket < t_train + t_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

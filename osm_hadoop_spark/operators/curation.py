@@ -452,3 +452,80 @@ def blocklist_census(
             F.sum("occ").alias("n_occurrences"),
         )
     )
+
+
+def pii_redact_spans(
+    documents: DataFrame, spans_col: str = "spans"
+) -> DataFrame:
+    """PII redaction INSIDE interleaved span arrays — the content
+    transform that must preserve the mandated span-sequence invariant
+    (kind, media_ref, order untouched; only text payloads rewritten).
+
+    Flat-text redaction (``pii_redact``) breaks documents that carry
+    their text in spans; this variant rewrites each text span in place
+    with `transform`, entirely in codegen (no explode/reassembly round
+    trip — the array never leaves its row, so span order CANNOT change,
+    by construction rather than by discipline).
+
+    DataFrame(doc_id, n_emails, n_phones, spans_fp, kinds_fp) where
+    spans_fp is the md5 over the redacted (kind, text, media_ref, offset)
+    rendering and kinds_fp the md5 over the kind/offset sequence alone —
+    the latter must equal the input's (pinned in tests), which is the
+    machine-checkable form of the invariant.
+
+    100 TB posture: map-only, zero shuffles, regex work per span batched
+    by codegen; counts are exact integers.
+    """
+    def _redact(s):
+        return F.struct(
+            s["kind"].alias("kind"),
+            F.regexp_replace(
+                F.regexp_replace(s["text"], EMAIL_RE, "<EMAIL>"),
+                PHONE_RE,
+                "<PHONE>",
+            ).alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        )
+
+    def _count(pattern):
+        return F.aggregate(
+            F.col(spans_col),
+            F.lit(0).cast("bigint"),
+            lambda acc, s: acc
+            + F.size(
+                F.regexp_extract_all(
+                    F.coalesce(s["text"], F.lit("")), F.lit(pattern), F.lit(0)
+                )
+            ),
+        )
+
+    def _canon(col):
+        return F.array_join(
+            F.transform(
+                col,
+                lambda s: F.concat_ws(
+                    ";",
+                    s["kind"],
+                    F.coalesce(s["text"], F.lit("")),
+                    F.coalesce(s["media_ref"], F.lit("")),
+                    s["offset"].cast("string"),
+                ),
+            ),
+            "|",
+        )
+
+    kinds_canon = F.array_join(
+        F.transform(
+            F.col(spans_col),
+            lambda s: F.concat_ws(";", s["kind"], s["offset"].cast("string")),
+        ),
+        "|",
+    )
+    return documents.select(
+        "doc_id",
+        _count(EMAIL_RE).alias("n_emails"),
+        _count(PHONE_RE).alias("n_phones"),
+        F.md5(_canon(F.transform(F.col(spans_col), _redact))).alias("spans_fp"),
+        F.md5(kinds_canon).alias("kinds_fp"),
+    )
