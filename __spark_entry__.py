@@ -8542,6 +8542,59 @@ FROM r
 """
 
 
+# --- contrastive negative sampling (operators/sampling.py) -------------------
+# Deterministic consistent-hash negatives with near-dup exclusion (the LSH
+# pair set): reproducible draws, no RNG, no corpus self-join.
+def _q_negative_samples(spark, sf_dir):
+    from osm_hadoop_spark.operators.dedup import minhash_lsh_pairs
+    from osm_hadoop_spark.operators.sampling import negative_samples
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, m=8, bands=4, t_num=3, t_den=10, bucket_cap=None
+    ).select("doc_a", "doc_b")
+    anchors = docs.where(F.col("doc_id") % 10 == 0)
+    return negative_samples(docs, anchors, k=4, buckets=64, exclude=pairs)
+
+
+def _oracle_negative_samples() -> str:
+    h = lambda e: _duck_h60(e)  # noqa: E731
+    return f"""
+WITH {_MINHASH_CTES},
+pr AS (SELECT doc_a, doc_b FROM j WHERE inter * 10 >= uni * 3),
+ex AS (SELECT doc_a AS anchor_id, doc_b AS neg_id FROM pr
+       UNION ALL SELECT doc_b, doc_a FROM pr),
+db AS (
+  SELECT doc_id AS neg_id,
+         {h("'neg|' || CAST(doc_id AS VARCHAR)")} % 64 AS bucket
+  FROM documents),
+probes AS (
+  SELECT doc_id AS anchor_id, i.i AS probe,
+         {h("'neg|' || CAST(doc_id AS VARCHAR) || '|' || CAST(i.i AS VARCHAR)")}
+           % 64 AS bucket
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+  WHERE doc_id % 10 = 0),
+negcand AS (
+  SELECT p.anchor_id, p.probe, d.neg_id
+  FROM probes p JOIN db d USING (bucket)
+  WHERE d.neg_id <> p.anchor_id),
+negc2 AS (
+  SELECT c.anchor_id, c.probe, c.neg_id
+  FROM negcand c LEFT JOIN ex
+    ON c.anchor_id = ex.anchor_id AND c.neg_id = ex.neg_id
+  WHERE ex.anchor_id IS NULL),
+negr AS (
+  SELECT anchor_id, probe, neg_id,
+         {h("'neg|' || CAST(anchor_id AS VARCHAR) || '|' || CAST(probe AS VARCHAR) || '|' || CAST(neg_id AS VARCHAR)")}
+           AS rk
+  FROM negc2)
+SELECT anchor_id, CAST(probe AS BIGINT) AS probe, neg_id
+FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id, probe
+                                   ORDER BY rk, neg_id) AS rn FROM negr)
+WHERE rn = 1
+"""
+
+
 # --- sorted-neighborhood dedup (operators/dedup.py) --------------------------
 # Hernandez-Stolfo blocking: ONE strip-partitioned sort, fixed-width
 # neighborhood via lead() — linear candidate count, skew-free by
@@ -8806,6 +8859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_buckets": _q_snapshot_diff,  # Merkle-style snapshot diff
         "dedup_sorted_neighborhood": _q_dedup_snm,  # SNM linear-candidate dedup
         "leakage_safe_split": _q_leakage_split,     # cluster-rooted train/val/test
+        "negative_samples_k4": _q_negative_samples,  # consistent-hash negatives
         "pii_redact_spans": _q_pii_redact_spans,    # in-span PII scrub, order-proof
         "media_context_windows": _q_media_context,  # caption-pairing primitive
         "scd2_user_status": _q_scd2_user_status,    # T7 change log -> versions
@@ -9103,6 +9157,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["pii_redact"] = _oracle_pii_redact()
     oracles["pii_redact_spans"] = _oracle_pii_redact_spans()
     oracles["leakage_safe_split"] = _oracle_leakage_split()
+    oracles["negative_samples_k4"] = _oracle_negative_samples()
     oracles["way_shoelace"] = _oracle_way_shoelace()
     oracles["tile_coverage_c256"] = _oracle_tile_coverage()
     oracles["areal_interp_c256"] = _oracle_areal_interp()

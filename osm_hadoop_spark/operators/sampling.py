@@ -118,3 +118,87 @@ def priority_sample(
         .filter(F.col("sample_rank") <= k)
         .drop("sample_rank")
     )
+
+
+def negative_samples(
+    documents: DataFrame,
+    anchors: DataFrame,
+    k: int = 4,
+    buckets: int = 64,
+    exclude: DataFrame | None = None,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic pseudo-random negative sampling for contrastive
+    training: for each anchor, k corpus documents chosen by consistent
+    hashing — reproducible across runs, engines, and partitionings
+    (unlike `DataFrame.sample`, whose draw depends on partition layout).
+
+    Scheme: every doc owns bucket h60(salt|doc) % B. Probe i of an anchor
+    targets bucket h60(salt|anchor|i) % B and takes the doc in that
+    bucket minimizing h60(salt|anchor|i|doc) — an independent uniform
+    draw per (anchor, probe) from a 1/B slice of the corpus. The anchor
+    itself and any (anchor, doc) pair in `exclude` (e.g. the dedup pair
+    set — don't use near-duplicates as negatives) are filtered BEFORE the
+    argmin, so exclusion never costs a sample unless the whole bucket is
+    excluded.
+
+    DataFrame(anchor_id, probe, neg_id) — probe in [0, k); a probe whose
+    bucket is empty after exclusion yields no row (caller sees < k rows).
+
+    100 TB posture: candidates are |anchors| * k * (n/B) rows — pick
+    B ~ n / c to hold per-probe work at a constant c; the only shuffle is
+    the bucket equi-join plus one partial-aggregatable min. No global
+    sort, no corpus self-join, no RNG state.
+    """
+    from osm_hadoop_spark.operators.textstats import h60
+
+    s = F.lit(salt)
+    docs_b = documents.select(
+        F.col("doc_id").alias("neg_id"),
+        (h60(F.concat(s, F.lit("|"), F.col("doc_id").cast("string"))) % buckets)
+        .alias("bucket"),
+    )
+    probes = anchors.select(F.col("doc_id").alias("anchor_id")).select(
+        "anchor_id", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("probe")
+    ).select(
+        "anchor_id",
+        "probe",
+        (
+            h60(
+                F.concat(
+                    s, F.lit("|"), F.col("anchor_id").cast("string"),
+                    F.lit("|"), F.col("probe").cast("string"),
+                )
+            )
+            % buckets
+        ).alias("bucket"),
+    )
+    cand = probes.join(docs_b, "bucket").where(
+        F.col("neg_id") != F.col("anchor_id")
+    )
+    if exclude is not None:
+        ex = exclude.select(
+            F.col("doc_a").alias("anchor_id"), F.col("doc_b").alias("neg_id")
+        ).union(
+            exclude.select(
+                F.col("doc_b").alias("anchor_id"), F.col("doc_a").alias("neg_id")
+            )
+        )
+        cand = cand.join(ex, ["anchor_id", "neg_id"], "left_anti")
+    rank = h60(
+        F.concat(
+            s, F.lit("|"), F.col("anchor_id").cast("string"),
+            F.lit("|"), F.col("probe").cast("string"),
+            F.lit("|"), F.col("neg_id").cast("string"),
+        )
+    )
+    return (
+        cand.select("anchor_id", "probe", "neg_id", rank.alias("_r"))
+        .groupBy("anchor_id", "probe")
+        .agg(F.min(F.struct("_r", "neg_id")).alias("_b"))
+        .select(
+            "anchor_id",
+            F.col("probe").cast("bigint").alias("probe"),
+            F.col("_b.neg_id").alias("neg_id"),
+        )
+    )

@@ -94,3 +94,25 @@ def test_pii_redact_spans_no_shuffle(spark):
         pii_redact_spans(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_negative_samples_deterministic_and_excluding(spark):
+    from osm_hadoop_spark.operators.sampling import negative_samples
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    anchors = docs.where(F.col("doc_id") % 20 == 0)
+    ex = spark.createDataFrame([(0, 50), (40, 7)], "doc_a long, doc_b long")
+
+    a = negative_samples(docs, anchors, k=3, buckets=8, exclude=ex).collect()
+    b = negative_samples(
+        docs.repartition(13), anchors, k=3, buckets=8, exclude=ex
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # layout-free
+
+    got = {(r["anchor_id"], r["neg_id"]) for r in a}
+    assert all(an != ng for an, ng in got)          # never self
+    assert (0, 50) not in got and (40, 7) not in got  # exclusion honored
+    assert (50, 0) not in got                        # symmetric exclusion
+    # each (anchor, probe) yields at most one negative
+    keys = [(r["anchor_id"], r["probe"]) for r in a]
+    assert len(keys) == len(set(keys))
