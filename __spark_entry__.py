@@ -8542,6 +8542,64 @@ FROM r
 """
 
 
+# --- mixture rebalancing (operators/corpus.py) -------------------------------
+# Exact-rational down-sampling plan to hit target lang proportions; the
+# binding group keeps all, others keep p_g = t_g*c_b/(t_b*c_g) via the
+# deterministic h60 gate. Oracle shares the target constants as literals.
+_MIX_TARGETS = {
+    "en": (40, 100), "de": (15, 100), "es": (15, 100),
+    "fr": (15, 100), "zh": (15, 100),
+}
+
+
+def _q_mixture_rebalance(spark, sf_dir):
+    from osm_hadoop_spark.operators.corpus import mixture_rebalance
+
+    return mixture_rebalance(
+        _t(spark, sf_dir, "documents"), _MIX_TARGETS, group_col="lang"
+    )
+
+
+def _oracle_mixture_rebalance() -> str:
+    from math import lcm
+
+    gs = sorted(_MIX_TARGETS)
+    k = lcm(*[_MIX_TARGETS[g][0] * _MIX_TARGETS[g][1] for g in gs])
+    case = lambda f: "CASE grp " + " ".join(  # noqa: E731
+        f"WHEN '{g}' THEN {f(g)}" for g in gs
+    ) + " END"
+    scale = case(lambda g: k * _MIX_TARGETS[g][1] // _MIX_TARGETS[g][0])
+    num = case(lambda g: _MIX_TARGETS[g][0])
+    den = case(lambda g: _MIX_TARGETS[g][1])
+    num_b = num.replace("CASE grp", "CASE b_grp")
+    den_b = den.replace("CASE grp", "CASE b_grp")
+    langs = ", ".join(f"'{g}'" for g in gs)
+    return f"""
+WITH c AS (
+  SELECT lang AS grp, count(*) AS n_in FROM documents
+  WHERE lang IN ({langs}) GROUP BY 1),
+b AS (
+  SELECT grp AS b_grp, n_in AS c_b FROM c
+  ORDER BY n_in * ({scale}), grp LIMIT 1),
+plan AS (
+  SELECT c.grp, c.n_in,
+         ({num}) * ({den_b}) * b.c_b AS keep_num,
+         ({num_b}) * ({den}) * c.n_in AS keep_den
+  FROM c CROSS JOIN b),
+g AS (
+  SELECT d.lang AS grp, count(*) AS n_kept
+  FROM documents d JOIN plan ON d.lang = plan.grp
+  WHERE {_duck_h60("'mix' || CAST(doc_id AS VARCHAR)")} % plan.keep_den
+        < plan.keep_num
+  GROUP BY 1)
+SELECT plan.grp AS lang, CAST(n_in AS BIGINT) AS n_in,
+       CAST(keep_num AS BIGINT) AS keep_num,
+       CAST(keep_den AS BIGINT) AS keep_den,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+FROM plan LEFT JOIN g USING (grp)
+"""
+
+
 # --- contrastive negative sampling (operators/sampling.py) -------------------
 # Deterministic consistent-hash negatives with near-dup exclusion (the LSH
 # pair set): reproducible draws, no RNG, no corpus self-join.
@@ -8860,6 +8918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_sorted_neighborhood": _q_dedup_snm,  # SNM linear-candidate dedup
         "leakage_safe_split": _q_leakage_split,     # cluster-rooted train/val/test
         "negative_samples_k4": _q_negative_samples,  # consistent-hash negatives
+        "mixture_rebalance_lang": _q_mixture_rebalance,  # exact-rational mixture
         "pii_redact_spans": _q_pii_redact_spans,    # in-span PII scrub, order-proof
         "media_context_windows": _q_media_context,  # caption-pairing primitive
         "scd2_user_status": _q_scd2_user_status,    # T7 change log -> versions
@@ -9158,6 +9217,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["pii_redact_spans"] = _oracle_pii_redact_spans()
     oracles["leakage_safe_split"] = _oracle_leakage_split()
     oracles["negative_samples_k4"] = _oracle_negative_samples()
+    oracles["mixture_rebalance_lang"] = _oracle_mixture_rebalance()
     oracles["way_shoelace"] = _oracle_way_shoelace()
     oracles["tile_coverage_c256"] = _oracle_tile_coverage()
     oracles["areal_interp_c256"] = _oracle_areal_interp()

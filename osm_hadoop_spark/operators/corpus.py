@@ -123,3 +123,100 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def mixture_rebalance(
+    documents: DataFrame,
+    targets: dict[str, tuple[int, int]],
+    group_col: str = "lang",
+    salt: str = "mix",
+) -> DataFrame:
+    """Exact-rational data-mixture rebalancing: down-sample each group so
+    the kept corpus matches target proportions — the 'web/books/code
+    mixture' knob of every pretraining pipeline, with no RNG and no
+    floats anywhere.
+
+    Down-sampling only (never upsample): the BINDING group is the one
+    that runs out first, argmin over groups of c_g / t_g; it keeps
+    everything and every other group keeps the exact rational fraction
+
+        p_g = (t_g * c_b) / (t_b * c_g)          (p_b = 1)
+
+    applied as the deterministic gate  h60(salt|doc) % keep_den < keep_num
+    — reproducible across engines and partitionings, and the kept set is
+    stable under corpus repartitioning. The rational argmin is computed
+    by integer cross-multiplication with per-group scale factors
+    K / t_g (K = lcm of target numerators times denominators folded in),
+    so no division ever happens.
+
+    Returns the per-group census: DataFrame(group, n_in, keep_num,
+    keep_den, n_kept) — n_kept ~= n_in * p_g with hash-Bernoulli
+    variance; the PLAN (keep_num/keep_den) is exact.
+
+    Plan: one tiny census aggregate, one single-row binding aggregate
+    (max over |groups| rows), broadcast back over the corpus for the
+    gated recount. The corpus shuffles zero times; it is scanned twice
+    (census + apply) — cache upstream or fold the census into a prior
+    stage if the scan dominates.
+    """
+    from math import lcm
+
+    from osm_hadoop_spark.operators.textstats import h60
+
+    groups = sorted(targets)
+    k = lcm(*[targets[g][0] * targets[g][1] for g in groups])
+    # scale_g = K * den_g / num_g: c_g * scale_g orders groups by c_g/t_g
+    scale = {g: k * targets[g][1] // targets[g][0] for g in groups}
+    tmap = F.create_map(
+        *[x for g in groups for x in (F.lit(g), F.lit(scale[g]))]
+    )
+    num_map = F.create_map(
+        *[x for g in groups for x in (F.lit(g), F.lit(targets[g][0]))]
+    )
+    den_map = F.create_map(
+        *[x for g in groups for x in (F.lit(g), F.lit(targets[g][1]))]
+    )
+    docs = documents.where(F.col(group_col).isin(groups))
+    census = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_in")
+    )
+    binding = census.agg(
+        F.min(
+            F.struct(
+                (F.col("n_in") * tmap[F.col("grp")]).alias("key"),
+                F.col("grp").alias("b_grp"),
+                F.col("n_in").alias("c_b"),
+            )
+        ).alias("_b")
+    ).select(
+        F.col("_b.b_grp").alias("b_grp"), F.col("_b.c_b").alias("c_b")
+    )
+    # p_g = t_g*c_b / (t_b*c_g) with t = num/den:
+    #   keep_num = num_g * den_b * c_b ; keep_den = num_b * den_g * c_g
+    # (binding group: keep_num == keep_den -> keeps everything)
+    plan = census.crossJoin(F.broadcast(binding)).select(
+        "grp",
+        "n_in",
+        (num_map[F.col("grp")] * den_map[F.col("b_grp")] * F.col("c_b"))
+        .alias("keep_num"),
+        (num_map[F.col("b_grp")] * den_map[F.col("grp")] * F.col("n_in"))
+        .alias("keep_den"),
+    )
+    gated = docs.join(
+        F.broadcast(plan), docs[group_col] == plan["grp"]
+    ).where(
+        h60(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+        % F.col("keep_den")
+        < F.col("keep_num")
+    )
+    kept = gated.groupBy("grp").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        plan.join(kept, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_in").cast("bigint").alias("n_in"),
+            F.col("keep_num").cast("bigint").alias("keep_num"),
+            F.col("keep_den").cast("bigint").alias("keep_den"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )

@@ -116,3 +116,27 @@ def test_negative_samples_deterministic_and_excluding(spark):
     # each (anchor, probe) yields at most one negative
     keys = [(r["anchor_id"], r["probe"]) for r in a]
     assert len(keys) == len(set(keys))
+
+
+def test_mixture_rebalance_plan_exactness(spark):
+    from osm_hadoop_spark.operators.corpus import mixture_rebalance
+
+    # 60 A docs, 20 B docs; targets 50/50 -> B binds (20/0.5 < 60/0.5 is
+    # equal targets, so the smaller group binds), A keeps p = 20/60
+    docs = spark.createDataFrame(
+        [(i, "A" if i < 60 else "B") for i in range(80)],
+        "doc_id long, lang string",
+    )
+    out = {r["lang"]: r for r in mixture_rebalance(
+        docs, {"A": (1, 2), "B": (1, 2)}).collect()}
+    a, b = out["A"], out["B"]
+    # binding group keeps everything: num == den
+    assert b["keep_num"] == b["keep_den"] and b["n_kept"] == 20
+    # exact rational: p_A = (1/2 * 20) / (1/2 * 60) = 1/3
+    assert a["keep_num"] * 3 == a["keep_den"]
+    assert 0 < a["n_kept"] < 60  # hash-Bernoulli around 20
+    # determinism: same plan and same kept counts under repartition
+    out2 = {r["lang"]: r for r in mixture_rebalance(
+        docs.repartition(7), {"A": (1, 2), "B": (1, 2)}).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == \
+           {k: tuple(v) for k, v in out2.items()}
