@@ -8542,6 +8542,75 @@ FROM r
 """
 
 
+# --- spatial autocorrelation (operators/spatialstats.py) ---------------------
+# Anselin local Moran's I over an observed-cell lattice with rook weights;
+# exact integer scaling z' = n*x - S clears the mean's denominator.
+def _lattice_cells(spark, sf_dir):
+    from osm_hadoop_spark.operators.textstats import h60
+
+    e = _t(spark, sf_dir, "events").select(
+        (h60(F.concat(F.lit("mx"), F.col("event_id").cast("string"))) % 60)
+        .alias("cx"),
+        (h60(F.concat(F.lit("my"), F.col("event_id").cast("string"))) % 60)
+        .alias("cy"),
+    )
+    return e.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_morans_lisa(spark, sf_dir):
+    from osm_hadoop_spark.operators.spatialstats import morans_i_local
+
+    return morans_i_local(_lattice_cells(spark, sf_dir))
+
+
+def _q_morans_global(spark, sf_dir):
+    from osm_hadoop_spark.operators.spatialstats import morans_i_global
+
+    return morans_i_global(_lattice_cells(spark, sf_dir))
+
+
+_MORANS_CTES = f"""
+pts AS (
+  SELECT {_duck_h60("'mx' || CAST(event_id AS VARCHAR)")} % 60 AS cx,
+         {_duck_h60("'my' || CAST(event_id AS VARCHAR)")} % 60 AS cy
+  FROM events),
+cells AS (SELECT cx, cy, count(*) AS n FROM pts GROUP BY 1, 2),
+st AS (SELECT count(*) AS nn, sum(n) AS s FROM cells),
+z AS (SELECT cx, cy, CAST(nn * n - s AS BIGINT) AS z
+      FROM cells CROSS JOIN st),
+nbr AS (
+  SELECT a.cx, a.cy, a.z,
+         CAST(sum(b.z) AS BIGINT) AS neigh_sum,
+         CAST(count(*) AS BIGINT) AS n_neighbors
+  FROM z a
+  CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dx, dy)
+  JOIN z b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  GROUP BY a.cx, a.cy, a.z),
+lisa AS (
+  SELECT z.cx, z.cy, z.z AS z_scaled,
+         coalesce(nbr.neigh_sum, 0) AS neigh_sum,
+         coalesce(nbr.n_neighbors, 0) AS n_neighbors,
+         CAST(z.z * coalesce(nbr.neigh_sum, 0) AS BIGINT) AS lisa_num
+  FROM z LEFT JOIN nbr ON z.cx = nbr.cx AND z.cy = nbr.cy)
+"""
+
+_ORACLE_MORANS_LISA = f"""
+WITH {_MORANS_CTES}
+SELECT cx, cy, z_scaled, CAST(neigh_sum AS BIGINT) AS neigh_sum,
+       n_neighbors, lisa_num
+FROM lisa
+"""
+
+_ORACLE_MORANS_GLOBAL = f"""
+WITH {_MORANS_CTES}
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(n_neighbors) AS BIGINT) AS w_sum,
+       CAST(sum(lisa_num) AS BIGINT) AS num,
+       CAST(sum(z_scaled * z_scaled) AS BIGINT) AS den
+FROM lisa
+"""
+
+
 # --- mixture rebalancing (operators/corpus.py) -------------------------------
 # Exact-rational down-sampling plan to hit target lang proportions; the
 # binding group keeps all, others keep p_g = t_g*c_b/(t_b*c_g) via the
@@ -8919,6 +8988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": _q_leakage_split,     # cluster-rooted train/val/test
         "negative_samples_k4": _q_negative_samples,  # consistent-hash negatives
         "mixture_rebalance_lang": _q_mixture_rebalance,  # exact-rational mixture
+        "morans_lisa_g60": _q_morans_lisa,          # local spatial autocorrelation
+        "morans_global_g60": _q_morans_global,      # global Moran's I (exact ints)
         "pii_redact_spans": _q_pii_redact_spans,    # in-span PII scrub, order-proof
         "media_context_windows": _q_media_context,  # caption-pairing primitive
         "scd2_user_status": _q_scd2_user_status,    # T7 change log -> versions
@@ -9218,6 +9289,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["leakage_safe_split"] = _oracle_leakage_split()
     oracles["negative_samples_k4"] = _oracle_negative_samples()
     oracles["mixture_rebalance_lang"] = _oracle_mixture_rebalance()
+    oracles["morans_lisa_g60"] = _ORACLE_MORANS_LISA
+    oracles["morans_global_g60"] = _ORACLE_MORANS_GLOBAL
     oracles["way_shoelace"] = _oracle_way_shoelace()
     oracles["tile_coverage_c256"] = _oracle_tile_coverage()
     oracles["areal_interp_c256"] = _oracle_areal_interp()
