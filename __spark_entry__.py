@@ -8601,6 +8601,33 @@ SELECT cx, cy, z_scaled, CAST(neigh_sum AS BIGINT) AS neigh_sum,
 FROM lisa
 """
 
+def _q_getis_ord(spark, sf_dir):
+    from osm_hadoop_spark.operators.spatialstats import getis_ord_gi
+
+    return getis_ord_gi(_lattice_cells(spark, sf_dir))
+
+
+_ORACLE_GETIS_ORD = f"""
+WITH pts AS (
+  SELECT {_duck_h60("'mx' || CAST(event_id AS VARCHAR)")} % 60 AS cx,
+         {_duck_h60("'my' || CAST(event_id AS VARCHAR)")} % 60 AS cy
+  FROM events),
+cells AS (SELECT cx, cy, count(*) AS n FROM pts GROUP BY 1, 2),
+st AS (SELECT count(*) AS nn, sum(n) AS s FROM cells),
+win AS (
+  SELECT a.cx, a.cy,
+         CAST(sum(b.n) AS BIGINT) AS window_sum,
+         CAST(count(*) AS BIGINT) AS k
+  FROM cells a
+  CROSS JOIN (VALUES (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)) o(dx, dy)
+  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  GROUP BY a.cx, a.cy)
+SELECT cx, cy, window_sum, k,
+       CAST(nn * window_sum - k * s AS BIGINT) AS gi_num
+FROM win CROSS JOIN st
+"""
+
+
 _ORACLE_MORANS_GLOBAL = f"""
 WITH {_MORANS_CTES}
 SELECT CAST(count(*) AS BIGINT) AS n_cells,
@@ -8990,6 +9017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_rebalance_lang": _q_mixture_rebalance,  # exact-rational mixture
         "morans_lisa_g60": _q_morans_lisa,          # local spatial autocorrelation
         "morans_global_g60": _q_morans_global,      # global Moran's I (exact ints)
+        "getis_ord_gi_g60": _q_getis_ord,           # Gi* hot-spot numerators
         "pii_redact_spans": _q_pii_redact_spans,    # in-span PII scrub, order-proof
         "media_context_windows": _q_media_context,  # caption-pairing primitive
         "scd2_user_status": _q_scd2_user_status,    # T7 change log -> versions
@@ -9291,6 +9319,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["mixture_rebalance_lang"] = _oracle_mixture_rebalance()
     oracles["morans_lisa_g60"] = _ORACLE_MORANS_LISA
     oracles["morans_global_g60"] = _ORACLE_MORANS_GLOBAL
+    oracles["getis_ord_gi_g60"] = _ORACLE_GETIS_ORD
     oracles["way_shoelace"] = _oracle_way_shoelace()
     oracles["tile_coverage_c256"] = _oracle_tile_coverage()
     oracles["areal_interp_c256"] = _oracle_areal_interp()

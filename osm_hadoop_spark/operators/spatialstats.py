@@ -112,3 +112,59 @@ def morans_i_global(cells: DataFrame, cx: str = "cx", cy: str = "cy",
         F.sum("lisa_num").alias("num"),
         F.sum(F.col("z_scaled") * F.col("z_scaled")).alias("den"),
     )
+
+
+def getis_ord_gi(
+    cells: DataFrame, cx: str = "cx", cy: str = "cy", val: str = "n"
+) -> DataFrame:
+    """Getis-Ord Gi* hot-spot statistic (the 'where are the hot spots
+    SIGNIFICANT' sibling of LISA) with rook+self binary weights, exact
+    integer core: per cell the window sum W_i = Σ_{j ~ i or j = i} x_j,
+    the window size k_i, and the mean-cleared numerator
+
+        gi_num_i = n_cells * W_i - k_i * S     (= n * (W_i - k_i * mean))
+
+    positive = hotter than expectation, negative = colder; callers
+    attach the usual variance normalization at presentation time (it is
+    a per-row scalar formula over these exact sums).
+
+    Same plan shape as morans_i_local: scalar (n, S) broadcast, 5-offset
+    inline (4 rook + self), one computed-key equi-self-join, one
+    partial-aggregatable groupBy. Exactness and overflow bounds as in
+    the module docstring.
+    """
+    stats = cells.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(val).alias("_s")
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)]
+        ]
+    )
+    probes = cells.select(
+        F.col(cx).alias("pcx"), F.col(cy).alias("pcy"), F.inline(offs)
+    ).select(
+        "pcx", "pcy",
+        (F.col("pcx") + F.col("dx")).alias("qx"),
+        (F.col("pcy") + F.col("dy")).alias("qy"),
+    )
+    nbr = cells.select(
+        F.col(cx).alias("qx"), F.col(cy).alias("qy"), F.col(val).alias("x_j")
+    )
+    win = (
+        probes.join(nbr, ["qx", "qy"])
+        .groupBy("pcx", "pcy")
+        .agg(
+            F.sum("x_j").alias("window_sum"),
+            F.count(F.lit(1)).alias("k"),
+        )
+    )
+    return win.crossJoin(F.broadcast(stats)).select(
+        F.col("pcx").alias(cx),
+        F.col("pcy").alias(cy),
+        F.col("window_sum").cast("bigint").alias("window_sum"),
+        F.col("k").cast("bigint").alias("k"),
+        (F.col("_n") * F.col("window_sum") - F.col("k") * F.col("_s"))
+        .cast("bigint").alias("gi_num"),
+    )
