@@ -8542,6 +8542,40 @@ FROM r
 """
 
 
+# --- real media containers (operators/multimodal.py) -------------------------
+# True PNG/BMP/WAV/GIF header layouts parsed with vectorized numpy gathers;
+# the driver plants real BMP/WAV bytes whose fields derive from doc_id, so
+# the oracle recomputes them — proving the parser inverts the real formats.
+def _q_media_containers(spark, sf_dir):
+    from osm_hadoop_spark.operators.multimodal import (
+        parse_container_metadata,
+        synth_real_containers,
+    )
+
+    docs = synth_real_containers(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
+    return parse_container_metadata(docs)
+
+
+_ORACLE_MEDIA_CONTAINERS = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS fmt,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 640 + 1 ELSE -1 END AS INT)
+    AS width,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 480 + 1 ELSE -1 END AS INT)
+    AS height,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE doc_id % 3 + 1 END AS INT)
+    AS channels,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN -1
+            ELSE 8000 + (doc_id % 5) * 4000 END AS INT) AS sample_rate,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 16 END AS INT) AS bit_depth,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 54 + doc_id % 16
+            ELSE 44 + doc_id % 16 END AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 # --- spatial autocorrelation (operators/spatialstats.py) ---------------------
 # Anselin local Moran's I over an observed-cell lattice with rook weights;
 # exact integer scaling z' = n*x - S clears the mean's denominator.
@@ -9018,6 +9052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_lisa_g60": _q_morans_lisa,          # local spatial autocorrelation
         "morans_global_g60": _q_morans_global,      # global Moran's I (exact ints)
         "getis_ord_gi_g60": _q_getis_ord,           # Gi* hot-spot numerators
+        "media_container_meta": _q_media_containers,  # real PNG/BMP/WAV/GIF parse
         "pii_redact_spans": _q_pii_redact_spans,    # in-span PII scrub, order-proof
         "media_context_windows": _q_media_context,  # caption-pairing primitive
         "scd2_user_status": _q_scd2_user_status,    # T7 change log -> versions
@@ -9320,6 +9355,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["morans_lisa_g60"] = _ORACLE_MORANS_LISA
     oracles["morans_global_g60"] = _ORACLE_MORANS_GLOBAL
     oracles["getis_ord_gi_g60"] = _ORACLE_GETIS_ORD
+    oracles["media_container_meta"] = _ORACLE_MEDIA_CONTAINERS
     oracles["way_shoelace"] = _oracle_way_shoelace()
     oracles["tile_coverage_c256"] = _oracle_tile_coverage()
     oracles["areal_interp_c256"] = _oracle_areal_interp()

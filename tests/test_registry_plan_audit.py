@@ -29,11 +29,15 @@ SF_DIR = "/root/testdata/sf0.001"
 #     (fixed query sample), PIP triangle/polygon dims (literal fixture
 #     size), merge-chains junction table (bounded by degree filter),
 #     way_polygon boundary dims
+#   one-row lattice stats (n_cells, S) for the Moran/Gi* family; one-row
+#     binding-group argmin + |groups|-row census for mixture rebalancing
 BNLJ_ALLOWED = {
     "ann_pq_topk", "ann_sq8_topk", "embedding_topk", "bm25_topk_terms",
     "cooccurrence_pmi", "token_drift_chi2", "join_counts_grid",
     "balanced_ranges_b32", "merge_chains_ways", "pip_outside",
     "pip_triangles", "way_polygon_contain",
+    "morans_lisa_g60", "morans_global_g60", "getis_ord_gi_g60",
+    "mixture_rebalance_lang",
 }
 
 

