@@ -8542,6 +8542,48 @@ FROM r
 """
 
 
+# --- data-quality expectations (operators/profile.py) ------------------------
+# Ingest gate: range/domain/unique in ONE aggregate + broadcast anti-join
+# referential checks; violation census per check.
+def _q_dq_orders(spark, sf_dir):
+    from osm_hadoop_spark.operators.profile import expectation_census
+
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return expectation_census(
+        o,
+        range_checks={"o_totalprice": (0, 600000)},
+        domain_checks={"o_orderstatus": ["F", "O", "P"]},
+        unique_cols=["o_orderkey"],
+        ref_checks={"o_custkey": cust},
+    )
+
+
+_ORACLE_DQ_ORDERS = """
+SELECT 'range:o_totalprice' AS check,
+       CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                       OR o_totalprice > 600000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations
+FROM orders
+UNION ALL
+SELECT 'domain:o_orderstatus',
+       CAST(sum(CASE WHEN o_orderstatus IS NULL
+                       OR o_orderstatus NOT IN ('F', 'O', 'P')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey',
+       CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'ref:o_custkey',
+       CAST(count(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
 # --- real media containers (operators/multimodal.py) -------------------------
 # True PNG/BMP/WAV/GIF header layouts parsed with vectorized numpy gathers;
 # the driver plants real BMP/WAV bytes whose fields derive from doc_id, so
@@ -9053,6 +9095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_global_g60": _q_morans_global,      # global Moran's I (exact ints)
         "getis_ord_gi_g60": _q_getis_ord,           # Gi* hot-spot numerators
         "media_container_meta": _q_media_containers,  # real PNG/BMP/WAV/GIF parse
+        "dq_expectations_orders": _q_dq_orders,     # ingest data-quality gate
         "pii_redact_spans": _q_pii_redact_spans,    # in-span PII scrub, order-proof
         "media_context_windows": _q_media_context,  # caption-pairing primitive
         "scd2_user_status": _q_scd2_user_status,    # T7 change log -> versions
@@ -9356,6 +9399,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["morans_global_g60"] = _ORACLE_MORANS_GLOBAL
     oracles["getis_ord_gi_g60"] = _ORACLE_GETIS_ORD
     oracles["media_container_meta"] = _ORACLE_MEDIA_CONTAINERS
+    oracles["dq_expectations_orders"] = _ORACLE_DQ_ORDERS
     oracles["way_shoelace"] = _oracle_way_shoelace()
     oracles["tile_coverage_c256"] = _oracle_tile_coverage()
     oracles["areal_interp_c256"] = _oracle_areal_interp()

@@ -86,3 +86,69 @@ def equi_width_histogram(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def expectation_census(
+    df: DataFrame,
+    range_checks: dict[str, tuple],
+    domain_checks: dict[str, list],
+    unique_cols: list[str],
+    ref_checks: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Great-Expectations-style data-quality gate in (almost) one scan:
+    DataFrame(check, n_violations) for
+      - range:<col>   value outside caller's [lo, hi] (nulls count as
+        violations — an out-of-contract cell either way),
+      - domain:<col>  value not in the enumerated set,
+      - unique:<col>  duplicate occurrences (n_rows - n_distinct),
+      - ref:<col>     values missing from a reference key column
+        (left-anti count against `ref_checks[col]`, a DataFrame with
+        exactly that column).
+
+    The ingest gate a lakehouse runs before committing a snapshot: emit
+    the census, alert when any count > 0, quarantine offending
+    partitions. Range/domain/unique checks fold into ONE aggregate over
+    ONE scan (conditional sums + count_distinct); each referential check
+    adds one join against its (usually broadcastable) reference keys.
+
+    100 TB posture: conditional counts are map-side combinable; unique
+    via count_distinct costs a distinct shuffle per column (same honest
+    caveat as profile_columns — the HLL sketch family is the approximate
+    sibling); referential anti-joins broadcast when the dim is small.
+    """
+    aggs = []
+    names = []
+    for c, (lo, hi) in range_checks.items():
+        bad = ~F.col(c).between(F.lit(lo), F.lit(hi))
+        aggs.append(
+            F.sum(F.coalesce(bad.cast("bigint"), F.lit(1))).alias(f"_r_{c}")
+        )
+        names.append((f"range:{c}", f"_r_{c}"))
+    for c, dom in domain_checks.items():
+        bad = ~F.col(c).isin(dom)
+        aggs.append(
+            F.sum(F.coalesce(bad.cast("bigint"), F.lit(1))).alias(f"_d_{c}")
+        )
+        names.append((f"domain:{c}", f"_d_{c}"))
+    for c in unique_cols:
+        aggs.append(
+            (F.count(c) - F.count_distinct(F.col(c))).alias(f"_u_{c}")
+        )
+        names.append((f"unique:{c}", f"_u_{c}"))
+    one = df.agg(*aggs)
+    stacked = one.selectExpr(
+        f"stack({len(names)}, "
+        + ", ".join(f"'{label}', {col}" for label, col in names)
+        + ") AS (check, n_violations)"
+    )
+    out = stacked
+    for c, ref in (ref_checks or {}).items():
+        miss = (
+            df.select(F.col(c)).join(F.broadcast(ref), c, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+            .select(F.lit(f"ref:{c}").alias("check"), "n_violations")
+        )
+        out = out.unionByName(miss)
+    return out.select(
+        "check", F.col("n_violations").cast("bigint").alias("n_violations")
+    )

@@ -177,3 +177,26 @@ def test_sorted_neighborhood_candidates_linear(spark):
     assert out.count() <= 3 * 40
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # no self-join: lead() over the strip sort
+
+
+def test_expectation_census_counts(spark):
+    from osm_hadoop_spark.operators.profile import expectation_census
+
+    df = spark.createDataFrame(
+        [(1, 5, "A"), (2, -1, "A"), (2, 50, "X"), (3, None, "B")],
+        "k long, v long, s string",
+    )
+    ref = spark.createDataFrame([(1,), (3,)], "k long")
+    got = {r["check"]: r["n_violations"] for r in expectation_census(
+        df,
+        range_checks={"v": (0, 100)},
+        domain_checks={"s": ["A", "B"]},
+        unique_cols=["k"],
+        ref_checks={"k": ref},
+    ).collect()}
+    assert got == {
+        "range:v": 2,     # -1 out of range, NULL counts as violation
+        "domain:s": 1,    # 'X'
+        "unique:k": 1,    # k=2 twice -> one duplicate occurrence
+        "ref:k": 2,       # both k=2 rows missing from the reference
+    }
