@@ -4255,6 +4255,115 @@ def _duck_vec(vec) -> str:
     return "[" + ",".join(repr(float(v)) for v in vec) + "]::DOUBLE[]"
 
 
+_SEMDD_K, _SEMDD_EPS = 8, 0.2
+
+
+def _semdd_corpus(spark, sf_dir):
+    """Planted SemDeDup corpus: every 25th vector gets a near-copy
+    (e + 0.2 * reverse(e), cos ~ 0.98 vs a <= 0.55 background — no
+    threshold-boundary risk even after quantization) at vec_id + 1000000.
+    Same derivation as the embedding_neardup fixture, milder eps."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.zip_with(
+            "embedding", F.reverse("embedding"), lambda x, y: x + _SEMDD_EPS * y
+        ).alias("embedding"),
+    )
+    return emb.unionByName(pert)
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) semantic prune at tau = 9/10:
+    sample-fit integer centroids -> literal-ladder cluster assignment ->
+    within-cluster cross-multiplied cosine dominance (all int64 after
+    floor(x*1024) quantization — see operators/semdedup.py). The oracle
+    re-fits the centroids from the driver parquet with shared NumPy code
+    and replays assignment + prune in SQL, value-exact end to end."""
+    from osm_hadoop_spark.operators.semdedup import (
+        semdedup_fit_centroids,
+        semdedup_prune,
+    )
+
+    corpus = _semdd_corpus(spark, sf_dir)
+    cents = semdedup_fit_centroids(corpus, k=_SEMDD_K, iters=4, sample=4096)
+    out = semdedup_prune(corpus, cents, tau_num=9, tau_den=10)
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "cluster",
+        F.col("kept").cast("bigint").alias("kept"),
+        "dup_of",
+    )
+
+
+def _oracle_semdedup() -> str | None:
+    """Derived value oracle: recompute the sample-fit integer centroids
+    from the driver parquet (semdedup_centroids_numpy ==
+    semdedup_fit_centroids bit-for-bit, planted corpus included), embed
+    them as BIGINT[] literals, and replay quantization, nearest-centroid
+    assignment, and the within-cluster dominance prune in SQL — integer
+    arithmetic end to end. None when the parquet isn't mounted."""
+    import os
+
+    from osm_hadoop_spark.operators.semdedup import semdedup_centroids_numpy
+
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        "embeddings.parquet",
+    )
+    if not os.path.exists(path):
+        return None
+    c = semdedup_centroids_numpy(
+        path, k=_SEMDD_K, iters=4, sample=4096,
+        perturb_every=25, perturb_eps=_SEMDD_EPS,
+    )
+    dim = c.shape[1]
+    cents = ",\n".join(
+        f"({j}, [{','.join(str(int(v)) for v in c[j])}]::BIGINT[])"
+        for j in range(_SEMDD_K)
+    )
+    return f"""
+WITH cents(j, w) AS (VALUES {cents}),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+pert AS (SELECT vec_id + 1000000 AS vec_id,
+                list_transform(list_zip(e, list_reverse(e)),
+                               s -> s[1] + {_SEMDD_EPS} * s[2]) AS e
+         FROM base WHERE vec_id % 25 = 0),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+eb AS (SELECT vec_id,
+         list_transform(e, x -> CAST(floor(x * 1024) AS BIGINT)) AS iv
+       FROM corpus),
+d AS (SELECT vec_id, iv, j,
+        CAST(list_sum(list_transform(generate_series(1, {dim}),
+          i -> (iv[i] - w[i]) * (iv[i] - w[i]))) AS BIGINT) AS d2
+      FROM eb CROSS JOIN cents),
+asn AS (SELECT vec_id, iv, j AS cluster FROM (
+          SELECT vec_id, iv, j,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+          FROM d) WHERE rn = 1),
+n AS (SELECT vec_id, cluster, iv,
+        CAST(list_sum(list_transform(generate_series(1, {dim}),
+          i -> iv[i] * iv[i])) AS BIGINT) AS n2
+      FROM asn),
+pairs AS (SELECT a.vec_id AS a_vid, b.vec_id AS b_vid,
+            CAST(list_sum(list_transform(generate_series(1, {dim}),
+              i -> a.iv[i] * b.iv[i])) AS BIGINT) AS dot,
+            a.n2 AS a_n2, b.n2 AS b_n2
+          FROM n a JOIN n b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+wit AS (SELECT b_vid AS vec_id, MIN(a_vid) AS dup_of FROM pairs
+        WHERE dot > 0 AND dot * dot * 100 >= 81 * a_n2 * b_n2
+        GROUP BY b_vid)
+SELECT n.vec_id, CAST(cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN w.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       w.dup_of
+FROM n LEFT JOIN wit w USING (vec_id)
+"""
+
+
 def _oracle_ann_lsh() -> str:
     """Derived value oracle (round-1 verdict item 7): rebuild the LSH
     buckets in SQL from the deterministic hyperplane literals, then exact
@@ -9202,6 +9311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
+        "semdedup_prune_k8": _q_semdedup,           # SemDeDup cluster prune (int-exact)
         "ann_lsh_topk": _q_ann_lsh,                 # derived oracle (plane literals)
         "ann_ivf_topk": _q_ann_ivf,                 # derived oracle (centroid literals)
         "ann_pq_topk": _q_ann_pq,                   # product quantization, integer ADC
@@ -9429,6 +9539,9 @@ def oracle_sql() -> dict[str, str]:
     pq = _oracle_ann_pq()
     if pq is not None:
         oracles["ann_pq_topk"] = pq
+    sdd = _oracle_semdedup()
+    if sdd is not None:
+        oracles["semdedup_prune_k8"] = sdd
     pca = _oracle_pca_project()
     if pca is not None:
         oracles["pca_project_q"] = pca

@@ -32,6 +32,7 @@ def _entry():
 # limitation, not a contract break.
 ENV_DEPENDENT_ORACLES = {
     "ann_ivf_topk", "ann_pq_topk", "bpe_train_merges", "pca_project_q",
+    "semdedup_prune_k8",
 }
 
 
