@@ -5308,6 +5308,58 @@ def _oracle_hilbert_layout() -> str:
     )
 
 
+_ZBB = (37, 201, 90, 166)  # x0, x1, y0, y1 on the order-8 grid
+
+
+def _q_zorder_bbox(spark, sf_dir):
+    """Z-order data-skipping scan (functions/hilbert.py zorder_ranges):
+    the bbox is decomposed driver-side into exact z-key intervals
+    (Tropf-Herzog quadtree descent) and the ONLY predicate the engine
+    applies is the OR-of-BETWEEN on the key — no x/y filter at all — so
+    the oracle's plain bbox WHERE proves the decomposition covers the
+    box exactly (no missing cell, no stray cell). This is the read-side
+    half of layout_by_hilbert: on a key-clustered table the same
+    predicate prunes row groups instead of rows."""
+    from osm_hadoop_spark.functions.hilbert import (
+        zorder_exists_predicate,
+        zorder_key,
+        zorder_ranges,
+    )
+    from osm_hadoop_spark.operators.textstats import h60
+
+    s = F.col("event_id").cast("string")
+    n = 1 << _HIL_ORDER
+    pts = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("pid"),
+        (h60(F.concat(F.lit("hx"), s)) % n).alias("hx"),
+        (h60(F.concat(F.lit("hy"), s)) % n).alias("hy"),
+    ).withColumn("zkey", zorder_key(F.col("hx"), F.col("hy"), _HIL_ORDER))
+    x0, x1, y0, y1 = _ZBB
+    ranges = zorder_ranges(x0, x1, y0, y1, _HIL_ORDER)
+    # exists-form: the zkey here is computed in-plan (see the predicate
+    # docstrings); the scan-pushable OR-of-BETWEEN form is exercised on a
+    # stored key column in tests/test_zorder_ranges.py
+    return pts.filter(zorder_exists_predicate(F.col("zkey"), ranges))
+
+
+def _oracle_zorder_bbox() -> str:
+    n = 1 << _HIL_ORDER
+    hx = _duck_h60("'hx' || CAST(event_id AS VARCHAR)")
+    hy = _duck_h60("'hy' || CAST(event_id AS VARCHAR)")
+    zkey = " + ".join(
+        f"(CASE WHEN (hx & {1 << i}) > 0 THEN 1 ELSE 0 END) * {1 << (2 * i)}"
+        f" + (CASE WHEN (hy & {1 << i}) > 0 THEN 1 ELSE 0 END) * {1 << (2 * i + 1)}"
+        for i in range(_HIL_ORDER)
+    )
+    x0, x1, y0, y1 = _ZBB
+    return f"""
+WITH pts AS (SELECT event_id AS pid, {hx} % {n} AS hx, {hy} % {n} AS hy
+             FROM events)
+SELECT pid, hx, hy, CAST({zkey} AS BIGINT) AS zkey FROM pts
+WHERE hx BETWEEN {x0} AND {x1} AND hy BETWEEN {y0} AND {y1}
+"""
+
+
 def _oracle_tile_coverage() -> str:
     from osm_hadoop_spark.functions.coverage import coverage_sql
 
@@ -9336,6 +9388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "areal_interp_c256": _q_areal_interp,       # dasymetric disaggregation
         "kmeans_lloyd_r3": _q_kmeans,               # exact-integer Lloyd rounds
         "hilbert_layout_keys": _q_hilbert_layout,   # space-filling-curve layout
+        "zorder_bbox_scan": _q_zorder_bbox,         # exact z-range data skipping
         "balanced_ranges_b32": _q_balanced_ranges,  # exact range-partition planner
         "bloom_prune_semijoin": _q_bloom_semijoin,  # runtime-filter join pruning
         "heavy_hitters_tokens": _q_heavy_hitters,   # 2-pass Misra-Gries exact top-k
@@ -9515,6 +9568,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["areal_interp_c256"] = _oracle_areal_interp()
     oracles["kmeans_lloyd_r3"] = _oracle_kmeans()
     oracles["hilbert_layout_keys"] = _oracle_hilbert_layout()
+    oracles["zorder_bbox_scan"] = _oracle_zorder_bbox()
     oracles["balanced_ranges_b32"] = _ORACLE_BALANCED_RANGES
     oracles["bloom_prune_semijoin"] = _ORACLE_BLOOM_SEMIJOIN
     oracles["heavy_hitters_tokens"] = _ORACLE_HEAVY_HITTERS

@@ -136,3 +136,93 @@ def hilbert_unrolled_sql(order: int, x: str = "hx", y: str = "hy") -> tuple[str,
             f" FROM {prev})"
         )
     return ",\n".join(ctes), f"h{order}"
+
+
+# --- Z-order range decomposition (data skipping) ---------------------------
+#
+# The read-side half of the layout story: a bbox query over a table laid
+# out by zorder_key prunes row groups ONLY if the predicate is on the key
+# column itself — `x BETWEEN ..` statistics are tight per file, but the
+# scan planner skips at row-group granularity much more precisely when
+# the bbox is decomposed into the exact set of key intervals it covers
+# (what Delta/Iceberg Z-order data skipping does under the hood, and the
+# classic Tropf-Herzog 1981 BIGMIN technique makes minimal). The
+# decomposition below is the quadtree-descent form: a driver-side
+# recursion over at most O(order * perimeter) nodes — bounded, no data
+# touched — emitting sorted disjoint [lo, hi] intervals whose union is
+# EXACTLY the bbox's cell set (proved by enumeration in
+# tests/test_zorder_ranges.py), merged where adjacent so the pushed
+# predicate stays small.
+
+
+def zorder_ranges(
+    x0: int, x1: int, y0: int, y1: int, order: int
+) -> list[tuple[int, int]]:
+    """Sorted disjoint z-key intervals covering exactly
+    [x0..x1] x [y0..y1] (inclusive) at the given order."""
+    if not (0 <= x0 <= x1 < (1 << order) and 0 <= y0 <= y1 < (1 << order)):
+        raise ValueError("bbox out of the order's grid")
+    out: list[tuple[int, int]] = []
+
+    def rec(level: int, cx: int, cy: int, z: int) -> None:
+        # node square: [cx, cx+side) x [cy, cy+side), keys [z, z+side^2)
+        side = 1 << level
+        if cx > x1 or cy > y1 or cx + side - 1 < x0 or cy + side - 1 < y0:
+            return
+        if x0 <= cx and cx + side - 1 <= x1 and y0 <= cy and cy + side - 1 <= y1:
+            out.append((z, z + side * side - 1))
+            return
+        h = side >> 1
+        rec(level - 1, cx, cy, z)
+        rec(level - 1, cx + h, cy, z + h * h)
+        rec(level - 1, cx, cy + h, z + 2 * h * h)
+        rec(level - 1, cx + h, cy + h, z + 3 * h * h)
+
+    rec(order, 0, 0, 0)
+    # descent order IS z order, so adjacency-merge in one pass
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and merged[-1][1] + 1 == lo:
+            merged[-1] = (merged[-1][0], hi)
+        else:
+            merged.append((lo, hi))
+    return [tuple(r) for r in merged]
+
+
+def zorder_range_predicate(key: Column, ranges: list[tuple[int, int]]) -> Column:
+    """OR-of-BETWEEN predicate over literal intervals — a form Catalyst
+    both pushes into the parquet scan (PushedFilters: Or(And(GtEq..)))
+    and prunes row groups with when the table is laid out by the key.
+
+    Use on a STORED key column (an attribute reference is one codegen
+    node, so hundreds of intervals stay cheap and pushable). For a key
+    computed in the same plan use zorder_exists_predicate: Catalyst
+    inlines a computed key's whole expression tree into EVERY interval
+    term, and a bbox worth ~200 intervals times a ~50-node key blows the
+    generated method past the JIT limit (observed: codegen OOM)."""
+    if not ranges:
+        return F.lit(False)
+    pred = key.between(F.lit(ranges[0][0]), F.lit(ranges[0][1]))
+    for lo, hi in ranges[1:]:
+        pred = pred | key.between(F.lit(lo), F.lit(hi))
+    return pred
+
+
+def zorder_exists_predicate(key: Column, ranges: list[tuple[int, int]]) -> Column:
+    """The same interval membership as ONE literal array<struct<lo,hi>>
+    probed by `exists` — the key expression appears once and the interval
+    loop is evaluated iteratively at runtime (the hilbert_key
+    F.aggregate discipline), so computed keys stay codegen-safe. Not a
+    scan-pushable form; pair with zorder_range_predicate on stored keys."""
+    if not ranges:
+        return F.lit(False)
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(lo).cast("bigint").alias("lo"),
+                F.lit(hi).cast("bigint").alias("hi"),
+            )
+            for lo, hi in ranges
+        ]
+    )
+    return F.exists(arr, lambda r: (key >= r["lo"]) & (key <= r["hi"]))
