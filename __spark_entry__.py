@@ -5788,6 +5788,85 @@ GROUP BY b.node, b.dist
 """
 
 
+_HB_HOPS, _HB_P = 3, 4
+
+
+def _q_hyperball(spark, sf_dir):
+    """HyperBall (Boldi & Vigna 2013) over the SAME derived road graph as
+    graph_bfs_h5: per-node ball-of-radius-t HLL registers for t=0..3,
+    propagated as sparse (node, bucket, max_rho) rows — one equi-join +
+    one max-agg per round (operators/sketch.py::hyperball). Output is the
+    integer register sum + occupied-bucket count per (node, hop); the
+    oracle recomputes both from exact recursive-CTE reach sets through
+    the identical h60 register derivation, so every register max is
+    value-checked."""
+    from osm_hadoop_spark.operators.sketch import hyperball
+    from osm_hadoop_spark.operators.textstats import h60
+
+    pk = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("u"))
+    gate = h60(
+        F.concat(
+            F.lit("rg"),
+            F.col("u").cast("string"),
+            F.lit("_"),
+            F.col("k").cast("string"),
+        )
+    )
+    hyper = (
+        pk.select("u", F.explode(F.sequence(F.lit(0), F.lit(11))).alias("k"))
+        .filter(gate % 4 != 0)
+        .select("u", F.expr("u ^ shiftleft(1, k)").alias("v"))
+    )
+    ring = pk.select("u", (F.col("u") + 1).alias("v"))
+    edges = hyper.unionByName(ring).join(
+        pk.select(F.col("u").alias("v")), "v", "semi"
+    )
+    nodes = pk.select(F.col("u").alias("node"))
+    return hyperball(edges, nodes, hops=_HB_HOPS, p=_HB_P).withColumnRenamed(
+        "node", "u"
+    )
+
+
+_ORACLE_HYPERBALL = f"""
+WITH RECURSIVE
+pk AS (SELECT p_partkey AS u FROM part),
+hyper AS (
+  SELECT u, xor(u, 1 << k) AS v
+  FROM pk, (SELECT unnest(generate_series(0, 11)) AS k)
+  WHERE {_duck_h60("'rg' || u || '_' || k")} % 4 <> 0),
+edges AS (
+  SELECT u, v FROM (
+    SELECT u, v FROM hyper
+    UNION ALL
+    SELECT u, u + 1 AS v FROM pk) e
+  WHERE v IN (SELECT u FROM pk)),
+sym AS (
+  SELECT u, v FROM edges WHERE u <> v
+  UNION
+  SELECT v AS u, u AS v FROM edges WHERE u <> v),
+reach(u, m, dist) AS (
+  SELECT u, u, 0 FROM pk
+  UNION
+  SELECT r.u, s.v, r.dist + 1
+  FROM reach r JOIN sym s ON r.m = s.u
+  WHERE r.dist < {_HB_HOPS}),
+md AS (SELECT u, m, MIN(dist) AS d FROM reach GROUP BY u, m),
+regs AS (SELECT u, d, h % {1 << _HB_P} AS bucket,
+           CASE WHEN (h >> {_HB_P}) = 0 THEN {61 - _HB_P}
+                ELSE {61 - _HB_P} - length(bin(h >> {_HB_P})) END AS rho
+         FROM (SELECT u, d,
+                 {_duck_h60("concat('hll:', CAST(m AS VARCHAR))")} AS h
+               FROM md)),
+hops(t) AS (VALUES (0), (1), (2), (3)),
+br AS (SELECT u, t, bucket, MAX(rho) AS max_rho
+       FROM regs JOIN hops ON d <= t GROUP BY u, t, bucket)
+SELECT u, CAST(t AS BIGINT) AS hop,
+       CAST(SUM(max_rho) AS BIGINT) AS reg_sum,
+       CAST(COUNT(*) AS BIGINT) AS occ
+FROM br GROUP BY u, t
+"""
+
+
 # --- bounded-hop weighted shortest distance (operators/routing.py) ---------
 # R3b: multi-source weighted SSSP over the SAME derived road graph as
 # graph_bfs_h5, with symmetric hash-derived integer weights
@@ -9335,6 +9414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core_9": _q_k_core,                      # Matula-Beck peeling fixpoint
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
+        "hyperball_reach_h3": _q_hyperball,         # HLL ball-size sketches
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
         "temporal_ea_r4": _q_temporal_ea,           # time-respecting reachability
         "pagerank_r3": _q_pagerank,                 # fixed-point integer PageRank
@@ -9573,6 +9653,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["bloom_prune_semijoin"] = _ORACLE_BLOOM_SEMIJOIN
     oracles["heavy_hitters_tokens"] = _ORACLE_HEAVY_HITTERS
     oracles["hll_user_registers"] = _ORACLE_HLL_REGISTERS
+    oracles["hyperball_reach_h3"] = _ORACLE_HYPERBALL
     oracles["cm_user_freq"] = _ORACLE_COUNT_MIN
     oracles["resample_ffill_events"] = _ORACLE_RESAMPLE_FFILL
     oracles["line_of_sight_dem"] = _oracle_line_of_sight()

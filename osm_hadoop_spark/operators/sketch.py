@@ -383,3 +383,91 @@ def hll_merge(registers: DataFrame, group: Column, alias: str) -> DataFrame:
         registers.groupBy(group.alias(alias), "bucket")
         .agg(F.max("max_rho").alias("max_rho"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperBall: hop-neighborhood cardinality sketches (Boldi & Vigna 2013)
+# ---------------------------------------------------------------------------
+
+def hyperball(
+    edges: DataFrame,
+    nodes: DataFrame,
+    hops: int = 3,
+    p: int = 4,
+    src: str = "u",
+    dst: str = "v",
+    node: str = "node",
+) -> DataFrame:
+    """Per-node ball-of-radius-t HLL registers for t = 0..hops.
+
+    HyperBall (Boldi & Vigna, "In-core computation of geometric
+    centralities with HyperBall", 2013) computes the neighborhood
+    function — |{v : dist(u,v) <= t}| for every u and t — by propagating
+    an HLL counter per node along edges and taking register-wise max each
+    round; it is how effective-diameter / closeness statistics are
+    computed on web-scale graphs where exact balls are quadratic.
+
+    This implementation keeps the counters SPARSE and RELATIONAL: the
+    state is rows (node, bucket, max_rho) — absent buckets are zero —
+    so a round is one equi-join (edges x state on the neighbor) + one
+    map-side-combinable max aggregate, the same shape as the engine's
+    other fixpoint loops (cc.py, routing.py), with a localCheckpoint
+    lineage barrier per round. Registers reuse the engine h60 derivation
+    (hll_registers): bucket = low p bits, rho = leading zeros of the
+    remaining (60-p) bits + 1 — deterministic, no RNG, so a SQL twin
+    reproduces every register exactly from the reachable sets.
+
+    Returns (node, hop, reg_sum, occ): the integer register sum and the
+    occupied-bucket count per node per radius — the float HLL estimate is
+    deliberately left to callers (summation-order-safe integers only; the
+    hll_estimate helper turns a register frame into the cardinality).
+
+    Scale: state is at most n * 2^p rows (64-bit each side), rounds are
+    `hops` (the published use runs to the effective diameter, ~O(log n)
+    on web graphs); the join shuffles state by node id each round —
+    co-partition edges and state on the node key to make it map-side
+    after the first round.
+    """
+    rem_bits = 60 - p
+    h = h60(F.concat(F.lit("hll:"), F.col(node).cast("string")))
+    rho = F.when(F.shiftright(h, p) == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits + 1) - F.length(F.bin(F.shiftright(h, p)))
+    ).cast("int")
+    state = nodes.select(
+        F.col(node).alias("node"),
+        (h % (1 << p)).alias("bucket"),
+        rho.alias("max_rho"),
+    ).localCheckpoint(eager=True)
+
+    sym = (
+        edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev"))
+        .filter(F.col("eu") != F.col("ev"))
+        .unionByName(
+            edges.select(F.col(dst).alias("eu"), F.col(src).alias("ev")).filter(
+                F.col(src) != F.col(dst)
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def summary(st: DataFrame, t: int) -> DataFrame:
+        return st.groupBy("node").agg(
+            F.sum("max_rho").cast("bigint").alias("reg_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("occ"),
+        ).select("node", F.lit(t).cast("bigint").alias("hop"), "reg_sum", "occ")
+
+    out = summary(state, 0)
+    for t in range(1, hops + 1):
+        from_nbrs = (
+            sym.join(state, state["node"] == sym["ev"])
+            .select(F.col("eu").alias("node"), "bucket", "max_rho")
+        )
+        state = (
+            state.unionByName(from_nbrs)
+            .groupBy("node", "bucket")
+            .agg(F.max("max_rho").alias("max_rho"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(summary(state, t))
+    return out
