@@ -4299,6 +4299,82 @@ def _q_semdedup(spark, sf_dir):
     )
 
 
+def _q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 / the CCMatrix
+    retrieval rule) between corpus A (the embeddings table) and a derived
+    corpus B holding planted translations (e + 0.2*reverse(e), every 5th),
+    exact copies (every 11th), and anti-parallel decoys (-e, every 13th,
+    exercising the s > 0 guard). Everything after floor(x*1024) is int64
+    (operators/similarity.py::bitext_margin_mine) so the ratio-margin
+    test cross-multiplies exactly; the oracle replays the pipeline in SQL."""
+    from osm_hadoop_spark.operators.similarity import bitext_margin_mine
+
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    bt = (
+        base.filter(F.col("vec_id") % 5 == 0)
+        .select(
+            (F.col("vec_id") + 1000000).alias("b_id"),
+            F.zip_with(
+                "embedding", F.reverse("embedding"), lambda x, y: x + 0.2 * y
+            ).alias("embedding"),
+        )
+        .unionByName(
+            base.filter(F.col("vec_id") % 11 == 0).select(
+                (F.col("vec_id") + 2000000).alias("b_id"), "embedding"
+            )
+        )
+        .unionByName(
+            base.filter(F.col("vec_id") % 13 == 0).select(
+                (F.col("vec_id") + 3000000).alias("b_id"),
+                F.transform("embedding", lambda x: -x).alias("embedding"),
+            )
+        )
+    )
+    return bitext_margin_mine(
+        base.withColumnRenamed("vec_id", "a_id"), bt, k=4,
+        tau_num=106, tau_den=100,
+    )
+
+
+_ORACLE_BITEXT_MINE = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bt AS (
+  SELECT vec_id + 1000000 AS xb,
+         list_transform(list_zip(e, list_reverse(e)),
+                        s -> s[1] + 0.2 * s[2]) AS e
+  FROM base WHERE vec_id % 5 = 0
+  UNION ALL
+  SELECT vec_id + 2000000, e FROM base WHERE vec_id % 11 = 0
+  UNION ALL
+  SELECT vec_id + 3000000, list_transform(e, x -> -x)
+  FROM base WHERE vec_id % 13 = 0),
+qa AS (SELECT vec_id AS xa,
+         list_transform(e, x -> CAST(floor(x * 1024) AS BIGINT)) AS q
+       FROM base),
+qb AS (SELECT xb,
+         list_transform(e, x -> CAST(floor(x * 1024) AS BIGINT)) AS q
+       FROM bt),
+sc AS (SELECT xa, xb,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+           i -> a.q[i] * b.q[i])) AS BIGINT) AS s
+       FROM qa a CROSS JOIN qb b),
+rk AS (SELECT xa, xb, s,
+         row_number() OVER (PARTITION BY xa ORDER BY s DESC, xb) AS rf,
+         row_number() OVER (PARTITION BY xb ORDER BY s DESC, xa) AS rb
+       FROM sc),
+fwd AS (SELECT xa, CAST(SUM(s) AS BIGINT) AS fwd FROM rk WHERE rf <= 4 GROUP BY xa),
+bwd AS (SELECT xb, CAST(SUM(s) AS BIGINT) AS bwd FROM rk WHERE rb <= 4 GROUP BY xb)
+SELECT r.xa AS a_id, r.xb AS b_id, r.s AS dot,
+       f.fwd AS fwd_sum, w.bwd AS bwd_sum
+FROM rk r JOIN fwd f USING (xa) JOIN bwd w USING (xb)
+WHERE rf = 1 AND s > 0 AND fwd > 0 AND bwd > 0
+  AND 800 * s > 106 * (fwd + bwd)
+"""
+
+
 def _oracle_semdedup() -> str | None:
     """Derived value oracle: recompute the sample-fit integer centroids
     from the driver parquet (semdedup_centroids_numpy ==
@@ -9444,6 +9520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
         "semdedup_prune_k8": _q_semdedup,           # SemDeDup cluster prune (int-exact)
+        "bitext_margin_mine": _q_bitext_mine,       # CCMatrix-style margin retrieval
         "ann_lsh_topk": _q_ann_lsh,                 # derived oracle (plane literals)
         "ann_ivf_topk": _q_ann_ivf,                 # derived oracle (centroid literals)
         "ann_pq_topk": _q_ann_pq,                   # product quantization, integer ADC
@@ -9677,6 +9754,7 @@ def oracle_sql() -> dict[str, str]:
     sdd = _oracle_semdedup()
     if sdd is not None:
         oracles["semdedup_prune_k8"] = sdd
+    oracles["bitext_margin_mine"] = _ORACLE_BITEXT_MINE
     pca = _oracle_pca_project()
     if pca is not None:
         oracles["pca_project_q"] = pca

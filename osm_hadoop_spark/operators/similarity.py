@@ -556,3 +556,93 @@ def ann_pq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
     return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --- margin-based bitext mining (Artetxe & Schwenk, ACL 2019) ---------------
+
+
+def bitext_margin_mine(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 4,
+    tau_num: int = 106,
+    tau_den: int = 100,
+    scale: int = PQ_SCALE,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+) -> DataFrame:
+    """Mine aligned pairs across two embedding corpora by RATIO MARGIN —
+    the retrieval criterion behind CCMatrix/LASER web-scale bitext mining:
+    a pair (x, y) is kept iff y is x's best match AND
+
+        margin(x, y) = s(x,y) / ((fwd_k(x) + bwd_k(y)) / 2k)  >  tau
+
+    where fwd_k(x) = sum of x's top-k match scores into B and bwd_k(y)
+    the reverse. The margin normalizes away hubness (vectors that are
+    near everything), which a plain threshold cannot.
+
+    Integer-exact: embeddings are fixed-point quantized (floor(x*1024),
+    the PQ grid), s = integer dot, and the margin test is the
+    cross-multiplied   2k * s * tau_den > tau_num * (fwd + bwd)   with
+    s > 0, fwd > 0, bwd > 0 guards (a negative-dot "match" never mines)
+    — so the DuckDB twin agrees bit-for-bit, no float tie risk.
+
+    Plan shape: B is the broadcast side (BroadcastNestedLoopJoin with the
+    big side streaming — the embedding_topk/J4 discipline; at corpus x
+    corpus scale swap the all-pairs stage for an IVF/LSH shortlist, the
+    engine's ann_* operators, and feed the shortlist in here unchanged);
+    everything after the score table is windows + hash aggregates on the
+    pair keys. Top-k ties break by (score desc, id asc) in both
+    directions.
+    """
+    qa = a.select(F.col(a_id).alias("xa"), _pq_quant_col("embedding").alias("qa"))
+    qb = b.select(F.col(b_id).alias("xb"), _pq_quant_col("embedding").alias("qb"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda u, v: u * v),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scores = qa.join(F.broadcast(qb)).select("xa", "xb", dot.alias("s"))
+
+    wf = Window.partitionBy("xa").orderBy(F.col("s").desc(), F.col("xb").asc())
+    wb = Window.partitionBy("xb").orderBy(F.col("s").desc(), F.col("xa").asc())
+    ranked = scores.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rb", F.row_number().over(wb)
+    )
+    fwd = (
+        ranked.filter(F.col("rf") <= k)
+        .groupBy("xa")
+        .agg(F.sum("s").alias("fwd"))
+    )
+    bwd = (
+        ranked.filter(F.col("rb") <= k)
+        .groupBy("xb")
+        .agg(F.sum("s").alias("bwd"))
+    )
+    best = ranked.filter(F.col("rf") == 1)
+    return (
+        best.join(fwd, "xa").join(bwd, "xb")
+        .filter(
+            (F.col("s") > 0) & (F.col("fwd") > 0) & (F.col("bwd") > 0)
+            & (
+                F.lit(2 * k * tau_den) * F.col("s")
+                > F.lit(tau_num) * (F.col("fwd") + F.col("bwd"))
+            )
+        )
+        .select(
+            F.col("xa").alias(a_id),
+            F.col("xb").alias(b_id),
+            F.col("s").alias("dot"),
+            F.col("fwd").alias("fwd_sum"),
+            F.col("bwd").alias("bwd_sum"),
+        )
+    )
+
+
+def _pq_quant_col(col: str) -> F.Column:
+    """floor(x * 1024) per coordinate as bigint — the PQ fixed-point grid
+    as a JVM column expression (the NumPy twin is _pq_int)."""
+    return F.transform(
+        F.col(col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(PQ_SCALE))).cast("long"),
+    )
