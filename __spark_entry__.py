@@ -6141,6 +6141,67 @@ def _q_graph_sssp(spark, sf_dir):
     return sssp(edges, sources, max_hops=_SSSP_HOPS)
 
 
+_CD_G, _CD_ROUNDS = 24, 6
+
+
+def _q_cost_distance(spark, sf_dir):
+    """Cost-distance surface (GRASS r.cost / ArcGIS CostDistance,
+    operators/costdist.py): events hash onto a 24x24 lattice, cell cost =
+    1 + count % 9, three literal seed cells, 4-neighbor accumulated
+    least-cost (doubled to stay integer) bounded at 6 steps via the
+    engine's Bellman-Ford sssp. Oracle = capped recursive path
+    enumeration over the same derived lattice."""
+    from osm_hadoop_spark.operators.costdist import cost_distance
+    from osm_hadoop_spark.operators.textstats import h60
+
+    s = F.col("event_id").cast("string")
+    ev = _t(spark, sf_dir, "events").select(
+        (h60(F.concat(F.lit("cdx"), s)) % _CD_G).alias("cx"),
+        (h60(F.concat(F.lit("cdy"), s)) % _CD_G).alias("cy"),
+    )
+    cells = ev.groupBy("cx", "cy").agg(
+        (F.lit(1) + F.count(F.lit(1)) % 9).alias("cost")
+    )
+    seeds = spark.createDataFrame(
+        [(3, 4), (17, 9), (20, 21)], "cx long, cy long"
+    )
+    out = cost_distance(cells, seeds, max_rounds=_CD_ROUNDS)
+    return out.select(
+        "cx", "cy", F.col("dist2").cast("bigint").alias("dist2"), "src_id"
+    )
+
+
+_ORACLE_COST_DISTANCE = f"""
+WITH RECURSIVE
+ev AS (SELECT {_duck_h60("'cdx' || CAST(event_id AS VARCHAR)")} % {_CD_G} AS cx,
+              {_duck_h60("'cdy' || CAST(event_id AS VARCHAR)")} % {_CD_G} AS cy
+       FROM events),
+cells AS (SELECT cx, cy, 1 + COUNT(*) % 9 AS cost FROM ev GROUP BY cx, cy),
+k AS (SELECT cx, cy, cost, cx * 1048576 + cy AS u FROM cells),
+edges AS (
+  SELECT a.u, b.u AS v, a.cost + b.cost AS w
+  FROM k a JOIN k b ON b.cx = a.cx + 1 AND b.cy = a.cy
+  UNION ALL
+  SELECT a.u, b.u, a.cost + b.cost
+  FROM k a JOIN k b ON b.cx = a.cx AND b.cy = a.cy + 1),
+sym AS (SELECT u, v, w FROM edges UNION SELECT v AS u, u AS v, w FROM edges),
+seeds AS (SELECT u FROM k JOIN (VALUES (3, 4), (17, 9), (20, 21)) s(cx, cy)
+          USING (cx, cy)),
+reach(node, src_id, dist, hops) AS (
+  SELECT u, u, CAST(0 AS BIGINT), 0 FROM seeds
+  UNION
+  SELECT s.v, r.src_id, r.dist + s.w, r.hops + 1
+  FROM reach r JOIN sym s ON r.node = s.u
+  WHERE r.hops < {_CD_ROUNDS}),
+best AS (SELECT node, MIN(dist) AS dist FROM reach GROUP BY node)
+SELECT CAST(b.node // 1048576 AS BIGINT) AS cx,
+       CAST(b.node % 1048576 AS BIGINT) AS cy,
+       b.dist AS dist2, MIN(r.src_id) AS src_id
+FROM best b JOIN reach r ON r.node = b.node AND r.dist = b.dist
+GROUP BY b.node, b.dist
+"""
+
+
 _ORACLE_GRAPH_SSSP = f"""
 WITH RECURSIVE
 pk AS (SELECT p_partkey AS u FROM part),
@@ -9491,6 +9552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "hyperball_reach_h3": _q_hyperball,         # HLL ball-size sketches
+        "cost_distance_r6": _q_cost_distance,       # raster least-cost surface
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
         "temporal_ea_r4": _q_temporal_ea,           # time-respecting reachability
         "pagerank_r3": _q_pagerank,                 # fixed-point integer PageRank
@@ -9731,6 +9793,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["heavy_hitters_tokens"] = _ORACLE_HEAVY_HITTERS
     oracles["hll_user_registers"] = _ORACLE_HLL_REGISTERS
     oracles["hyperball_reach_h3"] = _ORACLE_HYPERBALL
+    oracles["cost_distance_r6"] = _ORACLE_COST_DISTANCE
     oracles["cm_user_freq"] = _ORACLE_COUNT_MIN
     oracles["resample_ffill_events"] = _ORACLE_RESAMPLE_FFILL
     oracles["line_of_sight_dem"] = _oracle_line_of_sight()
