@@ -4299,6 +4299,136 @@ def _q_semdedup(spark, sf_dir):
     )
 
 
+def _synth_urls(spark, sf_dir):
+    """Deterministic messy-URL fixture over documents: mixed-case scheme
+    and host, optional www./M. subdomain, default :443 port, tracking
+    params in varying order, fragments — every messiness the canonical
+    form must erase, all derived from doc_id so the oracle rebuilds the
+    identical strings."""
+    s = F.col("doc_id").cast("string")
+
+    def h(tag):
+        from osm_hadoop_spark.operators.textstats import h60
+        return h60(F.concat(F.lit(tag), s))
+
+    id7 = (h("u7") % 7).cast("string")
+    url = F.concat(
+        F.element_at(F.array(F.lit("https"), F.lit("HTTPS")), (h("u0") % 2 + 1).cast("int")),
+        F.lit("://"),
+        F.element_at(F.array(F.lit("www."), F.lit("M."), F.lit("")), (h("u1") % 3 + 1).cast("int")),
+        F.concat(F.lit("Site"), (h("u2") % 40).cast("string")),
+        F.element_at(F.array(F.lit(".com"), F.lit(".org"), F.lit(".co.uk")), (h("u3") % 3 + 1).cast("int")),
+        F.when(h("u6") % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/P/"), s,
+        F.element_at(
+            F.array(
+                F.concat(F.lit("?utm_source=feed&id="), id7),
+                F.concat(F.lit("?id="), id7, F.lit("&utm_campaign=x")),
+                F.concat(F.lit("?b=2&a=1&id="), id7),
+                F.lit(""),
+            ),
+            (h("u4") % 4 + 1).cast("int"),
+        ),
+        F.when(h("u5") % 2 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+
+
+def _q_url_canonicalize(spark, sf_dir):
+    """Per-URL canonical form + registrable domain
+    (operators/weburl.py::canonicalize_url) over the messy synthetic
+    URLs — value-oracled per row, so scheme/host lowering, www/port/
+    fragment/tracking-param stripping, query sorting, and the multi-part
+    TLD (co.uk) rule are each pinned."""
+    from osm_hadoop_spark.operators.weburl import canonicalize_url
+
+    docs = _synth_urls(spark, sf_dir)
+    c = canonicalize_url(F.col("url"))
+    return docs.select(
+        "doc_id", c["canon"].alias("canon"), c["domain"].alias("domain")
+    )
+
+
+def _q_url_census(spark, sf_dir):
+    """Registrable-domain census (operators/weburl.py::url_census): page
+    count + distinct canonical URLs per domain — one scan, one
+    partial-agg groupBy."""
+    from osm_hadoop_spark.operators.weburl import url_census
+
+    return url_census(_synth_urls(spark, sf_dir)).select(
+        "domain",
+        F.col("n_urls").cast("bigint").alias("n_urls"),
+        F.col("n_canon").cast("bigint").alias("n_canon"),
+    )
+
+
+def _duck_synth_urls() -> str:
+    ds = "CAST(doc_id AS VARCHAR)"
+
+    def h(tag):
+        return _duck_h60(f"'{tag}' || {ds}")
+
+    return f"""
+SELECT doc_id,
+  ['https','HTTPS'][CAST({h('u0')} % 2 + 1 AS INT)] || '://'
+  || ['www.','M.',''][CAST({h('u1')} % 3 + 1 AS INT)]
+  || 'Site' || CAST({h('u2')} % 40 AS VARCHAR)
+  || ['.com','.org','.co.uk'][CAST({h('u3')} % 3 + 1 AS INT)]
+  || CASE WHEN {h('u6')} % 5 = 0 THEN ':443' ELSE '' END
+  || '/P/' || {ds}
+  || (['?utm_source=feed&id=' || CAST({h('u7')} % 7 AS VARCHAR),
+       '?id=' || CAST({h('u7')} % 7 AS VARCHAR) || '&utm_campaign=x',
+       '?b=2&a=1&id=' || CAST({h('u7')} % 7 AS VARCHAR),
+       ''])[CAST({h('u4')} % 4 + 1 AS INT)]
+  || CASE WHEN {h('u5')} % 2 = 0 THEN '#sec' ELSE '' END AS url
+FROM documents
+"""
+
+
+_DUCK_URL_CANON = f"""
+WITH urls AS ({{urls}}),
+p AS (SELECT doc_id,
+        lower(regexp_extract(url, '{{re}}', 1)) AS scheme,
+        regexp_replace(regexp_replace(lower(regexp_extract(url, '{{re}}', 2)),
+                                      ':(443|80)$', ''), '^www\\.', '') AS host,
+        COALESCE(regexp_extract(url, '{{re}}', 3), '') AS path,
+        COALESCE(regexp_extract(url, '{{re}}', 4), '') AS query
+      FROM urls),
+q AS (SELECT doc_id, scheme, host, path,
+        COALESCE(array_to_string(list_sort(list_filter(
+          string_split(regexp_replace(query, '^\\?', ''), '&'),
+          x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&'), '') AS qs
+      FROM p),
+lab AS (SELECT doc_id, scheme, host, path, qs,
+          regexp_replace(host, ':[0-9]+$', '') AS hostname,
+          string_split(regexp_replace(host, ':[0-9]+$', ''), '.') AS l
+        FROM q)
+SELECT doc_id,
+  scheme || '://' || host || path
+    || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon,
+  CASE WHEN len(l) <= 2 THEN hostname
+       WHEN (l[-2] || '.' || l[-1]) IN ('co.uk','ac.uk','com.au','co.jp','com.br')
+            AND len(l) >= 3
+       THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+       ELSE l[-2] || '.' || l[-1] END AS domain
+FROM lab
+"""
+
+
+def _oracle_url_canonicalize() -> str:
+    re = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$"
+    return _DUCK_URL_CANON.format(urls=_duck_synth_urls(), re=re)
+
+
+def _oracle_url_census() -> str:
+    return f"""
+WITH canon AS ({_oracle_url_canonicalize()})
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canon
+FROM canon GROUP BY domain
+"""
+
+
 def _q_bitext_mine(spark, sf_dir):
     """Margin-based bitext mining (Artetxe & Schwenk 2019 / the CCMatrix
     retrieval rule) between corpus A (the embeddings table) and a derived
@@ -9583,6 +9713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,  # derived oracle (plane literals)
         "semdedup_prune_k8": _q_semdedup,           # SemDeDup cluster prune (int-exact)
         "bitext_margin_mine": _q_bitext_mine,       # CCMatrix-style margin retrieval
+        "url_canonicalize": _q_url_canonicalize,    # RFC3986-safe URL normal form
+        "url_domain_census": _q_url_census,         # registrable-domain rollup
         "ann_lsh_topk": _q_ann_lsh,                 # derived oracle (plane literals)
         "ann_ivf_topk": _q_ann_ivf,                 # derived oracle (centroid literals)
         "ann_pq_topk": _q_ann_pq,                   # product quantization, integer ADC
@@ -9818,6 +9950,8 @@ def oracle_sql() -> dict[str, str]:
     if sdd is not None:
         oracles["semdedup_prune_k8"] = sdd
     oracles["bitext_margin_mine"] = _ORACLE_BITEXT_MINE
+    oracles["url_canonicalize"] = _oracle_url_canonicalize()
+    oracles["url_domain_census"] = _oracle_url_census()
     pca = _oracle_pca_project()
     if pca is not None:
         oracles["pca_project_q"] = pca
