@@ -7115,14 +7115,26 @@ def _q_hex_smooth(spark, sf_dir):
         .groupBy("hr", "hc")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    halo = (
-        cnt.select(
-            F.explode(hex_neighbors(F.col("hr"), F.col("hc"))).alias("t"), "n"
-        )
-        .groupBy(F.col("t.hr").alias("hr"), F.col("t.hc").alias("hc"))
-        .agg(F.sum("n").alias("sm"))
+    # self count + ring-1 sum folded into ONE aggregate over the explode
+    # (no cnt-join-halo: the join re-inlined both aggregate pipelines into
+    # a single wholestage method big enough to fail janino compilation and
+    # fall back to interpreted eval — found round 3; also one less
+    # Exchange). Cells with no own count (halo-only) drop, preserving the
+    # original inner-join semantics.
+    ex = cnt.select(
+        F.col("hr").alias("shr"), F.col("hc").alias("shc"), "n",
+        F.explode(hex_neighbors(F.col("hr"), F.col("hc"))).alias("t"),
     )
-    return cnt.join(halo, ["hr", "hc"]).select("hr", "hc", "n", "sm")
+    own = F.when(
+        (F.col("t.hr") == F.col("shr")) & (F.col("t.hc") == F.col("shc")),
+        F.col("n"),
+    ).otherwise(F.lit(0))
+    return (
+        ex.groupBy(F.col("t.hr").alias("hr"), F.col("t.hc").alias("hc"))
+        .agg(F.sum(own).alias("n0"), F.sum("n").alias("sm"))
+        .filter(F.col("n0") > 0)
+        .select("hr", "hc", F.col("n0").alias("n"), "sm")
+    )
 
 
 # --- Pareto skyline (operators/skyline.py) ----------------------------------
