@@ -5527,8 +5527,8 @@ def _q_zorder_bbox(spark, sf_dir):
     half of layout_by_hilbert: on a key-clustered table the same
     predicate prunes row groups instead of rows."""
     from osm_hadoop_spark.functions.hilbert import (
-        zorder_exists_predicate,
         zorder_key,
+        zorder_range_join,
         zorder_ranges,
     )
     from osm_hadoop_spark.operators.textstats import h60
@@ -5542,10 +5542,12 @@ def _q_zorder_bbox(spark, sf_dir):
     ).withColumn("zkey", zorder_key(F.col("hx"), F.col("hy"), _HIL_ORDER))
     x0, x1, y0, y1 = _ZBB
     ranges = zorder_ranges(x0, x1, y0, y1, _HIL_ORDER)
-    # exists-form: the zkey here is computed in-plan (see the predicate
-    # docstrings); the scan-pushable OR-of-BETWEEN form is exercised on a
-    # stored key column in tests/test_zorder_ranges.py
-    return pts.filter(zorder_exists_predicate(F.col("zkey"), ranges))
+    # broadcast range join: the zkey is computed in-plan, so the
+    # scan-pushable OR-of-BETWEEN form doesn't apply and the exists form
+    # is interpreted-per-row-slow (measured 794 s -> ~1 s; see
+    # zorder_range_join docstring). 237 disjoint intervals = a bounded
+    # broadcast dim; membership = inner BNLJ, each row matches <= 1.
+    return zorder_range_join(pts, F.col("zkey"), ranges)
 
 
 def _oracle_zorder_bbox() -> str:
@@ -5705,6 +5707,46 @@ SELECT event_type, h % 256 AS bucket,
   CAST(MAX(CASE WHEN (h >> 8) = 0 THEN 53
                 ELSE 53 - length(bin(h >> 8)) END) AS INT) AS max_rho
 FROM h GROUP BY event_type, h % 256
+"""
+
+
+def _q_kmv_overlap(spark, sf_dir):
+    """KMV theta-style sketches (operators/sketch.py::kmv_sketch) over
+    per-event-type user sets + all-pairs overlap estimation
+    (kmv_overlap): the set-INTERSECTION capability HLL registers lack.
+    All outputs are integers (k-th union hash, intersection count within
+    the union sketch, union sketch size), so the oracle replays sketch
+    construction and merge exactly."""
+    from osm_hadoop_spark.operators.sketch import kmv_overlap, kmv_sketch
+
+    sk = kmv_sketch(_t(spark, sf_dir, "events"), "event_type", "user_id", k=32)
+    return kmv_overlap(sk, "event_type", k=32).select(
+        F.col("ga").alias("type_a"), F.col("gb").alias("type_b"),
+        "kth_union", "inter_k", "union_k",
+    )
+
+
+_ORACLE_KMV_OVERLAP = f"""
+WITH d AS (SELECT DISTINCT event_type AS g,
+             {_duck_h60("'kmv:' || CAST(user_id AS VARCHAR)")} AS hv
+           FROM events),
+sk AS (SELECT g, hv FROM (
+         SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS r
+         FROM d) WHERE r <= 32),
+gs AS (SELECT DISTINCT g FROM sk),
+pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a, gs b WHERE a.g < b.g),
+m AS (SELECT p.ga, p.gb, s.hv,
+        MAX(CASE WHEN s.g = p.ga THEN 1 ELSE 0 END) AS in_a,
+        MAX(CASE WHEN s.g = p.gb THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb
+      GROUP BY p.ga, p.gb, s.hv),
+t AS (SELECT ga, gb, hv, in_a, in_b,
+        row_number() OVER (PARTITION BY ga, gb ORDER BY hv) AS r
+      FROM m)
+SELECT ga AS type_a, gb AS type_b, MAX(hv) AS kth_union,
+       CAST(SUM(in_a * in_b) AS BIGINT) AS inter_k,
+       CAST(COUNT(*) AS BIGINT) AS union_k
+FROM t WHERE r <= 32 GROUP BY ga, gb
 """
 
 
@@ -8179,8 +8221,8 @@ GROUP BY event_type, lag_n
 _FRECHET_TAU2 = 30000
 
 
-def _q_frechet_join(spark, sf_dir):
-    from osm_hadoop_spark.operators.frechet import frechet_join
+def _frechet_traj(spark, sf_dir):
+    """Shared hash-derived trajectory fixture (frechet + dtw joins)."""
     from osm_hadoop_spark.operators.textstats import h60
 
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
@@ -8194,7 +8236,7 @@ def _q_frechet_join(spark, sf_dir):
     )
     h = ("cast(conv(substring(md5(concat('{tag}', ts_, '_', "
          "cast(i as string))), 1, 15), 16, 10) as bigint)")
-    traj = d.select(
+    return d.select(
         "tid",
         F.expr("x0 div 256").alias("cellx"),
         F.expr("y0 div 256").alias("celly"),
@@ -8207,7 +8249,75 @@ def _q_frechet_join(spark, sf_dir):
             + h.format(tag="dy") + " % 81 - 40)"
         ).alias("ys"),
     )
-    return frechet_join(traj, tau_sq=_FRECHET_TAU2)
+
+
+def _q_dtw_join(spark, sf_dir):
+    """DTW trajectory join (operators/dtw.py) over the SAME trajectory
+    fixture and same-cell candidates as frechet_traj_join — the sum-
+    semiring sibling, unthresholded so every candidate pair's exact
+    integer DTW cost is value-checked."""
+    from osm_hadoop_spark.operators.dtw import dtw_join
+
+    return dtw_join(_frechet_traj(spark, sf_dir))
+
+
+def _oracle_dtw() -> str:
+    i2 = "(CASE WHEN j + 1 < n THEN i ELSE i + 1 END)"
+    j2 = "(CASE WHEN j + 1 < n THEN j + 1 ELSE 0 END)"
+    d2v = (
+        f"((axs[{i2} + 1] - bxs[{j2} + 1]) * (axs[{i2} + 1] - bxs[{j2} + 1])"
+        f" + (ays[{i2} + 1] - bys[{j2} + 1]) * (ays[{i2} + 1] - bys[{j2} + 1]))"
+    )
+    val = (
+        f"CASE WHEN {j2} = 0 THEN {d2v} + cur[1] "
+        f"WHEN {i2} = 0 THEN {d2v} + cur[{j2}] "
+        f"ELSE {d2v} + least(prev[{j2} + 1], prev[{j2}], cur[{j2}]) "
+        f"END"
+    )
+    hx = _duck_h60("'dx' || ts_ || '_' || CAST(i AS VARCHAR)")
+    hy = _duck_h60("'dy' || ts_ || '_' || CAST(i AS VARCHAR)")
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT o_orderkey AS tid, CAST(o_orderkey AS VARCHAR) AS ts_,
+         {_duck_h60("'tx' || CAST(o_orderkey AS VARCHAR)")} % 4000 AS x0,
+         {_duck_h60("'ty' || CAST(o_orderkey AS VARCHAR)")} % 4000 AS y0,
+         CAST(o_orderkey % 4 + 3 AS INT) AS m
+  FROM orders WHERE o_orderkey % 11 = 0),
+traj AS (
+  SELECT tid, x0 // 256 AS cellx, y0 // 256 AS celly,
+         list_transform(range(1, m + 1), i -> x0 + {hx} % 81 - 40) AS xs,
+         list_transform(range(1, m + 1), i -> y0 + {hy} % 81 - 40) AS ys
+  FROM t),
+pairs AS (
+  SELECT a.tid AS ta, b.tid AS tb,
+         a.xs AS axs, a.ys AS ays, b.xs AS bxs, b.ys AS bys,
+         len(a.xs) AS m, len(b.xs) AS n
+  FROM traj a JOIN traj b
+    ON a.cellx = b.cellx AND a.celly = b.celly AND a.tid < b.tid),
+dp AS (
+  SELECT ta, tb, m, n, axs, ays, bxs, bys,
+         0 AS i, 0 AS j,
+         CAST([] AS BIGINT[]) AS prev,
+         [(axs[1] - bxs[1]) * (axs[1] - bxs[1])
+          + (ays[1] - bys[1]) * (ays[1] - bys[1])] AS cur
+  FROM pairs
+  UNION ALL
+  SELECT ta, tb, m, n, axs, ays, bxs, bys,
+         {i2} AS i, {j2} AS j,
+         CASE WHEN {j2} = 0 THEN cur ELSE prev END AS prev,
+         CASE WHEN {j2} = 0 THEN [{val}]
+              ELSE list_append(cur, {val}) END AS cur
+  FROM dp WHERE NOT (i = m - 1 AND j = n - 1))
+SELECT ta AS tid_a, tb AS tid_b, cur[n] AS dtw_d2
+FROM dp
+WHERE i = m - 1 AND j = n - 1
+"""
+
+
+def _q_frechet_join(spark, sf_dir):
+    from osm_hadoop_spark.operators.frechet import frechet_join
+
+    return frechet_join(_frechet_traj(spark, sf_dir), tau_sq=_FRECHET_TAU2)
 
 
 def _oracle_frechet() -> str:
@@ -9694,7 +9804,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "hyperball_reach_h3": _q_hyperball,         # HLL ball-size sketches
+        "kmv_overlap_events": _q_kmv_overlap,       # theta-style set intersection
         "cost_distance_r6": _q_cost_distance,       # raster least-cost surface
+        "dtw_traj_join": _q_dtw_join,               # sum-semiring warping join
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
         "temporal_ea_r4": _q_temporal_ea,           # time-respecting reachability
         "pagerank_r3": _q_pagerank,                 # fixed-point integer PageRank
@@ -9787,6 +9899,7 @@ def oracle_sql() -> dict[str, str]:
         "token_drift_chi2": _ORACLE_TOKEN_DRIFT,
         "acf_lag_stats": _ORACLE_ACF,
         "frechet_traj_join": _oracle_frechet(),
+        "dtw_traj_join": _oracle_dtw(),
         "priority_sample_w": _ORACLE_PRIORITY_SAMPLE,
         "bilinear_upsample_k4": _oracle_bilinear(),
         "hrw_shard_migration": _oracle_hrw(),
@@ -9938,6 +10051,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["hll_user_registers"] = _ORACLE_HLL_REGISTERS
     oracles["hyperball_reach_h3"] = _ORACLE_HYPERBALL
     oracles["cost_distance_r6"] = _ORACLE_COST_DISTANCE
+    oracles["kmv_overlap_events"] = _ORACLE_KMV_OVERLAP
     oracles["cm_user_freq"] = _ORACLE_COUNT_MIN
     oracles["resample_ffill_events"] = _ORACLE_RESAMPLE_FFILL
     oracles["line_of_sight_dem"] = _oracle_line_of_sight()

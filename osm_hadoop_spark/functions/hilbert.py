@@ -208,12 +208,35 @@ def zorder_range_predicate(key: Column, ranges: list[tuple[int, int]]) -> Column
     return pred
 
 
+def zorder_range_join(
+    df: DataFrame, key: Column, ranges: list[tuple[int, int]]
+) -> DataFrame:
+    """Interval membership as a BROADCAST range join against the (tiny,
+    driver-built) interval table — the fast form for a COMPUTED key.
+
+    Measured (sf0.1, 100k rows, 237 intervals): the exists-over-literal-
+    array form below ran 794 s — higher-order functions evaluate
+    interpreted, and the 237-struct literal array is re-built per row —
+    while this BroadcastNestedLoopJoin (237-row build side, whole-stage
+    codegen on the streamed side) runs in ~1 s. The intervals are
+    disjoint by construction, so each key matches at most one build row
+    and the inner join is exactly the membership filter."""
+    spark = df.sparkSession
+    rdf = spark.createDataFrame(list(ranges) or [(1, 0)], "lo long, hi long")
+    return df.join(
+        F.broadcast(rdf), (key >= F.col("lo")) & (key <= F.col("hi"))
+    ).drop("lo", "hi")
+
+
 def zorder_exists_predicate(key: Column, ranges: list[tuple[int, int]]) -> Column:
     """The same interval membership as ONE literal array<struct<lo,hi>>
-    probed by `exists` — the key expression appears once and the interval
-    loop is evaluated iteratively at runtime (the hilbert_key
-    F.aggregate discipline), so computed keys stay codegen-safe. Not a
-    scan-pushable form; pair with zorder_range_predicate on stored keys."""
+    probed by `exists` — the key expression appears once and codegen
+    stays safe. CAUTION: higher-order functions run interpreted and the
+    literal array is constructed per row — measured 794 s vs ~1 s for
+    zorder_range_join at 100k rows x 237 intervals. Use only for small
+    range lists in already-interpreted contexts; prefer
+    zorder_range_predicate on stored keys and zorder_range_join on
+    computed keys."""
     if not ranges:
         return F.lit(False)
     arr = F.array(

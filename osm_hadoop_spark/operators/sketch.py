@@ -31,7 +31,7 @@ import struct
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from osm_hadoop_spark.operators.textstats import h60
@@ -471,3 +471,77 @@ def hyperball(
         )
         out = out.unionByName(summary(state, t))
     return out
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketches with set-overlap estimation
+# ---------------------------------------------------------------------------
+
+def kmv_sketch(df: DataFrame, group: str, value: str, k: int = 32) -> DataFrame:
+    """Per-group KMV sketch: the k smallest DISTINCT h60 hash values of
+    the group's value set (Bar-Yossef et al. 2002; the theta-sketch
+    core). Deterministic — same engine hash as hll_registers, no RNG —
+    so the sketch rows themselves are value-comparable across engines.
+
+    Returns (group, hv, r): hash value + its rank (1-based, ties
+    impossible on distinct values). The k-th value estimates distinct
+    cardinality as (k-1) * 2^60 / hv_k (left to the caller, like
+    hll_estimate); unlike HLL, two KMV sketches also support SET
+    INTERSECTION estimation (kmv_overlap) — the reason this sketch
+    family exists next to the registers.
+
+    Plan: distinct (one partial-agg) -> per-group WindowGroupLimit
+    (rank <= k prunes map-side, no full sort materializes).
+    """
+    h = h60(F.concat(F.lit("kmv:"), F.col(value).cast("string")))
+    dedup = df.select(F.col(group), h.alias("hv")).distinct()
+    w = Window.partitionBy(group).orderBy(F.col("hv").asc())
+    return (
+        dedup.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+    )
+
+
+def kmv_overlap(
+    sketch: DataFrame, group: str, k: int = 32
+) -> DataFrame:
+    """All-pairs overlap estimate between per-group KMV sketches.
+
+    For each unordered group pair (a < b): merge the two sketches, keep
+    the k smallest distinct values (the union's KMV sketch), and count
+    how many of those k appear in BOTH input sketches. Returns
+    (ga, gb, kth_union, inter_k, union_k) — all integers. The standard
+    estimators follow driver-side: jaccard ~ inter_k / union_k,
+    |A u B| ~ (union_k - 1) * 2^60 / kth_union, |A n B| ~ jaccard * |A u B|.
+
+    Shape: the group list is a tiny dim (one row per group); pairs come
+    from a broadcast nested-loop of that dim with itself (rows = G^2/2 —
+    for thousands of groups switch to banded pairing), then two
+    broadcast equi-joins fan the sketch rows (G*k of them) onto their
+    pairs; merge/rank/count are one window + one aggregate on the pair
+    key. The full-corpus scan happens ONCE, in kmv_sketch.
+    """
+    groups_a = sketch.select(F.col(group).alias("ga")).distinct()
+    groups_b = sketch.select(F.col(group).alias("gb")).distinct()
+    pairs = groups_a.crossJoin(F.broadcast(groups_b)).filter(
+        F.col("ga") < F.col("gb")
+    )
+    sk = sketch.select(F.col(group).alias("g"), "hv")
+    side_a = pairs.join(
+        F.broadcast(sk).withColumnRenamed("g", "ga"), "ga"
+    ).select("ga", "gb", "hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    side_b = pairs.join(
+        F.broadcast(sk).withColumnRenamed("g", "gb"), "gb"
+    ).select("ga", "gb", "hv", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("ga", "gb", "hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy(F.col("hv").asc())
+    topk = merged.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+    return topk.groupBy("ga", "gb").agg(
+        F.max("hv").alias("kth_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("inter_k"),
+        F.count(F.lit(1)).cast("bigint").alias("union_k"),
+    )

@@ -42,6 +42,12 @@ BNLJ_ALLOWED = {
     # J4 discipline); at corpus x corpus scale the all-pairs stage is
     # replaced by an IVF/LSH shortlist fed into the same margin algebra
     "bitext_margin_mine",
+    # kmv overlap: the pair generator is a |groups|-row dim crossed with
+    # itself (5 event types -> 10 pairs); sketch fan-out is broadcast equi
+    "kmv_overlap_events",
+    # z-range membership: 237-row disjoint-interval broadcast build side
+    # (the computed-key fast form; stored keys use pushed OR-of-BETWEEN)
+    "zorder_bbox_scan",
 }
 
 

