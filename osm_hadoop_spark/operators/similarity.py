@@ -587,41 +587,89 @@ def bitext_margin_mine(
     s > 0, fwd > 0, bwd > 0 guards (a negative-dot "match" never mines)
     — so the DuckDB twin agrees bit-for-bit, no float tie risk.
 
-    Plan shape: B is the broadcast side (BroadcastNestedLoopJoin with the
-    big side streaming — the embedding_topk/J4 discipline; at corpus x
-    corpus scale swap the all-pairs stage for an IVF/LSH shortlist, the
-    engine's ann_* operators, and feed the shortlist in here unchanged);
-    everything after the score table is windows + hash aggregates on the
-    pair keys. Top-k ties break by (score desc, id asc) in both
-    directions.
+    Plan shape: B is the bounded dim side (collected once, shipped as a
+    Spark broadcast variable — the IVF-fit boundedness contract); A
+    streams through TWO Arrow matmul passes and the |A| x |B| score
+    matrix NEVER hits a shuffle:
+      - forward pass: best match and the exact top-k forward sum are row-
+        local to the matmul (one output row per A row);
+      - backward pass: per-batch partial top-k per B id (the classic
+        partial-top-k reduction), globally reduced by one slim window —
+        O(|B| * k * n_batches) rows, not |A| x |B|.
+    Measured vs the first-cut broadcast-join + windows plan: 14.8 s ->
+    see PARITY.md (the interpreted zip_with dot and the full pair-table
+    windows both gone). At corpus x corpus scale (B not bounded) swap
+    the matmul for an IVF/LSH shortlist (the engine's ann_* operators)
+    and feed candidate scores into the same margin algebra. Top-k ties
+    break by (score desc, id asc) in both directions; tie-bound sums are
+    order-invariant, so the partial reduction is exact.
     """
     qa = a.select(F.col(a_id).alias("xa"), _pq_quant_col("embedding").alias("qa"))
-    qb = b.select(F.col(b_id).alias("xb"), _pq_quant_col("embedding").alias("qb"))
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda u, v: u * v),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scores = qa.join(F.broadcast(qb)).select("xa", "xb", dot.alias("s"))
+    b_pdf = b.select(
+        F.col(b_id).alias("xb"), _pq_quant_col("embedding").alias("qb")
+    ).toPandas()
+    b_ids = np.asarray(b_pdf["xb"], dtype=np.int64)
+    b_mat = np.stack(b_pdf["qb"].apply(np.asarray).to_numpy()).astype(np.int64)
+    nb = len(b_ids)
+    kk = min(k, nb)
+    spark = a.sparkSession
+    bc = spark.sparkContext.broadcast((b_ids, b_mat))
 
-    wf = Window.partitionBy("xa").orderBy(F.col("s").desc(), F.col("xb").asc())
+    # pass 1 — per A row, everything FORWARD is local to the matmul row:
+    # best match (ties -> min xb) and the exact top-k forward sum
+    def fwd_kernel(batches):
+        ids, mat = bc.value
+        order_ids = np.argsort(ids, kind="stable")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            aq = np.stack(pdf["qa"].apply(np.asarray).to_numpy()).astype(np.int64)
+            s = aq @ mat.T  # (batch, nb) exact int64
+            # column order (s desc, xb asc): sort columns by id once, then
+            # stable-argsort by -s row-wise
+            s_id = s[:, order_ids]
+            top = np.argsort(-s_id, axis=1, kind="stable")[:, :kk]
+            rows = np.arange(len(aq))[:, None]
+            tops = s_id[rows, top]
+            yield pd.DataFrame({
+                "xa": pdf["xa"].to_numpy(),
+                "xb": ids[order_ids][top[:, 0]],
+                "s": tops[:, 0],
+                "fwd": tops.sum(axis=1),
+            })
+
+    best = qa.mapInPandas(fwd_kernel, "xa long, xb long, s long, fwd long")
+
+    # pass 2 — BACKWARD top-k via per-batch partials: each batch emits at
+    # most kk rows per B id; the global top-k reduces partials, so the
+    # shuffle carries O(nb * kk * n_batches) slim rows, never |A| x |B|
+    def bwd_kernel(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            aq = np.stack(pdf["qa"].apply(np.asarray).to_numpy()).astype(np.int64)
+            s = aq @ mat.T
+            kb = min(kk, s.shape[0])
+            part = np.argpartition(-s, kb - 1, axis=0)[:kb]  # (kb, nb)
+            cols = np.arange(s.shape[1])[None, :].repeat(kb, axis=0)
+            yield pd.DataFrame({
+                "xb": ids[cols.ravel()],
+                "xa": pdf["xa"].to_numpy()[part.ravel()],
+                "s": s[part, cols].ravel(),
+            })
+
+    partials = qa.mapInPandas(bwd_kernel, "xb long, xa long, s long")
     wb = Window.partitionBy("xb").orderBy(F.col("s").desc(), F.col("xa").asc())
-    ranked = scores.withColumn("rf", F.row_number().over(wf)).withColumn(
-        "rb", F.row_number().over(wb)
-    )
-    fwd = (
-        ranked.filter(F.col("rf") <= k)
-        .groupBy("xa")
-        .agg(F.sum("s").alias("fwd"))
-    )
     bwd = (
-        ranked.filter(F.col("rb") <= k)
+        partials.withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= kk)
         .groupBy("xb")
         .agg(F.sum("s").alias("bwd"))
     )
-    best = ranked.filter(F.col("rf") == 1)
+
     return (
-        best.join(fwd, "xa").join(bwd, "xb")
+        best.join(bwd, "xb")
         .filter(
             (F.col("s") > 0) & (F.col("fwd") > 0) & (F.col("bwd") > 0)
             & (

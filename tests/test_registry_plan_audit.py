@@ -38,10 +38,6 @@ BNLJ_ALLOWED = {
     "pip_triangles", "way_polygon_contain",
     "morans_lisa_g60", "morans_global_g60", "getis_ord_gi_g60",
     "mixture_rebalance_lang",
-    # bitext mining: corpus B is the broadcast dim side (embedding_topk /
-    # J4 discipline); at corpus x corpus scale the all-pairs stage is
-    # replaced by an IVF/LSH shortlist fed into the same margin algebra
-    "bitext_margin_mine",
     # kmv overlap: the pair generator is a |groups|-row dim crossed with
     # itself (5 event types -> 10 pairs); sketch fan-out is broadcast equi
     "kmv_overlap_events",
