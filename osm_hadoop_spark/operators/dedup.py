@@ -451,9 +451,23 @@ def sorted_neighborhood_pairs(
     sort keys per pass) is the standard recall amplifier — run it again
     with a different `pass_salt` shingle ordering and union the pairs.
     """
-    base = documents.select(
+    # Perf shape (measured at sf0.1, round 3; 19.9 s -> ~1 s):
+    #  - _spread first: a small parquet arrives as ONE split, so without
+    #    it the md5-heavy shingle build runs serially (10.6 s of the
+    #    original 19.9 s — the 1-split amplification trap);
+    #  - NO size(sh) > 0 filter here: a Filter next to the projection
+    #    re-inlines the whole shingle HOF (FilterExec and ProjectExec
+    #    don't share subexpressions) and the re-evaluation runs
+    #    interpreted — measured 0.2 s -> 10 s for the SAME rows, and the
+    #    filter pushes straight back through any repartition placed as a
+    #    barrier. Empty-shingle docs instead flow through with a NULL
+    #    blocking key: they land in their own NULL strip, can only pair
+    #    with each other, and every such pair has union_n = 0 — killed by
+    #    the union_n > 0 term of the final gate. Same output, one
+    #    evaluation of the shingle expression per row, codegen intact.
+    base = _spread(documents).select(
         F.col("doc_id"), shingles_col(k).alias("sh")
-    ).where(F.size("sh") > 0)
+    )
     # Distributed form: the sort runs inside 2^10 "strips" (high bits of
     # the blocking key), so the window is partitioned — no single-task
     # global sort. Near-duplicates under this key share bk EXACTLY (same
@@ -486,7 +500,8 @@ def sorted_neighborhood_pairs(
         F.size(F.array_union("sh_a", F.col("_b.sh"))).alias("union_n"),
     )
     return cand.where(
-        F.col("inter_n") * 100 >= F.lit(min_jaccard_pct) * F.col("union_n")
+        (F.col("union_n") > 0)  # kills NULL-strip empty-shingle pairs
+        & (F.col("inter_n") * 100 >= F.lit(min_jaccard_pct) * F.col("union_n"))
     ).select(
         "doc_a", "doc_b",
         F.col("inter_n").cast("bigint").alias("inter_n"),
