@@ -5710,6 +5710,60 @@ FROM h GROUP BY event_type, h % 256
 """
 
 
+_DWELL_CS, _DWELL_MIN, _DWELL_HB = 100, 1800000, 3600000
+
+
+def _q_dwell_segments(spark, sf_dir):
+    """Stay-point detection (operators/trajectory.py::dwell_segments):
+    per-user positions derived from the hour bucket (so positions hold
+    still for ~an hour, then jump — realistic dwells), grid cell 100,
+    dwell >= 30 min with >= 2 pings. Grid-RLE reformulation of Li et al.
+    2008; one exchange, two pipelined windows, one rollup."""
+    from osm_hadoop_spark.operators.textstats import h60
+    from osm_hadoop_spark.operators.trajectory import dwell_segments
+
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    hb = (ms / _DWELL_HB).cast("bigint")
+    key = F.concat(
+        F.col("user_id").cast("string"), F.lit("_"), hb.cast("string")
+    )
+    pings = ev.select(
+        F.col("user_id").alias("entity"),
+        ms.alias("t"),
+        F.col("event_id").alias("seq"),
+        (h60(F.concat(F.lit("dwx"), key)) % 1600).alias("x"),
+        (h60(F.concat(F.lit("dwy"), key)) % 1600).alias("y"),
+    )
+    return dwell_segments(
+        pings, cell_size=_DWELL_CS, min_dwell=_DWELL_MIN, min_pings=2
+    )
+
+
+_ORACLE_DWELL = f"""
+WITH p AS (
+  SELECT user_id AS entity, epoch_ms(ts) AS t, event_id AS seq,
+         {_duck_h60("'dwx' || CAST(user_id AS VARCHAR) || '_' || CAST(epoch_ms(ts) // " + str(_DWELL_HB) + " AS VARCHAR)")} % 1600 AS x,
+         {_duck_h60("'dwy' || CAST(user_id AS VARCHAR) || '_' || CAST(epoch_ms(ts) // " + str(_DWELL_HB) + " AS VARCHAR)")} % 1600 AS y
+  FROM events),
+c AS (SELECT entity, t, seq, x // {_DWELL_CS} AS cx, y // {_DWELL_CS} AS cy FROM p),
+b AS (SELECT entity, t, seq, cx, cy,
+        CASE WHEN lag(cx) OVER w IS NULL
+             OR lag(cx) OVER w <> cx OR lag(cy) OVER w <> cy
+        THEN 1 ELSE 0 END AS brk
+      FROM c WINDOW w AS (PARTITION BY entity ORDER BY t, seq)),
+r AS (SELECT entity, t, seq, cx, cy,
+        SUM(brk) OVER (PARTITION BY entity ORDER BY t, seq
+                       ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM b)
+SELECT entity, run_id, MIN(cx) AS cx, MIN(cy) AS cy,
+       MIN(t) AS t0, MAX(t) AS t1,
+       CAST(COUNT(*) AS BIGINT) AS n_pings
+FROM r GROUP BY entity, run_id
+HAVING MAX(t) - MIN(t) >= {_DWELL_MIN} AND COUNT(*) >= 2
+"""
+
+
 def _q_kmv_overlap(spark, sf_dir):
     """KMV theta-style sketches (operators/sketch.py::kmv_sketch) over
     per-event-type user sets + all-pairs overlap estimation
@@ -9807,6 +9861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap_events": _q_kmv_overlap,       # theta-style set intersection
         "cost_distance_r6": _q_cost_distance,       # raster least-cost surface
         "dtw_traj_join": _q_dtw_join,               # sum-semiring warping join
+        "dwell_segments": _q_dwell_segments,        # stay-point detection (T4)
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
         "temporal_ea_r4": _q_temporal_ea,           # time-respecting reachability
         "pagerank_r3": _q_pagerank,                 # fixed-point integer PageRank
@@ -10052,6 +10107,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["hyperball_reach_h3"] = _ORACLE_HYPERBALL
     oracles["cost_distance_r6"] = _ORACLE_COST_DISTANCE
     oracles["kmv_overlap_events"] = _ORACLE_KMV_OVERLAP
+    oracles["dwell_segments"] = _ORACLE_DWELL
     oracles["cm_user_freq"] = _ORACLE_COUNT_MIN
     oracles["resample_ffill_events"] = _ORACLE_RESAMPLE_FFILL
     oracles["line_of_sight_dem"] = _oracle_line_of_sight()

@@ -105,3 +105,69 @@ def segment_trips(
             F.max("_ping")[y].alias("end_y"),
         ]
     return tripped.groupBy(entity, "trip").agg(*aggs)
+
+
+def dwell_segments(
+    pings: DataFrame,
+    cell_size: int,
+    min_dwell: int,
+    min_pings: int = 1,
+    entity: str = "entity",
+    t: str = "t",
+    seq: str = "seq",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Stay-point (dwell) detection — the grid-RLE reformulation.
+
+    T4 next to segment_trips: where trips split a trajectory on MOVEMENT
+    discontinuities, stay points find the places an entity REMAINS —
+    home/work discovery, depot dwell time, POI visit mining (Li et al.
+    2008 introduced the radius-from-anchor scan). The classic algorithm
+    is a sequential per-anchor loop and does not distribute; this is the
+    standard grid reformulation (the same exactness-for-scale trade the
+    engine's grid DBSCAN documents): a stay is a maximal RUN of
+    consecutive pings in the SAME grid cell lasting >= min_dwell with
+    >= min_pings pings. Runs at a cell border can fragment (mitigate
+    with overlapping passes at a shifted grid, the multi-pass amplifier);
+    within-cell wander is bounded by cell_size by construction.
+
+    Semantics (pure function of the input): pings order per entity by
+    (t, seq); run breaks exactly when the cell changes; a run reports
+    its cell, [t0, t1], and ping count. All integers.
+
+    Plan: ONE exchange on the entity key + one sort, a lag flag, a
+    running-sum window on the same sort (pipelined, no second exchange),
+    one partial-agg rollup — the segment_trips plan shape with a cell
+    equality instead of a jump predicate.
+    """
+    cx = F.floor(F.col(x) / F.lit(cell_size)).cast("bigint")
+    cy = F.floor(F.col(y) / F.lit(cell_size)).cast("bigint")
+    w = Window.partitionBy(entity).orderBy(t, seq)
+    keyed = pings.select(
+        F.col(entity).alias("entity"), F.col(t).alias("t"), F.col(seq).alias("seq"),
+        cx.alias("cx"), cy.alias("cy"),
+    )
+    brk = (
+        F.lag("cx").over(w).isNull()
+        | (F.lag("cx").over(w) != F.col("cx"))
+        | (F.lag("cy").over(w) != F.col("cy"))
+    ).cast("bigint")
+    runs = keyed.withColumn("run_id", F.sum(brk).over(
+        Window.partitionBy("entity").orderBy("t", "seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    ))
+    return (
+        runs.groupBy("entity", "run_id")
+        .agg(
+            F.min("cx").alias("cx"),
+            F.min("cy").alias("cy"),
+            F.min("t").alias("t0"),
+            F.max("t").alias("t1"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pings"),
+        )
+        .filter(
+            (F.col("t1") - F.col("t0") >= F.lit(min_dwell))
+            & (F.col("n_pings") >= F.lit(min_pings))
+        )
+    )

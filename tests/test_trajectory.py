@@ -132,3 +132,43 @@ def test_trip_plan_single_sort(spark, pings):
     # both window passes must share one Sort on (entity, ts, tiebreak)
     assert plan.count("+- Sort ") == 1, plan
     assert "Join" not in plan
+
+def test_dwell_segments_known_runs(spark):
+    from pyspark.sql import Row
+
+    from osm_hadoop_spark.operators.trajectory import dwell_segments
+
+    # entity 1: dwell in cell (0,0) t=0..40 (3 pings), hop to (5,5) at 50
+    # (single ping, too short), back to (0,0) t=60..95 (2 pings)
+    rows = [
+        Row(entity=1, t=0, seq=1, x=10, y=10),
+        Row(entity=1, t=20, seq=2, x=90, y=40),
+        Row(entity=1, t=40, seq=3, x=5, y=99),
+        Row(entity=1, t=50, seq=4, x=550, y=560),
+        Row(entity=1, t=60, seq=5, x=30, y=30),
+        Row(entity=1, t=95, seq=6, x=60, y=60),
+        # entity 2: continuous dwell, but below min_pings
+        Row(entity=2, t=0, seq=1, x=10, y=10),
+    ]
+    out = dwell_segments(
+        spark.createDataFrame(rows), cell_size=100, min_dwell=30, min_pings=2
+    )
+    got = sorted(
+        (r["entity"], r["cx"], r["cy"], r["t0"], r["t1"], r["n_pings"])
+        for r in out.collect()
+    )
+    assert got == [(1, 0, 0, 0, 40, 3), (1, 0, 0, 60, 95, 2)]
+
+
+def test_dwell_single_exchange_plan(spark):
+    from pyspark.sql import Row
+
+    from osm_hadoop_spark.operators.trajectory import dwell_segments
+
+    rows = [Row(entity=1, t=i, seq=i, x=1, y=1) for i in range(5)]
+    df = dwell_segments(spark.createDataFrame(rows), 10, 1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both windows and the rollup ride one hashpartitioning on entity
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    assert "BatchEvalPython" not in plan
