@@ -5710,6 +5710,48 @@ FROM h GROUP BY event_type, h % 256
 """
 
 
+def _q_ivm_merge(spark, sf_dir):
+    """Incremental view maintenance (operators/ivm.py): the per-customer
+    (count, integer sum) view is built over the 'already snapshotted'
+    base (o_orderkey % 7 != 0), then a CDC batch of inserts (% 7 == 0)
+    and deletes (% 5 == 0 of the base) merges in WITHOUT re-reading the
+    base. The oracle computes the final view FROM SCRATCH over
+    (base - deletes + inserts) — a different algorithm — so a green row
+    proves the IVM delta identity, not just reproduction."""
+    from osm_hadoop_spark.operators.ivm import ivm_merge
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", (F.col("o_orderkey") % 997).alias("m")
+    )
+    base = o.filter(F.col("o_orderkey") % 7 != 0)
+    view = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("m").cast("bigint").alias("sm"),
+    )
+    delta = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_custkey", "m", F.lit(1).alias("op"))
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 5 == 0)
+            .select("o_custkey", "m", F.lit(-1).alias("op"))
+        )
+    )
+    return ivm_merge(view, delta, "o_custkey", "m").select(
+        "o_custkey",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("sm").cast("bigint").alias("sm"),
+    )
+
+
+_ORACLE_IVM = """
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o_orderkey % 997) AS BIGINT) AS sm
+FROM orders
+WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 <> 0
+GROUP BY o_custkey
+"""
+
+
 _DWELL_CS, _DWELL_MIN, _DWELL_HB = 100, 1800000, 3600000
 
 
@@ -9862,6 +9904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cost_distance_r6": _q_cost_distance,       # raster least-cost surface
         "dtw_traj_join": _q_dtw_join,               # sum-semiring warping join
         "dwell_segments": _q_dwell_segments,        # stay-point detection (T4)
+        "ivm_merge_orders": _q_ivm_merge,           # incremental view maintenance
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
         "temporal_ea_r4": _q_temporal_ea,           # time-respecting reachability
         "pagerank_r3": _q_pagerank,                 # fixed-point integer PageRank
@@ -10108,6 +10151,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["cost_distance_r6"] = _ORACLE_COST_DISTANCE
     oracles["kmv_overlap_events"] = _ORACLE_KMV_OVERLAP
     oracles["dwell_segments"] = _ORACLE_DWELL
+    oracles["ivm_merge_orders"] = _ORACLE_IVM
     oracles["cm_user_freq"] = _ORACLE_COUNT_MIN
     oracles["resample_ffill_events"] = _ORACLE_RESAMPLE_FFILL
     oracles["line_of_sight_dem"] = _oracle_line_of_sight()

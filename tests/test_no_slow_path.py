@@ -41,6 +41,9 @@ COLLECT_ALLOWED = {
     # suffix.py collects one count-distinct scalar per doubling round —
     # the kNN round-control posture
     "selection.py", "suffix.py",
+    # semdedup.py collects the hard-bounded hash-ordered centroid-fit
+    # sample (limit(sample).toPandas()) — the IVF/PQ fit posture
+    "semdedup.py",
 }
 COLLECT_RE = re.compile(r"\.(collect|toPandas)\s*\(")
 
