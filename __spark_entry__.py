@@ -5710,6 +5710,61 @@ FROM h GROUP BY event_type, h % 256
 """
 
 
+_ATTR_W_US = 86_400_000_000  # 1-day lookback
+
+
+def _q_attribution(spark, sf_dir):
+    """First/last-touch attribution (operators/attribution.py): view and
+    click events are touches (channel = h60-derived literal ladder),
+    purchases convert, 1-day lookback. Engine = one union + one sort +
+    two RANGE-frame struct max/min windows (no join); oracle = the
+    JOIN-based formulation ranked by row_number — a different algorithm,
+    so green proves the window semantics."""
+    from osm_hadoop_spark.operators.attribution import attribute_conversions
+    from osm_hadoop_spark.operators.textstats import h60
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    ch = F.element_at(
+        F.array(*[F.lit(c) for c in ("ads", "email", "social", "organic")]),
+        (h60(F.concat(F.lit("ch"), F.col("event_id").cast("string"))) % 4 + 1)
+        .cast("int"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts_us", "event_id", ch.alias("channel")
+    )
+    convs = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id"
+    )
+    return attribute_conversions(touches, convs, lookback=_ATTR_W_US)
+
+
+_ORACLE_ATTRIBUTION = f"""
+WITH t AS (
+  SELECT user_id AS u, epoch_us(ts) AS tt, event_id AS tid,
+         ['ads','email','social','organic']
+           [CAST({_duck_h60("'ch' || CAST(event_id AS VARCHAR)")} % 4 + 1 AS INT)]
+           AS ch
+  FROM events WHERE event_type IN ('view', 'click')),
+c AS (SELECT user_id AS u, epoch_us(ts) AS ct, event_id AS cid
+      FROM events WHERE event_type = 'purchase'),
+j AS (SELECT c.u, c.cid, c.ct, t.tid, t.ch,
+        row_number() OVER (PARTITION BY c.u, c.cid
+                           ORDER BY t.tt DESC, t.tid DESC) AS rl,
+        row_number() OVER (PARTITION BY c.u, c.cid
+                           ORDER BY t.tt ASC, t.tid ASC) AS rf
+      FROM c JOIN t ON t.u = c.u AND t.tt < c.ct
+                   AND t.tt > c.ct - {_ATTR_W_US}),
+lt AS (SELECT cid, tid AS lt_id, ch AS lt_channel FROM j WHERE rl = 1),
+ft AS (SELECT cid, tid AS ft_id, ch AS ft_channel FROM j WHERE rf = 1)
+SELECT c.u AS user_id, c.cid AS conv_id, c.ct AS conv_ts,
+       lt.lt_id, lt.lt_channel, ft.ft_id, ft.ft_channel
+FROM c LEFT JOIN lt ON lt.cid = c.cid LEFT JOIN ft ON ft.cid = c.cid
+"""
+
+
 def _q_ivm_merge(spark, sf_dir):
     """Incremental view maintenance (operators/ivm.py): the per-customer
     (count, integer sum) view is built over the 'already snapshotted'
@@ -9905,6 +9960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_traj_join": _q_dtw_join,               # sum-semiring warping join
         "dwell_segments": _q_dwell_segments,        # stay-point detection (T4)
         "ivm_merge_orders": _q_ivm_merge,           # incremental view maintenance
+        "attribution_touch": _q_attribution,        # first/last-touch credit
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
         "temporal_ea_r4": _q_temporal_ea,           # time-respecting reachability
         "pagerank_r3": _q_pagerank,                 # fixed-point integer PageRank
@@ -10152,6 +10208,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["kmv_overlap_events"] = _ORACLE_KMV_OVERLAP
     oracles["dwell_segments"] = _ORACLE_DWELL
     oracles["ivm_merge_orders"] = _ORACLE_IVM
+    oracles["attribution_touch"] = _ORACLE_ATTRIBUTION
     oracles["cm_user_freq"] = _ORACLE_COUNT_MIN
     oracles["resample_ffill_events"] = _ORACLE_RESAMPLE_FFILL
     oracles["line_of_sight_dem"] = _oracle_line_of_sight()
