@@ -801,3 +801,74 @@ def test_streaming_count_min_matches_batch(spark, tmp_path):
     for (ws, _, _), _v in got_map.items():
         per_win[ws] = per_win.get(ws, 0) + 1
     assert all(n <= d * w for n in per_win.values())
+
+
+def test_streaming_kmins_matches_batch(spark, tmp_path):
+    """Streaming k-mins sketch (one watermarked windowed MIN) equals the
+    batch per-window groupBy min, holds <= k rows of state per window,
+    and its driver-side estimate lands within the k-mins error envelope."""
+    import datetime as dt
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osm_hadoop_spark.operators.textstats import h60
+    from osm_hadoop_spark.streaming.kmins import kmins_estimate, streaming_kmins
+
+    k = 32
+    rng = np.random.default_rng(11)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = sorted(
+        (
+            t0 + dt.timedelta(seconds=int(rng.integers(0, 180))),
+            int(rng.integers(0, 400)),
+        )
+        for _ in range(1200)
+    )
+    schema = "ts timestamp, uid long"
+
+    src = str(tmp_path / "km_src")
+    ckpt = str(tmp_path / "km_ckpt")
+    got = []
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_kmins(stream, "uid", k=k)
+            .writeStream.foreachBatch(lambda df, _b: got.extend(df.collect()))
+            .outputMode("complete").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    got_map = {(r["win"]["start"], r["bucket"]): r["min_h"] for r in got}
+
+    batch = spark.createDataFrame(rows, schema).select(
+        F.window("ts", "1 minute").alias("win"),
+        (h60(F.concat(F.lit("kmv:"), F.col("uid").cast("string"))) % k)
+        .alias("bucket"),
+        h60(F.concat(F.lit("kmv:"), F.col("uid").cast("string"))).alias("hv"),
+    ).groupBy("win", "bucket").agg(F.min("hv").alias("min_h"))
+    want = {(r["win"]["start"], r["bucket"]): r["min_h"] for r in batch.collect()}
+    assert got_map == want
+
+    # bounded state: <= k rows per window
+    import collections
+    per_win = collections.Counter(w for (w, _b) in got_map)
+    assert all(v <= k for v in per_win.values())
+
+    # estimator accuracy on the busiest window vs exact distinct
+    busiest = max(per_win, key=per_win.get)
+    rows_w = [
+        {"bucket": b, "min_h": mh}
+        for (w, b), mh in got_map.items() if w == busiest
+    ]
+    exact = spark.createDataFrame(rows, schema).select(
+        F.window("ts", "1 minute").alias("win"), "uid"
+    ).filter(F.col("win.start") == busiest).select("uid").distinct().count()
+    est = kmins_estimate(rows_w, k=k)
+    assert abs(est - exact) / exact < 0.45  # k=32 sketch envelope
