@@ -5710,6 +5710,64 @@ FROM h GROUP BY event_type, h % 256
 """
 
 
+_GEO_R_M = 50_000
+
+
+def _q_geodesic_pairs(spark, sf_dir):
+    """Great-circle distance-band join (operators/distance_join.py::
+    geodesic_pairs): customers hash onto 40 cluster centers with +-0.2
+    degree jitter (so 50 km pairs genuinely exist), 1-degree grid
+    blocking, haversine integer-mm refine. The oracle is the O(n^2)
+    all-pairs twin with duck_haversine_mm — proving the blocking misses
+    nothing, not just that the refine agrees. Coordinates build as ONE
+    integer micro-degree sum divided once by 1e5, so the doubles are
+    bit-identical across engines."""
+    from osm_hadoop_spark.operators.distance_join import geodesic_pairs
+    from osm_hadoop_spark.operators.textstats import h60
+
+    pk = F.col("c_custkey")
+    s = pk.cast("string")
+    k = (pk % 40).cast("string")
+    ulon = (
+        h60(F.concat(F.lit("gcx"), k)) % 34000000 - 17000000
+        + h60(F.concat(F.lit("gjx"), s)) % 40001 - 20000
+    )
+    ulat = (
+        h60(F.concat(F.lit("gcy"), k)) % 11000000 - 5500000
+        + h60(F.concat(F.lit("gjy"), s)) % 40001 - 20000
+    )
+    pts = _t(spark, sf_dir, "customer").select(
+        pk.alias("id"),
+        (ulon.cast("double") / 100000.0).alias("lon"),
+        (ulat.cast("double") / 100000.0).alias("lat"),
+    )
+    return geodesic_pairs(pts, radius_m=_GEO_R_M, cell_deg=1.0)
+
+
+def _oracle_geodesic_pairs() -> str:
+    from osm_hadoop_spark.functions.geodesic import duck_haversine_mm
+
+    k = "CAST(c_custkey % 40 AS VARCHAR)"
+    s = "CAST(c_custkey AS VARCHAR)"
+    gcx = _duck_h60(f"'gcx' || {k}")
+    gjx = _duck_h60(f"'gjx' || {s}")
+    gcy = _duck_h60(f"'gcy' || {k}")
+    gjy = _duck_h60(f"'gjy' || {s}")
+    ulon = f"({gcx} % 34000000 - 17000000 + {gjx} % 40001 - 20000)"
+    ulat = f"({gcy} % 11000000 - 5500000 + {gjy} % 40001 - 20000)"
+    mm = duck_haversine_mm("a.lon", "a.lat", "b.lon", "b.lat")
+    return f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         CAST({ulon} AS DOUBLE) / 100000.0 AS lon,
+         CAST({ulat} AS DOUBLE) / 100000.0 AS lat
+  FROM customer)
+SELECT a.id AS id_a, b.id AS id_b, {mm} AS geo_mm
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE {mm} <= {_GEO_R_M * 1000}
+"""
+
+
 _ATTR_W_US = 86_400_000_000  # 1-day lookback
 
 
@@ -9961,6 +10019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwell_segments": _q_dwell_segments,        # stay-point detection (T4)
         "ivm_merge_orders": _q_ivm_merge,           # incremental view maintenance
         "attribution_touch": _q_attribution,        # first/last-touch credit
+        "geodesic_pairs_50km": _q_geodesic_pairs,   # great-circle distance band
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
         "temporal_ea_r4": _q_temporal_ea,           # time-respecting reachability
         "pagerank_r3": _q_pagerank,                 # fixed-point integer PageRank
@@ -10209,6 +10268,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["dwell_segments"] = _ORACLE_DWELL
     oracles["ivm_merge_orders"] = _ORACLE_IVM
     oracles["attribution_touch"] = _ORACLE_ATTRIBUTION
+    oracles["geodesic_pairs_50km"] = _oracle_geodesic_pairs()
     oracles["cm_user_freq"] = _ORACLE_COUNT_MIN
     oracles["resample_ffill_events"] = _ORACLE_RESAMPLE_FFILL
     oracles["line_of_sight_dem"] = _oracle_line_of_sight()
