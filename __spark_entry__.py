@@ -7353,6 +7353,65 @@ GROUP BY a.hr, a.hc
 """
 
 
+def _q_hex_parent(spark, sf_dir):
+    """Multiresolution hex rollup (functions/hexgrid.py::hex_parent_cols):
+    fine-cell densities roll up to a 3x-coarser hex lattice — the
+    H3-style pyramid for hexagons (quadkey pyramid = pyramid_counts).
+    Parent = nearest coarse Voronoi center of the child's center; the
+    oracle replays the child assignment AND the parent ladder as two
+    stacked wide-scan argmins."""
+    from osm_hadoop_spark.functions.hexgrid import hex_cell_cols, hex_parent_cols
+
+    pts = _dbscan_points(spark, sf_dir)
+    c = hex_cell_cols(F.col("x"), F.col("y"))
+    cnt = (
+        pts.select(c["hr"].alias("hr"), c["hc"].alias("hc"))
+        .groupBy("hr", "hc")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = hex_parent_cols(F.col("hr"), F.col("hc"), factor=3)
+    return (
+        cnt.select(p["hr"].alias("pr"), p["hc"].alias("pc"), "n")
+        .groupBy("pr", "pc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("n").cast("bigint").alias("n_pts"),
+        )
+    )
+
+
+def _oracle_hex_parent() -> str:
+    from osm_hadoop_spark.functions.hexgrid import HEX_SX, HEX_SY
+
+    sx, sy, half = HEX_SX * 3, HEX_SY * 3, (HEX_SX * 3) // 2
+    return _duck_hex_cnt_cte() + f""",
+ctr AS (
+  SELECT hr, hc, n,
+         hc * {HEX_SX} + (CASE WHEN hr % 2 <> 0 THEN {HEX_SX // 2} ELSE 0 END) AS x,
+         hr * {HEX_SY} AS y
+  FROM cnt),
+pcand AS (
+  SELECT c.hr, c.hc, c.n, c.x, c.y,
+         CAST(floor(CAST(c.y AS DOUBLE) / {sy}) AS BIGINT) + dr.d AS r,
+         CAST(floor(CAST(c.x - (CASE WHEN (CAST(floor(CAST(c.y AS DOUBLE) / {sy}) AS BIGINT) + dr.d) % 2 <> 0
+                                     THEN {half} ELSE 0 END) AS DOUBLE) / {sx}) AS BIGINT) + dc.d AS pc0
+  FROM ctr c, range(-2, 3) dr(d), range(-2, 3) dc(d)),
+pscored AS (
+  SELECT hr, hc, n, r, pc0,
+         (x - (pc0 * {sx} + CASE WHEN r % 2 <> 0 THEN {half} ELSE 0 END))
+       * (x - (pc0 * {sx} + CASE WHEN r % 2 <> 0 THEN {half} ELSE 0 END))
+       + (y - r * {sy}) * (y - r * {sy}) AS d2
+  FROM pcand),
+pbest AS (
+  SELECT hr, hc, n, r AS pr, pc0 AS pc,
+         row_number() OVER (PARTITION BY hr, hc ORDER BY d2, r, pc0) AS rn
+  FROM pscored)
+SELECT pr, pc, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(n) AS BIGINT) AS n_pts
+FROM pbest WHERE rn = 1 GROUP BY pr, pc
+"""
+
+
 # ring-1 hex smoothing: scatter each occupied cell's count to its
 # 7-cell neighborhood (functions/hexgrid.py::hex_neighbors), sum, and
 # keep occupied cells — the hex analog of the focal/KDE family.
@@ -10043,6 +10102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_skyline": _q_pareto_skyline,        # single-sort dominance frontier
         "hex_bin_density": _q_hex_density,          # from-scratch hex cell index
         "hex_smooth_density": _q_hex_smooth,        # ring-1 hex neighborhood sum
+        "hex_parent_rollup": _q_hex_parent,         # multiresolution hex pyramid
         "segment_orientation": _q_segment_orientation,  # trig-free compass rose
         "pip_outside": _q_pip_outside,              # spatial anti-join
         "dedup_simhash": _q_dedup_simhash,
@@ -10223,6 +10283,7 @@ def oracle_sql() -> dict[str, str]:
         "way_diameter": _ORACLE_DIAMETER,
         "pareto_skyline": _ORACLE_SKYLINE,
         "hex_bin_density": _oracle_hex(),
+        "hex_parent_rollup": _oracle_hex_parent(),
         "hex_smooth_density": _oracle_hex_smooth(),
         "segment_orientation": _ORACLE_ORIENTATION,
         "pip_outside": _ORACLE_PIP_OUTSIDE,

@@ -90,3 +90,29 @@ def hex_neighbors(hr: Column, hc: Column) -> Column:
         cell(hr + 1, hc - 1 + odd),
         cell(hr + 1, hc + odd),
     )
+
+
+def hex_parent_cols(
+    hr: Column, hc: Column, factor: int = 3,
+    sx: int = HEX_SX, sy: int = HEX_SY,
+) -> dict[str, Column]:
+    """Parent hex cell on a `factor`-times-coarser lattice — the engine's
+    H3-style multiresolution rollup (no aperture-7 rotation: the parent
+    is simply the nearest center of the scaled lattice, the same
+    Voronoi definition as the base grid, so parenting is ONE more
+    hex_cell_cols projection over the child's center coordinates).
+
+    A hexagonal lattice scaled uniformly stays hexagonal
+    (sy*f >= sx*f / sqrt(3) iff sy >= sx / sqrt(3)), so the 4-candidate
+    proof in hex_cell_cols carries over unchanged. Children straddling a
+    parent boundary go to whichever coarse center is nearest — parents
+    are exact Voronoi cells of the coarse lattice, but (like H3's
+    aperture-7) a child's AREA may overlap two parents; the rollup
+    assigns each child atomically by its center (the standard
+    compromise, documented).
+    """
+    hr = hr.cast("bigint")
+    hc = hc.cast("bigint")
+    cx = hc * sx + (hr % 2 != 0).cast("bigint") * (sx // 2)
+    cy = hr * sy
+    return hex_cell_cols(cx, cy, sx * factor, sy * factor)

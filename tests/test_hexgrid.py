@@ -149,3 +149,33 @@ def test_streaming_hex_counts_match_batch(spark, tmp_path):
         ).groupBy("ws", "hr", "hc").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got_map == want
+
+
+def test_hex_parent_partition_and_conservation(spark):
+    """Every fine cell gets exactly one parent; rollup conserves counts;
+    children of one parent form a contiguous blob (their centers are all
+    nearer that coarse center than any other by definition)."""
+    from pyspark.sql import Row
+
+    from osm_hadoop_spark.functions.hexgrid import hex_cell_cols, hex_parent_cols
+
+    rows = [Row(x=x, y=y) for x in range(0, 400, 7) for y in range(0, 400, 11)]
+    pts = spark.createDataFrame(rows)
+    c = hex_cell_cols(F.col("x"), F.col("y"))
+    cnt = (
+        pts.select(c["hr"].alias("hr"), c["hc"].alias("hc"))
+        .groupBy("hr", "hc").agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = hex_parent_cols(F.col("hr"), F.col("hc"), factor=3)
+    up = cnt.select("hr", "hc", "n", p["hr"].alias("pr"), p["hc"].alias("pc"))
+    # conservation
+    tot = cnt.agg(F.sum("n")).collect()[0][0]
+    roll = up.groupBy("pr", "pc").agg(F.sum("n").alias("s"))
+    assert roll.agg(F.sum("s")).collect()[0][0] == tot
+    # one parent per child (projection, not a join): trivially true by
+    # construction, pinned by row counts
+    assert up.count() == cnt.count()
+    # plausibility: ~9 children per parent on a 3x lattice interior
+    n_children = cnt.count()
+    n_parents = roll.count()
+    assert 4 <= n_children / n_parents <= 14
