@@ -3477,6 +3477,97 @@ SELECT node, deg AS core_deg FROM df WHERE deg >= {_KCORE_K}""")
     return "".join(parts)
 
 
+# --- k-truss decomposition (operators/truss.py) ------------------------------
+# Cohen's triangle-support peel on a planted fixture: K4 cliques keyed
+# off p_partkey DIV 4 (support-2 edges, the k=4 survivors), the same
+# cliques minus one chord for 1/4 of groups (peel in 2 rounds), and
+# ragged triangle strips (u, u+1) + (u, u+2) in a disjoint id space
+# (+2 chords die round 1, rails round 2). Engine = data-dependent
+# rounds with localCheckpoint truncation; oracle = the peel UNROLLED
+# (idempotent once converged, same discipline as k_core_9).
+_KTRUSS_K = 4
+
+
+def _ktruss_edges(spark, sf_dir):
+    from osm_hadoop_spark.operators.textstats import h60
+
+    pk = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("u"))
+    grp = pk.select(
+        "u", F.expr("u DIV 4").alias("g"), (F.col("u") % 4).alias("r")
+    )
+    left = grp.select(F.col("u").alias("a"), "g", F.col("r").alias("ra"))
+    right = grp.select(F.col("u").alias("b"), "g", F.col("r").alias("rb"))
+    gate = h60(F.concat(F.lit("kt"), F.col("g").cast("string"))) % 4
+    cliques = (
+        left.join(right, "g")
+        .filter(F.col("a") < F.col("b"))
+        .filter(gate != 0)
+        .filter(~((gate == 1) & (F.col("ra") == 2) & (F.col("rb") == 3)))
+        .select("a", "b")
+    )
+    sgate = h60(F.concat(F.lit("ks"), F.col("u").cast("string"))) % 4 < 3
+    base = pk.filter(sgate)
+    nodes = pk.select(F.col("u").alias("v"))
+    steps = [
+        base.select("u", (F.col("u") + step).alias("v"))
+        .join(nodes, "v", "semi")
+        .select(
+            (F.col("u") + 10_000_000).alias("a"),
+            (F.col("v") + 10_000_000).alias("b"),
+        )
+        for step in (1, 2)
+    ]
+    return cliques.unionByName(steps[0]).unionByName(steps[1])
+
+
+def _q_k_truss(spark, sf_dir):
+    from osm_hadoop_spark.operators.truss import k_truss
+
+    return k_truss(_ktruss_edges(spark, sf_dir), k=_KTRUSS_K, src="a", dst="b")
+
+
+def _oracle_k_truss(rounds: int = 6) -> str:
+    gate_g = _duck_h60("'kt' || g")
+    gate_s = _duck_h60("'ks' || u")
+    need = _KTRUSS_K - 2
+    parts = [f"""
+WITH pk AS (SELECT p_partkey AS u FROM part),
+cl AS (
+  SELECT l.u AS a, r.u AS b, l.u // 4 AS g, l.u % 4 AS ra, r.u % 4 AS rb
+  FROM pk l JOIN pk r ON l.u // 4 = r.u // 4 AND l.u < r.u),
+clg AS (
+  SELECT a, b FROM cl
+  WHERE {gate_g} % 4 <> 0
+    AND NOT ({gate_g} % 4 = 1 AND ra = 2 AND rb = 3)),
+st AS (
+  SELECT u + 10000000 AS a, u + 1 + 10000000 AS b FROM pk
+  WHERE {gate_s} % 4 < 3 AND u + 1 IN (SELECT u FROM pk)
+  UNION ALL
+  SELECT u + 10000000, u + 2 + 10000000 FROM pk
+  WHERE {gate_s} % 4 < 3 AND u + 2 IN (SELECT u FROM pk)),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM (SELECT a, b FROM clg UNION ALL SELECT a, b FROM st))"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+adj{i} AS (SELECT a AS x, b AS c FROM e{i-1}
+           UNION ALL SELECT b, a FROM e{i-1}),
+e{i} AS MATERIALIZED (
+  SELECT t.a, t.b FROM e{i-1} t
+  JOIN adj{i} n1 ON n1.x = t.a
+  JOIN adj{i} n2 ON n2.x = t.b AND n2.c = n1.c
+  GROUP BY 1, 2 HAVING count(*) >= {need})""")
+    parts.append(f""",
+adjf AS (SELECT a AS x, b AS c FROM e{rounds}
+         UNION ALL SELECT b, a FROM e{rounds})
+SELECT t.a, t.b, CAST(count(*) AS BIGINT) AS support
+FROM e{rounds} t
+JOIN adjf n1 ON n1.x = t.a
+JOIN adjf n2 ON n2.x = t.b AND n2.c = n1.c
+GROUP BY 1, 2 HAVING count(*) >= {need}""")
+    return "".join(parts)
+
+
 # --- retention cohorts + OLS trend (operators/timeseries.py) -----------------
 # Classic product analytics over the event stream: (a) cohort retention
 # matrix keyed by first-activity day; (b) per-user OLS slope as EXACT
@@ -10069,6 +10160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint": _q_cusum,              # integer CUSUM argmax split
         "theil_sen_slope": _q_theil_sen,            # robust median pairwise slope
         "k_core_9": _q_k_core,                      # Matula-Beck peeling fixpoint
+        "k_truss_4": _q_k_truss,                    # triangle-support edge peel
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "hyperball_reach_h3": _q_hyperball,         # HLL ball-size sketches
@@ -10260,6 +10352,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_changepoint": _ORACLE_CUSUM,
         "theil_sen_slope": _ORACLE_THEIL_SEN,
         "k_core_9": _oracle_k_core(),
+        "k_truss_4": _oracle_k_truss(),
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,
