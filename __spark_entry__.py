@@ -3568,6 +3568,54 @@ GROUP BY 1, 2 HAVING count(*) >= {need}""")
     return "".join(parts)
 
 
+# --- hierarchy subtree rollup (operators/hierarchy.py) -----------------------
+# The recursive-CTE workload: a derived forest on part (parent = u DIV 3,
+# 1/5 of edges cut by an h60 gate so many subtrees exist), rolled up to
+# per-node subtree count + p_size sum. Engine = transitive closure by
+# DOUBLING (ceil(log2 depth) self-joins, localCheckpoint per round) + one
+# hash aggregate; oracle = DuckDB's native WITH RECURSIVE walk — two
+# entirely different evaluation strategies, same fixpoint.
+def _hier_inputs(spark, sf_dir):
+    from osm_hadoop_spark.operators.textstats import h60
+
+    pk = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("u"), F.col("p_size").cast("bigint").alias("m")
+    )
+    par = (
+        pk.select("u", F.expr("u DIV 3").alias("p"))
+        .filter((F.col("p") >= 1) & (F.col("p") != F.col("u")))
+        .join(pk.select(F.col("u").alias("p")), "p", "semi")
+        .filter(h60(F.concat(F.lit("hp"), F.col("u").cast("string"))) % 5 != 0)
+    )
+    return pk, par
+
+
+def _q_subtree_rollup(spark, sf_dir):
+    from osm_hadoop_spark.operators.hierarchy import subtree_rollup
+
+    pk, par = _hier_inputs(spark, sf_dir)
+    return subtree_rollup(pk, par)
+
+
+_ORACLE_SUBTREE = f"""
+WITH RECURSIVE pk AS (SELECT p_partkey AS u, CAST(p_size AS BIGINT) AS m
+                      FROM part),
+par AS (
+  SELECT u, u // 3 AS p FROM pk
+  WHERE u // 3 >= 1 AND u // 3 <> u AND u // 3 IN (SELECT u FROM pk)
+    AND {_duck_h60("'hp' || u")} % 5 <> 0),
+anc(u, a) AS (
+  SELECT u, u FROM pk
+  UNION ALL
+  SELECT anc.u, par.p FROM anc JOIN par ON anc.a = par.u)
+SELECT a AS node,
+       CAST(count(*) AS BIGINT) AS n_desc,
+       CAST(sum(pk.m) AS BIGINT) AS sum_m
+FROM anc JOIN pk ON pk.u = anc.u
+GROUP BY 1
+"""
+
+
 # --- retention cohorts + OLS trend (operators/timeseries.py) -----------------
 # Classic product analytics over the event stream: (a) cohort retention
 # matrix keyed by first-activity day; (b) per-user OLS slope as EXACT
@@ -10161,6 +10209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_slope": _q_theil_sen,            # robust median pairwise slope
         "k_core_9": _q_k_core,                      # Matula-Beck peeling fixpoint
         "k_truss_4": _q_k_truss,                    # triangle-support edge peel
+        "subtree_rollup_div3": _q_subtree_rollup,   # recursive-CTE twin, doubling closure
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "hyperball_reach_h3": _q_hyperball,         # HLL ball-size sketches
@@ -10353,6 +10402,7 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen_slope": _ORACLE_THEIL_SEN,
         "k_core_9": _oracle_k_core(),
         "k_truss_4": _oracle_k_truss(),
+        "subtree_rollup_div3": _ORACLE_SUBTREE,
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,
