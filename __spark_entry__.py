@@ -3616,6 +3616,80 @@ GROUP BY 1
 """
 
 
+# --- strongly connected components (operators/scc.py) ------------------------
+# Directed fixture on part: groups of 6 (g = u DIV 6) carry a directed
+# chain; 2/3 of groups close the ring (wrap edge mx->mn => one SCC per
+# group), the rest stay chains (singleton SCCs). Sparse forward
+# connectors mn_g -> mn_{g+1} (gate 1/4) build the condensation DAG, and
+# occasionally (gate 1/7, only where the forward edge exists) a BACK
+# edge mn_{g+1} -> mn_g merges two groups into one cross-group SCC.
+# Engine = doubling closure (reused hierarchy kernel) + mutual-min;
+# oracle = DuckDB recursive closure + the same mutual-min — different
+# evaluation, same fixpoint.
+def _scc_edges(spark, sf_dir):
+    from osm_hadoop_spark.operators.textstats import h60
+
+    pk = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("u"))
+    grp = pk.select("u", F.expr("u DIV 6").alias("g"))
+    gm = grp.groupBy("g").agg(F.min("u").alias("mn"), F.max("u").alias("mx"))
+
+    def gate(tag):
+        return h60(F.concat(F.lit(tag), F.col("g").cast("string")))
+
+    chain = (
+        grp.join(gm, "g")
+        .filter(F.col("u") < F.col("mx"))
+        .select(F.col("u").alias("s"), (F.col("u") + 1).alias("d"))
+    )
+    wrap = gm.filter((gate("sc") % 3 != 1) & (F.col("mx") > F.col("mn"))).select(
+        F.col("mx").alias("s"), F.col("mn").alias("d")
+    )
+    nxt = gm.select((F.col("g") - 1).alias("g"), F.col("mn").alias("mn2"))
+    cj = gm.join(nxt, "g")
+    cross = cj.filter(gate("sd") % 4 == 0).select(
+        F.col("mn").alias("s"), F.col("mn2").alias("d")
+    )
+    back = cj.filter((gate("sd") % 4 == 0) & (gate("sb") % 7 == 0)).select(
+        F.col("mn2").alias("s"), F.col("mn").alias("d")
+    )
+    return (
+        chain.unionByName(wrap).unionByName(cross).unionByName(back)
+    )
+
+
+def _q_scc(spark, sf_dir):
+    from osm_hadoop_spark.operators.scc import strongly_connected_components
+
+    return strongly_connected_components(_scc_edges(spark, sf_dir))
+
+
+_ORACLE_SCC = f"""
+WITH RECURSIVE pk AS (SELECT p_partkey AS u FROM part),
+grp AS (SELECT u, u // 6 AS g FROM pk),
+gm AS (SELECT g, min(u) AS mn, max(u) AS mx FROM grp GROUP BY 1),
+chain AS (SELECT u AS s, u + 1 AS d FROM grp JOIN gm USING (g) WHERE u < mx),
+wrap AS (SELECT mx AS s, mn AS d FROM gm
+         WHERE {_duck_h60("'sc' || g")} % 3 <> 1 AND mx > mn),
+cj AS (SELECT a.g AS g, a.mn AS mn, b.mn AS mn2
+       FROM gm a JOIN gm b ON b.g = a.g + 1),
+fwd AS (SELECT mn AS s, mn2 AS d FROM cj WHERE {_duck_h60("'sd' || g")} % 4 = 0),
+bck AS (SELECT mn2 AS s, mn AS d FROM cj
+        WHERE {_duck_h60("'sd' || g")} % 4 = 0
+          AND {_duck_h60("'sb' || g")} % 7 = 0),
+e AS (SELECT DISTINCT s, d FROM (
+  SELECT s, d FROM chain UNION ALL SELECT s, d FROM wrap
+  UNION ALL SELECT s, d FROM fwd UNION ALL SELECT s, d FROM bck)
+  WHERE s <> d),
+r(s, d) AS (SELECT s, d FROM e
+            UNION SELECT r.s, e.d FROM r JOIN e ON e.s = r.d),
+mut AS (SELECT f.s AS u, f.d AS v FROM r f JOIN r b ON b.s = f.d AND b.d = f.s),
+best AS (SELECT u, min(v) AS mv FROM mut GROUP BY 1),
+nodes AS (SELECT DISTINCT u FROM (SELECT s AS u FROM e UNION ALL SELECT d FROM e))
+SELECT n.u AS node, least(n.u, coalesce(b.mv, n.u)) AS scc_id
+FROM nodes n LEFT JOIN best b ON b.u = n.u
+"""
+
+
 # --- retention cohorts + OLS trend (operators/timeseries.py) -----------------
 # Classic product analytics over the event stream: (a) cohort retention
 # matrix keyed by first-activity day; (b) per-user OLS slope as EXACT
@@ -10210,6 +10284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core_9": _q_k_core,                      # Matula-Beck peeling fixpoint
         "k_truss_4": _q_k_truss,                    # triangle-support edge peel
         "subtree_rollup_div3": _q_subtree_rollup,   # recursive-CTE twin, doubling closure
+        "scc_components": _q_scc,                   # directed mutual-reach components
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "hyperball_reach_h3": _q_hyperball,         # HLL ball-size sketches
@@ -10403,6 +10478,7 @@ def oracle_sql() -> dict[str, str]:
         "k_core_9": _oracle_k_core(),
         "k_truss_4": _oracle_k_truss(),
         "subtree_rollup_div3": _ORACLE_SUBTREE,
+        "scc_components": _ORACLE_SCC,
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,
