@@ -3690,6 +3690,43 @@ FROM nodes n LEFT JOIN best b ON b.u = n.u
 """
 
 
+# --- weighted median (operators/timeseries.py::weighted_median) --------------
+# Per-part lower weighted median of sale price cents, weighted by
+# quantity — the no-division exact form: pre-aggregate (key, v)->sum(w),
+# one partitioned sort serving both window frames, 2*run >= tot gate,
+# min per key. Unlike exact_quantiles_events (which pins the buffering
+# percentile() builtin), nothing here buffers a group.
+def _q_weighted_median(spark, sf_dir):
+    from osm_hadoop_spark.operators.timeseries import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return weighted_median(li, key="l_partkey", value="cents", weight="qty")
+
+
+_ORACLE_WMEDIAN = """
+WITH g AS (
+  SELECT l_partkey, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sw
+  FROM lineitem GROUP BY 1, 2),
+r AS (
+  SELECT l_partkey, v,
+         sum(sw) OVER (PARTITION BY l_partkey ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+         sum(sw) OVER (PARTITION BY l_partkey) AS tot
+  FROM g)
+SELECT l_partkey,
+       CAST(min(v) AS BIGINT) AS wmedian,
+       CAST(max(tot) AS BIGINT) AS total_w
+FROM r WHERE 2 * run >= tot GROUP BY 1
+"""
+
+
 # --- retention cohorts + OLS trend (operators/timeseries.py) -----------------
 # Classic product analytics over the event stream: (a) cohort retention
 # matrix keyed by first-activity day; (b) per-user OLS slope as EXACT
@@ -10285,6 +10322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss_4": _q_k_truss,                    # triangle-support edge peel
         "subtree_rollup_div3": _q_subtree_rollup,   # recursive-CTE twin, doubling closure
         "scc_components": _q_scc,                   # directed mutual-reach components
+        "weighted_median_part": _q_weighted_median, # exact no-buffer weighted median
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "hyperball_reach_h3": _q_hyperball,         # HLL ball-size sketches
@@ -10479,6 +10517,7 @@ def oracle_sql() -> dict[str, str]:
         "k_truss_4": _oracle_k_truss(),
         "subtree_rollup_div3": _ORACLE_SUBTREE,
         "scc_components": _ORACLE_SCC,
+        "weighted_median_part": _ORACLE_WMEDIAN,
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,

@@ -390,3 +390,43 @@ def robust_outlier_stats(events: DataFrame, key: str = "user_id",
         ).cast("bigint").alias("n_outliers"),
     )
     return out.select(key, "n_events", "med_q", "mad_q", "n_outliers")
+
+
+def weighted_median(rows: DataFrame, key: str, value: str,
+                    weight: str) -> DataFrame:
+    """Per-key LOWER WEIGHTED MEDIAN: the smallest v whose cumulative
+    weight W(v) = sum over x <= v of w(x) satisfies 2*W(v) >= total
+    weight — the robust weighted-location estimator (unweighted median
+    is the w=1 special case). Exact int64 throughout, no division.
+
+    Plan: pre-aggregate (key, v) -> sum(w) (a partial-aggregatable
+    shuffle that collapses duplicate values BEFORE any sort — the
+    cumulative weight is per DISTINCT value by definition), then ONE
+    partitioned sort serves both window frames (running + total share
+    the exchange), filter 2*run >= tot, min-aggregate per key. Per-key
+    distinct-value count bounds the sort; nothing is buffered per group
+    (contrast exact_quantiles_events, which pins Spark's buffering
+    percentile() — this is the scalable exact form).
+    """
+    g = rows.groupBy(key, F.col(value).alias("v")).agg(
+        F.sum(weight).cast("bigint").alias("sw")
+    )
+    wrun = (
+        Window.partitionBy(key)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(key)
+    r = g.select(
+        key, "v",
+        F.sum("sw").over(wrun).alias("run"),
+        F.sum("sw").over(wtot).alias("tot"),
+    )
+    return (
+        r.filter(2 * F.col("run") >= F.col("tot"))
+        .groupBy(key)
+        .agg(
+            F.min("v").alias("wmedian"),
+            F.max("tot").alias("total_w"),
+        )
+    )
