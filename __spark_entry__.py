@@ -3690,6 +3690,36 @@ FROM nodes n LEFT JOIN best b ON b.u = n.u
 """
 
 
+# --- market-basket association rules (operators/basket.py) -------------------
+# Pair support + exact-integer lift over order baskets: dedup to
+# (order, part), bounded self-join on the order key (TPC-H baskets <= 7
+# items), pair-count aggregate, item counts + the one-row basket total
+# joined back as broadcasts. min_support=3 keeps the rule set honest.
+def _q_basket_lift(spark, sf_dir):
+    from osm_hadoop_spark.operators.basket import basket_pair_lift
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return basket_pair_lift(li, min_support=3)
+
+
+_ORACLE_BASKET_LIFT = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+cab AS (
+  SELECT x.it AS item_a, y.it AS item_b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2 HAVING count(*) >= 3),
+itemc AS (SELECT it, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM b)
+SELECT item_a, item_b, c_ab, ia.c AS c_a, ib.c AS c_b, n.n_baskets,
+       CAST(n.n_baskets * c_ab AS BIGINT) AS lift_num,
+       CAST(ia.c * ib.c AS BIGINT) AS lift_den
+FROM cab
+JOIN itemc ia ON ia.it = cab.item_a
+JOIN itemc ib ON ib.it = cab.item_b
+CROSS JOIN n
+"""
+
+
 # --- weighted median (operators/timeseries.py::weighted_median) --------------
 # Per-part lower weighted median of sale price cents, weighted by
 # quantity — the no-division exact form: pre-aggregate (key, v)->sum(w),
@@ -10323,6 +10353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtree_rollup_div3": _q_subtree_rollup,   # recursive-CTE twin, doubling closure
         "scc_components": _q_scc,                   # directed mutual-reach components
         "weighted_median_part": _q_weighted_median, # exact no-buffer weighted median
+        "basket_pair_lift": _q_basket_lift,         # association rules, integer lift
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "hyperball_reach_h3": _q_hyperball,         # HLL ball-size sketches
@@ -10518,6 +10549,7 @@ def oracle_sql() -> dict[str, str]:
         "subtree_rollup_div3": _ORACLE_SUBTREE,
         "scc_components": _ORACLE_SCC,
         "weighted_median_part": _ORACLE_WMEDIAN,
+        "basket_pair_lift": _ORACLE_BASKET_LIFT,
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,

@@ -44,6 +44,8 @@ BNLJ_ALLOWED = {
     # z-range membership: 237-row disjoint-interval broadcast build side
     # (the computed-key fast form; stored keys use pushed OR-of-BETWEEN)
     "zorder_bbox_scan",
+    # basket lift: the one-row n_baskets global-count build side
+    "basket_pair_lift",
 }
 
 
