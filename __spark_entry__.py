@@ -3757,6 +3757,60 @@ FROM r WHERE 2 * run >= tot GROUP BY 1
 """
 
 
+# --- maximal independent set (operators/mis.py) ------------------------------
+# Deterministic Luby on the SAME derived road graph as k_core_9: h60
+# priorities replace random draws, so the parallel local-minimum rule
+# equals the sequential greedy MIS in (priority, id) order and the
+# oracle can UNROLL the rounds (converges in ~5 at sf0.01; 12 unrolled —
+# idempotent past the fixpoint because an empty active set selects and
+# drops nothing).
+def _q_luby_mis(spark, sf_dir):
+    from osm_hadoop_spark.operators.mis import luby_mis
+
+    return luby_mis(_kcore_edges(spark, sf_dir))
+
+
+def _oracle_luby_mis(rounds: int = 12) -> str:
+    gate = _duck_h60("'rg' || u || '_' || k")
+    pr = _duck_h60("'mp' || u")
+    parts = [f"""
+WITH pk AS (SELECT p_partkey AS u FROM part),
+hyper AS (
+  SELECT u, xor(u, 1 << k) AS v
+  FROM pk, (SELECT unnest(generate_series(0, 11)) AS k)
+  WHERE {gate} % 4 <> 0),
+dir AS (
+  SELECT u, v FROM (
+    SELECT u, v FROM hyper UNION ALL SELECT u, u + 1 AS v FROM pk) e
+  WHERE v IN (SELECT u FROM pk)),
+e0 AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM dir
+       WHERE u <> v),
+adj AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+np AS (SELECT u, {pr} AS p FROM (SELECT DISTINCT u FROM adj)),
+adjp AS MATERIALIZED (
+  SELECT a.u, a.v, nu.p AS pu, nv.p AS pv
+  FROM adj a JOIN np nu ON nu.u = a.u JOIN np nv ON nv.u = a.v),
+a0 AS (SELECT u FROM np)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+w{i} AS (
+  SELECT DISTINCT adjp.u FROM adjp
+  JOIN a{i-1} au ON au.u = adjp.u
+  JOIN a{i-1} av ON av.u = adjp.v
+  WHERE (pv < pu) OR (pv = pu AND adjp.v < adjp.u)),
+m{i} AS MATERIALIZED (
+  SELECT u FROM a{i-1} WHERE u NOT IN (SELECT u FROM w{i})),
+a{i} AS MATERIALIZED (
+  SELECT u FROM a{i-1}
+  WHERE u NOT IN (SELECT u FROM m{i})
+    AND u NOT IN (SELECT adjp.v FROM adjp JOIN m{i} mm ON mm.u = adjp.u))""")
+    mis_union = " UNION ALL ".join(f"SELECT u FROM m{i}" for i in range(1, rounds + 1))
+    parts.append(f""",
+mis AS (SELECT DISTINCT u FROM ({mis_union}))
+SELECT np.u AS node, (np.u IN (SELECT u FROM mis)) AS in_mis FROM np""")
+    return "".join(parts)
+
+
 # --- retention cohorts + OLS trend (operators/timeseries.py) -----------------
 # Classic product analytics over the event stream: (a) cohort retention
 # matrix keyed by first-activity day; (b) per-user OLS slope as EXACT
@@ -10354,6 +10408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_components": _q_scc,                   # directed mutual-reach components
         "weighted_median_part": _q_weighted_median, # exact no-buffer weighted median
         "basket_pair_lift": _q_basket_lift,         # association rules, integer lift
+        "mis_greedy_h60": _q_luby_mis,              # deterministic Luby MIS
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "hyperball_reach_h3": _q_hyperball,         # HLL ball-size sketches
@@ -10550,6 +10605,7 @@ def oracle_sql() -> dict[str, str]:
         "scc_components": _ORACLE_SCC,
         "weighted_median_part": _ORACLE_WMEDIAN,
         "basket_pair_lift": _ORACLE_BASKET_LIFT,
+        "mis_greedy_h60": _oracle_luby_mis(),
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,
