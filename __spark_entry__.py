@@ -3811,6 +3811,39 @@ SELECT np.u AS node, (np.u IN (SELECT u FROM mis)) AS in_mis FROM np""")
     return "".join(parts)
 
 
+# --- rolling active users (operators/timeseries.py) --------------------------
+# DAU + trailing-7-day WAU per observed day: dedup to (user, day), a
+# bounded 7x sequence explode onto target days (semi-joined back to the
+# observed calendar), one count-distinct per day. The engagement-report
+# staple missing from the retention/funnel family.
+def _q_rolling_wau(spark, sf_dir):
+    from osm_hadoop_spark.operators.timeseries import rolling_active_users
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        ).alias("day"),
+    )
+    return rolling_active_users(ev, window_days=7)
+
+
+_ORACLE_ROLLING_WAU = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d FROM events),
+days AS (SELECT DISTINCT d FROM ud),
+contrib AS (
+  SELECT ud.u, ud.d + g.k AS td
+  FROM ud, (SELECT unnest(generate_series(0, 6)) AS k) g
+  WHERE ud.d + g.k IN (SELECT d FROM days)),
+wau AS (SELECT td AS d, CAST(count(DISTINCT u) AS BIGINT) AS wau
+        FROM contrib GROUP BY 1),
+dau AS (SELECT d, CAST(count(DISTINCT u) AS BIGINT) AS dau FROM ud GROUP BY 1)
+SELECT dau.d AS day, dau.dau, wau.wau
+FROM dau JOIN wau ON wau.d = dau.d
+"""
+
+
 # --- retention cohorts + OLS trend (operators/timeseries.py) -----------------
 # Classic product analytics over the event stream: (a) cohort retention
 # matrix keyed by first-activity day; (b) per-user OLS slope as EXACT
@@ -10409,6 +10442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median_part": _q_weighted_median, # exact no-buffer weighted median
         "basket_pair_lift": _q_basket_lift,         # association rules, integer lift
         "mis_greedy_h60": _q_luby_mis,              # deterministic Luby MIS
+        "rolling_wau_7": _q_rolling_wau,            # DAU / trailing-7d WAU
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "hyperball_reach_h3": _q_hyperball,         # HLL ball-size sketches
@@ -10606,6 +10640,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_median_part": _ORACLE_WMEDIAN,
         "basket_pair_lift": _ORACLE_BASKET_LIFT,
         "mis_greedy_h60": _oracle_luby_mis(),
+        "rolling_wau_7": _ORACLE_ROLLING_WAU,
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,

@@ -430,3 +430,40 @@ def weighted_median(rows: DataFrame, key: str, value: str,
             F.max("tot").alias("total_w"),
         )
     )
+
+
+def rolling_active_users(events: DataFrame, key: str = "user_id",
+                         day: str = "day", window_days: int = 7) -> DataFrame:
+    """Per observed day: exact DAU and trailing-window WAU (distinct
+    users over [day - window_days + 1, day]) — the DAU/WAU/MAU
+    engagement family. Output rows are restricted to days that carry at
+    least one event themselves (the conventional calendar of an
+    activity report).
+
+    Plan: dedup to (user, day) first (the partial-aggregatable shrink —
+    raw event volume never reaches the window logic), then each distinct
+    (user, day) contributes to window_days target days via a bounded
+    sequence explode, and ONE count-distinct aggregate per target day
+    finishes. Amplification is exactly window_days x the DISTINCT
+    (user, day) count — linear, shuffle keyed on the target day. For
+    month-scale windows at 100 TB the alternative is the sorted
+    per-user segment-merge (islands machinery); the explode form wins
+    while window_days stays small.
+    """
+    ud = events.select(F.col(key).alias("u"), F.col(day).alias("d")).distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        "u",
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + F.lit(window_days - 1))
+        ).alias("td"),
+    ).join(days.select(F.col("d").alias("td")), "td", "semi")
+    wau = contrib.groupBy(F.col("td").alias("d")).agg(
+        F.count_distinct("u").cast("bigint").alias("wau")
+    )
+    dau = ud.groupBy("d").agg(
+        F.count_distinct("u").cast("bigint").alias("dau")
+    )
+    return dau.join(wau, "d").select(
+        F.col("d").alias("day"), "dau", "wau"
+    )
