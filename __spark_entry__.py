@@ -2778,6 +2778,46 @@ FROM pts a JOIN pts b
 """
 
 
+# --- co-location pattern mining (operators/colocation.py) --------------------
+# Shekhar participation counts per ordered class pair over the SAME
+# dbscan point cloud (classes = h60 % 3): candidates from the shared
+# grid-blocked distance join, both endpoints vote, distinct + per-pair
+# aggregate, broadcast class totals. Oracle = all-pairs SQL twin.
+def _q_colocation(spark, sf_dir):
+    from osm_hadoop_spark.operators.colocation import colocation_participation
+    from osm_hadoop_spark.operators.textstats import h60
+
+    pts = _dbscan_points(spark, sf_dir).withColumn(
+        "cls", h60(F.concat(F.lit("cl"), F.col("id").cast("string"))) % 3
+    )
+    return colocation_participation(pts, radius=40)
+
+
+_ORACLE_COLOCATION = f"""
+WITH pts AS (
+  SELECT p_partkey AS id,
+         {_duck_dbscan_coord('nx', 'cx', 'dx')} AS x,
+         {_duck_dbscan_coord('ny', 'cy', 'dy')} AS y,
+         {_duck_h60("'cl' || p_partkey")} % 3 AS c
+  FROM part),
+pr AS (
+  SELECT a.id AS id_a, a.c AS ca, b.id AS id_b, b.c AS cb
+  FROM pts a JOIN pts b
+    ON a.id < b.id
+   AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 1600),
+votes AS (
+  SELECT ca AS cls, cb AS other_cls, id_a AS pid FROM pr
+  UNION
+  SELECT cb AS cls, ca AS other_cls, id_b AS pid FROM pr),
+pc AS (SELECT cls, other_cls, CAST(count(*) AS BIGINT) AS n_participating
+       FROM votes GROUP BY 1, 2),
+tot AS (SELECT c AS cls, CAST(count(*) AS BIGINT) AS n_total
+        FROM pts GROUP BY 1)
+SELECT pc.cls, pc.other_cls, pc.n_participating, tot.n_total
+FROM pc JOIN tot ON tot.cls = pc.cls
+"""
+
+
 # --- join-count spatial autocorrelation (operators/autocorr.py) ------------
 # Cliff & Ord join counts over the same clustered point derivation: rook
 # adjacency on the occupied-cell census, observed BB/WW/BW counts + exact
@@ -10443,6 +10483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_pair_lift": _q_basket_lift,         # association rules, integer lift
         "mis_greedy_h60": _q_luby_mis,              # deterministic Luby MIS
         "rolling_wau_7": _q_rolling_wau,            # DAU / trailing-7d WAU
+        "colocation_pi_r40": _q_colocation,         # participation counts per class pair
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "hyperball_reach_h3": _q_hyperball,         # HLL ball-size sketches
@@ -10641,6 +10682,7 @@ def oracle_sql() -> dict[str, str]:
         "basket_pair_lift": _ORACLE_BASKET_LIFT,
         "mis_greedy_h60": _oracle_luby_mis(),
         "rolling_wau_7": _ORACLE_ROLLING_WAU,
+        "colocation_pi_r40": _ORACLE_COLOCATION,
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,
