@@ -8429,6 +8429,88 @@ GROUP BY pair_id, dfast
 """
 
 
+# --- viewshed census over the shared DEM (operators/visibility.py) -----------
+# Per-observer visible-cell count in a Chebyshev-12 window: every window
+# cell is a sight-line target at terrain height, verdicts reuse the LOS
+# dual-render ladder verbatim, and the packed pair key recovers the
+# observer for ONE final hash aggregate.
+_VIEWSHED_R = 12
+
+
+def _q_viewshed(spark, sf_dir):
+    from osm_hadoop_spark.operators.textstats import h60
+    from osm_hadoop_spark.operators.visibility import viewshed
+
+    s = F.col("o_orderkey").cast("string")
+    obs = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 199 == 0)
+        .select(
+            F.col("o_orderkey").alias("obs_id"),
+            (h60(F.concat(F.lit("vwx"), s)) % _LOS_GRID).cast("long").alias("ox"),
+            (h60(F.concat(F.lit("vwy"), s)) % _LOS_GRID).cast("long").alias("oy"),
+            (h60(F.concat(F.lit("vwh"), s)) % _LOS_HMOD + _LOS_HOFF)
+            .cast("long")
+            .alias("oh"),
+        )
+    )
+    return viewshed(obs, _los_dem(spark, sf_dir), radius=_VIEWSHED_R)
+
+
+def _oracle_viewshed() -> str:
+    from osm_hadoop_spark.functions.exprdsl import sql_layers
+    from osm_hadoop_spark.operators.visibility import (
+        los_block_bindings,
+        los_norm_bindings,
+        los_step_bindings,
+    )
+
+    def hp(tag):
+        return _duck_h60(f"'{tag}' || CAST(o_orderkey AS VARCHAR)")
+
+    norm = sql_layers("SELECT * FROM pairs", los_norm_bindings())
+    step = sql_layers("SELECT * FROM walk0", los_step_bindings())
+    blk = sql_layers("SELECT * FROM wd", los_block_bindings())
+    r, w = _VIEWSHED_R, 2 * _VIEWSHED_R + 1
+    return f"""
+WITH obs AS (
+  SELECT o_orderkey AS obs_id,
+         {hp('vwx')} % {_LOS_GRID} AS ox, {hp('vwy')} % {_LOS_GRID} AS oy,
+         {hp('vwh')} % {_LOS_HMOD} + {_LOS_HOFF} AS oh
+  FROM orders WHERE o_orderkey % 199 = 0),
+offs AS (SELECT dxx, dyy
+         FROM (SELECT unnest(generate_series(-{r}, {r})) AS dxx),
+              (SELECT unnest(generate_series(-{r}, {r})) AS dyy)
+         WHERE dxx <> 0 OR dyy <> 0),
+dem AS ({_los_dem_sql()}),
+tgt AS (
+  SELECT obs_id * 10000 + (dxx + {r}) * {w} + (dyy + {r}) AS pair_id,
+         ox, oy, oh, ox + dxx AS tx, oy + dyy AS ty
+  FROM obs, offs),
+pairs AS (
+  SELECT t.pair_id, t.ox, t.oy, t.tx, t.ty, t.oh,
+         COALESCE(d.elev, 0) AS th
+  FROM tgt t LEFT JOIN dem d ON d.cx = t.tx AND d.cy = t.ty),
+norm AS (SELECT * FROM {norm}),
+walk0 AS (
+  SELECT *, UNNEST(generate_series(CAST(1 AS BIGINT), dfast - 1)) AS k
+  FROM norm WHERE dfast >= 2),
+stepd AS (SELECT * FROM {step}),
+wd AS (
+  SELECT s.*, COALESCE(d.elev, 0) AS elev
+  FROM stepd s LEFT JOIN dem d ON s.cx = d.cx AND s.cy = d.cy),
+v AS (
+  SELECT pair_id, 1 AS visible FROM norm WHERE dfast < 2
+  UNION ALL
+  SELECT pair_id, CASE WHEN SUM(blockedi) = 0 THEN 1 ELSE 0 END AS visible
+  FROM {blk} GROUP BY pair_id)
+SELECT pair_id // 10000 AS obs_id,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(visible) AS BIGINT) AS n_visible
+FROM v GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # D8 hydrology over the shared DEM (operators/hydrology.py)
 # ---------------------------------------------------------------------------
@@ -10484,6 +10566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_greedy_h60": _q_luby_mis,              # deterministic Luby MIS
         "rolling_wau_7": _q_rolling_wau,            # DAU / trailing-7d WAU
         "colocation_pi_r40": _q_colocation,         # participation counts per class pair
+        "viewshed_census_r12": _q_viewshed,         # per-observer visible-cell count
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "hyperball_reach_h3": _q_hyperball,         # HLL ball-size sketches
@@ -10683,6 +10766,7 @@ def oracle_sql() -> dict[str, str]:
         "mis_greedy_h60": _oracle_luby_mis(),
         "rolling_wau_7": _ORACLE_ROLLING_WAU,
         "colocation_pi_r40": _ORACLE_COLOCATION,
+        "viewshed_census_r12": _oracle_viewshed(),
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,
