@@ -3851,6 +3851,31 @@ SELECT np.u AS node, (np.u IN (SELECT u FROM mis)) AS in_mis FROM np""")
     return "".join(parts)
 
 
+# --- AMS F2 sketch + exact twin (operators/ams.py) ---------------------------
+# Self-join-size estimation: 32 deterministic h60 sign counters folded
+# in one pass next to the exact sum(count^2) — the oracle reproduces
+# BOTH sides bit-for-bit (the sketch is replayable by construction);
+# accuracy is pinned separately by property test.
+def _q_ams_f2(spark, sf_dir):
+    from osm_hadoop_spark.operators.ams import ams_f2
+
+    return ams_f2(_t(spark, sf_dir, "events"), key="user_id", k=32)
+
+
+_ORACLE_AMS_F2 = f"""
+WITH keyed AS (SELECT CAST(user_id AS VARCHAR) AS kv FROM events),
+signs AS (
+  SELECT j, ({_duck_h60("'ams' || j || '_' || kv")} % 2) * 2 - 1 AS sgn
+  FROM keyed, (SELECT unnest(generate_series(0, 31)) AS j)),
+z AS (SELECT j, CAST(sum(sgn) AS BIGINT) AS zj FROM signs GROUP BY 1),
+sk AS (SELECT CAST(sum(zj * zj) AS BIGINT) AS sq_sum,
+              CAST(count(*) AS BIGINT) AS k FROM z),
+ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact
+       FROM (SELECT count(*) AS c FROM keyed GROUP BY kv))
+SELECT ex.f2_exact, sk.sq_sum, sk.k FROM ex CROSS JOIN sk
+"""
+
+
 # --- rolling active users (operators/timeseries.py) --------------------------
 # DAU + trailing-7-day WAU per observed day: dedup to (user, day), a
 # bounded 7x sequence explode onto target days (semi-joined back to the
@@ -10567,6 +10592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_wau_7": _q_rolling_wau,            # DAU / trailing-7d WAU
         "colocation_pi_r40": _q_colocation,         # participation counts per class pair
         "viewshed_census_r12": _q_viewshed,         # per-observer visible-cell count
+        "ams_f2_users": _q_ams_f2,                  # sign-sketch self-join size
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "hyperball_reach_h3": _q_hyperball,         # HLL ball-size sketches
@@ -10767,6 +10793,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_wau_7": _ORACLE_ROLLING_WAU,
         "colocation_pi_r40": _ORACLE_COLOCATION,
         "viewshed_census_r12": _oracle_viewshed(),
+        "ams_f2_users": _ORACLE_AMS_F2,
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,

@@ -52,33 +52,33 @@ def luby_mis(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    adj = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    # priorities are MATERIALIZED once on the adjacency (md5 per edge per
+    # round was the measured cost: 10.8 s -> see PARITY round-3 audits),
+    # so each round's local-minimum filter is a plain column comparison.
+    adj = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .withColumn(
+            "worse_v",
+            (_priority(F.col("v")) < _priority(F.col("u")))
+            | (
+                (_priority(F.col("v")) == _priority(F.col("u")))
+                & (F.col("v") < F.col("u"))
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
     nodes = adj.select("u").distinct()
     active = nodes.localCheckpoint(eager=True)
-    picked = None
+    winner_rounds = []
     for _ in range(max_rounds):
         aa = (
             adj.join(active, "u", "semi")
             .join(active.select(F.col("u").alias("v")), "v", "semi")
         )
-        worse = (
-            aa.filter(
-                (_priority(F.col("v")) < _priority(F.col("u")))
-                | (
-                    (_priority(F.col("v")) == _priority(F.col("u")))
-                    & (F.col("v") < F.col("u"))
-                )
-            )
-            .select("u")
-            .distinct()
-        )
+        worse = aa.filter("worse_v").select("u").distinct()
         winners = active.join(worse, "u", "anti").localCheckpoint(eager=True)
-        picked = (
-            winners if picked is None
-            else picked.unionByName(winners).localCheckpoint(eager=True)
-        )
+        winner_rounds.append(winners)
         dropped = winners.unionByName(
             aa.join(winners, "u", "semi").select(F.col("v").alias("u"))
         ).distinct()
@@ -87,6 +87,9 @@ def luby_mis(
             break
     else:
         raise RuntimeError("luby_mis: max_rounds exhausted before fixpoint")
+    picked = winner_rounds[0]
+    for w in winner_rounds[1:]:
+        picked = picked.unionByName(w)
     return nodes.join(
         picked.withColumn("in_mis", F.lit(True)), "u", "left"
     ).select(

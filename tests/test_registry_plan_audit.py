@@ -46,6 +46,8 @@ BNLJ_ALLOWED = {
     "zorder_bbox_scan",
     # basket lift: the one-row n_baskets global-count build side
     "basket_pair_lift",
+    # AMS F2: both sides of the final join are one-row global aggregates
+    "ams_f2_users",
 }
 
 
