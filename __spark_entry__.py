@@ -3851,6 +3851,39 @@ SELECT np.u AS node, (np.u IN (SELECT u FROM mis)) AS in_mis FROM np""")
     return "".join(parts)
 
 
+# --- equi-depth bin boundaries (operators/profile.py) ------------------------
+# Per-nation deciles of customer balance cents at exact lower rank
+# ceil(i*n/10): one partitioned sort, each ranked row emits its owned
+# bin ids by integer DIV arithmetic — exactly k rows per key, nothing
+# buffered (the scalable exact contrast to the percentile() builtin).
+def _q_equi_depth(spark, sf_dir):
+    from osm_hadoop_spark.operators.profile import equi_depth_bins
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return equi_depth_bins(cust, key="c_nationkey", value="cents", k=10)
+
+
+_ORACLE_EQUI_DEPTH = """
+WITH ranked AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY floor(c_acctbal * 100 + 0.5)) AS rn,
+         count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM customer)
+SELECT c_nationkey, u.bin, v AS boundary
+FROM ranked,
+     LATERAL (SELECT unnest(generate_series(
+       (10 * (rn - 1)) // n + 1, (10 * rn) // n)) AS bin) u
+WHERE (10 * rn) // n > (10 * (rn - 1)) // n
+"""
+
+
 # --- AMS F2 sketch + exact twin (operators/ams.py) ---------------------------
 # Self-join-size estimation: 32 deterministic h60 sign counters folded
 # in one pass next to the exact sum(count^2) — the oracle reproduces
@@ -10593,6 +10626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colocation_pi_r40": _q_colocation,         # participation counts per class pair
         "viewshed_census_r12": _q_viewshed,         # per-observer visible-cell count
         "ams_f2_users": _q_ams_f2,                  # sign-sketch self-join size
+        "equi_depth_bins_d10": _q_equi_depth,       # exact rank decile boundaries
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "hyperball_reach_h3": _q_hyperball,         # HLL ball-size sketches
@@ -10794,6 +10828,7 @@ def oracle_sql() -> dict[str, str]:
         "colocation_pi_r40": _ORACLE_COLOCATION,
         "viewshed_census_r12": _oracle_viewshed(),
         "ams_f2_users": _ORACLE_AMS_F2,
+        "equi_depth_bins_d10": _ORACLE_EQUI_DEPTH,
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,

@@ -152,3 +152,42 @@ def expectation_census(
     return out.select(
         "check", F.col("n_violations").cast("bigint").alias("n_violations")
     )
+
+
+def equi_depth_bins(rows: DataFrame, key: str, value: str,
+                    k: int) -> DataFrame:
+    """Per-key exact equi-depth bin boundaries: boundary i (1-based,
+    i = 1..k) is the element at rank ceil(i*n/k) of the sorted multiset
+    — the lower exact-rank quantile, so boundary k is the max and every
+    bin holds floor/ceil(n/k) elements. The feature-binning primitive
+    (WOE buckets, monotonic binning) in its scalable exact form.
+
+    Plan: ONE partitioned sort gives row_number + per-key count in the
+    same exchange; each ranked row then emits its 0..1+ owned bin ids by
+    pure integer arithmetic — rank rn owns bins floor(k*(rn-1)/n)+1
+    through floor(k*rn/n), a bounded sequence explode (total output
+    exactly k per key, no second pass, no buffering). Ties need no
+    tiebreak: row_number among equal values is nondeterministic but the
+    VALUE at each rank of the sorted multiset is not, and only values
+    are emitted.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(value)
+    wc = Window.partitionBy(key)
+    ranked = rows.select(
+        key,
+        F.col(value).alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    lo = F.expr(f"(CAST({k} AS BIGINT) * (rn - 1)) DIV n")
+    hi = F.expr(f"(CAST({k} AS BIGINT) * rn) DIV n")
+    return (
+        ranked.filter(hi > lo)
+        .select(
+            key, "v",
+            F.explode(F.sequence(lo + 1, hi)).alias("bin"),
+        )
+        .select(key, "bin", F.col("v").alias("boundary"))
+    )
