@@ -2469,6 +2469,30 @@ SELECT doc_a, doc_b, inter, uni FROM pairs WHERE inter * 10 >= uni * 3
 """
 
 
+# asymmetric containment join: C(a->b) = |A n B| / |A| >= 0.8 — the
+# lifted-paragraph near-dup class symmetric Jaccard misses. One-sided
+# PPJoin prefix on A, full shingle probe on B, exact integer verify.
+def _q_containment_join(spark, sf_dir):
+    from osm_hadoop_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), t_num=8, t_den=10
+    )
+
+
+_ORACLE_CONTAINMENT = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM toks),
+shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+         CAST(len(a.sh) AS BIGINT) AS n_a
+  FROM shf a JOIN shf b ON a.doc_id <> b.doc_id)
+SELECT doc_a, doc_b, inter, n_a FROM pairs WHERE inter * 10 >= n_a * 8
+"""
+
+
 # substring-level dedup: cross-document repeated k-grams merged into
 # maximal duplicated spans (the Lee et al. 2022 shape, relationally).
 def _q_dup_substrings(spark, sf_dir):
@@ -10627,6 +10651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewshed_census_r12": _q_viewshed,         # per-observer visible-cell count
         "ams_f2_users": _q_ams_f2,                  # sign-sketch self-join size
         "equi_depth_bins_d10": _q_equi_depth,       # exact rank decile boundaries
+        "containment_join_c80": _q_containment_join,  # asymmetric near-dup class
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "hyperball_reach_h3": _q_hyperball,         # HLL ball-size sketches
@@ -10829,6 +10854,7 @@ def oracle_sql() -> dict[str, str]:
         "viewshed_census_r12": _oracle_viewshed(),
         "ams_f2_users": _ORACLE_AMS_F2,
         "equi_depth_bins_d10": _ORACLE_EQUI_DEPTH,
+        "containment_join_c80": _ORACLE_CONTAINMENT,
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,

@@ -507,3 +507,63 @@ def sorted_neighborhood_pairs(
         F.col("inter_n").cast("bigint").alias("inter_n"),
         F.col("union_n").cast("bigint").alias("union_n"),
     )
+
+
+def containment_pairs(
+    documents: DataFrame, t_num: int = 8, t_den: int = 10, k: int = 3
+) -> DataFrame:
+    """EXACT asymmetric containment join: ordered pairs (a, b) with
+    C(a->b) = |sh(a) n sh(b)| / |sh(a)| >= t — the near-dup geometry
+    symmetric Jaccard MISSES (a paragraph wholly lifted into a much
+    longer document scores tiny Jaccard but containment ~1; the
+    Lee et al. 2022 dedup papers treat this as its own class).
+
+    Blocking is the one-sided PPJoin prefix: if |A n B| >= ceil(t|A|),
+    the smallest common shingle sits at position <= |A| - ceil(t|A|) + 1
+    in A's hash-sorted set (same pigeonhole as prefix_jaccard_pairs) —
+    but NOWHERE bounded in B, so the probe side explodes its FULL set
+    (that relation is linear — it is just the shingle table). Complete
+    recall, no symmetric prefix shortcut exists for containment.
+
+    Plan: same reused shingle projection as the Jaccard/minhash family;
+    candidates ship (shingle, doc) int pairs; full sets join back for
+    candidates only; verify = exact integer cross-multiplication
+    inter * t_den >= |A| * t_num. The documented 100 TB hazard is a
+    STOP-SHINGLE hub (one shingle in everything) exploding the
+    candidate join — the standard mitigation (as in minhash bucket_cap)
+    is dropping shingles above a document-frequency cap, which cannot
+    lose pairs whose OTHER common shingles still collide in the prefix.
+    """
+    docs = (
+        _spread(documents.filter(F.size(tokens_col()) >= k))
+        .select(F.col("doc_id"), shingles_col(k).alias("sh"))
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    )
+    p = F.expr(f"size(sh) - div(size(sh) * {t_num} + {t_den} - 1, {t_den}) + 1")
+    pref = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.explode(F.slice(F.col("sh"), F.lit(1), p)).alias("tok"),
+    )
+    full = docs.select(
+        F.col("doc_id").alias("doc_b"), F.explode(F.col("sh")).alias("tok")
+    )
+    cand = (
+        pref.join(full, ["tok"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    sha = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        cand.join(sha, ["doc_a"])
+        .join(shb, ["doc_b"])
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("inter"),
+            F.size("sh_a").cast("bigint").alias("n_a"),
+        )
+    )
+    return pairs.filter(
+        F.col("inter") * t_den >= F.col("n_a") * t_num
+    ).select("doc_a", "doc_b", "inter", "n_a")
