@@ -3908,6 +3908,40 @@ WHERE (10 * rn) // n > (10 * (rn - 1)) // n
 """
 
 
+# --- Poisson-bootstrap replicates (operators/bootstrap.py) -------------------
+# One-pass resampled aggregates: 16 replica (n_eff, sum_cents) pairs
+# with binomial(4, 1/4) hash weights (mean 1, integer-exact — the
+# Poisson(1) stand-in that needs no irrational threshold). The replica
+# spread prices the uncertainty of count/sum/mean at any scale.
+def _q_bootstrap(spark, sf_dir):
+    from osm_hadoop_spark.operators.bootstrap import poisson_bootstrap
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    return poisson_bootstrap(ev, "event_id", "cents", replicas=16)
+
+
+_BOOT_W = " + ".join(
+    f"CASE WHEN (h & {3 << (2 * j)}) = 0 THEN 1 ELSE 0 END" for j in range(4)
+)
+_ORACLE_BOOTSTRAP = f"""
+WITH d AS (
+  SELECT CAST(event_id AS VARCHAR) AS rid,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events),
+e AS (
+  SELECT r.replica, d.v,
+         {_duck_h60("'bs' || r.replica || '_' || d.rid")} AS h
+  FROM d, (SELECT unnest(generate_series(0, 15)) AS replica) r)
+SELECT replica,
+       CAST(sum({_BOOT_W}) AS BIGINT) AS n_eff,
+       CAST(sum(({_BOOT_W}) * v) AS BIGINT) AS sum_v
+FROM e GROUP BY 1
+"""
+
+
 # --- AMS F2 sketch + exact twin (operators/ams.py) ---------------------------
 # Self-join-size estimation: 32 deterministic h60 sign counters folded
 # in one pass next to the exact sum(count^2) — the oracle reproduces
@@ -10663,6 +10697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2_users": _q_ams_f2,                  # sign-sketch self-join size
         "equi_depth_bins_d10": _q_equi_depth,       # exact rank decile boundaries
         "containment_join_c80": _q_containment_join,  # asymmetric near-dup class
+        "bootstrap_reps_b16": _q_bootstrap,         # one-pass resampled aggregates
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "hyperball_reach_h3": _q_hyperball,         # HLL ball-size sketches
@@ -10866,6 +10901,7 @@ def oracle_sql() -> dict[str, str]:
         "ams_f2_users": _ORACLE_AMS_F2,
         "equi_depth_bins_d10": _ORACLE_EQUI_DEPTH,
         "containment_join_c80": _ORACLE_CONTAINMENT,
+        "bootstrap_reps_b16": _ORACLE_BOOTSTRAP,
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,
