@@ -3908,6 +3908,32 @@ WHERE (10 * rn) // n > (10 * (rn - 1)) // n
 """
 
 
+# --- bipartite butterfly census (operators/butterfly.py) ---------------------
+# 4-cycle motif count of the customer x part purchase graph: wedges
+# enumerated per part (degree-bounded self-join), codegree aggregate,
+# one global C(w,2) fold. The bipartite sibling of triangle_blocks.
+def _q_butterflies(spark, sf_dir):
+    from osm_hadoop_spark.operators.butterfly import butterfly_census
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("u"), F.col("l_partkey").alias("p")
+    )
+    return butterfly_census(li)
+
+
+_ORACLE_BUTTERFLY = """
+WITH e AS (SELECT DISTINCT l_orderkey AS u, l_partkey AS r FROM lineitem),
+wedges AS (
+  SELECT a.u AS u1, b.u AS u2 FROM e a JOIN e b ON a.r = b.r AND a.u < b.u),
+codeg AS (SELECT u1, u2, CAST(count(*) AS BIGINT) AS w
+          FROM wedges GROUP BY 1, 2)
+SELECT CAST(sum((w * (w - 1)) // 2) AS BIGINT) AS n_butterflies,
+       CAST(sum(w) AS BIGINT) AS n_wedges,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM codeg
+"""
+
+
 # --- Poisson-bootstrap replicates (operators/bootstrap.py) -------------------
 # One-pass resampled aggregates: 16 replica (n_eff, sum_cents) pairs
 # with binomial(4, 1/4) hash weights (mean 1, integer-exact — the
@@ -10698,6 +10724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equi_depth_bins_d10": _q_equi_depth,       # exact rank decile boundaries
         "containment_join_c80": _q_containment_join,  # asymmetric near-dup class
         "bootstrap_reps_b16": _q_bootstrap,         # one-pass resampled aggregates
+        "butterfly_census": _q_butterflies,         # bipartite 4-cycle motif count
         "activity_islands": _q_activity_islands,    # gaps-and-islands interval merge
         "graph_bfs_h5": _q_graph_bfs,               # multi-source BFS hop distance
         "hyperball_reach_h3": _q_hyperball,         # HLL ball-size sketches
@@ -10902,6 +10929,7 @@ def oracle_sql() -> dict[str, str]:
         "equi_depth_bins_d10": _ORACLE_EQUI_DEPTH,
         "containment_join_c80": _ORACLE_CONTAINMENT,
         "bootstrap_reps_b16": _ORACLE_BOOTSTRAP,
+        "butterfly_census": _ORACLE_BUTTERFLY,
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,
