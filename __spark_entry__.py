@@ -5737,6 +5737,44 @@ FROM r
 """
 
 
+def _q_dsir_select(spark, sf_dir):
+    """DSIR-style hashed-bigram importance resampling (engine addition,
+    operators/dsir.py): the doc_id % 7 == 0 slice plays the in-domain
+    target corpus; every other document is scored by the fixed-point
+    per-bucket likelihood ratio and the top 200 are kept. Census is one
+    aggregate; score join broadcasts the <=4096-row bucket table."""
+    from osm_hadoop_spark.operators.dsir import dsir_select
+
+    return dsir_select(
+        _t(spark, sf_dir, "documents"), target_mod=7, n_buckets=4096, k=200
+    )
+
+
+_ORACLE_DSIR_SELECT = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+g AS (
+  SELECT doc_id,
+         {_duck_h60("ts[i] || ' ' || ts[i+1]")} % 4096 AS bucket
+  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 1, 0))) AS t(i)
+),
+census AS (
+  SELECT bucket,
+         CAST(count(*) AS BIGINT) AS r,
+         CAST(count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS t
+  FROM g GROUP BY 1
+),
+sc AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum((1048576 * (c.t + 1)) // (c.r + 1)) AS BIGINT) AS score
+  FROM g JOIN census c USING (bucket)
+  WHERE g.doc_id % 7 <> 0
+  GROUP BY 1
+)
+SELECT doc_id, n_grams, score FROM sc ORDER BY score DESC, doc_id LIMIT 200
+"""
+
+
 def _q_way_shoelace(spark, sf_dir):
     """Planar polygon measure (E-level addition next to way_length_mm):
     signed shoelace double-area + centroid numerators of each assembled
@@ -10786,6 +10824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep_e2e": _q_corpus_prep,          # full LLM-pipeline composition
         "repetition_signals": _q_repetition_signals,  # Gopher-style repetition gate
         "decontaminate_ngrams": _q_decontaminate,   # benchmark decontamination
+        "dsir_select_k200": _q_dsir_select,         # hashed-ngram importance resampling
         "pii_redact": _q_pii_redact,                # PII detect + redact
         "way_shoelace": _q_way_shoelace,            # exact polygon area/centroid
         "tile_coverage_c256": _q_tile_coverage,     # clamped-Green exact coverage
@@ -10973,6 +11012,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["corpus_prep_e2e"] = _oracle_corpus_prep()
     oracles["repetition_signals"] = _ORACLE_REPETITION
     oracles["decontaminate_ngrams"] = _ORACLE_DECONTAMINATE
+    oracles["dsir_select_k200"] = _ORACLE_DSIR_SELECT
     oracles["pii_redact"] = _oracle_pii_redact()
     oracles["pii_redact_spans"] = _oracle_pii_redact_spans()
     oracles["leakage_safe_split"] = _oracle_leakage_split()
