@@ -3834,6 +3834,69 @@ def _q_luby_mis(spark, sf_dir):
     return luby_mis(_kcore_edges(spark, sf_dir))
 
 
+def _q_greedy_coloring(spark, sf_dir):
+    """Deterministic Jones-Plassmann greedy coloring (operators/coloring.py)
+    of the shared hypercube+ring graph — provably equal to sequential
+    greedy in (h60 priority, id) order, which the unrolled twin replays.
+    The graph is capped at 4000 vertices (u <= 4000, inert below sf0.1):
+    JP round count is the longest priority-decreasing path (~27 at 2000
+    nodes), so the bench cost is per-round scheduling latency — the cap
+    keeps the driver query bounded while the operator itself is
+    unbounded (see operators/coloring.py 100 TB posture)."""
+    from osm_hadoop_spark.operators.coloring import greedy_coloring
+
+    edges = _kcore_edges(spark, sf_dir).filter(
+        (F.col("u") <= 4000) & (F.col("v") <= 4000)
+    )
+    return greedy_coloring(edges)
+
+
+def _oracle_greedy_coloring(rounds: int = 34) -> str:
+    gate = _duck_h60("'rg' || u || '_' || k")
+    pr = _duck_h60("'gc' || u")
+    parts = [f"""
+WITH pk AS (SELECT p_partkey AS u FROM part),
+hyper AS (
+  SELECT u, xor(u, 1 << k) AS v
+  FROM pk, (SELECT unnest(generate_series(0, 11)) AS k)
+  WHERE {gate} % 4 <> 0),
+dir AS (
+  SELECT u, v FROM (
+    SELECT u, v FROM hyper UNION ALL SELECT u, u + 1 AS v FROM pk) e
+  WHERE v IN (SELECT u FROM pk)),
+e0 AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM dir
+       WHERE u <> v AND u <= 4000 AND v <= 4000),
+adj AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+np AS (SELECT u, {pr} AS p FROM (SELECT DISTINCT u FROM adj)),
+adjp AS MATERIALIZED (
+  SELECT a.u, a.v,
+         (nv.p < nu.p) OR (nv.p = nu.p AND a.v < a.u) AS earlier
+  FROM adj a JOIN np nu ON nu.u = a.u JOIN np nv ON nv.u = a.v),
+c0 AS (SELECT u, CAST(0 AS BIGINT) AS color FROM np WHERE false),
+u0 AS (SELECT u FROM np)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+f{i} AS MATERIALIZED (
+  SELECT u FROM u{i-1}
+  WHERE u NOT IN (SELECT adjp.u FROM adjp
+                  JOIN u{i-1} x ON x.u = adjp.v WHERE adjp.earlier)),
+n{i} AS MATERIALIZED (
+  SELECT f.u,
+    CAST(coalesce((
+      SELECT min(g.x) FROM generate_series(0, 64) g(x)
+      WHERE g.x NOT IN (
+        SELECT c.color FROM adjp a JOIN c{i-1} c ON c.u = a.v
+        WHERE a.u = f.u AND a.earlier)), 0) AS BIGINT) AS color
+  FROM f{i} f),
+c{i} AS MATERIALIZED (
+  SELECT u, color FROM c{i-1} UNION ALL SELECT u, color FROM n{i}),
+u{i} AS MATERIALIZED (
+  SELECT u FROM u{i-1} WHERE u NOT IN (SELECT u FROM f{i}))""")
+    parts.append(f"""
+SELECT u AS node, color FROM c{rounds}""")
+    return "".join(parts)
+
+
 def _oracle_luby_mis(rounds: int = 12) -> str:
     gate = _duck_h60("'rg' || u || '_' || k")
     pr = _duck_h60("'mp' || u")
@@ -10755,6 +10818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median_part": _q_weighted_median, # exact no-buffer weighted median
         "basket_pair_lift": _q_basket_lift,         # association rules, integer lift
         "mis_greedy_h60": _q_luby_mis,              # deterministic Luby MIS
+        "coloring_greedy_jp": _q_greedy_coloring,   # Jones-Plassmann greedy coloring
         "rolling_wau_7": _q_rolling_wau,            # DAU / trailing-7d WAU
         "colocation_pi_r40": _q_colocation,         # participation counts per class pair
         "viewshed_census_r12": _q_viewshed,         # per-observer visible-cell count
@@ -10961,6 +11025,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_median_part": _ORACLE_WMEDIAN,
         "basket_pair_lift": _ORACLE_BASKET_LIFT,
         "mis_greedy_h60": _oracle_luby_mis(),
+        "coloring_greedy_jp": _oracle_greedy_coloring(),
         "rolling_wau_7": _ORACLE_ROLLING_WAU,
         "colocation_pi_r40": _ORACLE_COLOCATION,
         "viewshed_census_r12": _oracle_viewshed(),
