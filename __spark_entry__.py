@@ -1626,6 +1626,72 @@ def _q_polygon_fill(spark, sf_dir):
     return scanline_fill_spans(polys)
 
 
+def _q_polylabel(spark, sf_dir):
+    """Grid pole-of-inaccessibility (operators/polylabel.py) of the 25
+    nation triangles in polygon_fill's 0.25-unit pixel coordinates: the
+    interior lattice cell farthest from the boundary, even-odd interior
+    test and point-segment distances both exact in doubled integers."""
+    from osm_hadoop_spark.operators.polylabel import grid_polylabel
+
+    cx = ((F.col("n_nationkey") * 13) % 340 - 170).cast("bigint")
+    cy = ((F.col("n_nationkey") * 7) % 160 - 80).cast("bigint")
+    polys = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("poly_id"),
+        F.array(cx * 4, cx * 4 - 64, cx * 4 + 80).alias("xs"),
+        F.array(cy * 4 + 48, cy * 4 - 32, cy * 4 - 16).alias("ys"),
+    )
+    return grid_polylabel(polys)
+
+
+_POLYLABEL_D2Q = """CASE
+  WHEN (qx-x1)*(x2-x1)+(qy-y1)*(y2-y1) <= 0
+    THEN ((qx-x1)*(qx-x1)+(qy-y1)*(qy-y1)) * 1048576
+  WHEN (qx-x1)*(x2-x1)+(qy-y1)*(y2-y1) >= (x2-x1)*(x2-x1)+(y2-y1)*(y2-y1)
+    THEN ((qx-x2)*(qx-x2)+(qy-y2)*(qy-y2)) * 1048576
+  ELSE ((qx-x1)*(qx-x1)+(qy-y1)*(qy-y1)) * 1048576
+       - (((qx-x1)*(x2-x1)+(qy-y1)*(y2-y1))
+          * ((qx-x1)*(x2-x1)+(qy-y1)*(y2-y1)) * 1048576)
+         // ((x2-x1)*(x2-x1)+(y2-y1)*(y2-y1))
+END"""
+
+_ORACLE_POLYLABEL = f"""
+WITH tri AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+         CAST((n_nationkey * 13) % 340 - 170 AS BIGINT) AS cx,
+         CAST((n_nationkey * 7) % 160 - 80 AS BIGINT) AS cy
+  FROM nation),
+v AS (SELECT poly_id,
+        [cx * 4, cx * 4 - 64, cx * 4 + 80] AS xs,
+        [cy * 4 + 48, cy * 4 - 32, cy * 4 - 16] AS ys FROM tri),
+e AS (
+  SELECT poly_id, xs[i] * 2 AS x1, ys[i] * 2 AS y1,
+         xs[(i % 3) + 1] * 2 AS x2, ys[(i % 3) + 1] * 2 AS y2
+  FROM v CROSS JOIN (SELECT unnest([1, 2, 3]) AS i)),
+bb AS (SELECT poly_id, list_min(xs) AS xlo, list_max(xs) AS xhi,
+              list_min(ys) AS ylo, list_max(ys) AS yhi FROM v),
+c AS (SELECT poly_id, x.px, y.py, x.px * 2 + 1 AS qx, y.py * 2 + 1 AS qy
+      FROM bb, UNNEST(generate_series(xlo, xhi)) AS x(px),
+           UNNEST(generate_series(ylo, yhi)) AS y(py)),
+ce AS (
+  SELECT c.poly_id, px, py,
+    CASE WHEN least(y1, y2) < qy AND qy < greatest(y1, y2)
+          AND (((y2 - y1) > 0 AND (qy-y1)*(x2-x1) - (qx-x1)*(y2-y1) > 0)
+            OR ((y2 - y1) < 0 AND (qy-y1)*(x2-x1) - (qx-x1)*(y2-y1) < 0))
+      THEN 1 ELSE 0 END AS crossing,
+    {_POLYLABEL_D2Q} AS d2q
+  FROM c JOIN e ON e.poly_id = c.poly_id),
+agg AS (SELECT poly_id, px, py,
+               sum(crossing) % 2 = 1 AS interior,
+               min(d2q) AS d2q
+        FROM ce GROUP BY 1, 2, 3),
+r AS (SELECT poly_id, px, py, d2q,
+             row_number() OVER (PARTITION BY poly_id
+                                ORDER BY d2q DESC, px, py) AS rn
+      FROM agg WHERE interior)
+SELECT poly_id, px, py, CAST(d2q AS BIGINT) AS d2q FROM r WHERE rn = 1
+"""
+
+
 _ORACLE_POLYGON_FILL = """
 WITH tri AS (
   SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
@@ -10758,6 +10824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_bitset_or": _q_bitset_or,             # A6 bitset OR composite
         "pip_triangles": _q_pip,                    # E8 refine / PIP containment
         "polygon_fill_spans": _q_polygon_fill,      # A-family: interior scanline fill
+        "polylabel_grid": _q_polylabel,             # pole of inaccessibility (label point)
         "simplify_dp_ways": _q_simplify_dp,         # Douglas-Peucker simplification
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
@@ -10967,6 +11034,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_bitset_or": _ORACLE_BITSET_OR,
         "pip_triangles": _ORACLE_PIP,
         "polygon_fill_spans": _ORACLE_POLYGON_FILL,
+        "polylabel_grid": _ORACLE_POLYLABEL,
         "simplify_dp_ways": _ORACLE_SIMPLIFY_DP,
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
