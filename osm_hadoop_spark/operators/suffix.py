@@ -61,6 +61,33 @@ def dense_rank_scalable(
     return df.join(ranked, df[key] == ranked["_k"]).drop("_k")
 
 
+def rank_by_count(
+    df: DataFrame, key: str, out: str = "r", coarse_bits: int = 20
+) -> DataFrame:
+    """Append rank(key) = COUNT OF ROWS with strictly smaller `key`
+    (ties share; `RANK() - 1` semantics), without a global window: the
+    same two-level prefix-sum shape as dense_rank_scalable, but summing
+    multiplicities instead of indexing distinct keys — the initial-rank
+    form the prefix-doubling window update needs (see suffix_ranks)."""
+    cnts = df.groupBy(F.col(key).alias("_k")).agg(F.count(F.lit(1)).alias("_c"))
+    cnts = cnts.withColumn("_coarse", F.expr(f"_k div {1 << coarse_bits}"))
+    sub = cnts.groupBy("_coarse").agg(F.sum("_c").alias("_cc"))
+    w_off = Window.orderBy("_coarse").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sub = sub.select(
+        "_coarse", F.coalesce(F.sum("_cc").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_coarse").orderBy("_k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = cnts.join(sub, "_coarse").select(
+        "_k",
+        (F.col("_off") + F.coalesce(F.sum("_c").over(w_in), F.lit(0))).alias(out),
+    )
+    return df.join(ranked, df[key] == ranked["_k"]).drop("_k")
+
+
 def suffix_positions(docs: DataFrame, text: str = "text") -> DataFrame:
     """(doc_id, pos 1-based, code = codepoint of the char at pos)."""
     d = docs.select("doc_id", F.col(text).alias("_t")).filter(
@@ -86,7 +113,8 @@ def _packed_prefix(width: int, bits: int):
 
 
 def suffix_ranks(
-    docs: DataFrame, text: str = "text", max_rounds: int = 12
+    docs: DataFrame, text: str = "text", max_rounds: int = 12,
+    conv: str = "max", impl: str = "window",
 ) -> DataFrame:
     """(doc_id, pos, suffix_rank): dense global rank of every suffix by
     content. See module docstring for the round structure.
@@ -100,6 +128,23 @@ def suffix_ranks(
       - rank[pos + h] comes from lead(rank, h) over (doc_id, pos) —
         positions are dense within a document, so the window is exactly
         the textbook pair lookup without the round's equi-self-join.
+
+    impl="window" (default, measured ~2x on the bench corpus): rounds
+    carry POSITION-COUNT ranks (rank = #positions with strictly smaller
+    h-prefix, RANK()-1 semantics) instead of dense ranks. The update is
+    then ONE class-partitioned window —
+        new_rank = rank + RANK() over (partition by rank order by r2) - 1
+    — no per-round distinct, no join-back, no pair packing (count ranks
+    are < n and compare directly). Inductive invariant: positions in
+    lower classes are exactly the old rank; same-class positions with
+    smaller r2 are exactly the window rank; same-class equal-r2 ties
+    share, preserving RANK()-1 semantics at 2h. Classes after the width-8
+    radix start are small, so the class-partitioned sort is skew-safe on
+    real text (the all-one-character corpus degrades to one class — the
+    same adversarial case the textbook algorithm has). Fixpoint = a round
+    that changes NO rank (exact: an unsplit class can never split later);
+    dense ranks are recovered ONCE at the end. impl="legacy" keeps the
+    per-round dense-rank form for --ab measurement.
     """
     d = docs.select("doc_id", F.col(text).alias("_t")).filter(
         F.length("_t") > 0
@@ -121,6 +166,45 @@ def suffix_ranks(
         width, bits = 7, 8
     else:
         width, bits = 2, 21
+    if impl == "window":
+        cur = rank_by_count(
+            pos_df.select(
+                "doc_id", "pos", _packed_prefix(width, bits).alias("code")
+            ),
+            "code",
+            out="rank",
+            coarse_bits=44,
+        ).select("doc_id", "pos", "rank").localCheckpoint(eager=True)
+        h = width
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        for _ in range(max_rounds):
+            if h >= max_len:
+                break
+            paired = cur.select(
+                "doc_id", "pos", F.col("rank").alias("r0"),
+                F.coalesce(F.lead("rank", h).over(w), F.lit(-1)).alias("r2"),
+            )
+            wc = Window.partitionBy("r0").orderBy("r2")
+            nxt = (
+                paired.select(
+                    "doc_id", "pos", "r0",
+                    (F.col("r0") + F.rank().over(wc) - 1).alias("rank"),
+                )
+                .withColumn("chg", F.col("rank") != F.col("r0"))
+                .localCheckpoint(eager=True)
+            )
+            cur = nxt.select("doc_id", "pos", "rank")
+            h *= 2
+            if h >= max_len:
+                break  # next iteration exits anyway — skip the chg count
+            if nxt.filter("chg").count() == 0:
+                break
+        else:
+            raise RuntimeError("suffix_ranks: max_rounds exhausted")
+        return dense_rank_scalable(
+            cur, "rank", out="suffix_rank", coarse_bits=16
+        ).select("doc_id", "pos", "suffix_rank")
+
     cur = dense_rank_scalable(
         pos_df.select(
             "doc_id", "pos", _packed_prefix(width, bits).alias("code")
@@ -139,16 +223,24 @@ def suffix_ranks(
     # r(p+h)=r(q+h) inductively at every shift, i.e. equal suffixes), so
     # d reaching a plateau IS convergence. d == n_total still exits
     # without the confirmation round.
+    # convergence stat: ranks are DENSE 0-based (dense_rank_scalable
+    # contract), so the distinct count is max(rank)+1 — a plain scan of
+    # the just-checkpointed frame instead of a countDistinct shuffle
+    # (one full exchange of the position relation saved PER ROUND;
+    # conv="distinct" keeps the legacy form for --ab measurement).
+    def _n_classes() -> int:
+        if conv == "distinct":
+            return cur.agg(F.countDistinct("rank")).collect()[0][0]
+        return cur.agg(F.max("rank")).collect()[0][0] + 1
+
     prev_d = -1
     for _ in range(max_rounds):
         if h >= max_len:
             break
-        stats = cur.agg(
-            F.countDistinct("rank").alias("d")
-        ).collect()[0]
-        if stats["d"] == n_total or stats["d"] == prev_d:
+        d = _n_classes()
+        if d == n_total or d == prev_d:
             break
-        prev_d = stats["d"]
+        prev_d = d
         nxt = cur.select(
             "doc_id",
             "pos",

@@ -255,3 +255,25 @@ def focal_direct_k3(spark, sf_dir):
         lambda df: focal_stats(df, k=3, strategy="direct")
     )
 
+
+
+def _suffix_docs(spark, sf_dir):
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", F.substring("text", 1, 128).alias("text")
+    )
+
+
+def suffix_window(spark, sf_dir):
+    """prefix doubling, position-count ranks + class window (shipped)."""
+    from osm_hadoop_spark.operators.suffix import suffix_ranks
+
+    return suffix_ranks(_suffix_docs(spark, sf_dir), impl="window")
+
+
+def suffix_legacy(spark, sf_dir):
+    """prefix doubling, per-round dense ranks (A/B baseline)."""
+    from osm_hadoop_spark.operators.suffix import suffix_ranks
+
+    return suffix_ranks(_suffix_docs(spark, sf_dir), impl="legacy")
