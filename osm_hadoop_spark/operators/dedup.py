@@ -297,10 +297,11 @@ def prefix_jaccard_pairs(
     prefix shingles; verify = the same exact integer cross-multiplied
     overlap test as the other families.
 
-    Plan: the shingle projection is computed ONCE — all three consumers
-    (prefix explode, both verify sides) read the same repartition
-    exchange, so ReuseExchange collapses the md5-heavy subtree (same
-    trick as ngram_jaccard_pairs, measured there). The candidate join
+    Plan: the shingle projection is MATERIALIZED once — the three
+    consumers (prefix explode, both verify sides) project it
+    differently, so ReusedExchange does NOT collapse the md5-heavy
+    subtree (measured: warm 4.1 -> 2.3 s at sf0.1 from the checkpoint,
+    PARITY session-G audit). The candidate join
     ships only (shingle, doc_id) int pairs; full sets are joined back
     for candidates only (the minhash survivor shape). Prefix length
     shrinks as t grows — at t=0.9 the prefix is ~10% of the set, which
@@ -310,6 +311,7 @@ def prefix_jaccard_pairs(
         _spread(documents.filter(F.size(tokens_col()) >= k))
         .select(F.col("doc_id"), shingles_col(k).alias("sh"))
         .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
     )
     p = F.expr(f"size(sh) - div(size(sh) * {t_num} + {t_den} - 1, {t_den}) + 1")
     pref = docs.select(
@@ -534,10 +536,16 @@ def containment_pairs(
     is dropping shingles above a document-frequency cap, which cannot
     lose pairs whose OTHER common shingles still collide in the prefix.
     """
+    # FOUR consumers read the shingle frame (prefix explode, full
+    # explode, both verify sides) with different projections, so
+    # ReusedExchange never fires and the md5-heavy build ran 4x —
+    # materialize it once (measured 11.9 -> ~7 s at sf0.1, PARITY
+    # session-G audit).
     docs = (
         _spread(documents.filter(F.size(tokens_col()) >= k))
         .select(F.col("doc_id"), shingles_col(k).alias("sh"))
         .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
     )
     p = F.expr(f"size(sh) - div(size(sh) * {t_num} + {t_den} - 1, {t_den}) + 1")
     pref = docs.select(

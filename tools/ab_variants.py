@@ -277,3 +277,4 @@ def suffix_legacy(spark, sf_dir):
     from osm_hadoop_spark.operators.suffix import suffix_ranks
 
     return suffix_ranks(_suffix_docs(spark, sf_dir), impl="legacy")
+
