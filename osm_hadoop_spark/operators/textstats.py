@@ -191,6 +191,12 @@ def inverted_index(
     text), and an index consumer parses it back trivially.
     """
     toks = tokens_col()
+    # spread before the explode: the documents table often arrives as ONE
+    # file/split, and the md5-per-token build serializes on it (the
+    # 1-split amplification trap; measured 3.8 -> 0.8 s warm at sf0.1)
+    documents = documents.repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
+    )
     tp = documents.select(
         "doc_id",
         F.explode(
