@@ -7902,6 +7902,52 @@ def _sobel_tap_values() -> str:
     )
 
 
+def _q_affine_warp(spark, sf_dir):
+    """Nearest-neighbor affine warp (operators/warp.py) of the shared KDE
+    count lattice: a 5-12-13 rotation-flavored fixed-point transform
+    (den 16) gathered over a 96x64 target window — one computed-key
+    equi-join, floor division exact on the negative numerators."""
+    from osm_hadoop_spark.operators.warp import affine_warp_nearest
+
+    cnt = (
+        _dbscan_points(spark, sf_dir)
+        .groupBy(
+            F.floor(F.col("x").cast("double") / _KDE_CELL).cast("bigint").alias("cx"),
+            F.floor(F.col("y").cast("double") / _KDE_CELL).cast("bigint").alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    return affine_warp_nearest(
+        cnt, (12, -5, 40, 5, 12, -64), den=16, bbox=(0, 95, 0, 63)
+    )
+
+
+_ORACLE_AFFINE_WARP = f"""
+WITH pts AS (
+  SELECT {_duck_dbscan_coord('nx', 'cx', 'dx')} AS x,
+         {_duck_dbscan_coord('ny', 'cy', 'dy')} AS y
+  FROM part),
+cnt AS (
+  SELECT CAST(floor(CAST(x AS DOUBLE) / {_KDE_CELL}) AS BIGINT) AS cx,
+         CAST(floor(CAST(y AS DOUBLE) / {_KDE_CELL}) AS BIGINT) AS cy,
+         CAST(count(*) AS BIGINT) AS v
+  FROM pts GROUP BY 1, 2),
+tgt AS (
+  SELECT x.tx, y.ty,
+         (12 * x.tx - 5 * y.ty + 40) AS nx,
+         (5 * x.tx + 12 * y.ty - 64) AS ny
+  FROM UNNEST(generate_series(0, 95)) AS x(tx),
+       UNNEST(generate_series(0, 63)) AS y(ty)),
+m AS (
+  SELECT tx, ty,
+         (nx - ((nx % 16 + 16) % 16)) // 16 AS cx,
+         (ny - ((ny % 16 + 16) % 16)) // 16 AS cy
+  FROM tgt)
+SELECT m.tx, m.ty, CAST(coalesce(c.v, 0) AS BIGINT) AS v
+FROM m LEFT JOIN cnt c ON c.cx = m.cx AND c.cy = m.cy
+"""
+
+
 _ORACLE_GRADIENT = f"""
 WITH pts AS (
   SELECT {_duck_dbscan_coord('nx', 'cx', 'dx')} AS x,
@@ -10914,6 +10960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_blocks": _q_triangles,            # degree-ordered triangle join
         "focal_stats_3x3": _q_focal_stats,          # raster map-algebra focal window
         "gradient_sobel": _q_gradient,              # multi-kernel sparse convolution
+        "affine_warp_near": _q_affine_warp,         # raster warp: computed-key gather
         "convex_hull_ways": _q_convex_hull,         # monotone chain vs exclusion oracle
         "simplify_hausdorff": _q_simplify_hausdorff,  # simplification error bound
         "idw_surface": _q_idw_surface,              # scatter IDW vs gather oracle
@@ -11114,6 +11161,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_blocks": _ORACLE_TRIANGLES,
         "focal_stats_3x3": _ORACLE_FOCAL,
         "gradient_sobel": _ORACLE_GRADIENT,
+        "affine_warp_near": _ORACLE_AFFINE_WARP,
         "convex_hull_ways": _ORACLE_HULL,
         "simplify_hausdorff": _ORACLE_HAUSDORFF,
         "idw_surface": _oracle_idw(),
