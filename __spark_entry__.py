@@ -6675,6 +6675,44 @@ FROM t WHERE r <= 32 GROUP BY ga, gb
 """
 
 
+def _q_resample_interp(spark, sf_dir):
+    """Fixed-step linear-interpolation resample (operators/timeseries.py
+    ::resample_interp): exact unreduced rationals (num, den) at 6 h grid
+    instants, union-sentinel plan (one sort per key, no join). The twin
+    derives the bracketing observations independently via DuckDB ASOF
+    joins instead of the window carry."""
+    from osm_hadoop_spark.operators.timeseries import resample_interp
+
+    return resample_interp(_t(spark, sf_dir, "events"))
+
+
+_ORACLE_RESAMPLE_INTERP = """
+WITH o0 AS (
+  SELECT user_id AS k, epoch_ms(ts) AS ms,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v, event_id
+  FROM events),
+obs AS (SELECT k, ms, arg_max(v, event_id) AS v FROM o0 GROUP BY k, ms),
+grid AS (
+  SELECT k, unnest(generate_series(min_b, max_b)) AS bucket
+  FROM (SELECT k, min(ms // 21600000) AS min_b,
+               max(ms // 21600000) AS max_b
+        FROM obs GROUP BY k)),
+g2 AS (SELECT k, bucket, bucket * 21600000 AS t FROM grid),
+j1 AS (SELECT g2.k, g2.bucket, g2.t, o.ms AS t1, o.v AS y1
+       FROM g2 ASOF LEFT JOIN obs o ON o.k = g2.k AND o.ms <= g2.t),
+j2 AS (SELECT j1.*, o.ms AS t2, o.v AS y2
+       FROM j1 ASOF LEFT JOIN obs o ON o.k = j1.k AND o.ms > j1.t)
+SELECT k AS user_id, CAST(bucket AS BIGINT) AS bucket,
+  CASE WHEN t1 IS NULL THEN 'bfill'
+       WHEN t2 IS NULL THEN 'ffill' ELSE 'interp' END AS mode,
+  CAST(CASE WHEN t1 IS NULL THEN y2 WHEN t2 IS NULL THEN y1
+       ELSE y1 * (t2 - t1) + (y2 - y1) * (t - t1) END AS BIGINT) AS num,
+  CAST(CASE WHEN t1 IS NULL OR t2 IS NULL THEN 1
+       ELSE t2 - t1 END AS BIGINT) AS den
+FROM j2
+"""
+
+
 def _q_resample_ffill(spark, sf_dir):
     """Fixed-step (6 h) resample of the event stream per user with
     forward-fill — operators/timeseries.py. Value doubles pass through
@@ -11016,6 +11054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_user_registers": _q_hll_registers,     # deterministic HLL sketch state
         "cm_user_freq": _q_count_min,               # count-min point estimates
         "resample_ffill_events": _q_resample_ffill,  # dense series + gap fill
+        "resample_interp_events": _q_resample_interp,  # exact linear interpolation
         "line_of_sight_dem": _q_line_of_sight,      # DEM intervisibility
         "d8_flow_dir": _q_d8_flow_dir,              # D8 steepest-descent drainage
         "flow_accum_r6": _q_flow_accum,             # bounded-round flow accumulation
@@ -11223,6 +11262,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["geodesic_pairs_50km"] = _oracle_geodesic_pairs()
     oracles["cm_user_freq"] = _ORACLE_COUNT_MIN
     oracles["resample_ffill_events"] = _ORACLE_RESAMPLE_FFILL
+    oracles["resample_interp_events"] = _ORACLE_RESAMPLE_INTERP
     oracles["line_of_sight_dem"] = _oracle_line_of_sight()
     oracles["d8_flow_dir"] = _oracle_d8_flow_dir()
     oracles["flow_accum_r6"] = _oracle_flow_accum()

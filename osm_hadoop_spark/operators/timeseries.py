@@ -77,6 +77,88 @@ def resample_ffill(events: DataFrame, key: str = "user_id", ts: str = "ts",
     )
 
 
+def resample_interp(events: DataFrame, key: str = "user_id", ts: str = "ts",
+                    value: str = "value", step_ms: int = 21_600_000,
+                    order_tiebreak: str = "event_id",
+                    scale: int = 100) -> DataFrame:
+    """Fixed-step resample with LINEAR interpolation between bracketing
+    observations — the sibling of resample_ffill for continuous signals
+    (sensor fusion, financial marks), exact integers throughout.
+
+    At each dense grid instant T = bucket*step_ms the value is
+        y(T) = y1 + (y2 - y1) * (T - t1) / (t2 - t1)
+    over the nearest observations t1 <= T < t2 of the key, reported as
+    the UNREDUCED integer rational (num, den):
+        num = y1*(t2-t1) + (y2-y1)*(T-t1),  den = t2-t1
+    (values quantized to integer `scale`-ths first). An observation
+    exactly at T makes the formula collapse to y1 — no special case.
+    Outside the observed range the nearer endpoint is held
+    (mode 'ffill'/'bfill', den = 1); interior instants are 'interp'.
+
+    Plan — the union-sentinel shape, ONE sort per key, NO join: grid
+    instants (null value) union the per-ms deduped observations; a
+    forward cumulative last-non-null window carries (t1, y1) onto each
+    grid row and the mirrored backward window carries (t2, y2). Order
+    ties at T break by is_grid so a boundary observation lands on the
+    t1 side. Both windows share the same (key) partitioning — at 100 TB
+    this is one shuffle + two in-partition passes, and the grid side is
+    generated, never scanned.
+    """
+    ms = F.unix_millis(F.col(ts).cast("timestamp"))
+    cents = F.floor(F.col(value) * scale + F.lit(0.5)).cast("bigint")
+    obs = (
+        events.select(
+            F.col(key).alias("k"), ms.alias("ms"),
+            F.struct(F.col(order_tiebreak).alias("tb"), cents.alias("v")).alias("o"),
+        )
+        .groupBy("k", "ms")
+        .agg(F.max("o")["v"].alias("y"))
+        .localCheckpoint(eager=False)  # two consumers (grid bounds + union)
+    )
+    grid = (
+        obs.select("k", F.floor(F.col("ms") / step_ms).alias("bucket"))
+        .groupBy("k")
+        .agg(F.min("bucket").alias("min_b"), F.max("bucket").alias("max_b"))
+        .select("k", F.explode(F.sequence("min_b", "max_b")).alias("bucket"))
+    )
+    u = grid.select(
+        "k", (F.col("bucket") * step_ms).alias("t"),
+        F.lit(1).alias("is_grid"), "bucket",
+        F.lit(None).cast("bigint").alias("y"),
+    ).unionByName(obs.select(
+        "k", F.col("ms").alias("t"),
+        F.lit(0).alias("is_grid"),
+        F.lit(None).cast("bigint").alias("bucket"), "y",
+    ))
+    pt = F.when(F.col("y").isNotNull(), F.struct(F.col("t").alias("ot"), F.col("y").alias("oy")))
+    wf = (
+        Window.partitionBy("k").orderBy("t", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.partitionBy("k").orderBy(F.desc("t"), F.desc("is_grid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "k", "t", "is_grid", "bucket",
+        F.last(pt, ignorenulls=True).over(wf).alias("p1"),
+        F.last(pt, ignorenulls=True).over(wb).alias("p2"),
+    ).filter("is_grid = 1")
+    t1, y1 = F.col("p1.ot"), F.col("p1.oy")
+    t2, y2 = F.col("p2.ot"), F.col("p2.oy")
+    return carried.select(
+        F.col("k").alias(key), "bucket",
+        F.when(t1.isNull(), F.lit("bfill"))
+        .when(t2.isNull(), F.lit("ffill"))
+        .otherwise(F.lit("interp")).alias("mode"),
+        F.when(t1.isNull(), y2)
+        .when(t2.isNull(), y1)
+        .otherwise(y1 * (t2 - t1) + (y2 - y1) * (F.col("t") - t1)).alias("num"),
+        F.when(t1.isNull() | t2.isNull(), F.lit(1).cast("bigint"))
+        .otherwise(t2 - t1).alias("den"),
+    )
+
+
 def retention_cohorts(events: DataFrame, key: str = "user_id",
                       day: str = "day") -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity day,

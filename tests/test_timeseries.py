@@ -136,3 +136,32 @@ def test_theil_sen_matches_fraction_brute(spark):
     m, num, den = got[99]
     assert num == 3 * den and den > 0
     assert len(got) > 10
+
+
+def test_resample_interp_exact_rationals(spark):
+    from osm_hadoop_spark.operators.timeseries import resample_interp
+
+    step = 3600_000  # 1 h grid
+    # user 1: obs at 0.5h=10.00 and 2.5h=30.00 -> grid hours 0,1,2
+    #   h0 (T=0):    before first obs -> bfill 1000
+    #   h1 (T=1h):   interp between (0.5h,1000) and (2.5h,3000):
+    #                num = 1000*2h + 2000*(0.5h), den = 2h (ms units)
+    #   h2 (T=2h):   interp, num = 1000*2h + 2000*1.5h
+    ev = _events(spark, [
+        (1800, 1, 10.0), (9000, 1, 30.0),
+        # user 2: single obs exactly on a boundary -> ffill
+        (7200, 2, 5.0),
+    ])
+    got = {
+        (r.user_id, r.bucket): (r.mode, r.num, r.den)
+        for r in resample_interp(ev, step_ms=step).collect()
+    }
+    h = 3600_000
+    assert got[(1, 0)] == ("bfill", 1000, 1)
+    assert got[(1, 1)] == ("interp", 1000 * 2 * h + 2000 * (h // 2), 2 * h)
+    assert got[(1, 2)] == ("interp", 1000 * 2 * h + 2000 * (3 * h // 2), 2 * h)
+    # exact values: 10.00 + 20.00 * (0.5/2) = 15.00 ; 10 + 20*(1.5/2) = 25
+    assert got[(1, 1)][1] / got[(1, 1)][2] == 1500
+    assert got[(1, 2)][1] / got[(1, 2)][2] == 2500
+    assert got[(2, 2)] == ("ffill", 500, 1)
+    assert len(got) == 4
