@@ -2754,6 +2754,62 @@ def _dbscan_points(spark, sf_dir):
     )
 
 
+def _q_emst_blocks(spark, sf_dir):
+    """Euclidean minimum spanning forest (operators/mst.py::boruvka_msf,
+    distributed Borůvka) over 12-point id-blocks of the shared synthetic
+    point set — bounded blocks keep the all-pairs candidate build and the
+    recursive oracle tractable; the operator itself is unbounded. The
+    twin does NOT replay Borůvka: it verifies the cycle property (edge in
+    the unique MSF iff endpoints not connected by strictly lighter
+    edges) with a recursive lighter-reach CTE — algorithm-independent."""
+    from osm_hadoop_spark.operators.mst import boruvka_msf
+
+    pts = _dbscan_points(spark, sf_dir).select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("x").cast("bigint").alias("x"),
+        F.col("y").cast("bigint").alias("y"),
+        F.expr("id DIV 12").alias("gid"),
+    )
+    a = pts.select("gid", F.col("id").alias("u"),
+                   F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = pts.select("gid", F.col("id").alias("v"),
+                   F.col("x").alias("xb"), F.col("y").alias("yb"))
+    edges = a.join(b, "gid").filter(F.col("u") < F.col("v")).select(
+        "u", "v",
+        (
+            (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+            + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+        ).alias("w"),
+    )
+    return boruvka_msf(edges)
+
+
+def _oracle_emst_blocks() -> str:
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT CAST(p_partkey AS BIGINT) AS id,
+         CAST({_duck_dbscan_coord('nx', 'cx', 'dx')} AS BIGINT) AS x,
+         CAST({_duck_dbscan_coord('ny', 'cy', 'dy')} AS BIGINT) AS y
+  FROM part),
+p2 AS (SELECT id, x, y, id // 12 AS gid FROM pts),
+cand AS (
+  SELECT a.gid, a.id AS u, b.id AS v,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS w
+  FROM p2 a JOIN p2 b ON a.gid = b.gid AND a.id < b.id),
+e AS (SELECT row_number() OVER (ORDER BY gid, u, v) AS eid, * FROM cand),
+reach(eid, node) AS (
+  SELECT eid, u FROM e
+  UNION
+  SELECT r.eid, CASE WHEN c.u = r.node THEN c.v ELSE c.u END
+  FROM reach r
+  JOIN e pe ON pe.eid = r.eid
+  JOIN cand c ON c.gid = pe.gid AND (c.u = r.node OR c.v = r.node)
+  WHERE (c.w, c.u, c.v) < (pe.w, pe.u, pe.v))
+SELECT u, v, w FROM e
+WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.eid = e.eid AND r.node = e.v)
+"""
+
+
 def _q_dbscan_clusters(spark, sf_dir):
     from osm_hadoop_spark.operators.clustering import dbscan
 
@@ -10939,6 +10995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence_pmi": _q_cooccurrence,        # word co-occurrence / PMI stats
         "dedup_clusters": _q_dedup_clusters,        # pairs -> components (large/small-star)
         "dbscan_hotspots": _q_dbscan_clusters,      # exact grid DBSCAN (density clustering)
+        "emst_blocks_b12": _q_emst_blocks,          # distributed Boruvka spanning forest
         "kde_hotspots": _q_kde_hotspots,            # separable integer-kernel density grid
         "distance_pairs_r40": _q_distance_pairs,    # distance-band join (grid equi-join)
         "join_counts_grid": _q_join_counts,         # spatial autocorrelation (join counts)
@@ -11149,6 +11206,7 @@ def oracle_sql() -> dict[str, str]:
         "cooccurrence_pmi": _ORACLE_COOCCURRENCE,
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         "dbscan_hotspots": _ORACLE_DBSCAN,
+        "emst_blocks_b12": _oracle_emst_blocks(),
         "kde_hotspots": _ORACLE_KDE,
         "distance_pairs_r40": _ORACLE_DISTANCE_PAIRS,
         "join_counts_grid": _ORACLE_JOIN_COUNTS,
