@@ -10890,6 +10890,85 @@ WHERE ca.n_rows IS DISTINCT FROM cb.n_rows
 """
 
 
+# --- companion detection (operators/trajectory.py::comovement) -------------
+# T5: convoy/flock mining — entity pairs within Chebyshev radius at
+# >= min_run CONSECUTIVE shared ticks. Fixture: each user gets a sticky
+# h60 base position on a 96x96 grid plus a per-tick wobble in [0, 4), one
+# position per (user, tick = event_id % 48). Engine = per-tick 3x3
+# grid-blocked equi-join + gaps-and-islands; oracle = the BRUTE all-pairs
+# per-tick join with the same island fold — different candidate
+# generation, identical pair-run set (proves the blocking is lossless).
+_CM_T = 48
+_CM_BASE = 96
+_CM_WOB = 4
+_CM_R = 5
+_CM_MINRUN = 3
+
+
+def _cm_pings(spark, sf_dir):
+    from osm_hadoop_spark.operators.textstats import h60
+
+    u = F.col("user_id").cast("string")
+    t = F.col("tick").cast("string")
+    key = F.concat(u, F.lit("_"), t)
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", (F.col("event_id") % _CM_T).alias("tick"))
+        .distinct()
+        .select(
+            "user_id",
+            "tick",
+            (h60(F.concat(F.lit("cbx"), u)) % _CM_BASE
+             + h60(F.concat(F.lit("cwx"), key)) % _CM_WOB).alias("x"),
+            (h60(F.concat(F.lit("cby"), u)) % _CM_BASE
+             + h60(F.concat(F.lit("cwy"), key)) % _CM_WOB).alias("y"),
+        )
+    )
+
+
+def _q_comovement(spark, sf_dir):
+    from osm_hadoop_spark.operators.trajectory import comovement
+
+    return comovement(
+        _cm_pings(spark, sf_dir), radius=_CM_R, min_run=_CM_MINRUN
+    )
+
+
+def _oracle_comovement() -> str:
+    hu = lambda tag: _duck_h60(f"'{tag}' || CAST(user_id AS VARCHAR)")  # noqa: E731
+    hk = lambda tag: _duck_h60(  # noqa: E731
+        f"'{tag}' || CAST(user_id AS VARCHAR) || '_' || CAST(tick AS VARCHAR)"
+    )
+    return f"""
+WITH tk AS (
+  SELECT DISTINCT user_id, event_id % {_CM_T} AS tick FROM events),
+p AS (
+  SELECT user_id, tick,
+         {hu("cbx")} % {_CM_BASE} + {hk("cwx")} % {_CM_WOB} AS x,
+         {hu("cby")} % {_CM_BASE} + {hk("cwy")} % {_CM_WOB} AS y
+  FROM tk),
+co AS (
+  SELECT a.user_id AS a, b.user_id AS b, a.tick AS tick
+  FROM p a JOIN p b
+    ON a.tick = b.tick AND a.user_id < b.user_id
+  WHERE greatest(abs(a.x - b.x), abs(a.y - b.y)) <= {_CM_R}),
+runs AS (
+  SELECT a, b,
+         tick - row_number() OVER (PARTITION BY a, b ORDER BY tick) AS isl
+  FROM co),
+rl AS (
+  SELECT a, b, isl, count(*) AS run_len FROM runs GROUP BY 1, 2, 3)
+SELECT a, b,
+       CAST(sum(CASE WHEN run_len >= {_CM_MINRUN} THEN 1 ELSE 0 END) AS BIGINT)
+         AS episodes,
+       CAST(max(run_len) AS BIGINT) AS max_run,
+       CAST(sum(CASE WHEN run_len >= {_CM_MINRUN} THEN run_len ELSE 0 END)
+            AS BIGINT) AS co_ticks
+FROM rl GROUP BY a, b
+HAVING sum(CASE WHEN run_len >= {_CM_MINRUN} THEN 1 ELSE 0 END) >= 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -11002,6 +11081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_regions": _q_hot_regions,              # 4-connected region labeling (CC)
         "morph_close_hotspots": _q_morph_close,     # morphological closing (map algebra)
         "trip_segments": _q_trip_segments,          # trajectory split on gap/teleport
+        "comovement_pairs_r5": _q_comovement,       # convoy/companion detection (T5)
         "dissolve_regions": _q_dissolve_regions,    # shared-edge polygon dissolve
         "pyramid_counts": _q_pyramid_counts,        # 2x overview pyramid (gdaladdo analog)
         "od_matrix": _q_od_matrix,                  # origin-destination flow rollup
@@ -11213,6 +11293,7 @@ def oracle_sql() -> dict[str, str]:
         "hot_regions": _ORACLE_HOT_REGIONS,
         "morph_close_hotspots": _ORACLE_MORPH_CLOSE,
         "trip_segments": _ORACLE_TRIPS,
+        "comovement_pairs_r5": _oracle_comovement(),
         "dissolve_regions": _ORACLE_DISSOLVE,
         "pyramid_counts": _ORACLE_PYRAMID,
         "od_matrix": _ORACLE_OD,

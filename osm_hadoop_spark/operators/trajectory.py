@@ -171,3 +171,105 @@ def dwell_segments(
             & (F.col("n_pings") >= F.lit(min_pings))
         )
     )
+
+
+def comovement(
+    pings: DataFrame,
+    radius: int,
+    min_run: int,
+    entity: str = "user_id",
+    tick: str = "tick",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Companion detection (co-movement pattern mining).
+
+    T5 in the trajectory family: find ordered entity pairs (a < b) that
+    travel TOGETHER — within Chebyshev distance <= radius at >= min_run
+    CONSECUTIVE shared ticks (convoy/flock mining a la Jeung et al. 2008,
+    restated on an integer grid so every engine agrees bit-for-bit).
+    The input must carry exactly one row per (entity, tick).
+
+    Returns DataFrame(a, b, episodes, max_run, co_ticks):
+      episodes = number of maximal co-located tick runs of length >=
+      min_run; max_run = longest co-located run (qualifying or not);
+      co_ticks = total ticks inside qualifying runs. Pairs with zero
+      episodes are dropped. All integers — hash-exact across engines.
+
+    Plan (pure JVM, no Python): candidate pairs come from a per-tick
+    GRID-BLOCKED equi-join — cell = floor(coord / radius), the left side
+    explodes its cell into the 3x3 neighborhood, the right side keeps its
+    own cell, so two entities within Chebyshev radius ALWAYS share a
+    (tick, cell) join key and each (a, b, tick) meets exactly once (the
+    right cell is unique per row). After the exact Chebyshev refine, runs
+    are the standard gaps-and-islands: tick - row_number() per pair is
+    constant exactly on consecutive-tick runs; one window + two hash
+    aggregates finish.
+
+    100 TB posture: the join key is (tick, cell) — time and space
+    partition together, so there is never an all-pairs product and the
+    shuffle is linear in ping volume x 9. Skew = one dense cell-tick
+    (stadium hotspot): occupancy there is what any convoy definition
+    must pay; mitigate upstream by capping per-cell candidates or
+    sharding hot cells, as operators/distance_join.py documents. The
+    window partitions on the PAIR key (fine-grained, no skew).
+    """
+    r = int(radius)
+    p = pings.select(
+        F.col(entity).alias("e"),
+        F.col(tick).alias("tick"),
+        F.col(x).alias("x"),
+        F.col(y).alias("y"),
+        F.floor(F.col(x).cast("double") / r).cast("bigint").alias("cx"),
+        F.floor(F.col(y).cast("double") / r).cast("bigint").alias("cy"),
+    )
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    left = (
+        p.withColumn("ox", off)
+        .withColumn("oy", off)
+        .select(
+            F.col("e").alias("a"),
+            "tick",
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            (F.col("cx") + F.col("ox")).alias("jx"),
+            (F.col("cy") + F.col("oy")).alias("jy"),
+        )
+    )
+    right = p.select(
+        F.col("e").alias("b"),
+        "tick",
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    co = (
+        left.join(right, ["tick", "jx", "jy"])
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            F.greatest(
+                F.abs(F.col("ax") - F.col("bx")), F.abs(F.col("ay") - F.col("by"))
+            )
+            <= r
+        )
+        .select("a", "b", "tick")
+    )
+    w = Window.partitionBy("a", "b").orderBy("tick")
+    runs = (
+        co.withColumn("isl", F.col("tick") - F.row_number().over(w))
+        .groupBy("a", "b", "isl")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    q = F.col("run_len") >= int(min_run)
+    return (
+        runs.groupBy("a", "b")
+        .agg(
+            F.sum(q.cast("bigint")).alias("episodes"),
+            F.max("run_len").cast("bigint").alias("max_run"),
+            F.sum(F.when(q, F.col("run_len")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("co_ticks"),
+        )
+        .filter(F.col("episodes") >= 1)
+    )
