@@ -10969,6 +10969,42 @@ HAVING sum(CASE WHEN run_len >= {_CM_MINRUN} THEN 1 ELSE 0 END) >= 1
 """
 
 
+# --- discrete 1-center (operators/hull.py::discrete_one_center) ------------
+# E-family minimax sibling of way_diameter: the site minimizing the
+# maximum squared distance to the way's points. Engine prunes the inner
+# max to HULL vertices (farthest point is always extreme) in one Arrow
+# pass + a JVM transform fold — zero shuffles; oracle is the brute
+# candidates x points double join, proving the pruning lossless.
+def _q_one_center(spark, sf_dir):
+    from osm_hadoop_spark.operators.hull import discrete_one_center
+
+    return discrete_one_center(
+        _ways_geom(spark, sf_dir).filter(F.size("xs") >= 2)
+    )
+
+
+_ORACLE_ONE_CENTER = f"""
+WITH nodes AS ({_NODES_SQL}), wn AS ({_WAY_NODES_SQL}),
+w AS (SELECT o_orderkey AS way_id FROM orders),
+j AS (
+  SELECT wn.way_id, CAST(n.lon AS BIGINT) AS x, CAST(n.lat AS BIGINT) AS y
+  FROM wn JOIN nodes n USING (node_id) JOIN w ON wn.way_id = w.way_id),
+np AS (SELECT way_id, count(*) AS n_pts FROM j GROUP BY 1 HAVING count(*) > 1),
+cand AS (
+  SELECT c.way_id, c.x, c.y,
+         max((c.x - p.x) * (c.x - p.x) + (c.y - p.y) * (c.y - p.y)) AS r2
+  FROM j c JOIN j p ON c.way_id = p.way_id
+  GROUP BY 1, 2, 3),
+rk AS (
+  SELECT way_id, x, y, r2,
+         row_number() OVER (PARTITION BY way_id ORDER BY r2, x, y) AS rn
+  FROM cand)
+SELECT rk.way_id, CAST(np.n_pts AS BIGINT) AS n_pts, rk.r2,
+       rk.x AS cx, rk.y AS cy
+FROM rk JOIN np USING (way_id) WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -11146,6 +11182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": _q_bpe_train,           # iterative pair-census training
         "decontam_4gram": _q_decontam,              # benchmark eval-leak gate
         "way_diameter": _q_way_diameter,            # hull-reduced farthest pair
+        "one_center_ways": _q_one_center,           # discrete minimax facility (hull-pruned)
         "pareto_skyline": _q_pareto_skyline,        # single-sort dominance frontier
         "hex_bin_density": _q_hex_density,          # from-scratch hex cell index
         "hex_smooth_density": _q_hex_smooth,        # ring-1 hex neighborhood sum
@@ -11349,6 +11386,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_apply_tokens": _oracle_bpe(),
         "decontam_4gram": _ORACLE_DECONTAM,
         "way_diameter": _ORACLE_DIAMETER,
+        "one_center_ways": _ORACLE_ONE_CENTER,
         "pareto_skyline": _ORACLE_SKYLINE,
         "hex_bin_density": _oracle_hex(),
         "hex_parent_rollup": _oracle_hex_parent(),

@@ -107,3 +107,87 @@ def convex_hull(
 
     out = src.mapInPandas(kern, "id long, hx long, hy long")
     return out.select(F.col("id").alias(id_col), "hx", "hy")
+
+
+def discrete_one_center(
+    feats: DataFrame,
+    id_col: str = "way_id",
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+) -> DataFrame:
+    """Discrete 1-center (minimax facility) per feature.
+
+    The center is restricted to the feature's own SITES: pick the point
+    c minimizing max_p d2(c, p) over the feature's points — the integer
+    "which existing stop best covers the route" variant of the minimum
+    enclosing circle (exact: squared euclidean, bigint throughout; the
+    continuous MEC needs irrational circumcenters that no cross-engine
+    hash can pin). Ties break on smallest (r2, cx, cy).
+
+    Returns DataFrame(id, n_pts, r2, cx, cy).
+
+    Plan: ZERO shuffles of its own. The inner max over points equals the
+    max over HULL vertices (a farthest point is always extreme), so one
+    Arrow pass appends each row's hull vertex arrays alongside its point
+    arrays (no explode, no re-group), and the minimax fold is a pure JVM
+    `transform`/`array_min` expression: O(n * h) integer ops per row,
+    whole-stage codegen. The oracle in __spark_entry__.py is the brute
+    candidates x points double join — proving the hull pruning lossless.
+
+    100 TB posture: per-row cost is bounded by feature size (OSM caps
+    ways at 2000 nodes; h << n in practice); there is no shuffle, no
+    join, no per-row Python beyond the Arrow-batched hull kernel shared
+    with convex_hull().
+    """
+    src = feats.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(xs_col).cast("array<bigint>").alias("xs"),
+        F.col(ys_col).cast("array<bigint>").alias("ys"),
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hxs: list[list[int]] = []
+            hys: list[list[int]] = []
+            for xa, ya in zip(pdf["xs"].values, pdf["ys"].values):
+                h = chain_hull(
+                    np.asarray(xa, dtype=np.int64),
+                    np.asarray(ya, dtype=np.int64),
+                )
+                hxs.append(h[:, 0].tolist())
+                hys.append(h[:, 1].tolist())
+            yield pd.DataFrame(
+                {"id": pdf["id"], "xs": pdf["xs"], "ys": pdf["ys"],
+                 "hxs": hxs, "hys": hys}
+            )
+
+    withh = src.mapInPandas(
+        kern,
+        "id long, xs array<bigint>, ys array<bigint>, "
+        "hxs array<bigint>, hys array<bigint>",
+    )
+    pts = F.arrays_zip(F.col("xs"), F.col("ys"))
+    hull = F.arrays_zip(F.col("hxs"), F.col("hys"))
+
+    def r2_of(p, q):
+        return (p["xs"] - q["hxs"]) * (p["xs"] - q["hxs"]) + (
+            p["ys"] - q["hys"]
+        ) * (p["ys"] - q["hys"])
+
+    best = F.array_min(
+        F.transform(
+            pts,
+            lambda p: F.struct(
+                F.array_max(F.transform(hull, lambda q: r2_of(p, q))).alias("r2"),
+                p["xs"].alias("cx"),
+                p["ys"].alias("cy"),
+            ),
+        )
+    )
+    return withh.select(
+        F.col("id").alias(id_col),
+        F.size("xs").cast("bigint").alias("n_pts"),
+        best["r2"].alias("r2"),
+        best["cx"].alias("cx"),
+        best["cy"].alias("cy"),
+    )
