@@ -7875,9 +7875,8 @@ WHERE levenshtein(a.s, b.s) <= 1"""
 # closing semi-join (sum(out_deg^2) <= m^1.5 regardless of skew); oracle
 # = the textbook 3-way equi-join on the canonical edge list — a
 # different enumeration mechanism, identical (x, y, z) set.
-def _q_triangles(spark, sf_dir):
+def _tri_edges(spark, sf_dir):
     from osm_hadoop_spark.operators.textstats import h60
-    from osm_hadoop_spark.operators.triangles import triangles
 
     pk = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("u"), F.expr("p_partkey div 32").alias("blk")
@@ -7890,7 +7889,7 @@ def _q_triangles(spark, sf_dir):
             F.col("v").cast("string"),
         )
     )
-    pairs = (
+    return (
         pk.join(
             pk.select(F.col("u").alias("v"), F.col("blk")), "blk"
         )
@@ -7898,7 +7897,18 @@ def _q_triangles(spark, sf_dir):
         .filter(gate % 7 < 2)
         .select("u", "v")
     )
-    return triangles(pairs)
+
+
+def _q_triangles(spark, sf_dir):
+    from osm_hadoop_spark.operators.triangles import triangles
+
+    return triangles(_tri_edges(spark, sf_dir))
+
+
+def _q_clustering_coeff(spark, sf_dir):
+    from osm_hadoop_spark.operators.triangles import clustering_coefficients
+
+    return clustering_coefficients(_tri_edges(spark, sf_dir))
 
 
 _ORACLE_TRIANGLES = f"""
@@ -7911,6 +7921,32 @@ SELECT e1.u AS x, e1.v AS y, e2.v AS z
 FROM e e1
 JOIN e e2 ON e2.u = e1.v
 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
+_ORACLE_CLUSTERING = f"""
+WITH pk AS (SELECT p_partkey AS u, p_partkey // 32 AS blk FROM part),
+e AS (
+  SELECT a.u AS u, b.u AS v
+  FROM pk a JOIN pk b ON a.blk = b.blk AND a.u < b.u
+  WHERE {_duck_h60("'tg' || a.u || '_' || b.u")} % 7 < 2),
+deg AS (
+  SELECT u, count(*) AS deg
+  FROM (SELECT u FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+tn AS (
+  SELECT u, count(*) AS tri
+  FROM (SELECT x AS u FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri) GROUP BY 1)
+SELECT d.u, CAST(d.deg AS BIGINT) AS deg,
+       CAST(coalesce(tn.tri, 0) AS BIGINT) AS tri,
+       CAST(coalesce(tn.tri, 0) * 2 * 1024 // (d.deg * (d.deg - 1))
+            AS BIGINT) AS cc_q
+FROM deg d LEFT JOIN tn USING (u) WHERE d.deg >= 2
 """
 
 
@@ -11169,6 +11205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_points_r50": _q_snap_points,          # nearest-segment map matching
         "viterbi_match_t5": _q_viterbi,             # HMM map matching DP table
         "triangle_blocks": _q_triangles,            # degree-ordered triangle join
+        "clustering_coeff": _q_clustering_coeff,    # local cc, exact fixed-point
         "focal_stats_3x3": _q_focal_stats,          # raster map-algebra focal window
         "gradient_sobel": _q_gradient,              # multi-kernel sparse convolution
         "affine_warp_near": _q_affine_warp,         # raster warp: computed-key gather
@@ -11374,6 +11411,7 @@ def oracle_sql() -> dict[str, str]:
         "snap_points_r50": _ORACLE_SNAP,
         "viterbi_match_t5": _oracle_viterbi(),
         "triangle_blocks": _ORACLE_TRIANGLES,
+        "clustering_coeff": _ORACLE_CLUSTERING,
         "focal_stats_3x3": _ORACLE_FOCAL,
         "gradient_sobel": _ORACLE_GRADIENT,
         "affine_warp_near": _ORACLE_AFFINE_WARP,

@@ -53,3 +53,24 @@ def test_triangles_skewed_hub(spark):
         spark.createDataFrame(edges, "u: long, v: long")
     ).collect()
     assert [(r["x"], r["y"], r["z"]) for r in rows] == [(0, 5, 6)]
+
+
+def test_clustering_coefficients(spark):
+    """cc on a hand graph: K4 plus a pendant and a path."""
+    from osm_hadoop_spark.operators.triangles import clustering_coefficients
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = k4 + [(3, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["u"]: (r["deg"], r["tri"], r["cc_q"]) for r in
+           clustering_coefficients(df).collect()}
+    # K4 interior nodes: deg 3, 3 triangles, cc = 1
+    for u in range(3):
+        assert got[u] == (3, 3, 1024)
+    # node 3: deg 4 (K4 + pendant), still 3 triangles -> cc = 3/6
+    assert got[3] == (4, 3, 512)
+    # path interior nodes: deg 2, no triangle
+    assert got[10] == (2, 0, 0)
+    assert got[11] == (2, 0, 0)
+    # degree-1 nodes excluded
+    assert 12 not in got and len(got) == 6
