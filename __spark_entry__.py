@@ -11041,6 +11041,84 @@ FROM rk JOIN np USING (way_id) WHERE rn = 1
 """
 
 
+# --- record linkage (operators/linkage.py::fs_link) ------------------------
+# Fellegi-Sunter pair scoring over a perturbed-copy fixture: side B is
+# side A with h60-driven per-field noise. Engine = blocked equi-join on
+# the city field (the weights make the blocking PROVABLY lossless: max
+# score with city disagreeing = 24 < threshold 28); oracle = brute
+# all-pairs scoring with NO blocking — equality is the recall proof.
+_FS_FIELDS = [("name", 24, 12), ("city", 16, 8), ("band", 8, 4)]
+_FS_TH = 28
+
+
+def _fs_sides(spark, sf_dir):
+    from osm_hadoop_spark.operators.textstats import h60
+
+    k = F.col("c_custkey").cast("string")
+
+    def base(tag, mod):
+        return h60(F.concat(F.lit(tag), k)) % mod
+
+    def pert(tag, ptag, mod, pmod):
+        b = base(tag, mod)
+        return F.when(
+            h60(F.concat(F.lit(ptag), k)) % pmod == 0, (b + 1) % mod
+        ).otherwise(b)
+
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("a_id"),
+        base("ln", 500).alias("name"),
+        base("lc", 200).alias("city"),
+        base("lb", 50).alias("band"),
+    )
+    b = cust.select(
+        (F.col("c_custkey") + 1000000).alias("b_id"),
+        pert("ln", "pn", 500, 10).alias("name"),
+        pert("lc", "pc", 200, 8).alias("city"),
+        pert("lb", "pb", 50, 5).alias("band"),
+    )
+    return a, b
+
+
+def _q_record_linkage(spark, sf_dir):
+    from osm_hadoop_spark.operators.linkage import fs_link
+
+    a, b = _fs_sides(spark, sf_dir)
+    return fs_link(a, b, _FS_FIELDS, block_field="city", threshold=_FS_TH)
+
+
+def _oracle_record_linkage() -> str:
+    h = lambda tag: _duck_h60(f"'{tag}' || CAST(c_custkey AS VARCHAR)")  # noqa: E731
+
+    def pert(tag, ptag, mod, pmod):
+        return (
+            f"CASE WHEN {h(ptag)} % {pmod} = 0 "
+            f"THEN ({h(tag)} % {mod} + 1) % {mod} ELSE {h(tag)} % {mod} END"
+        )
+
+    terms = " + ".join(
+        f"CASE WHEN a.{n} = b.{n} THEN {wa} ELSE -{wd} END"
+        for n, wa, wd in _FS_FIELDS
+    )
+    return f"""
+WITH a AS (
+  SELECT c_custkey AS a_id,
+         {h("ln")} % 500 AS name, {h("lc")} % 200 AS city,
+         {h("lb")} % 50 AS band
+  FROM customer),
+b AS (
+  SELECT c_custkey + 1000000 AS b_id,
+         {pert("ln", "pn", 500, 10)} AS name,
+         {pert("lc", "pc", 200, 8)} AS city,
+         {pert("lb", "pb", 50, 5)} AS band
+  FROM customer)
+SELECT a_id, b_id, CAST({terms} AS BIGINT) AS score
+FROM a JOIN b ON TRUE
+WHERE {terms} >= {_FS_TH}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -11141,6 +11219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "jaccard_join_exact": _q_jaccard_join_exact,  # PPJoin prefix filter, complete recall
         "fuzzy_join_ed1": _q_fuzzy_join,            # PassJoin edit-distance blocking
+        "record_linkage_fs": _q_record_linkage,     # Fellegi-Sunter lossless blocking
         "dup_substring_spans": _q_dup_substrings,   # cross-doc repeated-span extraction
         "inverted_index": _q_inverted_index,        # sharded postings full-text index
         "cooccurrence_pmi": _q_cooccurrence,        # word co-occurrence / PMI stats
@@ -11368,6 +11447,7 @@ def oracle_sql() -> dict[str, str]:
         "morph_close_hotspots": _ORACLE_MORPH_CLOSE,
         "trip_segments": _ORACLE_TRIPS,
         "comovement_pairs_r5": _oracle_comovement(),
+        "record_linkage_fs": _oracle_record_linkage(),
         "dissolve_regions": _ORACLE_DISSOLVE,
         "pyramid_counts": _ORACLE_PYRAMID,
         "od_matrix": _ORACLE_OD,
