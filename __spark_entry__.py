@@ -11119,6 +11119,37 @@ WHERE {terms} >= {_FS_TH}
 """
 
 
+# --- D8 flow length (operators/hydrology.py::flow_path_length) -------------
+# Longest upstream chain per cell over the shared synthetic DEM; same
+# bounded-round contract as flow_accum/strahler. The twin unrolls the
+# identical max-propagation rounds over the shared dirs CTE.
+def _q_flow_length(spark, sf_dir):
+    from osm_hadoop_spark.operators.hydrology import flow_path_length
+
+    return flow_path_length(_los_dem(spark, sf_dir), _STRAHLER_ROUNDS)
+
+
+def _oracle_flow_length() -> str:
+    rounds = []
+    for t in range(1, _STRAHLER_ROUNDS + 1):
+        rounds.append(f"""
+f{t} AS (
+  SELECT c.cx, c.cy, COALESCE(s.v, 0) AS fl
+  FROM cells c LEFT JOIN (
+    SELECT p.nx AS px, p.ny AS py, max(ch.fl) + 1 AS v
+    FROM f{t - 1} ch JOIN ptr p ON ch.cx = p.cx AND ch.cy = p.cy
+    GROUP BY 1, 2) s
+  ON c.cx = s.px AND c.cy = s.py)""")
+    return f"""
+WITH {_d8_dir_ctes()},
+ptr AS (SELECT cx, cy, nx, ny FROM dirs WHERE dir > 0),
+cells AS (SELECT cx, cy FROM dem),
+f0 AS (SELECT cx, cy, CAST(0 AS BIGINT) AS fl FROM cells),
+{','.join(rounds)}
+SELECT cx, cy, CAST(fl AS BIGINT) AS fl FROM f{_STRAHLER_ROUNDS}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -11153,6 +11184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nw_align_pairs": _q_nw_align,              # token-sequence alignment DP
         "ewma_user_state": _q_ewma_users,           # fixed-point ordered fold
         "strahler_order_d8": _q_strahler,           # drainage-network hierarchy
+        "flow_length_d8": _q_flow_length,           # longest upstream chain (D8)
         "robust_outlier_mad": _q_robust_outliers,   # rank-defined median/MAD
         "vocab_growth_curve": _q_vocab_growth,      # Heaps-law corpus audit
         "key_skew_audit": _q_key_skew,              # exact Gini shuffle planning
@@ -11385,6 +11417,7 @@ def oracle_sql() -> dict[str, str]:
         "nw_align_pairs": _ORACLE_NW_ALIGN,
         "ewma_user_state": _ORACLE_EWMA,
         "strahler_order_d8": _oracle_strahler(),
+        "flow_length_d8": _oracle_flow_length(),
         "robust_outlier_mad": _ORACLE_ROBUST,
         "vocab_growth_curve": _ORACLE_VOCAB_GROWTH,
         "key_skew_audit": _ORACLE_KEY_SKEW,

@@ -306,3 +306,42 @@ def strahler_order(
         if checkpoint:
             o = o.localCheckpoint(eager=True)
     return o.select("cx", "cy", F.col("o").alias("strahler"))
+
+
+def flow_path_length(
+    dem: DataFrame, rounds: int, default_elev: int = 0, checkpoint: bool = True
+) -> DataFrame:
+    """Longest upstream drainage chain (in hops) ending at each cell —
+    the D8 "flow length" grid (time-of-concentration estimation, channel
+    longest-path extraction). fl(c) = 0 for ridge cells with no inflow;
+    otherwise 1 + max over inflowing children.
+
+    Bounded-round fixpoint with the same contract as flow_accumulation /
+    strahler_order: exact when the longest flow chain fits in `rounds`,
+    a documented lower bound otherwise. Each round is one slim
+    (cell, fl) join onto the pointer forest + a max aggregate (partial
+    agg applies — a hub confluence costs a combiner, not a wide row),
+    then a left join back onto the cell set; the frame is checkpointed
+    per round so the plan stays O(1) deep.
+    """
+    ptr = (
+        d8_flow_direction(dem, default_elev)
+        .filter(F.col("dir") > 0)
+        .select("cx", "cy", "nx", "ny")
+    )
+    cells = dem.select("cx", "cy")
+    if checkpoint:
+        ptr = ptr.localCheckpoint(eager=True)
+    f = cells.withColumn("fl", F.lit(0).cast("long"))
+    for _ in range(rounds):
+        fed = (
+            f.join(ptr, ["cx", "cy"])
+            .groupBy(F.col("nx").alias("cx"), F.col("ny").alias("cy"))
+            .agg((F.max("fl") + 1).alias("v"))
+        )
+        f = cells.join(fed, ["cx", "cy"], "left").select(
+            "cx", "cy", F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("fl")
+        )
+        if checkpoint:
+            f = f.localCheckpoint(eager=True)
+    return f.select("cx", "cy", F.col("fl").cast("bigint").alias("fl"))

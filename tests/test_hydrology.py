@@ -238,3 +238,38 @@ def test_strahler_textbook_confluence(spark):
     # (1,3) receives the order-2 main stem and the order-1 side stream:
     # orders differ, so it stays 2
     assert got[(1, 3)] == 2
+
+
+def _brute_flow_length(dem, dirs, rounds):
+    """Longest upstream chain ending at each cell, bounded by rounds."""
+    children = {}
+    for u in dem:
+        code, nx, ny, _ = dirs[u]
+        if code > 0 and (nx, ny) in dem:
+            children.setdefault((nx, ny), []).append(u)
+    f = {u: 0 for u in dem}
+    for _ in range(rounds):
+        f = {
+            u: max([f[c] + 1 for c in children.get(u, [])] or [0])
+            for u in dem
+        }
+    return f
+
+
+def test_flow_path_length_matches_brute(spark):
+    from osm_hadoop_spark.operators.hydrology import flow_path_length
+
+    dem = _dem()
+    dirs = _brute_d8(dem)
+    for rounds in (1, 4, 8):
+        got = {
+            (r["cx"], r["cy"]): r["fl"]
+            for r in flow_path_length(_dem_df(spark, dem), rounds).collect()
+        }
+        assert got == _brute_flow_length(dem, dirs, rounds), rounds
+    # the walled 12-cell ramp: fl grows one per round until the chain is
+    # exhausted — at rounds=8 the ramp foot has fl 8, proving the bound
+    # is the advertised lower bound (exact once rounds >= chain length)
+    got8 = _brute_flow_length(dem, dirs, 8)
+    got12 = _brute_flow_length(dem, dirs, 12)
+    assert got8[(41, 5)] == 8 and got12[(41, 5)] >= 11
