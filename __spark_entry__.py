@@ -11150,6 +11150,89 @@ SELECT cx, cy, CAST(fl AS BIGINT) AS fl FROM f{_STRAHLER_ROUNDS}
 """
 
 
+# --- boilerplate line removal (operators/curation.py) ----------------------
+# CCNet/RefinedWeb line filter: docs are split into 8-token "lines" with
+# a planted per-source header (every doc) and footer (every other doc);
+# a line occurring in >= 40% of its source's docs is boilerplate. The
+# header (100%) and footer (~50%) must drop, body lines survive; fp pins
+# the exact surviving (pos, line) sequence.
+_BP_LINE_TOKS = 8
+_BP_PCT = 40
+
+
+def _bp_lines(spark, sf_dir):
+    from osm_hadoop_spark.operators.textstats import h60, tokens_col
+
+    t = tokens_col()
+    nb = F.expr(f"div(size(t) + {_BP_LINE_TOKS - 1}, {_BP_LINE_TOKS})")
+    body = F.when(
+        nb > 0,
+        F.transform(
+            F.sequence(F.lit(0), nb - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("t"), i * _BP_LINE_TOKS + 1, _BP_LINE_TOKS), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    footer = F.when(
+        h60(F.concat(F.lit("bf"), F.col("doc_id").cast("string"))) % 2 == 0,
+        F.array(F.concat(F.lit("FTR "), F.col("source"))),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = F.concat(
+        F.array(F.concat(F.lit("HDR "), F.col("source"))), body, footer
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", t.alias("t"))
+        .select("doc_id", "source", F.posexplode(lines).alias("pos", "line"))
+    )
+
+
+def _q_boilerplate(spark, sf_dir):
+    from osm_hadoop_spark.operators.curation import strip_boilerplate_lines
+
+    return strip_boilerplate_lines(_bp_lines(spark, sf_dir), _BP_PCT)
+
+
+def _oracle_boilerplate() -> str:
+    k = _BP_LINE_TOKS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents),
+la AS (
+  SELECT doc_id, source,
+         list_concat(
+           list_concat(
+             ['HDR ' || source],
+             list_transform(
+               generate_series(0, CAST((len(t) + {k - 1}) // {k} AS INT) - 1),
+               i -> array_to_string(list_slice(t, i * {k} + 1, i * {k} + {k}), ' '))),
+           CASE WHEN {_duck_h60("'bf' || CAST(doc_id AS VARCHAR)")} % 2 = 0
+                THEN ['FTR ' || source]
+                ELSE CAST([] AS VARCHAR[]) END) AS ls
+  FROM toks),
+ln AS (
+  SELECT doc_id, source, u.i - 1 AS pos, ls[u.i] AS line
+  FROM la, UNNEST(generate_series(1, len(ls))) AS u(i)),
+census AS (
+  SELECT source, line, count(DISTINCT doc_id) AS df
+  FROM ln GROUP BY 1, 2),
+gsize AS (
+  SELECT source, count(DISTINCT doc_id) AS n FROM ln GROUP BY 1),
+fl AS (
+  SELECT c.source, c.line, (c.df * 100 >= {_BP_PCT} * g.n) AS bp
+  FROM census c JOIN gsize g USING (source))
+SELECT ln.doc_id,
+       CAST(sum(CASE WHEN NOT bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN NOT bp
+                THEN (pos + 1) * ({_duck_h60("ln.line")} % {1 << 40})
+                ELSE 0 END) AS BIGINT) AS fp
+FROM ln JOIN fl ON ln.source = fl.source AND ln.line = fl.line
+GROUP BY ln.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -11192,6 +11275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile_orders": _q_table_profile,   # one-scan ANALYZE stats
         "price_histogram_b32": _q_price_histogram,  # exact fixed-bound histogram
         "blocklist_census": _q_blocklist_census,    # curation blocklist gate
+        "boilerplate_lines": _q_boilerplate,        # CCNet line filter + cleaned fp
         "table_checksum_docs": _q_table_checksum,   # anti-entropy bucket checksum
         "snapshot_diff_buckets": _q_snapshot_diff,  # Merkle-style snapshot diff
         "dedup_sorted_neighborhood": _q_dedup_snm,  # SNM linear-candidate dedup
@@ -11425,6 +11509,7 @@ def oracle_sql() -> dict[str, str]:
         "table_profile_orders": _ORACLE_TABLE_PROFILE,
         "price_histogram_b32": _ORACLE_PRICE_HISTOGRAM,
         "blocklist_census": _ORACLE_BLOCKLIST,
+        "boilerplate_lines": _oracle_boilerplate(),
         "table_checksum_docs": _ORACLE_TABLE_CHECKSUM,
         "snapshot_diff_buckets": _ORACLE_SNAPSHOT_DIFF,
         "dedup_sorted_neighborhood": _ORACLE_DEDUP_SNM,

@@ -529,3 +529,73 @@ def pii_redact_spans(
         F.md5(_canon(F.transform(F.col(spans_col), _redact))).alias("spans_fp"),
         F.md5(kinds_canon).alias("kinds_fp"),
     )
+
+
+def strip_boilerplate_lines(
+    lines: DataFrame,
+    threshold_pct: int,
+    doc: str = "doc_id",
+    group: str = "source",
+    pos: str = "pos",
+    line: str = "line",
+) -> DataFrame:
+    """CCNet-style boilerplate line removal, rolled up per document.
+
+    A line is BOILERPLATE within its group (domain / source / crawl
+    host) when it occurs in >= threshold_pct percent of the group's
+    documents — headers, footers, cookie banners, nav chrome (Wenzek et
+    al. 2020 dedup lines per shard; Penedo et al. 2023 RefinedWeb line
+    filters). Input is one row per (doc, group, pos, line); output is
+    one row per doc: n_kept, n_dropped, and fp = sum over KEPT lines of
+    (pos + 1) * (h60(line) % 2^40) — an order-sensitive integer
+    fingerprint, truncated so the sum stays far from int64 overflow
+    (DuckDB rejects it, ANSI Spark errors on it), of
+    the cleaned document, so the oracle pins both the drop DECISION and
+    the surviving sequence.
+
+    Plan: two slim hash aggregates build the census — distinct
+    (group, line, doc) -> per-(group, line) doc frequency, distinct
+    (group, doc) -> group size — then one hash join back onto the line
+    stream and one per-doc rollup. Everything JVM, partial-agg friendly;
+    the integer gate df * 100 >= pct * n avoids float division.
+
+    100 TB posture: the census shuffles distinct (group, line) pairs —
+    boilerplate by definition dedups heavily, so census size is
+    sublinear in line volume; the join back is key-distributed with the
+    usual hot-line skew answered by AQE. No Python anywhere.
+    """
+    d, g, p, ln = F.col(doc), F.col(group), F.col(pos), F.col(line)
+    per_line = (
+        lines.select(g.alias("g"), ln.alias("l"), d.alias("d"))
+        .distinct()
+        .groupBy("g", "l")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    per_group = (
+        lines.select(g.alias("g"), d.alias("d"))
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    flagged = per_line.join(per_group, "g").select(
+        "g",
+        "l",
+        (F.col("df") * 100 >= int(threshold_pct) * F.col("n")).alias("bp"),
+    )
+    keep = ~F.col("bp")
+    return (
+        lines.select(d.alias("doc_id"), g.alias("g"), p.alias("p"), ln.alias("l"))
+        .join(flagged, ["g", "l"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(keep.cast("bigint")).alias("n_kept"),
+            F.sum(F.col("bp").cast("bigint")).alias("n_dropped"),
+            F.sum(
+                F.when(
+                    keep, (F.col("p") + 1) * (h60(F.col("l")) % (1 << 40))
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("fp"),
+        )
+    )
