@@ -11233,6 +11233,52 @@ GROUP BY ln.doc_id
 """
 
 
+# --- shot boundaries (operators/multimodal.py::shot_boundaries) ------------
+# Video-cut detection over the sampled frame signatures: Hamming >= 33
+# of consecutive h60 sigs (60-bit mean 30, sd ~3.9 for independent
+# frames, so the synthetic corpus yields a real mix of cut/no-cut).
+# Twin = the media-frames byte derivation + the same lag/bit_count fold.
+_SHOT_T = 33
+
+
+def _q_shot_bounds(spark, sf_dir):
+    from osm_hadoop_spark.operators.multimodal import (
+        sample_frames,
+        shot_boundaries,
+        synth_media_bytes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    media = synth_media_bytes(docs).select("doc_id", "media")
+    return shot_boundaries(sample_frames(media, k=4), threshold=_SHOT_T)
+
+
+def _oracle_shot_bounds() -> str:
+    return f"""
+WITH base AS ({_ORACLE_MEDIA_FRAMES}),
+sig AS (
+  SELECT doc_id, slot, {_duck_h60("frame_hex")} % {1 << 60} AS sig
+  FROM base),
+lg AS (
+  SELECT doc_id, slot, sig,
+         lag(sig) OVER (PARTITION BY doc_id ORDER BY slot) AS ps
+  FROM sig),
+h AS (
+  SELECT doc_id, slot,
+         CASE WHEN ps IS NULL THEN NULL
+              ELSE bit_count(xor(sig, ps)) END AS ham
+  FROM lg)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(CASE WHEN ham >= {_SHOT_T} THEN 1 ELSE 0 END) + 1 AS BIGINT)
+         AS n_shots,
+       CAST(coalesce(max(ham), 0) AS BIGINT) AS max_ham,
+       CAST(sum(CASE WHEN ham >= {_SHOT_T} THEN slot ELSE 0 END) AS BIGINT)
+         AS bslots
+FROM h GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -11435,6 +11481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiff_zonal_strips": _q_tiff_zonal,
         "media_metadata": _q_media_metadata,
         "media_frame_sample": _q_media_frames,      # byte-level frame sampling
+        "media_shot_bounds": _q_shot_bounds,        # Hamming-cut shot detection
         "span_roundtrip_fp": _q_span_roundtrip,
         "stratified_sample": _q_stratified_sample,
         "sample_topk_per_key": _q_sample_topk,
@@ -11635,6 +11682,7 @@ def oracle_sql() -> dict[str, str]:
         "tiff_zonal_strips": _ORACLE_TIFF_ZONAL,
         "media_metadata": _ORACLE_MEDIA_METADATA,
         "media_frame_sample": _ORACLE_MEDIA_FRAMES,
+        "media_shot_bounds": _oracle_shot_bounds(),
         "span_roundtrip_fp": _ORACLE_SPAN_ROUNDTRIP,
         "stratified_sample": _ORACLE_STRATIFIED,
         "sample_topk_per_key": _ORACLE_SAMPLE_TOPK,

@@ -389,3 +389,49 @@ def _synth_container_udf(doc_id: pd.Series) -> pd.Series:
 
 def synth_real_containers(documents: DataFrame) -> DataFrame:
     return documents.withColumn("media", _synth_container_udf(F.col("doc_id")))
+
+
+def shot_boundaries(
+    frames: DataFrame, threshold: int, sig_bits_mod: int = 1 << 60
+) -> DataFrame:
+    """Shot-boundary detection over sampled frame signatures.
+
+    The video-pipeline step after sample_frames: a cut is declared
+    between consecutive sampled frames whose 60-bit content signatures
+    differ in >= threshold bits (Hamming distance on a perceptual-hash
+    stand-in — here h60 of the frame bytes' hex witness, the same
+    deterministic stub discipline as the rest of the multimodal family;
+    swap in a real pHash UDF when codecs exist, the plan is unchanged).
+
+    Input: sample_frames output (doc_id, slot, frame_hex). Output one
+    row per doc with >= 1 sampled frame: n_frames, n_shots (= boundary
+    count + 1), max_ham (0 for single-frame docs), bslots (sum of
+    boundary slot ids — pins WHERE the cuts landed, not just how many).
+
+    Plan: one window (lag over slot per doc) + one hash aggregate, all
+    JVM — bitwiseXOR + bit_count stay in codegen. 100 TB posture: the
+    only shuffle key is doc_id; state is lag-1.
+    """
+    from osm_hadoop_spark.operators.textstats import h60
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("slot")
+    sig = (h60(F.col("frame_hex")) % sig_bits_mod).alias("sig")
+    lagged = frames.select("doc_id", "slot", sig).withColumn(
+        "ps", F.lag("sig").over(w)
+    )
+    ham = F.when(
+        F.col("ps").isNull(), F.lit(None).cast("bigint")
+    ).otherwise(F.bit_count(F.col("sig").bitwiseXOR(F.col("ps"))).cast("bigint"))
+    per = lagged.select("doc_id", "slot", ham.alias("ham"))
+    is_cut = (F.col("ham") >= int(threshold)).cast("bigint")
+    return per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        (F.sum(F.coalesce(is_cut, F.lit(0))) + 1).cast("bigint").alias("n_shots"),
+        F.coalesce(F.max("ham"), F.lit(0)).cast("bigint").alias("max_ham"),
+        F.sum(
+            F.when(F.coalesce(is_cut, F.lit(0)) == 1, F.col("slot")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bslots"),
+    )
