@@ -9027,16 +9027,11 @@ def _q_flow_accum(spark, sf_dir):
     return flow_accumulation(_los_dem(spark, sf_dir), _D8_ROUNDS)
 
 
-def _d8_dir_ctes() -> str:
-    """Shared CTE chain dem -> scatter -> pivot -> pick/rank ladders ->
-    `dirs` (cx, cy, dir, nx, ny, dropv), the DuckDB twin of
-    d8_flow_direction rendered from the same bindings."""
-    from osm_hadoop_spark.functions.exprdsl import sql_layers
-    from osm_hadoop_spark.operators.hydrology import (
-        D8_OFFSETS,
-        d8_pick_bindings,
-        d8_rank_bindings,
-    )
+def _stencil_ctes() -> str:
+    """CTE chain dem -> scatter -> pivot (`agg`: cx, cy, ce, e0..e7),
+    the DuckDB twin of hydrology.neighbor_pivot — shared by the D8
+    direction twin and the Horn terrain twin."""
+    from osm_hadoop_spark.operators.hydrology import D8_OFFSETS
 
     offs = ", ".join(
         f"({dx}, {dy}, {k})" for k, (dx, dy, _) in enumerate(D8_OFFSETS)
@@ -9045,8 +9040,6 @@ def _d8_dir_ctes() -> str:
         f"COALESCE(MAX(CASE WHEN rnk = {k} THEN elev END), 0) AS e{k}"
         for k in range(8)
     )
-    pick = sql_layers("SELECT * FROM agg", d8_pick_bindings())
-    rnkd = sql_layers("SELECT * FROM pick", d8_rank_bindings())
     return f"""
 dem AS ({_los_dem_sql()}),
 offs AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy, rnk)),
@@ -9059,7 +9052,22 @@ agg AS (
   SELECT cx, cy, MAX(CASE WHEN rnk = 8 THEN elev END) AS ce,
     {pivots}
   FROM scat GROUP BY cx, cy
-  HAVING MAX(CASE WHEN rnk = 8 THEN elev END) IS NOT NULL),
+  HAVING MAX(CASE WHEN rnk = 8 THEN elev END) IS NOT NULL)"""
+
+
+def _d8_dir_ctes() -> str:
+    """Shared CTE chain dem -> scatter -> pivot -> pick/rank ladders ->
+    `dirs` (cx, cy, dir, nx, ny, dropv), the DuckDB twin of
+    d8_flow_direction rendered from the same bindings."""
+    from osm_hadoop_spark.functions.exprdsl import sql_layers
+    from osm_hadoop_spark.operators.hydrology import (
+        d8_pick_bindings,
+        d8_rank_bindings,
+    )
+
+    pick = sql_layers("SELECT * FROM agg", d8_pick_bindings())
+    rnkd = sql_layers("SELECT * FROM pick", d8_rank_bindings())
+    return f"""{_stencil_ctes()},
 pick AS (SELECT * FROM {pick}),
 rnkd AS (SELECT * FROM {rnkd}),
 dirs AS (
@@ -9072,6 +9080,34 @@ dirs AS (
 
 def _oracle_d8_flow_dir() -> str:
     return f"WITH {_d8_dir_ctes()}\nSELECT * FROM dirs"
+
+
+def _q_horn_terrain(spark, sf_dir):
+    """Horn (1981) terrain derivatives (operators/terrain.py::
+    horn_terrain) over the SAME hash-derived DEM the visibility and D8
+    queries read: integer gradient numerators gx/gy from the weighted
+    3x3 differences, squared gradient magnitude g2, the D8-coded
+    steepest-descent aspect sector (pure sign/|u|-vs-|v| ladder — no
+    trig), and the NW-light hillshade numerator -(gx+gy).  One scatter
+    + one hash aggregate + a codegen ladder rendered from the same
+    dual-render bindings the oracle runs."""
+    from osm_hadoop_spark.operators.terrain import horn_terrain
+
+    return horn_terrain(_los_dem(spark, sf_dir))
+
+
+def _oracle_horn_terrain() -> str:
+    from osm_hadoop_spark.functions.exprdsl import sql_layers
+    from osm_hadoop_spark.operators.terrain import horn_bindings
+
+    horn = sql_layers("SELECT * FROM agg", horn_bindings())
+    return f"""
+WITH {_stencil_ctes()},
+horn AS (SELECT * FROM {horn})
+SELECT cx, cy, CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+       CAST(g2 AS BIGINT) AS g2, CAST(aspect AS BIGINT) AS aspect,
+       CAST(shade AS BIGINT) AS shade
+FROM horn"""
 
 
 _WATERSHED_DOUBLINGS = 5
@@ -11510,6 +11546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_interp_events": _q_resample_interp,  # exact linear interpolation
         "line_of_sight_dem": _q_line_of_sight,      # DEM intervisibility
         "d8_flow_dir": _q_d8_flow_dir,              # D8 steepest-descent drainage
+        "horn_terrain": _q_horn_terrain,            # Horn slope/aspect/hillshade
         "flow_accum_r6": _q_flow_accum,             # bounded-round flow accumulation
         "watershed_basins_d5": _q_watershed,        # pointer-doubling basin labels
     }
@@ -11726,6 +11763,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["resample_interp_events"] = _ORACLE_RESAMPLE_INTERP
     oracles["line_of_sight_dem"] = _oracle_line_of_sight()
     oracles["d8_flow_dir"] = _oracle_d8_flow_dir()
+    oracles["horn_terrain"] = _oracle_horn_terrain()
     oracles["flow_accum_r6"] = _oracle_flow_accum()
     oracles["watershed_basins_d5"] = _oracle_watershed()
     oracles["s2_cell_assign_l12"] = _oracle_s2_cells()

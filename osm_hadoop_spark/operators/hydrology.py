@@ -121,6 +121,26 @@ def d8_flow_direction(dem: DataFrame, default_elev: int = 0) -> DataFrame:
     (nx, ny) the downstream cell (NULL for sinks), `dropv` the
     elevation drop to it (NULL for sinks).
     """
+    agg = neighbor_pivot(dem, default_elev)
+    out = bind_spark(bind_spark(agg, d8_pick_bindings()), d8_rank_bindings())
+    sink = F.col("rnk") < 0
+    return out.select(
+        "cx",
+        "cy",
+        F.col("dircode").cast("bigint").alias("dir"),
+        F.when(~sink, F.col("cx") + F.col("dxv")).cast("bigint").alias("nx"),
+        F.when(~sink, F.col("cy") + F.col("dyv")).cast("bigint").alias("ny"),
+        F.when(~sink, F.col("dropv")).cast("bigint").alias("dropv"),
+    )
+
+
+def neighbor_pivot(dem: DataFrame, default_elev: int = 0) -> DataFrame:
+    """3x3 stencil assembly shared by D8 and the Horn terrain kernel
+    (operators/terrain.py): scatter every cell's elevation to its 8
+    neighbor positions (rank = D8_OFFSETS order), union the centers in
+    at rank 8, and pivot in ONE hash aggregate to (cx, cy, ce, e0..e7)
+    with absent neighbors defaulted.  One Exchange, no self-join.
+    """
     offs = F.array(
         *[
             F.struct(
@@ -157,16 +177,7 @@ def d8_flow_direction(dem: DataFrame, default_elev: int = 0) -> DataFrame:
         )
         .filter(F.col("ce").isNotNull())
     )
-    out = bind_spark(bind_spark(agg, d8_pick_bindings()), d8_rank_bindings())
-    sink = F.col("rnk") < 0
-    return out.select(
-        "cx",
-        "cy",
-        F.col("dircode").cast("bigint").alias("dir"),
-        F.when(~sink, F.col("cx") + F.col("dxv")).cast("bigint").alias("nx"),
-        F.when(~sink, F.col("cy") + F.col("dyv")).cast("bigint").alias("ny"),
-        F.when(~sink, F.col("dropv")).cast("bigint").alias("dropv"),
-    )
+    return agg
 
 
 def watershed_basins(
