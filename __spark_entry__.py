@@ -6340,6 +6340,96 @@ WHERE hx BETWEEN {x0} AND {x1} AND hy BETWEEN {y0} AND {y1}
 """
 
 
+_HRP_W = 40  # max box extent for the bulk-plan query (keeps output bounded)
+
+
+def _hrp_boxes(spark, sf_dir):
+    """25 deterministic query boxes derived from nation keys — the
+    'ten million tile envelopes from an upstream join' stand-in."""
+    from osm_hadoop_spark.operators.textstats import h60
+
+    n = 1 << _HIL_ORDER
+    k = F.col("n_nationkey").cast("string")
+    return _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("box_id"),
+        (h60(F.concat(F.lit("bcx"), k)) % n).alias("cx"),
+        (h60(F.concat(F.lit("bcy"), k)) % n).alias("cy"),
+        (h60(F.concat(F.lit("bw"), k)) % _HRP_W).alias("w"),
+        (h60(F.concat(F.lit("bh"), k)) % _HRP_W).alias("h"),
+    ).select(
+        "box_id",
+        F.col("cx").alias("x0"),
+        F.least(F.col("cx") + F.col("w"), F.lit(n - 1)).alias("x1"),
+        F.col("cy").alias("y0"),
+        F.least(F.col("cy") + F.col("h"), F.lit(n - 1)).alias("y1"),
+    )
+
+
+def _q_hilbert_bulk_scan(spark, sf_dir):
+    """Distributed Hilbert range planner + membership scan
+    (operators/rangeplan.py): a TABLE of query bboxes is decomposed —
+    as a Spark job, `order` bounded codegen rounds, no UDF — into each
+    box's minimal exact Hilbert-key intervals (the 4-state quadtree
+    machine derived from hilbert_key, pinned by enumeration in
+    tests/test_rangeplan.py), then events keyed by hilbert_key are
+    scanned with the ONLY spatial predicate being interval membership
+    on the key. The oracle's plain per-box bbox WHERE proves every
+    box's decomposition covers its rectangle exactly — no missing
+    cell, no stray cell, per box. Read-side payoff: on a
+    hilbert-clustered table (layout_by_hilbert) the same intervals
+    prune parquet row groups; the reference's HBase read path is an
+    unbounded full Scan (rasterstats/HBaseTest.scala:19-21)."""
+    from osm_hadoop_spark.functions.hilbert import hilbert_key
+    from osm_hadoop_spark.operators.rangeplan import (
+        hilbert_plan_scan,
+        hilbert_range_plan,
+    )
+    from osm_hadoop_spark.operators.textstats import h60
+
+    s = F.col("event_id").cast("string")
+    n = 1 << _HIL_ORDER
+    pts = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("pid"),
+        (h60(F.concat(F.lit("hx"), s)) % n).alias("hx"),
+        (h60(F.concat(F.lit("hy"), s)) % n).alias("hy"),
+    ).withColumn("hkey", hilbert_key(F.col("hx"), F.col("hy"), _HIL_ORDER))
+    plan = hilbert_range_plan(_hrp_boxes(spark, sf_dir), _HIL_ORDER)
+    return hilbert_plan_scan(pts, F.col("hkey"), plan).select(
+        "box_id", "pid", "hx", "hy", "hkey"
+    )
+
+
+def _oracle_hilbert_bulk_scan() -> str:
+    from osm_hadoop_spark.functions.hilbert import hilbert_unrolled_sql
+
+    n = 1 << _HIL_ORDER
+    hx = _duck_h60("'hx' || CAST(event_id AS VARCHAR)")
+    hy = _duck_h60("'hy' || CAST(event_id AS VARCHAR)")
+    bcx = _duck_h60("'bcx' || CAST(n_nationkey AS VARCHAR)")
+    bcy = _duck_h60("'bcy' || CAST(n_nationkey AS VARCHAR)")
+    bw = _duck_h60("'bw' || CAST(n_nationkey AS VARCHAR)")
+    bh = _duck_h60("'bh' || CAST(n_nationkey AS VARCHAR)")
+    chain, last = hilbert_unrolled_sql(_HIL_ORDER, "x", "y")
+    return (
+        "WITH h0 AS (SELECT pid, hx, hy, hx AS x, hy AS y, 0 AS d FROM"
+        f" (SELECT event_id AS pid, {hx} % {n} AS hx, {hy} % {n} AS hy"
+        " FROM events)),\n"
+        + chain
+        + f""",
+boxes AS (
+  SELECT n_nationkey AS box_id,
+         cx AS x0, LEAST(cx + w, {n - 1}) AS x1,
+         cy AS y0, LEAST(cy + h, {n - 1}) AS y1
+  FROM (SELECT n_nationkey, {bcx} % {n} AS cx, {bcy} % {n} AS cy,
+               {bw} % {_HRP_W} AS w, {bh} % {_HRP_W} AS h
+        FROM nation))
+SELECT b.box_id, p.pid, p.hx, p.hy, CAST(p.d AS BIGINT) AS hkey
+FROM boxes b JOIN {last} p
+  ON p.hx BETWEEN b.x0 AND b.x1 AND p.hy BETWEEN b.y0 AND b.y1
+"""
+    )
+
+
 def _oracle_tile_coverage() -> str:
     from osm_hadoop_spark.functions.coverage import coverage_sql
 
@@ -11537,6 +11627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_lloyd_r3": _q_kmeans,               # exact-integer Lloyd rounds
         "hilbert_layout_keys": _q_hilbert_layout,   # space-filling-curve layout
         "zorder_bbox_scan": _q_zorder_bbox,         # exact z-range data skipping
+        "hilbert_bulk_scan": _q_hilbert_bulk_scan,  # distributed range planner
         "balanced_ranges_b32": _q_balanced_ranges,  # exact range-partition planner
         "bloom_prune_semijoin": _q_bloom_semijoin,  # runtime-filter join pruning
         "heavy_hitters_tokens": _q_heavy_hitters,   # 2-pass Misra-Gries exact top-k
@@ -11747,6 +11838,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["kmeans_lloyd_r3"] = _oracle_kmeans()
     oracles["hilbert_layout_keys"] = _oracle_hilbert_layout()
     oracles["zorder_bbox_scan"] = _oracle_zorder_bbox()
+    oracles["hilbert_bulk_scan"] = _oracle_hilbert_bulk_scan()
     oracles["balanced_ranges_b32"] = _ORACLE_BALANCED_RANGES
     oracles["bloom_prune_semijoin"] = _ORACLE_BLOOM_SEMIJOIN
     oracles["heavy_hitters_tokens"] = _ORACLE_HEAVY_HITTERS
