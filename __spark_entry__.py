@@ -8887,6 +8887,89 @@ SELECT * FROM (SELECT * FROM seg UNION SELECT * FROM tri)
 """
 
 
+_MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
+_MRR_G = 400
+
+
+def _q_min_rect(spark, sf_dir):
+    """Minimum rotated rectangle (operators/mbr.py): rotating calipers
+    over the monotone-chain hull, area reported as the reduced exact
+    fraction W*H/L (Freeman-Shapira edge theorem; JTS
+    getMinimumRectangle semantics). The oracle re-derives hulls by the
+    exclusion test, hull EDGES as vertex pairs with every point weakly
+    left, and the argmin by HUGEINT cross-multiplication — a fully
+    independent formulation; the sandwich hull<=MBR<=bbox and an
+    all-directions brute force are pinned in tests/test_mbr.py."""
+    from osm_hadoop_spark.operators.mbr import min_rotated_rect
+    from osm_hadoop_spark.operators.textstats import h60
+
+    s = F.col("event_id").cast("string")
+    pts = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % _MRR_G).alias("g"),
+        (h60(F.concat(F.lit("mrx"), s)) % _MRR_GRID).alias("x"),
+        (h60(F.concat(F.lit("mry"), s)) % _MRR_GRID).alias("y"),
+    )
+    feats = pts.groupBy("g").agg(
+        F.collect_list("x").alias("xs"), F.collect_list("y").alias("ys")
+    )
+    return min_rotated_rect(feats)
+
+
+def _oracle_min_rect() -> str:
+    hx = _duck_h60("'mrx' || CAST(event_id AS VARCHAR)")
+    hy = _duck_h60("'mry' || CAST(event_id AS VARCHAR)")
+    ccw = (
+        "((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) {s} 0"
+        " AND (c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x) {s} 0"
+        " AND (a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x) {s} 0)"
+    )
+    return f"""
+WITH pts0 AS (SELECT event_id % {_MRR_G} AS g, {hx} % {_MRR_GRID} AS x,
+                     {hy} % {_MRR_GRID} AS y FROM events),
+p AS (SELECT DISTINCT g, x, y FROM pts0),
+seg AS (
+  SELECT DISTINCT p.g, p.x, p.y FROM p
+  JOIN p a ON a.g = p.g AND (a.x <> p.x OR a.y <> p.y)
+  JOIN p b ON b.g = p.g AND (b.x <> p.x OR b.y <> p.y)
+  WHERE (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) = 0
+    AND p.x BETWEEN least(a.x, b.x) AND greatest(a.x, b.x)
+    AND p.y BETWEEN least(a.y, b.y) AND greatest(a.y, b.y)),
+tri AS (
+  SELECT DISTINCT p.g, p.x, p.y FROM p
+  JOIN p a ON a.g = p.g JOIN p b ON b.g = p.g JOIN p c ON c.g = p.g
+  WHERE {ccw.format(s='>')} OR {ccw.format(s='<')}),
+hull AS (SELECT g, x, y FROM p
+         EXCEPT SELECT * FROM (SELECT * FROM seg UNION SELECT * FROM tri)),
+edges AS (
+  SELECT a.g, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS bby
+  FROM hull a JOIN hull b ON a.g = b.g AND (a.x <> b.x OR a.y <> b.y)
+  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.g = a.g
+      AND (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) < 0)),
+proj AS (
+  SELECT e.g,
+         (e.bx - e.ax) * (e.bx - e.ax) + (e.bby - e.ay) * (e.bby - e.ay) AS den,
+         MAX((e.bx - e.ax) * (p.x - e.ax) + (e.bby - e.ay) * (p.y - e.ay))
+       - MIN((e.bx - e.ax) * (p.x - e.ax) + (e.bby - e.ay) * (p.y - e.ay)) AS w,
+         MAX((e.bx - e.ax) * (p.y - e.ay) - (e.bby - e.ay) * (p.x - e.ax))
+       - MIN((e.bx - e.ax) * (p.y - e.ay) - (e.bby - e.ay) * (p.x - e.ax)) AS hh
+  FROM edges e JOIN p ON p.g = e.g
+  GROUP BY e.g, e.ax, e.ay, e.bx, e.bby),
+cand AS (SELECT g, w * hh AS num, den FROM proj),
+best AS (
+  SELECT DISTINCT g, CAST(num // gcd(num, den) AS BIGINT) AS mbr_num,
+         CAST(den // gcd(num, den) AS BIGINT) AS mbr_den
+  FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM cand f WHERE f.g = c.g
+      AND CAST(f.num AS HUGEINT) * c.den < CAST(c.num AS HUGEINT) * f.den)),
+nh AS (SELECT g, CAST(COUNT(*) AS INT) AS n_hull FROM hull GROUP BY g),
+bbox AS (SELECT g, (MAX(x) - MIN(x)) * (MAX(y) - MIN(y)) AS bbox_area
+         FROM p GROUP BY g)
+SELECT nh.g, nh.n_hull, COALESCE(best.mbr_num, 0) AS mbr_num,
+       COALESCE(best.mbr_den, 1) AS mbr_den, bbox.bbox_area
+FROM nh JOIN bbox ON bbox.g = nh.g LEFT JOIN best ON best.g = nh.g
+"""
+
+
 # ---------------------------------------------------------------------------
 # line-of-sight over a gridded DEM (operators/visibility.py)
 # ---------------------------------------------------------------------------
@@ -11577,6 +11660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gradient_sobel": _q_gradient,              # multi-kernel sparse convolution
         "affine_warp_near": _q_affine_warp,         # raster warp: computed-key gather
         "convex_hull_ways": _q_convex_hull,         # monotone chain vs exclusion oracle
+        "min_rect_groups": _q_min_rect,             # rotating-calipers exact MBR
         "simplify_hausdorff": _q_simplify_hausdorff,  # simplification error bound
         "idw_surface": _q_idw_surface,              # scatter IDW vs gather oracle
         "chunk_documents": _q_chunk_documents,      # passage windows, single stage
@@ -11789,6 +11873,7 @@ def oracle_sql() -> dict[str, str]:
         "gradient_sobel": _ORACLE_GRADIENT,
         "affine_warp_near": _ORACLE_AFFINE_WARP,
         "convex_hull_ways": _ORACLE_HULL,
+        "min_rect_groups": _oracle_min_rect(),
         "simplify_hausdorff": _ORACLE_HAUSDORFF,
         "idw_surface": _oracle_idw(),
         "chunk_documents": _ORACLE_CHUNKS,
