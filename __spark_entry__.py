@@ -7414,6 +7414,65 @@ pr{r} AS (SELECT n.node,
     return cte + f"\nSELECT node, pr FROM pr{_PR_ROUNDS}"
 
 
+# Random-walk corpus generation over the SAME symmetrized road graph
+# (operators/walks.py): the DeepWalk data stage, h60-derived choices so
+# the unrolled SQL twin replays every walk bit-for-bit; pytest replays
+# the engine against an independent hashlib walker.
+_DW_WPN, _DW_LEN = 2, 4
+
+
+def _q_random_walks(spark, sf_dir):
+    from osm_hadoop_spark.operators.walks import random_walks
+
+    edges, _pk = _sssp_edges(spark, sf_dir)
+    e = edges.select("u", "v").where(F.col("u") != F.col("v"))
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    return random_walks(sym, walks_per_node=_DW_WPN, length=_DW_LEN, tag="dw")
+
+
+def _oracle_random_walks() -> str:
+    cte = f"""
+WITH pk AS (SELECT p_partkey AS u FROM part),
+hyper AS (
+  SELECT u, xor(u, 1 << k) AS v
+  FROM pk, (SELECT unnest(generate_series(0, 11)) AS k)
+  WHERE {_duck_h60("'rg' || u || '_' || k")} % 4 <> 0),
+edges AS (
+  SELECT u, v FROM (
+    SELECT u, v FROM hyper
+    UNION ALL
+    SELECT u, u + 1 AS v FROM pk) e
+  WHERE v IN (SELECT u FROM pk)),
+sym AS (
+  SELECT u, v FROM edges WHERE u <> v
+  UNION
+  SELECT v AS u, u AS v FROM edges WHERE u <> v),
+nbr AS (SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS r
+        FROM sym),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+nbr3 AS (SELECT n.u, n.v, n.r, d2.d AS dv
+         FROM nbr n JOIN deg d2 ON d2.u = n.v),
+s0 AS (SELECT d.u AS start, CAST(k AS BIGINT) AS w, d.u AS cur, d.d AS dv
+       FROM deg d, (SELECT unnest(generate_series(0, {_DW_WPN - 1})) AS k))"""
+    for t in range(1, _DW_LEN + 1):
+        draw = _duck_h60(
+            f"'dw' || CAST(s.start AS VARCHAR) || '_' || s.w || '_' || {t}"
+        )
+        cte += f""",
+s{t} AS (SELECT s.start, s.w, n.v AS cur, n.dv
+       FROM s{t - 1} s JOIN nbr3 n
+       ON n.u = s.cur AND n.r = {draw} % s.dv)"""
+    selects = [
+        "SELECT start, w, CAST(0 AS BIGINT) AS t, start AS node FROM s0"
+    ] + [
+        f"SELECT start, w, CAST({t} AS BIGINT) AS t, cur AS node FROM s{t}"
+        for t in range(1, _DW_LEN + 1)
+    ]
+    return cte + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def _q_graph_sssp(spark, sf_dir):
     from osm_hadoop_spark.operators.routing import sssp
 
@@ -11650,6 +11709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
         "temporal_ea_r4": _q_temporal_ea,           # time-respecting reachability
         "pagerank_r3": _q_pagerank,                 # fixed-point integer PageRank
+        "random_walks_l4": _q_random_walks,         # DeepWalk corpus generation
         "link_pred_cn": _q_linkpred,                # common-neighbor candidates
         "label_prop_r3": _q_labelprop,              # deterministic LPA communities
         "snap_points_r50": _q_snap_points,          # nearest-segment map matching
@@ -11863,6 +11923,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,
         "temporal_ea_r4": _oracle_temporal_ea(),
         "pagerank_r3": _oracle_pagerank(),
+        "random_walks_l4": _oracle_random_walks(),
         "link_pred_cn": _oracle_linkpred(),
         "label_prop_r3": _oracle_labelprop(),
         "snap_points_r50": _ORACLE_SNAP,
