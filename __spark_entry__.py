@@ -7414,6 +7414,65 @@ pr{r} AS (SELECT n.node,
     return cte + f"\nSELECT node, pr FROM pr{_PR_ROUNDS}"
 
 
+# h-bounded stress centrality between hub sets over the SAME road graph
+# (operators/centrality.py): exact integer shortest-path census — the
+# integer member of the betweenness family. H truncates the PAIR
+# universe (d_st <= H), never a counted pair's paths (docstring proof).
+_STRESS_H = 4
+
+
+def _q_stress(spark, sf_dir):
+    from osm_hadoop_spark.operators.centrality import stress_centrality
+
+    edges, pk = _sssp_edges(spark, sf_dir)
+    sources = pk.filter(F.col("u") % 127 == 1).select(F.col("u").alias("node"))
+    targets = pk.filter(F.col("u") % 131 == 2).select(F.col("u").alias("node"))
+    return stress_centrality(edges.select("u", "v"), sources, targets, _STRESS_H)
+
+
+def _oracle_stress() -> str:
+    cte = f"""
+WITH pk AS (SELECT p_partkey AS u FROM part),
+hyper AS (
+  SELECT u, xor(u, 1 << k) AS v
+  FROM pk, (SELECT unnest(generate_series(0, 11)) AS k)
+  WHERE {_duck_h60("'rg' || u || '_' || k")} % 4 <> 0),
+edges AS (
+  SELECT u, v FROM (
+    SELECT u, v FROM hyper
+    UNION ALL
+    SELECT u, u + 1 AS v FROM pk) e
+  WHERE v IN (SELECT u FROM pk)),
+sym AS (
+  SELECT u, v FROM edges WHERE u <> v
+  UNION
+  SELECT v AS u, u AS v FROM edges WHERE u <> v),
+hubs AS (SELECT u FROM pk WHERE u % 127 = 1 OR u % 131 = 2),
+r0 AS (SELECT u AS s, u AS node, 0 AS d, CAST(1 AS BIGINT) AS sig FROM hubs),
+f0 AS (SELECT * FROM r0)"""
+    for k in range(1, _STRESS_H + 1):
+        cte += f""",
+n{k} AS (SELECT f.s, e.v AS node, CAST(SUM(f.sig) AS BIGINT) AS sig
+       FROM f{k - 1} f JOIN sym e ON e.u = f.node GROUP BY f.s, e.v),
+f{k} AS (SELECT n.s, n.node, {k} AS d, n.sig FROM n{k} n
+       WHERE NOT EXISTS (SELECT 1 FROM r{k - 1} p
+                         WHERE p.s = n.s AND p.node = n.node)),
+r{k} AS (SELECT * FROM r{k - 1} UNION ALL SELECT * FROM f{k})"""
+    return cte + f""",
+bs AS (SELECT * FROM r{_STRESS_H} WHERE s % 127 = 1),
+bt AS (SELECT * FROM r{_STRESS_H} WHERE s % 131 = 2),
+pairs AS (SELECT b.s, b.node AS t, b.d AS dst FROM bs b
+          WHERE b.node % 131 = 2 AND b.node <> b.s),
+mid AS (SELECT m.node, m.sig * n.sig AS c
+        FROM bs m JOIN bt n ON n.node = m.node
+        JOIN pairs p ON p.s = m.s AND p.t = n.s
+        WHERE m.d + n.d = p.dst AND m.node <> m.s AND m.node <> n.s)
+SELECT node, CAST(SUM(c) AS BIGINT) AS stress,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM mid GROUP BY node
+"""
+
+
 # Random-walk corpus generation over the SAME symmetrized road graph
 # (operators/walks.py): the DeepWalk data stage, h60-derived choices so
 # the unrolled SQL twin replays every walk bit-for-bit; pytest replays
@@ -11710,6 +11769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_ea_r4": _q_temporal_ea,           # time-respecting reachability
         "pagerank_r3": _q_pagerank,                 # fixed-point integer PageRank
         "random_walks_l4": _q_random_walks,         # DeepWalk corpus generation
+        "stress_centrality_h4": _q_stress,          # integer shortest-path census
         "link_pred_cn": _q_linkpred,                # common-neighbor candidates
         "label_prop_r3": _q_labelprop,              # deterministic LPA communities
         "snap_points_r50": _q_snap_points,          # nearest-segment map matching
@@ -11924,6 +11984,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_ea_r4": _oracle_temporal_ea(),
         "pagerank_r3": _oracle_pagerank(),
         "random_walks_l4": _oracle_random_walks(),
+        "stress_centrality_h4": _oracle_stress(),
         "link_pred_cn": _oracle_linkpred(),
         "label_prop_r3": _oracle_labelprop(),
         "snap_points_r50": _ORACLE_SNAP,
