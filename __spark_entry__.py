@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from osm_hadoop_spark.config import PRECEDENCE
@@ -9005,6 +9005,56 @@ SELECT * FROM (SELECT * FROM seg UNION SELECT * FROM tri)
 """
 
 
+_CHAIKIN_R = 3
+
+
+def _q_chaikin(spark, sf_dir):
+    """Chaikin corner-cutting smoothing (operators/smooth.py) over the
+    way geometries: r rounds of the 1/4-3/4 cut, integer-exact in the
+    4^r-scaled grid (docstring proof). The DuckDB twin chains the
+    module's own per-round SQL fragment — one engine iterates a loop,
+    the other nests CTEs, same rows bit-for-bit; pytest additionally
+    replays a Fraction-arithmetic reference and cross-checks the
+    fragment itself through DuckDB on literal fixtures."""
+    from osm_hadoop_spark.operators.smooth import chaikin
+
+    pts = (
+        _way_nodes(spark, sf_dir)
+        .join(_nodes(spark, sf_dir), "node_id")
+        .select(
+            "way_id",
+            F.col("ordinal").alias("seq"),
+            F.col("lon").cast("bigint").alias("x"),
+            F.col("lat").cast("bigint").alias("y"),
+        )
+    )
+    n = Window.partitionBy("way_id")
+    elig = pts.withColumn("_n", F.count(F.lit(1)).over(n)).filter(
+        F.col("_n") > 1
+    ).drop("_n")
+    return chaikin(elig, rounds=_CHAIKIN_R)
+
+
+def _oracle_chaikin() -> str:
+    from osm_hadoop_spark.operators.smooth import chaikin_round_sql
+
+    ctes = [
+        f"""c0 AS (
+  SELECT way_id, seq, x, y FROM (
+    SELECT wn.way_id, wn.ordinal AS seq, CAST(n.lon AS BIGINT) AS x,
+           CAST(n.lat AS BIGINT) AS y,
+           count(*) OVER (PARTITION BY wn.way_id) AS _n
+    FROM ({_WAY_NODES_SQL}) wn JOIN ({_NODES_SQL}) n USING (node_id))
+  WHERE _n > 1)"""
+    ]
+    for r in range(1, _CHAIKIN_R + 1):
+        ctes.append(f"c{r} AS ({chaikin_round_sql(f'c{r - 1}')})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT way_id, seq, x, y FROM c{_CHAIKIN_R}"
+    )
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -11684,6 +11734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_fill_spans": _q_polygon_fill,      # A-family: interior scanline fill
         "polylabel_grid": _q_polylabel,             # pole of inaccessibility (label point)
         "simplify_dp_ways": _q_simplify_dp,         # Douglas-Peucker simplification
+        "chaikin_smooth_r3": _q_chaikin,            # corner-cutting smoothing
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -11909,6 +11960,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_fill_spans": _ORACLE_POLYGON_FILL,
         "polylabel_grid": _ORACLE_POLYLABEL,
         "simplify_dp_ways": _ORACLE_SIMPLIFY_DP,
+        "chaikin_smooth_r3": _oracle_chaikin(),
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,

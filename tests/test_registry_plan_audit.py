@@ -44,6 +44,10 @@ BNLJ_ALLOWED = {
     # z-range membership: 237-row disjoint-interval broadcast build side
     # (the computed-key fast form; stored keys use pushed OR-of-BETWEEN)
     "zorder_bbox_scan",
+    # hilbert bulk plan scan: the build side is the planner's interval
+    # table — O(perimeter) intervals per box (textbook exact-cover bound),
+    # bounded by construction; each (point, box) matches <= 1 interval
+    "hilbert_bulk_scan",
     # basket lift: the one-row n_baskets global-count build side
     "basket_pair_lift",
     # AMS F2: both sides of the final join are one-row global aggregates
