@@ -9018,20 +9018,13 @@ def _q_chaikin(spark, sf_dir):
     fragment itself through DuckDB on literal fixtures."""
     from osm_hadoop_spark.operators.smooth import chaikin
 
-    pts = (
-        _way_nodes(spark, sf_dir)
-        .join(_nodes(spark, sf_dir), "node_id")
-        .select(
-            "way_id",
-            F.col("ordinal").alias("seq"),
-            F.col("lon").cast("bigint").alias("x"),
-            F.col("lat").cast("bigint").alias("y"),
-        )
-    )
     n = Window.partitionBy("way_id")
-    elig = pts.withColumn("_n", F.count(F.lit(1)).over(n)).filter(
-        F.col("_n") > 1
-    ).drop("_n")
+    elig = (
+        _way_pts_seq(spark, sf_dir)
+        .withColumn("_n", F.count(F.lit(1)).over(n))
+        .filter(F.col("_n") > 1)
+        .drop("_n")
+    )
     return chaikin(elig, rounds=_CHAIKIN_R)
 
 
@@ -9041,10 +9034,8 @@ def _oracle_chaikin() -> str:
     ctes = [
         f"""c0 AS (
   SELECT way_id, seq, x, y FROM (
-    SELECT wn.way_id, wn.ordinal AS seq, CAST(n.lon AS BIGINT) AS x,
-           CAST(n.lat AS BIGINT) AS y,
-           count(*) OVER (PARTITION BY wn.way_id) AS _n
-    FROM ({_WAY_NODES_SQL}) wn JOIN ({_NODES_SQL}) n USING (node_id))
+    SELECT way_id, seq, x, y, count(*) OVER (PARTITION BY way_id) AS _n
+    FROM ({_WAY_PTS_SEQ_SQL}))
   WHERE _n > 1)"""
     ]
     for r in range(1, _CHAIKIN_R + 1):
@@ -9052,6 +9043,65 @@ def _oracle_chaikin() -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT way_id, seq, x, y FROM c{_CHAIKIN_R}"
+    )
+
+
+def _way_pts_seq(spark, sf_dir):
+    """(way_id, seq, x, y) on the integer grid with a UNIQUE dense seq:
+    the synthetic lineitem has duplicate (l_orderkey, l_linenumber)
+    pairs, so `ordinal` alone is NOT a total order and window-based
+    operators (Chaikin, VW) would be engine-order-dependent on it.
+    row_number over (ordinal, node_id) is value-deterministic: the only
+    remaining ties are full triple duplicates, whose coords are equal,
+    so either ranking yields identical (seq, x, y) rows."""
+    w = Window.partitionBy("way_id").orderBy("ordinal", "node_id")
+    return (
+        _way_nodes(spark, sf_dir)
+        .join(_nodes(spark, sf_dir), "node_id")
+        .select(
+            "way_id",
+            (F.row_number().over(w) - 1).cast("bigint").alias("seq"),
+            F.col("lon").cast("bigint").alias("x"),
+            F.col("lat").cast("bigint").alias("y"),
+        )
+    )
+
+
+_WAY_PTS_SEQ_SQL = f"""
+  SELECT wn.way_id,
+         CAST(row_number() OVER (PARTITION BY wn.way_id
+                                 ORDER BY wn.ordinal, wn.node_id) - 1
+              AS BIGINT) AS seq,
+         CAST(n.lon AS BIGINT) AS x, CAST(n.lat AS BIGINT) AS y
+  FROM ({_WAY_NODES_SQL}) wn JOIN ({_NODES_SQL}) n USING (node_id)"""
+
+
+_VW_T2 = 500  # doubled effective-area threshold on the integer grid
+_VW_R = 3
+
+
+def _q_vw(spark, sf_dir):
+    """Visvalingam-Whyatt simplification (operators/vw.py) over the way
+    geometries: `_VW_R` parallel relaxation rounds removing strict
+    local-minimum interior vertices with doubled effective area <
+    `_VW_T2`. Mapshaper-family generalization, the companion operator
+    to Douglas-Peucker (`simplify_dp_ways`). The DuckDB twin nests the
+    module's own per-round SQL fragment; pytest additionally replays
+    the round semantics in pure Python."""
+    from osm_hadoop_spark.operators.vw import vw_threshold
+
+    return vw_threshold(_way_pts_seq(spark, sf_dir), t2=_VW_T2, rounds=_VW_R)
+
+
+def _oracle_vw() -> str:
+    from osm_hadoop_spark.operators.vw import vw_round_sql
+
+    ctes = [f"c0 AS ({_WAY_PTS_SEQ_SQL})"]
+    for r in range(1, _VW_R + 1):
+        ctes.append(f"c{r} AS ({vw_round_sql(f'c{r - 1}', _VW_T2)})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT way_id, seq, x, y FROM c{_VW_R}"
     )
 
 
@@ -11735,6 +11785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polylabel_grid": _q_polylabel,             # pole of inaccessibility (label point)
         "simplify_dp_ways": _q_simplify_dp,         # Douglas-Peucker simplification
         "chaikin_smooth_r3": _q_chaikin,            # corner-cutting smoothing
+        "vw_simplify_r3": _q_vw,                    # Visvalingam-Whyatt simplification
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -11961,6 +12012,7 @@ def oracle_sql() -> dict[str, str]:
         "polylabel_grid": _ORACLE_POLYLABEL,
         "simplify_dp_ways": _ORACLE_SIMPLIFY_DP,
         "chaikin_smooth_r3": _oracle_chaikin(),
+        "vw_simplify_r3": _oracle_vw(),
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,
