@@ -9105,6 +9105,51 @@ def _oracle_vw() -> str:
     )
 
 
+_STR_CAP = 32
+
+
+def _q_str_pack(spark, sf_dir):
+    """STR R-tree bulk packing (operators/strpack.py) of the way
+    envelopes, leaf capacity `_STR_CAP`: one row per leaf with its
+    member count and MBR. The engine computes the global x-rank with
+    the two-level distributed prefix sum (no single-partition window);
+    the DuckDB twin uses a naive global row_number — opposite
+    mechanism, identical leaves."""
+    from osm_hadoop_spark.operators.strpack import str_pack
+
+    rects = (
+        _way_nodes(spark, sf_dir)
+        .join(_nodes(spark, sf_dir), "node_id")
+        .groupBy(F.col("way_id").alias("id"))
+        .agg(
+            F.min(F.col("lon").cast("bigint")).alias("xmin"),
+            F.min(F.col("lat").cast("bigint")).alias("ymin"),
+            F.max(F.col("lon").cast("bigint")).alias("xmax"),
+            F.max(F.col("lat").cast("bigint")).alias("ymax"),
+        )
+    )
+    return str_pack(rects, capacity=_STR_CAP)
+
+
+def _oracle_str_pack() -> str:
+    from osm_hadoop_spark.operators.strpack import str_pack_sql
+
+    body = str_pack_sql("rects", _STR_CAP).strip()
+    assert body.upper().startswith("WITH ")
+    return (
+        f"""WITH rects AS (
+  SELECT wn.way_id AS id,
+         min(CAST(n.lon AS BIGINT)) AS xmin,
+         min(CAST(n.lat AS BIGINT)) AS ymin,
+         max(CAST(n.lon AS BIGINT)) AS xmax,
+         max(CAST(n.lat AS BIGINT)) AS ymax
+  FROM ({_WAY_NODES_SQL}) wn JOIN ({_NODES_SQL}) n USING (node_id)
+  GROUP BY wn.way_id
+), """
+        + body[len("WITH ") :]
+    )
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -11786,6 +11831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_dp_ways": _q_simplify_dp,         # Douglas-Peucker simplification
         "chaikin_smooth_r3": _q_chaikin,            # corner-cutting smoothing
         "vw_simplify_r3": _q_vw,                    # Visvalingam-Whyatt simplification
+        "str_pack_c32": _q_str_pack,                # STR R-tree bulk packing
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12013,6 +12059,7 @@ def oracle_sql() -> dict[str, str]:
         "simplify_dp_ways": _ORACLE_SIMPLIFY_DP,
         "chaikin_smooth_r3": _oracle_chaikin(),
         "vw_simplify_r3": _oracle_vw(),
+        "str_pack_c32": _oracle_str_pack(),
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,
