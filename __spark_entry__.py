@@ -9150,6 +9150,38 @@ def _oracle_str_pack() -> str:
     )
 
 
+_SCHED_IV_SQL = (
+    "SELECT user_id AS key, event_id AS id, epoch_us(ts) AS s, "
+    "epoch_us(ts) + ((event_id * 7919) % 3600 + 1) * 1000000 AS e "
+    "FROM events"
+)
+
+
+def _q_interval_schedule(spark, sf_dir):
+    """Greedy maximum non-overlapping interval selection
+    (operators/scheduling.py) per user over derived event intervals
+    (duration = (event_id * 7919) % 3600 + 1 seconds). The engine runs
+    successor pointer-doubling (10 rounds >= any per-user chain at
+    driver scale); the DuckDB twin replays the sequential greedy chain
+    with a recursive CTE — opposite mechanism, identical rows."""
+    from osm_hadoop_spark.operators.scheduling import interval_schedule
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("id"),
+        us.alias("s"),
+        (us + ((F.col("event_id") * 7919) % 3600 + 1) * 1000000).alias("e"),
+    )
+    return interval_schedule(iv, rounds=10)
+
+
+def _oracle_interval_schedule() -> str:
+    from osm_hadoop_spark.operators.scheduling import interval_schedule_sql
+
+    return interval_schedule_sql(f"({_SCHED_IV_SQL})")
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -11832,6 +11864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chaikin_smooth_r3": _q_chaikin,            # corner-cutting smoothing
         "vw_simplify_r3": _q_vw,                    # Visvalingam-Whyatt simplification
         "str_pack_c32": _q_str_pack,                # STR R-tree bulk packing
+        "interval_schedule_greedy": _q_interval_schedule,  # max non-overlap selection
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12060,6 +12093,7 @@ def oracle_sql() -> dict[str, str]:
         "chaikin_smooth_r3": _oracle_chaikin(),
         "vw_simplify_r3": _oracle_vw(),
         "str_pack_c32": _oracle_str_pack(),
+        "interval_schedule_greedy": _oracle_interval_schedule(),
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,
