@@ -9182,6 +9182,51 @@ def _oracle_interval_schedule() -> str:
     return interval_schedule_sql(f"({_SCHED_IV_SQL})")
 
 
+def _q_mann_kendall(spark, sf_dir):
+    """Per-cell Mann-Kendall trend census (operators/spatialstats.py)
+    over daily event counts on a 6x5 user-hash cell grid: exact integer
+    (n, S, 18*Var(S)) per cell, tie-corrected — the temporal statistic
+    under emerging-hot-spot analysis."""
+    from osm_hadoop_spark.operators.spatialstats import mann_kendall
+
+    series = (
+        _t(spark, sf_dir, "events")
+        .select(
+            (F.col("user_id") % 6).alias("cx"),
+            (F.expr("user_id DIV 6") % 5).alias("cy"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+            .alias("t"),
+        )
+        .groupBy("cx", "cy", "t")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return mann_kendall(series)
+
+
+_ORACLE_MANN_KENDALL = """
+WITH s AS (
+  SELECT user_id % 6 AS cx, (user_id // 6) % 5 AS cy,
+         epoch_us(ts) // 86400000000 AS t, CAST(count(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2, 3),
+n AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2),
+p AS (
+  SELECT a.cx, a.cy,
+         CAST(sum(CASE WHEN b.v > a.v THEN 1
+                       WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS ss
+  FROM s a JOIN s b ON a.cx = b.cx AND a.cy = b.cy AND a.t < b.t
+  GROUP BY 1, 2),
+ties AS (
+  SELECT cx, cy, CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tt
+  FROM (SELECT cx, cy, v, count(*) AS c FROM s GROUP BY 1, 2, 3)
+  GROUP BY 1, 2)
+SELECT n.cx, n.cy, n.n,
+       CAST(coalesce(p.ss, 0) AS BIGINT) AS s_stat,
+       CAST(n.n * (n.n - 1) * (2 * n.n + 5) - coalesce(ties.tt, 0)
+            AS BIGINT) AS var18
+FROM n LEFT JOIN p USING (cx, cy) LEFT JOIN ties USING (cx, cy)
+"""
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -11865,6 +11910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vw_simplify_r3": _q_vw,                    # Visvalingam-Whyatt simplification
         "str_pack_c32": _q_str_pack,                # STR R-tree bulk packing
         "interval_schedule_greedy": _q_interval_schedule,  # max non-overlap selection
+        "mann_kendall_cells": _q_mann_kendall,      # per-cell trend census
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12094,6 +12140,7 @@ def oracle_sql() -> dict[str, str]:
         "vw_simplify_r3": _oracle_vw(),
         "str_pack_c32": _oracle_str_pack(),
         "interval_schedule_greedy": _oracle_interval_schedule(),
+        "mann_kendall_cells": _ORACLE_MANN_KENDALL,
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,

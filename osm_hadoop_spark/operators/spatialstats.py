@@ -168,3 +168,74 @@ def getis_ord_gi(
         (F.col("_n") * F.col("window_sum") - F.col("k") * F.col("_s"))
         .cast("bigint").alias("gi_num"),
     )
+
+
+def mann_kendall(
+    series: DataFrame,
+    cx: str = "cx",
+    cy: str = "cy",
+    t: str = "t",
+    v: str = "v",
+) -> DataFrame:
+    """Per-cell Mann-Kendall trend census — the TEMPORAL member of this
+    module's inference family (LISA/Gi* ask "is the pattern clustered
+    in SPACE"; this asks "is each cell's series trending in TIME", the
+    statistic under emerging-hot-spot analysis).
+
+    Exact integer core: over a cell's series ordered by t,
+
+        s_stat = Σ_{i<j} sign(v_j - v_i)                (in [-C(n,2), C(n,2)])
+        var18  = n(n-1)(2n+5) - Σ_g t_g(t_g-1)(2t_g+5)  (= 18 * Var(S))
+
+    with the standard tie correction over groups of equal v (size t_g).
+    No float appears; callers form z = (S -/+ 1)/sqrt(var18/18) at
+    presentation time.  Rows with n = 1 report (1, 0, 0).
+
+    Plan: one pair equi-self-join on the cell key (textbook O(n²) per
+    key where n = TIME BINS, bounded by the retention window — the
+    theil_sen posture, independent of event volume because the series
+    is pre-aggregated) + two partial-aggregatable groupBys.  Returns
+    DataFrame(cx, cy, n, s_stat, var18).
+    """
+    s = series.select(
+        F.col(cx).alias("cx"), F.col(cy).alias("cy"),
+        F.col(t).cast("bigint").alias("t"),
+        F.col(v).cast("bigint").alias("v"),
+    )
+    n = s.groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = s.alias("a"), s.alias("b")
+    d = F.col("b.v") - F.col("a.v")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cx") == F.col("b.cx"))
+            & (F.col("a.cy") == F.col("b.cy"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(F.col("a.cx").alias("cx"), F.col("a.cy").alias("cy"))
+        .agg(
+            F.sum(
+                F.when(d > 0, 1).when(d < 0, -1).otherwise(0)
+            ).cast("long").alias("s_stat")
+        )
+    )
+    c = F.col("c")
+    ties = (
+        s.groupBy("cx", "cy", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("cx", "cy")
+        .agg(
+            F.sum(c * (c - 1) * (2 * c + 5)).cast("long").alias("tt")
+        )
+    )
+    nn = F.col("n")
+    return (
+        n.join(pairs, ["cx", "cy"], "left")
+        .join(ties, ["cx", "cy"], "left")
+        .select(
+            "cx", "cy", "n",
+            F.coalesce(F.col("s_stat"), F.lit(0)).cast("long").alias("s_stat"),
+            (nn * (nn - 1) * (2 * nn + 5) - F.coalesce(F.col("tt"), F.lit(0)))
+            .cast("long").alias("var18"),
+        )
+    )
