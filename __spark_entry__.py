@@ -9227,6 +9227,43 @@ FROM n LEFT JOIN p USING (cx, cy) LEFT JOIN ties USING (cx, cy)
 """
 
 
+_MRL_K, _MRL_SHARDS, _MRL_LEVELS = 48, 16, 10
+
+
+def _q_mrl_deciles(spark, sf_dir):
+    """Deterministic MRL quantile sketch (operators/quantile_sketch.py)
+    over event timestamps: nine decile estimates from a bounded
+    per-shard summary — no global sort of the data. The shard is the
+    portable event_id % 16 so the DuckDB twin builds the IDENTICAL
+    sketch (bit-exact estimates, not approximate agreement)."""
+    from osm_hadoop_spark.operators.quantile_sketch import mrl_deciles
+
+    rows = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % _MRL_SHARDS).alias("shard"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("value"),
+        F.col("event_id").alias("id"),
+    )
+    return mrl_deciles(
+        rows,
+        k=_MRL_K,
+        shards=_MRL_SHARDS,
+        levels=_MRL_LEVELS,
+        shard_col="shard",
+    )
+
+
+def _oracle_mrl_deciles() -> str:
+    from osm_hadoop_spark.operators.quantile_sketch import (
+        mrl_deciles_sql_presharded,
+    )
+
+    src = (
+        f"(SELECT event_id % {_MRL_SHARDS} AS shard, epoch_us(ts) AS value, "
+        "event_id AS id FROM events)"
+    )
+    return mrl_deciles_sql_presharded(src, k=_MRL_K, levels=_MRL_LEVELS)
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -11911,6 +11948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_pack_c32": _q_str_pack,                # STR R-tree bulk packing
         "interval_schedule_greedy": _q_interval_schedule,  # max non-overlap selection
         "mann_kendall_cells": _q_mann_kendall,      # per-cell trend census
+        "mrl_deciles_sketch": _q_mrl_deciles,       # deterministic quantile sketch
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12141,6 +12179,7 @@ def oracle_sql() -> dict[str, str]:
         "str_pack_c32": _oracle_str_pack(),
         "interval_schedule_greedy": _oracle_interval_schedule(),
         "mann_kendall_cells": _ORACLE_MANN_KENDALL,
+        "mrl_deciles_sketch": _oracle_mrl_deciles(),
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,

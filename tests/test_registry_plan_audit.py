@@ -52,6 +52,13 @@ BNLJ_ALLOWED = {
     "basket_pair_lift",
     # AMS F2: both sides of the final join are one-row global aggregates
     "ams_f2_users",
+    # STR packing: the build side is the one-row (n, P, S) slice-geometry
+    # scalar crossed onto the ranked rects
+    "str_pack_c32",
+    # MRL sketch: the build side is the 9-row decile-target relation
+    # (deciles x one-row global count) non-equi-joined to the bounded
+    # <= shards*k summary
+    "mrl_deciles_sketch",
 }
 
 
