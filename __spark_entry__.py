@@ -9264,6 +9264,46 @@ def _oracle_mrl_deciles() -> str:
     return mrl_deciles_sql_presharded(src, k=_MRL_K, levels=_MRL_LEVELS)
 
 
+def _q_seasonal_anomaly(spark, sf_dir):
+    """Day-of-week seasonal profile + most-anomalous day per event type
+    (operators/timeseries.py): exact mean-cleared residuals, one hash
+    partition, no float anywhere."""
+    from osm_hadoop_spark.operators.timeseries import seasonal_anomaly
+
+    series = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("key"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+            .alias("t"),
+        )
+        .groupBy("key", "t")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return seasonal_anomaly(series, period=7)
+
+
+_ORACLE_SEASONAL = """
+WITH s AS (
+  SELECT event_type AS key, epoch_us(ts) // 86400000000 AS t,
+         CAST(count(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT key, t % 7 AS phase, t, v,
+         count(*) OVER w AS n_bins, sum(v) OVER w AS sum_v
+  FROM s WINDOW w AS (PARTITION BY key, t % 7)),
+n AS (
+  SELECT key, phase, t, v, n_bins, sum_v, v * n_bins - sum_v AS num,
+         max(struct_pack(num := v * n_bins - sum_v, t := t))
+           OVER (PARTITION BY key, phase) AS mx
+  FROM r)
+SELECT key, phase, CAST(n_bins AS BIGINT) AS n_bins,
+       CAST(sum_v AS BIGINT) AS sum_v, t AS anom_t, v AS anom_v,
+       CAST(num AS BIGINT) AS anom_num
+FROM n WHERE num = mx.num AND t = mx.t
+"""
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -11949,6 +11989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_schedule_greedy": _q_interval_schedule,  # max non-overlap selection
         "mann_kendall_cells": _q_mann_kendall,      # per-cell trend census
         "mrl_deciles_sketch": _q_mrl_deciles,       # deterministic quantile sketch
+        "seasonal_anomaly_dow": _q_seasonal_anomaly,  # day-of-week profile + anomaly
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12180,6 +12221,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_schedule_greedy": _oracle_interval_schedule(),
         "mann_kendall_cells": _ORACLE_MANN_KENDALL,
         "mrl_deciles_sketch": _oracle_mrl_deciles(),
+        "seasonal_anomaly_dow": _ORACLE_SEASONAL,
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,

@@ -549,3 +549,58 @@ def rolling_active_users(events: DataFrame, key: str = "user_id",
     return dau.join(wau, "d").select(
         F.col("d").alias("day"), "dau", "wau"
     )
+
+
+def seasonal_anomaly(series: DataFrame, period: int, key: str = "key",
+                     t: str = "t", v: str = "v") -> DataFrame:
+    """Per-(key, phase) seasonal profile + most-anomalous bin, exact.
+
+    The seasonal member of the trend family (trend_stats/theil_sen fit
+    a LINE; cusum finds a LEVEL SHIFT; this profiles a PERIOD): bins
+    t are folded by phase = t mod period (e.g. day-of-week for period
+    7) and each phase's mean is the seasonal component. Exactness by
+    clearing the mean's denominator (the spatialstats.py discipline):
+    with n bins in a phase and S their sum, the scaled residual of bin
+    (t, v) is
+
+        num = v * n - S         (= n * (v - mean), int64, no float)
+
+    and the phase's most-above-seasonal bin is argmax (num, t) — the
+    tie-break on t makes the pick total, pinned in tests. Comparisons
+    are only ever WITHIN a phase (num carries the phase's own scale n),
+    which is the statistically meaningful contrast anyway.
+
+    Returns (key, phase, n_bins, sum_v, anom_t, anom_v, anom_num).
+
+    Plan: ONE hash partition by (key, phase) evaluates all four window
+    aggregates and the argmax filter — no join, no second shuffle; the
+    input is the (key, bin) pre-aggregate, so volume is bounded by
+    keys x retention bins, not event count.
+    """
+    if period < 1:
+        raise ValueError("period must be >= 1")
+    s = series.select(
+        F.col(key).alias("key"),
+        (F.col(t).cast("bigint") % period).alias("phase"),
+        F.col(t).cast("bigint").alias("t"),
+        F.col(v).cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy("key", "phase")
+    r = s.select(
+        "key", "phase", "t", "v",
+        F.count(F.lit(1)).over(w).alias("n_bins"),
+        F.sum("v").over(w).alias("sum_v"),
+    ).withColumn(
+        "num", F.col("v") * F.col("n_bins") - F.col("sum_v")
+    )
+    r = r.withColumn("mx", F.max(F.struct("num", "t")).over(w))
+    return r.filter(
+        (F.col("num") == F.col("mx.num")) & (F.col("t") == F.col("mx.t"))
+    ).select(
+        "key", "phase",
+        F.col("n_bins").cast("long").alias("n_bins"),
+        F.col("sum_v").cast("long").alias("sum_v"),
+        F.col("t").alias("anom_t"),
+        F.col("v").alias("anom_v"),
+        F.col("num").cast("long").alias("anom_num"),
+    )
