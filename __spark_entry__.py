@@ -9304,6 +9304,74 @@ FROM n WHERE num = mx.num AND t = mx.t
 """
 
 
+def _q_gearys_c(spark, sf_dir):
+    """Geary's C numerator/denominator (operators/spatialstats.py) on
+    the shared g60 event lattice — the pair-difference sibling of
+    morans_global_g60, exact integers end-to-end."""
+    from osm_hadoop_spark.operators.spatialstats import gearys_c_global
+
+    return gearys_c_global(_lattice_cells(spark, sf_dir))
+
+
+_ORACLE_GEARY = f"""
+WITH pts AS (
+  SELECT {_duck_h60("'mx' || CAST(event_id AS VARCHAR)")} % 60 AS cx,
+         {_duck_h60("'my' || CAST(event_id AS VARCHAR)")} % 60 AS cy
+  FROM events),
+cells AS (SELECT cx, cy, count(*) AS n FROM pts GROUP BY 1, 2),
+st AS (SELECT count(*) AS nn, sum(n) AS s FROM cells),
+pair AS (
+  SELECT CAST(sum((a.n - b.n) * (a.n - b.n)) AS BIGINT) AS num,
+         CAST(count(*) AS BIGINT) AS w_sum
+  FROM cells a
+  CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dx, dy)
+  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy),
+den AS (
+  SELECT CAST(st.nn AS BIGINT) AS n_cells,
+         CAST(sum((st.nn * c.n - st.s) * (st.nn * c.n - st.s)) AS BIGINT)
+           AS den_scaled
+  FROM cells c CROSS JOIN st GROUP BY st.nn)
+SELECT den.n_cells, pair.w_sum, pair.num, den.den_scaled
+FROM den CROSS JOIN pair
+"""
+
+_RIPLEY_RADII = (20, 40, 80, 160)
+
+
+def _q_ripley_k(spark, sf_dir):
+    """Ripley's K pair census (operators/spatialstats.py) over the
+    clustered dbscan point pattern at four scales: one blocked distance
+    join at r_max feeds a single conditional-sum census. The DuckDB
+    twin counts all O(n^2) pairs brute-force — opposite mechanism,
+    identical counts (the blocking-losslessness proof)."""
+    from osm_hadoop_spark.operators.spatialstats import ripley_k_census
+
+    return ripley_k_census(_dbscan_points(spark, sf_dir), _RIPLEY_RADII)
+
+
+def _oracle_ripley_k() -> str:
+    branches = ", ".join(f"({r})" for r in _RIPLEY_RADII)
+    return f"""
+WITH pts AS (
+  SELECT p_partkey AS id,
+         {_duck_dbscan_coord('nx', 'cx', 'dx')} AS x,
+         {_duck_dbscan_coord('ny', 'cy', 'dy')} AS y
+  FROM part),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM pts),
+rad(r) AS (VALUES {branches})
+SELECT CAST(rad.r AS BIGINT) AS r,
+       CAST(coalesce(sum(CASE WHEN (a.x - b.x) * (a.x - b.x)
+                               + (a.y - b.y) * (a.y - b.y)
+                               <= rad.r * rad.r THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_pairs,
+       (SELECT n_points FROM n) AS n_points
+FROM rad
+LEFT JOIN pts a ON true
+LEFT JOIN pts b ON a.id < b.id
+GROUP BY rad.r
+"""
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -11990,6 +12058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall_cells": _q_mann_kendall,      # per-cell trend census
         "mrl_deciles_sketch": _q_mrl_deciles,       # deterministic quantile sketch
         "seasonal_anomaly_dow": _q_seasonal_anomaly,  # day-of-week profile + anomaly
+        "gearys_c_g60": _q_gearys_c,                # pair-difference autocorrelation
+        "ripley_k_multi": _q_ripley_k,              # multi-scale point-pattern census
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12222,6 +12292,8 @@ def oracle_sql() -> dict[str, str]:
         "mann_kendall_cells": _ORACLE_MANN_KENDALL,
         "mrl_deciles_sketch": _oracle_mrl_deciles(),
         "seasonal_anomaly_dow": _ORACLE_SEASONAL,
+        "gearys_c_g60": _ORACLE_GEARY,
+        "ripley_k_multi": _oracle_ripley_k(),
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,

@@ -239,3 +239,116 @@ def mann_kendall(
             .cast("long").alias("var18"),
         )
     )
+
+
+def gearys_c_global(
+    cells: DataFrame, cx: str = "cx", cy: str = "cy", val: str = "n"
+) -> DataFrame:
+    """Geary's C numerator/denominator, exact — the pair-difference
+    sibling of Moran's I (Moran correlates VALUES with neighbor values;
+    Geary sums squared DIFFERENCES, so it is sensitive to local
+    contrasts Moran smooths over).  Rook weights on the observed-cell
+    lattice, the morans_i_local domain convention.
+
+    One row: (n_cells, w_sum, num, den_scaled) with
+
+        num        = Σ_{i~j} (x_i - x_j)²     (directed rook pairs — raw
+                                               values, already integer)
+        den_scaled = Σ_i (n x_i - S)²         (= n² Σ (x_i - mean)²)
+
+    so C = (n-1) * n² * num / (2 * W * den_scaled) exactly; callers
+    divide at presentation time.  Same plan shape as getis_ord_gi: one
+    computed-key equi-self-join + partial-aggregatable sums.
+    """
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in [(1, 0), (-1, 0), (0, 1), (0, -1)]
+        ]
+    )
+    probes = cells.select(
+        F.col(cx).alias("pcx"), F.col(cy).alias("pcy"),
+        F.col(val).alias("x_i"), F.inline(offs),
+    ).select(
+        "x_i",
+        (F.col("pcx") + F.col("dx")).alias("qx"),
+        (F.col("pcy") + F.col("dy")).alias("qy"),
+    )
+    nbr = cells.select(
+        F.col(cx).alias("qx"), F.col(cy).alias("qy"), F.col(val).alias("x_j")
+    )
+    d = F.col("x_i") - F.col("x_j")
+    pair_num = probes.join(nbr, ["qx", "qy"]).agg(
+        F.sum(d * d).cast("bigint").alias("num"),
+        F.count(F.lit(1)).cast("bigint").alias("w_sum"),
+    )
+    stats = cells.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(val).alias("_s")
+    )
+    den = (
+        cells.crossJoin(F.broadcast(stats))
+        .select(
+            ((F.col("_n") * F.col(val) - F.col("_s"))
+             * (F.col("_n") * F.col(val) - F.col("_s"))).alias("zz"),
+            F.col("_n"),
+        )
+        .groupBy("_n")
+        .agg(F.sum("zz").cast("bigint").alias("den_scaled"))
+    )
+    return den.crossJoin(F.broadcast(pair_num)).select(
+        F.col("_n").cast("bigint").alias("n_cells"),
+        "w_sum", "num", "den_scaled",
+    )
+
+
+def ripley_k_census(
+    points: DataFrame,
+    radii: tuple[int, ...],
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Ripley's K pair census at a ladder of radii — the multi-scale
+    point-pattern statistic (K(r) above/below pi*r² <=> clustering/
+    dispersion at scale r).  Exact core: unordered pair counts with
+    integer dist² <= r²; K̂(r) = A * 2*n_pairs / n² at presentation
+    time.  ONE blocked distance join at max(radii) (distance_join's
+    computed 3x3 cell key — no all-pairs product) feeds a single
+    partial-aggregatable conditional-sum census; every radius is
+    emitted even when empty.  Returns (r, n_pairs, n_points).
+    """
+    from osm_hadoop_spark.operators.distance_join import distance_join
+
+    rs = sorted(set(int(r) for r in radii))
+    if not rs or rs[0] <= 0:
+        raise ValueError("radii must be positive")
+    pairs = distance_join(points, None, rs[-1], id_col=id_col, x=x, y=y)
+    census = pairs.agg(
+        *[
+            F.sum(F.when(F.col("dist2") <= r * r, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_c{r}")
+            for r in rs
+        ]
+    )
+    n = points.agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    wide = census.crossJoin(F.broadcast(n))
+    longf = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("bigint").alias("r"),
+                        F.coalesce(F.col(f"_c{r}"), F.lit(0)).alias("n_pairs"),
+                    )
+                    for r in rs
+                ]
+            )
+        ).alias("e"),
+        "n_points",
+    )
+    return longf.select(
+        F.col("e.r").alias("r"),
+        F.col("e.n_pairs").cast("bigint").alias("n_pairs"),
+        "n_points",
+    )
