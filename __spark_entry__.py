@@ -9372,6 +9372,38 @@ GROUP BY rad.r
 """
 
 
+_HAAR_LEVELS = 5
+
+
+def _q_haar_energy(spark, sf_dir):
+    """Per-event-type Haar detail energies (operators/wavelet.py) over
+    the first 32 daily count bins: integer-exact scale decomposition;
+    the DuckDB twin nests the module's per-level pairing fragment."""
+    from osm_hadoop_spark.operators.wavelet import haar_energy
+
+    series = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("key"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+            .alias("t"),
+        )
+        .groupBy("key", "t")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return haar_energy(series, levels=_HAAR_LEVELS)
+
+
+def _oracle_haar_energy() -> str:
+    from osm_hadoop_spark.operators.wavelet import haar_energy_sql
+
+    src = (
+        "(SELECT event_type AS key, epoch_us(ts) // 86400000000 AS t, "
+        "CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1, 2)"
+    )
+    return haar_energy_sql(src, _HAAR_LEVELS)
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -12060,6 +12092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomaly_dow": _q_seasonal_anomaly,  # day-of-week profile + anomaly
         "gearys_c_g60": _q_gearys_c,                # pair-difference autocorrelation
         "ripley_k_multi": _q_ripley_k,              # multi-scale point-pattern census
+        "haar_energy_l5": _q_haar_energy,           # per-key wavelet scale energies
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12294,6 +12327,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_anomaly_dow": _ORACLE_SEASONAL,
         "gearys_c_g60": _ORACLE_GEARY,
         "ripley_k_multi": _oracle_ripley_k(),
+        "haar_energy_l5": _oracle_haar_energy(),
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,
