@@ -9404,6 +9404,60 @@ def _oracle_haar_energy() -> str:
     return haar_energy_sql(src, _HAAR_LEVELS)
 
 
+def _q_benford(spark, sf_dir):
+    """Benford first-digit census (operators/profile.py) of part keys
+    per return flag — magnitude-spanning positive integers, zero-filled
+    9-digit frame per key."""
+    from osm_hadoop_spark.operators.profile import benford_census
+
+    return benford_census(
+        _t(spark, sf_dir, "lineitem"), key="l_returnflag", value="l_partkey"
+    )
+
+
+_ORACLE_BENFORD = """
+WITH pos AS (
+  SELECT l_returnflag AS key, l_partkey AS v FROM lineitem
+  WHERE l_partkey > 0),
+obs AS (
+  SELECT key, CAST(substring(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pos GROUP BY 1, 2),
+k AS (SELECT DISTINCT key FROM obs),
+d(digit) AS (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9))
+SELECT k.key, CAST(d.digit AS BIGINT) AS digit,
+       CAST(coalesce(obs.n, 0) AS BIGINT) AS n
+FROM k CROSS JOIN d
+LEFT JOIN obs ON obs.key = k.key AND obs.digit = d.digit
+"""
+
+
+def _q_gini(spark, sf_dir):
+    """Exact per-flag Gini numerator (operators/profile.py) over line
+    quantities: rank-weighted concentration, one window sort + one
+    aggregate, no float."""
+    from osm_hadoop_spark.operators.profile import gini_exact
+
+    rows = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    return gini_exact(rows, key="l_returnflag", value="q")
+
+
+_ORACLE_GINI = """
+WITH r AS (
+  SELECT l_returnflag AS key, CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+s AS (
+  SELECT key, v,
+         row_number() OVER (PARTITION BY key ORDER BY v) AS i,
+         count(*) OVER (PARTITION BY key) AS n
+  FROM r)
+SELECT key, CAST(max(n) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(sum((2 * i - n - 1) * v) AS BIGINT) AS gini_num
+FROM s GROUP BY key
+"""
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -12093,6 +12147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gearys_c_g60": _q_gearys_c,                # pair-difference autocorrelation
         "ripley_k_multi": _q_ripley_k,              # multi-scale point-pattern census
         "haar_energy_l5": _q_haar_energy,           # per-key wavelet scale energies
+        "benford_digits": _q_benford,               # first-digit audit census
+        "gini_quantity": _q_gini,                   # exact concentration numerator
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12328,6 +12384,8 @@ def oracle_sql() -> dict[str, str]:
         "gearys_c_g60": _ORACLE_GEARY,
         "ripley_k_multi": _oracle_ripley_k(),
         "haar_energy_l5": _oracle_haar_energy(),
+        "benford_digits": _ORACLE_BENFORD,
+        "gini_quantity": _ORACLE_GINI,
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,

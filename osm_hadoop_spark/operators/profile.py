@@ -35,7 +35,7 @@ without float/decimal formatting drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -190,4 +190,71 @@ def equi_depth_bins(rows: DataFrame, key: str, value: str,
             F.explode(F.sequence(lo + 1, hi)).alias("bin"),
         )
         .select(key, "bin", F.col("v").alias("boundary"))
+    )
+
+
+def benford_census(
+    rows: DataFrame, key: str, value: str
+) -> DataFrame:
+    """Per-key first-significant-digit census — the Benford's-law audit
+    (fraud/fabrication screening on naturally-spanning magnitudes; the
+    distribution-shaped sibling of expectation_census's row predicates).
+    Exact: the leading digit of a positive int64 is character 1 of its
+    decimal rendering — no log10, no float, identical in any engine.
+    Non-positive values are excluded (Benford is defined on magnitudes;
+    documented, pinned in tests).  Returns (key, digit, n) with all
+    nine digits present per observed key (zero-filled), so downstream
+    chi-square/MAD comparisons never miss a bucket.
+
+    Plan: one filter + one partial-aggregatable groupBy, then a 9-row
+    digit frame joined per key (broadcast) for the zero-fill.
+    """
+    pos = rows.select(
+        F.col(key).alias("key"), F.col(value).cast("bigint").alias("v")
+    ).filter(F.col("v") > 0)
+    obs = pos.select(
+        "key",
+        F.substring(F.col("v").cast("string"), 1, 1).cast("bigint")
+        .alias("digit"),
+    ).groupBy("key", "digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    digits = obs.sparkSession.range(1, 10).select(
+        F.col("id").alias("digit")
+    )
+    keys = obs.select("key").distinct()
+    frame = keys.crossJoin(F.broadcast(digits))
+    return (
+        frame.join(obs, ["key", "digit"], "left")
+        .select(
+            "key", "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
+def gini_exact(rows: DataFrame, key: str, value: str) -> DataFrame:
+    """Per-key exact Gini numerator — inequality/concentration profiling
+    (how concentrated is spend/traffic/size within each key), the
+    rank-weighted companion of equi_depth_bins.  With a key's n values
+    sorted ascending (ties broken stably by the sort; the numerator is
+    tie-order-invariant because equal values swap weights freely):
+
+        gini_num = Σ_i (2i - n - 1) v_i        (i = 1..n, int64)
+        G        = gini_num / (n Σv)           (presentation-time)
+
+    Returns (key, n, sum_v, gini_num), exact.  Plan: ONE window sort
+    per key + one partial-aggregatable groupBy; the 100 TB caveat is
+    the usual skewed-key window (a single key's values colocate).
+    """
+    w = Window.partitionBy("key").orderBy("v")
+    r = rows.select(
+        F.col(key).alias("key"), F.col(value).cast("bigint").alias("v")
+    ).select(
+        "key", "v", F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("key")).alias("n"),
+    )
+    return r.groupBy("key").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sum_v"),
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("v"))
+        .cast("long").alias("gini_num"),
     )
