@@ -9458,6 +9458,70 @@ FROM s GROUP BY key
 """
 
 
+def _allen_iv(spark, sf_dir, etype, mult):
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == etype)
+        .select(
+            F.col("user_id").alias("key"),
+            us.alias("s"),
+            (us + ((F.col("event_id") * mult) % 3600 + 1) * 1000000)
+            .alias("e"),
+        )
+    )
+
+
+def _q_allen_census(spark, sf_dir):
+    """Allen 13-relation census (operators/allen.py) of click intervals
+    vs view intervals per user: contact relations via the touching-
+    inclusive bucketized join, before/after via sentinel running sums —
+    no disjoint-pair materialization. The DuckDB twin classifies every
+    same-key pair brute-force."""
+    from osm_hadoop_spark.operators.allen import allen_census
+
+    return allen_census(
+        _allen_iv(spark, sf_dir, "click", 7919),
+        _allen_iv(spark, sf_dir, "view", 104729),
+    )
+
+
+def _allen_iv_sql(etype: str, mult: int) -> str:
+    return (
+        f"SELECT user_id AS key, epoch_us(ts) AS s, "
+        f"epoch_us(ts) + ((event_id * {mult}) % 3600 + 1) * 1000000 AS e "
+        f"FROM events WHERE event_type = '{etype}'"
+    )
+
+
+_ORACLE_ALLEN = f"""
+WITH a AS ({_allen_iv_sql('click', 7919)}),
+b AS ({_allen_iv_sql('view', 104729)}),
+cls AS (
+  SELECT CASE
+    WHEN a.e < b.s THEN 'before'
+    WHEN b.e < a.s THEN 'after'
+    WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+    WHEN a.s = b.s AND a.e < b.e THEN 'starts'
+    WHEN a.s = b.s THEN 'started_by'
+    WHEN a.e = b.e AND a.s > b.s THEN 'finishes'
+    WHEN a.e = b.e THEN 'finished_by'
+    WHEN a.e = b.s THEN 'meets'
+    WHEN b.e = a.s THEN 'met_by'
+    WHEN a.s < b.s AND a.e < b.e THEN 'overlaps'
+    WHEN b.s < a.s AND b.e < a.e THEN 'overlapped_by'
+    WHEN a.s > b.s THEN 'during'
+    ELSE 'contains' END AS relation
+  FROM a JOIN b ON a.key = b.key),
+rel(relation) AS (VALUES ('equals'), ('starts'), ('started_by'),
+  ('finishes'), ('finished_by'), ('meets'), ('met_by'), ('overlaps'),
+  ('overlapped_by'), ('during'), ('contains'), ('before'), ('after')),
+cnt AS (SELECT relation, CAST(count(*) AS BIGINT) AS n FROM cls GROUP BY 1)
+SELECT rel.relation, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_pairs
+FROM rel LEFT JOIN cnt USING (relation)
+"""
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -12149,6 +12213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haar_energy_l5": _q_haar_energy,           # per-key wavelet scale energies
         "benford_digits": _q_benford,               # first-digit audit census
         "gini_quantity": _q_gini,                   # exact concentration numerator
+        "allen_census_13": _q_allen_census,         # interval-algebra relation census
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12386,6 +12451,7 @@ def oracle_sql() -> dict[str, str]:
         "haar_energy_l5": _oracle_haar_energy(),
         "benford_digits": _ORACLE_BENFORD,
         "gini_quantity": _ORACLE_GINI,
+        "allen_census_13": _ORACLE_ALLEN,
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,
