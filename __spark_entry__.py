@@ -9522,6 +9522,61 @@ FROM rel LEFT JOIN cnt USING (relation)
 """
 
 
+def _q_encoding_anomalies(spark, sf_dir):
+    """Encoding-damage census (operators/textstats.py) over documents
+    with deterministic mojibake injection (the synthetic corpus is
+    clean ASCII, so doc_id % 7 gets win-mojibake appended and
+    doc_id % 11 a replacement char — both engines inject identically).
+    Counters via replace/translate length-difference only — no regex,
+    the cross-engine discipline."""
+    from osm_hadoop_spark.operators.textstats import encoding_anomalies
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" cafÃ©â€™")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" �")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return encoding_anomalies(d)
+
+
+def _oracle_encoding_anomalies() -> str:
+    from osm_hadoop_spark.operators.textstats import _C0_CONTROLS
+
+    ctrl_sql = " || ".join(f"chr({ord(c)})" for c in _C0_CONTROLS)
+    moji = " cafÃ©â€™"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || '{moji}'
+              WHEN doc_id % 11 = 0 THEN text || ' �'
+              ELSE text END AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(length(t) - length(replace(t, '�', '')) AS BIGINT)
+         AS n_fffd,
+       CAST(length(t) - length(replace(t, 'Ã', '')) AS BIGINT)
+         AS n_winmoji,
+       CAST((length(t) - length(replace(t, 'â€', ''))) // 2
+            AS BIGINT) AS n_sqmoji,
+       CAST(length(t) - length(translate(t, {ctrl_sql}, '')) AS BIGINT)
+         AS n_ctrl,
+       (length(t) - length(replace(t, '�', '')) > 0
+        OR length(t) - length(replace(t, 'Ã', '')) > 0
+        OR length(t) - length(replace(t, 'â€', '')) > 0
+        OR length(t) - length(translate(t, {ctrl_sql}, '')) > 0)
+         AS flagged
+FROM d
+"""
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -12214,6 +12269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits": _q_benford,               # first-digit audit census
         "gini_quantity": _q_gini,                   # exact concentration numerator
         "allen_census_13": _q_allen_census,         # interval-algebra relation census
+        "encoding_anomaly_census": _q_encoding_anomalies,  # mojibake/control screening
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12452,6 +12508,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_digits": _ORACLE_BENFORD,
         "gini_quantity": _ORACLE_GINI,
         "allen_census_13": _ORACLE_ALLEN,
+        "encoding_anomaly_census": _oracle_encoding_anomalies(),
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,

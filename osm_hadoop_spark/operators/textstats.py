@@ -460,3 +460,58 @@ def key_skew_audit(df: DataFrame, group: str, key: str) -> DataFrame:
         ).alias("gini_num"),
         (F.max("m") * F.sum("c")).alias("gini_den"),
     )
+
+
+_C0_CONTROLS = "".join(
+    chr(c) for c in list(range(0, 9)) + [11, 12] + list(range(14, 32))
+)
+
+
+def encoding_anomalies(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-document encoding-damage census — the curation filter CCNet/
+    RefinedWeb-class pipelines run before training (mojibake text is
+    worse than no text: it teaches the tokenizer garbage codepoints).
+    Four exact counters per doc:
+
+      n_fffd    U+FFFD replacement chars (a decoder already gave up)
+      n_winmoji 'Ã' occurrences — the signature of UTF-8 bytes decoded
+                as latin-1/cp1252 (é -> 'Ã©', etc.)
+      n_sqmoji  'â€' pairs — the same damage on punctuation
+                (curly quotes/dashes -> 'â€™', 'â€œ', ...)
+      n_ctrl    C0 control chars other than tab/newline/CR
+
+    plus `flagged` = any counter > 0.  Deliberately NO regex: counts
+    come from length-difference over replace() and translate() — both
+    are codepoint-exact and semantics-identical across engines, where
+    Java vs RE2 regex classes are not (the cross-engine discipline
+    behind the rest of this module).  Whole-stage codegen, no UDF.
+    """
+    t = F.col(text_col)
+
+    def occurrences(needle: str) -> Column:
+        return (
+            (F.length(t) - F.length(F.replace(t, F.lit(needle), F.lit(""))))
+            / len(needle)
+        ).cast("bigint")
+
+    n_ctrl = (
+        F.length(t) - F.length(F.translate(t, _C0_CONTROLS, ""))
+    ).cast("bigint")
+    out = documents.select(
+        "doc_id",
+        occurrences("�").alias("n_fffd"),
+        occurrences("Ã").alias("n_winmoji"),
+        occurrences("â€").alias("n_sqmoji"),
+        n_ctrl.alias("n_ctrl"),
+    )
+    return out.withColumn(
+        "flagged",
+        (
+            (F.col("n_fffd") > 0)
+            | (F.col("n_winmoji") > 0)
+            | (F.col("n_sqmoji") > 0)
+            | (F.col("n_ctrl") > 0)
+        ).cast("boolean"),
+    )
