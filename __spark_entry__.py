@@ -9577,6 +9577,57 @@ FROM d
 """
 
 
+def _q_integral_image(spark, sf_dir):
+    """Summed-area table (operators/focal.py) of node counts on a dense
+    29x20 zero-filled grid: two partitioned running-sum windows, O(1)
+    box queries downstream (box_sums pytest-pinned)."""
+    from osm_hadoop_spark.operators.focal import integral_image
+
+    cnt = (
+        _nodes(spark, sf_dir)
+        .select(
+            F.expr("CAST((CAST(lon AS BIGINT) + 170) DIV 12 AS BIGINT)")
+            .alias("gx"),
+            F.expr("CAST((CAST(lat AS BIGINT) + 80) DIV 8 AS BIGINT)")
+            .alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        spark.range(29).select(F.col("id").alias("x"))
+        .crossJoin(spark.range(20).select(F.col("id").alias("y")))
+        .join(
+            cnt,
+            (F.col("x") == F.col("gx")) & (F.col("y") == F.col("gy")),
+            "left",
+        )
+        .select("x", "y", F.coalesce(F.col("n"), F.lit(0)).alias("v"))
+    )
+    return integral_image(grid)
+
+
+_ORACLE_INTEGRAL = f"""
+WITH pts AS (
+  SELECT (CAST(lon AS BIGINT) + 170) // 12 AS gx,
+         (CAST(lat AS BIGINT) + 80) // 8 AS gy
+  FROM ({_NODES_SQL})),
+cnt AS (SELECT gx, gy, count(*) AS n FROM pts GROUP BY 1, 2),
+grid AS (
+  SELECT xs.x, ys.y, CAST(coalesce(cnt.n, 0) AS BIGINT) AS v
+  FROM (SELECT unnest(range(0, 29)) AS x) xs
+  CROSS JOIN (SELECT unnest(range(0, 20)) AS y) ys
+  LEFT JOIN cnt ON cnt.gx = xs.x AND cnt.gy = ys.y),
+r AS (
+  SELECT x, y,
+         sum(v) OVER (PARTITION BY y ORDER BY x) AS rowsum
+  FROM grid)
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(sum(rowsum) OVER (PARTITION BY x ORDER BY y) AS BIGINT) AS sat
+FROM r
+"""
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -12270,6 +12321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_quantity": _q_gini,                   # exact concentration numerator
         "allen_census_13": _q_allen_census,         # interval-algebra relation census
         "encoding_anomaly_census": _q_encoding_anomalies,  # mojibake/control screening
+        "integral_image_g29": _q_integral_image,    # summed-area table cascade
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12509,6 +12561,7 @@ def oracle_sql() -> dict[str, str]:
         "gini_quantity": _ORACLE_GINI,
         "allen_census_13": _ORACLE_ALLEN,
         "encoding_anomaly_census": _oracle_encoding_anomalies(),
+        "integral_image_g29": _ORACLE_INTEGRAL,
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,

@@ -36,7 +36,7 @@ engines, no float division anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -176,3 +176,108 @@ SOBEL = {
     "gx": [(-1, -1, -1), (-1, 0, -2), (-1, 1, -1), (1, -1, 1), (1, 0, 2), (1, 1, 1)],
     "gy": [(-1, -1, -1), (0, -1, -2), (1, -1, -1), (-1, 1, 1), (0, 1, 2), (1, 1, 1)],
 }
+
+
+def integral_image(
+    cells: DataFrame, x: str = "x", y: str = "y", v: str = "v"
+) -> DataFrame:
+    """Summed-area table (integral image) — the O(1)-box-query raster
+    primitive (Crow 1984).  sat(x, y) = Σ v over cells with x' <= x AND
+    y' <= y, built by the classic separable cascade of two partitioned
+    running sums:
+
+      pass 1:  rowsum(x, y) = Σ_{x' <= x} v(x', y)   (partition y, order x)
+      pass 2:  sat(x, y)    = Σ_{y' <= y} rowsum(x, y')  (partition x,
+                                                          order y)
+
+    DENSE-LATTICE CONTRACT: pass 2 sums rowsum at the SAME x over prior
+    rows, which is only correct when every (x, y) of the lattice is
+    present — on a sparse grid a column would silently skip mass from
+    rows where that x is unoccupied (the exact sparse form is a
+    dominance count, a different operator).  Callers zero-fill the
+    bbox (rasterized tiles are dense by construction; at planet scale
+    the grid is tiled per operators/zonal.py and each tile's SAT is
+    independent — this cascade then parallelizes across tiles).
+    Violations are caught by the pinned pytest, not at runtime.
+
+    Returns (x, y, sat).  Plan: two partitioned windows, two
+    exchanges, no join, no UDF, int64 throughout.
+    """
+    w_row = (
+        Window.partitionBy("y").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_col = (
+        Window.partitionBy("x").orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = cells.select(
+        F.col(x).cast("bigint").alias("x"),
+        F.col(y).cast("bigint").alias("y"),
+        F.col(v).cast("bigint").alias("v"),
+    ).withColumn("rowsum", F.sum("v").over(w_row))
+    return r.withColumn("sat", F.sum("rowsum").over(w_col)).select(
+        "x", "y", "sat"
+    )
+
+
+def box_sums(
+    sat: DataFrame, boxes: DataFrame
+) -> DataFrame:
+    """boxes(box_id, x0, y0, x1, y1) inclusive corners over a DENSE
+    sat(x, y, sat) lattice -> (box_id, total) via the 4-corner
+    inclusion-exclusion identity
+
+        total = sat(x1,y1) - sat(x0-1,y1) - sat(x1,y0-1) + sat(x0-1,y0-1)
+
+    with out-of-lattice corners (x0=0 / y0=0 edges) contributing 0.
+    Four equi-joins on the (x, y) key — each box reads 4 rows no matter
+    its area, THE point of the SAT.
+    """
+    def corner(cx, cy, alias):
+        return sat.select(
+            F.col("x").alias(f"{alias}_x"),
+            F.col("y").alias(f"{alias}_y"),
+            F.col("sat").alias(alias),
+        )
+
+    b = boxes.select(
+        "box_id",
+        F.col("x0").cast("bigint").alias("x0"),
+        F.col("y0").cast("bigint").alias("y0"),
+        F.col("x1").cast("bigint").alias("x1"),
+        F.col("y1").cast("bigint").alias("y1"),
+    )
+    out = (
+        b.join(
+            corner("x1", "y1", "a"),
+            (F.col("x1") == F.col("a_x")) & (F.col("y1") == F.col("a_y")),
+            "left",
+        )
+        .join(
+            corner("x0", "y1", "b"),
+            (F.col("x0") - 1 == F.col("b_x")) & (F.col("y1") == F.col("b_y")),
+            "left",
+        )
+        .join(
+            corner("x1", "y0", "c"),
+            (F.col("x1") == F.col("c_x")) & (F.col("y0") - 1 == F.col("c_y")),
+            "left",
+        )
+        .join(
+            corner("x0", "y0", "d"),
+            (F.col("x0") - 1 == F.col("d_x"))
+            & (F.col("y0") - 1 == F.col("d_y")),
+            "left",
+        )
+    )
+    z = F.lit(0)
+    return out.select(
+        "box_id",
+        (
+            F.coalesce(F.col("a"), z)
+            - F.coalesce(F.col("b"), z)
+            - F.coalesce(F.col("c"), z)
+            + F.coalesce(F.col("d"), z)
+        ).cast("bigint").alias("total"),
+    )

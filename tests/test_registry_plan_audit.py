@@ -59,6 +59,15 @@ BNLJ_ALLOWED = {
     # (deciles x one-row global count) non-equi-joined to the bounded
     # <= shards*k summary
     "mrl_deciles_sketch",
+    # Geary's C: two one-row global-aggregate build sides (lattice
+    # stats crossed onto cells; pair-num crossed onto den) — the
+    # morans/Gi* pattern
+    "gearys_c_g60",
+    # Ripley's K: the one-row n_points global count crossed onto the
+    # 4-row radius census
+    "ripley_k_multi",
+    # Benford: the 9-row digit frame crossed onto the distinct-key dim
+    "benford_digits",
 }
 
 
