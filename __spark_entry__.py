@@ -9595,8 +9595,10 @@ def _q_integral_image(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     grid = (
-        spark.range(29).select(F.col("id").alias("x"))
-        .crossJoin(spark.range(20).select(F.col("id").alias("y")))
+        spark.range(29 * 20)
+        .select(
+            F.expr("id DIV 20").alias("x"), (F.col("id") % 20).alias("y")
+        )
         .join(
             cnt,
             (F.col("x") == F.col("gx")) & (F.col("y") == F.col("gy")),
