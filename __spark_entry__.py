@@ -9630,6 +9630,37 @@ FROM r
 """
 
 
+def _q_pair_confusion(spark, sf_dir):
+    """Pair-confusion census (operators/linkage.py) between the lang
+    and source labelings of documents: exact Rand-index numerators from
+    contingency counts, zero pairs materialized."""
+    from osm_hadoop_spark.operators.linkage import pair_confusion
+
+    return pair_confusion(
+        _t(spark, sf_dir, "documents"),
+        item="doc_id", pred="lang", truth="source",
+    )
+
+
+_ORACLE_PAIR_CONFUSION = """
+WITH cont AS (
+  SELECT lang AS pred, source AS truth, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+tp AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS tp,
+              CAST(sum(c) AS BIGINT) AS n_items FROM cont),
+pm AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS pred_pairs
+       FROM (SELECT sum(c) AS m FROM cont GROUP BY pred)),
+tm AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS truth_pairs
+       FROM (SELECT sum(c) AS m FROM cont GROUP BY truth))
+SELECT n_items, tp,
+       CAST(pred_pairs - tp AS BIGINT) AS fp,
+       CAST(truth_pairs - tp AS BIGINT) AS fn,
+       CAST(n_items * (n_items - 1) // 2 - pred_pairs - truth_pairs + tp
+            AS BIGINT) AS tn
+FROM tp CROSS JOIN pm CROSS JOIN tm
+"""
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -12324,6 +12355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allen_census_13": _q_allen_census,         # interval-algebra relation census
         "encoding_anomaly_census": _q_encoding_anomalies,  # mojibake/control screening
         "integral_image_g29": _q_integral_image,    # summed-area table cascade
+        "pair_confusion_docs": _q_pair_confusion,   # clustering-eval Rand numerators
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12564,6 +12596,7 @@ def oracle_sql() -> dict[str, str]:
         "allen_census_13": _ORACLE_ALLEN,
         "encoding_anomaly_census": _oracle_encoding_anomalies(),
         "integral_image_g29": _ORACLE_INTEGRAL,
+        "pair_confusion_docs": _ORACLE_PAIR_CONFUSION,
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,

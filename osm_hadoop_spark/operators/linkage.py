@@ -90,3 +90,68 @@ def fs_link(
         )
         .filter(F.col("score") >= int(threshold))
     )
+
+
+def pair_confusion(
+    assignments: DataFrame,
+    item: str = "item",
+    pred: str = "pred",
+    truth: str = "truth",
+) -> DataFrame:
+    """Exact pair-level confusion census between a predicted clustering
+    and ground truth — the evaluation layer over this module's linkage
+    and the dedup family's cluster outputs (dedup_clusters,
+    semdedup_prune): Rand / precision / recall on PAIRS, computed
+    WITHOUT materializing any pair.
+
+    With contingency counts n_ij = |pred cluster i ∩ truth cluster j|
+    and marginals n_i., n_.j over n items (C2(x) = x(x-1)/2):
+
+        tp = Σ_ij C2(n_ij)            same-pred AND same-truth pairs
+        fp = Σ_i C2(n_i.) - tp        same-pred, different-truth
+        fn = Σ_j C2(n_.j) - tp        different-pred, same-truth
+        tn = C2(n) - tp - fp - fn
+
+    One row (n_items, tp, fp, fn, tn), all int64 — pair precision
+    tp/(tp+fp), recall tp/(tp+fn), Rand (tp+tn)/C2(n), and the ARI all
+    derive from these four at presentation time.
+
+    Plan: one (pred, truth) hash aggregate + two marginal re-aggregates
+    of THAT contingency relation (bounded by cluster-pair count, far
+    below item count) — three partial-aggregatable groupBys, no join
+    wider than one row.  Scales to any clustering the engine can hold.
+    """
+    a = assignments.select(
+        F.col(item).alias("item"),
+        F.col(pred).alias("pred"),
+        F.col(truth).alias("truth"),
+    )
+    cont = a.groupBy("pred", "truth").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    # C2 via shiftright: x(x-1) is always even, so >>1 is the exact
+    # integer half — no double division (which loses bits past 2^53)
+    c2 = lambda col: F.shiftright((col * (col - 1)).cast("bigint"), 1)  # noqa: E731
+    tp_row = cont.agg(
+        F.sum(c2(F.col("c"))).cast("long").alias("tp"),
+        F.sum("c").cast("long").alias("n_items"),
+    )
+    predm = (
+        cont.groupBy("pred").agg(F.sum("c").alias("m"))
+        .agg(F.sum(c2(F.col("m"))).cast("long").alias("pred_pairs"))
+    )
+    truthm = (
+        cont.groupBy("truth").agg(F.sum("c").alias("m"))
+        .agg(F.sum(c2(F.col("m"))).cast("long").alias("truth_pairs"))
+    )
+    out = tp_row.crossJoin(F.broadcast(predm)).crossJoin(F.broadcast(truthm))
+    n = F.col("n_items")
+    return out.select(
+        "n_items",
+        "tp",
+        (F.col("pred_pairs") - F.col("tp")).cast("bigint").alias("fp"),
+        (F.col("truth_pairs") - F.col("tp")).cast("bigint").alias("fn"),
+        (
+            c2(n) - F.col("pred_pairs") - F.col("truth_pairs") + F.col("tp")
+        ).cast("bigint").alias("tn"),
+    )
