@@ -9661,6 +9661,44 @@ FROM tp CROSS JOIN pm CROSS JOIN tm
 """
 
 
+_VARIO_MAXLAG2 = 8
+
+
+def _q_variogram(spark, sf_dir):
+    """Empirical variogram census (operators/spatialstats.py) on the
+    shared g60 event lattice up to squared lag 8 — the multi-lag
+    generalization of gearys_c_g60, canonical half-plane offsets."""
+    from osm_hadoop_spark.operators.spatialstats import variogram_census
+
+    return variogram_census(_lattice_cells(spark, sf_dir), _VARIO_MAXLAG2)
+
+
+def _oracle_variogram() -> str:
+    r = int(_VARIO_MAXLAG2 ** 0.5) + 1
+    offs = [
+        (dx, dy)
+        for dx in range(0, r + 1)
+        for dy in range(-r, r + 1)
+        if dx * dx + dy * dy <= _VARIO_MAXLAG2
+        and (dx > 0 or (dx == 0 and dy > 0))
+    ]
+    vals = ", ".join(f"({dx}, {dy})" for dx, dy in offs)
+    return f"""
+WITH pts AS (
+  SELECT {_duck_h60("'mx' || CAST(event_id AS VARCHAR)")} % 60 AS cx,
+         {_duck_h60("'my' || CAST(event_id AS VARCHAR)")} % 60 AS cy
+  FROM events),
+cells AS (SELECT cx, cy, count(*) AS n FROM pts GROUP BY 1, 2)
+SELECT CAST(o.dx * o.dx + o.dy * o.dy AS BIGINT) AS lag2,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum((a.n - b.n) * (a.n - b.n)) AS BIGINT) AS sum_sq_diff
+FROM cells a
+CROSS JOIN (VALUES {vals}) o(dx, dy)
+JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+GROUP BY 1
+"""
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -12356,6 +12394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_anomaly_census": _q_encoding_anomalies,  # mojibake/control screening
         "integral_image_g29": _q_integral_image,    # summed-area table cascade
         "pair_confusion_docs": _q_pair_confusion,   # clustering-eval Rand numerators
+        "variogram_lags8": _q_variogram,            # multi-lag geostatistics census
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12597,6 +12636,7 @@ def oracle_sql() -> dict[str, str]:
         "encoding_anomaly_census": _oracle_encoding_anomalies(),
         "integral_image_g29": _ORACLE_INTEGRAL,
         "pair_confusion_docs": _ORACLE_PAIR_CONFUSION,
+        "variogram_lags8": _oracle_variogram(),
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,

@@ -352,3 +352,69 @@ def ripley_k_census(
         F.col("e.n_pairs").cast("bigint").alias("n_pairs"),
         "n_points",
     )
+
+
+def variogram_census(
+    cells: DataFrame,
+    max_lag2: int,
+    cx: str = "cx",
+    cy: str = "cy",
+    val: str = "n",
+) -> DataFrame:
+    """Empirical (semi)variogram census over the cell lattice — the
+    multi-lag generalization of gearys_c_global (Geary is the 1-ring
+    slice; the variogram's shape over lags is what geostatistics fits
+    range/sill/nugget to, the precursor of any kriging surface).  For
+    every squared lag h² = dx² + dy² in (0, max_lag2]:
+
+        n_pairs(h²)      unordered cell pairs at that lag
+        sum_sq_diff(h²)  Σ (x_i - x_j)²  over those pairs
+
+    (2γ(h) = sum_sq_diff / n_pairs at presentation time.)  Exact
+    integers; pairs counted ONCE via the canonical half-plane offset
+    set (dx > 0, or dx = 0 and dy > 0).
+
+    Plan: one inline explode of the bounded offset set (|offsets| ~
+    pi*max_lag2/2) + ONE computed-key equi-self-join + one
+    partial-aggregatable groupBy on h² — the gearys/Gi* shape, never a
+    distance join.  Lags with no observed pair are absent (sparse
+    lattice convention).
+    """
+    if max_lag2 < 1:
+        raise ValueError("max_lag2 must be >= 1")
+    offs = []
+    r = int(max_lag2 ** 0.5) + 1
+    for dx in range(0, r + 1):
+        for dy in range(-r, r + 1):
+            if dx * dx + dy * dy <= max_lag2 and (
+                dx > 0 or (dx == 0 and dy > 0)
+            ):
+                offs.append((dx, dy))
+    arr = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in offs
+        ]
+    )
+    probes = cells.select(
+        F.col(cx).alias("pcx"), F.col(cy).alias("pcy"),
+        F.col(val).alias("x_i"), F.inline(arr),
+    ).select(
+        "x_i",
+        (F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
+        .cast("bigint").alias("lag2"),
+        (F.col("pcx") + F.col("dx")).alias("qx"),
+        (F.col("pcy") + F.col("dy")).alias("qy"),
+    )
+    nbr = cells.select(
+        F.col(cx).alias("qx"), F.col(cy).alias("qy"), F.col(val).alias("x_j")
+    )
+    d = F.col("x_i") - F.col("x_j")
+    return (
+        probes.join(nbr, ["qx", "qy"])
+        .groupBy("lag2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(d * d).cast("long").alias("sum_sq_diff"),
+        )
+    )

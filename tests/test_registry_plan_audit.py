@@ -68,6 +68,9 @@ BNLJ_ALLOWED = {
     "ripley_k_multi",
     # Benford: the 9-row digit frame crossed onto the distinct-key dim
     "benford_digits",
+    # pair confusion: three one-row aggregates (tp, pred_pairs,
+    # truth_pairs) crossed into the single output row
+    "pair_confusion_docs",
 }
 
 
