@@ -9699,6 +9699,45 @@ GROUP BY 1
 """
 
 
+_SKY_LAYERS = 4
+
+
+def _q_skyline_layers(spark, sf_dir):
+    """Skyline layer peeling (operators/skyline.py) over the dbscan
+    point pattern, 4 tiers: single-sort frontier window per round +
+    anti-join peel. The DuckDB twin nests the module's frontier
+    fragment."""
+    from osm_hadoop_spark.operators.skyline import skyline_layers
+
+    return skyline_layers(_dbscan_points(spark, sf_dir), _SKY_LAYERS)
+
+
+def _oracle_skyline_layers() -> str:
+    from osm_hadoop_spark.operators.skyline import skyline_round_sql
+
+    ctes = [
+        f"""p0 AS (
+  SELECT p_partkey AS id,
+         {_duck_dbscan_coord('nx', 'cx', 'dx')} AS x,
+         {_duck_dbscan_coord('ny', 'cy', 'dy')} AS y
+  FROM part)"""
+    ]
+    sels = []
+    prev = "p0"
+    for ell in range(1, _SKY_LAYERS + 1):
+        ctes.append(f"s{ell} AS ({skyline_round_sql(prev)})")
+        sels.append(
+            f"SELECT id, x, y, CAST({ell} AS BIGINT) AS layer FROM s{ell}"
+        )
+        if ell < _SKY_LAYERS:
+            ctes.append(
+                f"p{ell} AS (SELECT * FROM {prev} WHERE id NOT IN "
+                f"(SELECT id FROM s{ell}))"
+            )
+            prev = f"p{ell}"
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -12395,6 +12434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "integral_image_g29": _q_integral_image,    # summed-area table cascade
         "pair_confusion_docs": _q_pair_confusion,   # clustering-eval Rand numerators
         "variogram_lags8": _q_variogram,            # multi-lag geostatistics census
+        "skyline_layers_4": _q_skyline_layers,      # onion frontier ranking
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12637,6 +12677,7 @@ def oracle_sql() -> dict[str, str]:
         "integral_image_g29": _ORACLE_INTEGRAL,
         "pair_confusion_docs": _ORACLE_PAIR_CONFUSION,
         "variogram_lags8": _oracle_variogram(),
+        "skyline_layers_4": _oracle_skyline_layers(),
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,

@@ -50,3 +50,61 @@ def pareto_skyline(points: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
         )
         .drop("_yl", "_yle")
     )
+
+
+def skyline_layers(
+    points: DataFrame,
+    layers: int,
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Skyline layer peeling ("onion" ranking): layer 1 is the Pareto
+    frontier, layer ell the frontier of what remains — the standard
+    multi-criteria RANKING on top of the single-frontier operator
+    (top-k tradeoff tiers; BKS'01 section 5 discusses exactly this
+    iteration).  The exact layer index equals longest-dominating-chain
+    length, an LIS-type sequential quantity with no one-pass relational
+    form, so the engine runs `layers` bounded peeling rounds (the knn.py
+    round discipline): each round is pareto_skyline's single-sort window
+    pass + one anti-join on id, localCheckpoint'ed; the frame only
+    shrinks.  Points deeper than `layers` are omitted (documented,
+    pinned).  Returns (id, x, y, layer)."""
+    if not 1 <= layers <= 64:
+        raise ValueError("layers must be in [1, 64]")
+    cur = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x).cast("bigint").alias("x"),
+        F.col(y).cast("bigint").alias("y"),
+    ).localCheckpoint(eager=True)
+    outs = []
+    for ell in range(1, layers + 1):
+        sky = pareto_skyline(cur, "x", "y").withColumn(
+            "layer", F.lit(ell).cast("bigint")
+        )
+        outs.append(sky)
+        if ell < layers:
+            cur = cur.join(
+                sky.select("id"), "id", "left_anti"
+            ).localCheckpoint(eager=True)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select("id", "x", "y", "layer")
+
+
+def skyline_round_sql(src: str) -> str:
+    """One frontier as a DuckDB fragment over `src`(id, x, y) — the
+    exact twin of pareto_skyline's two-RANGE-window filter."""
+    return f"""
+  SELECT id, x, y FROM (
+    SELECT id, x, y,
+           min(y) OVER (ORDER BY x
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS yl,
+           min(y) OVER (ORDER BY x
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS yle
+    FROM {src})
+  WHERE (yl IS NULL OR yl > y) AND y = yle
+"""
