@@ -9738,6 +9738,35 @@ def _oracle_skyline_layers() -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
 
 
+_OOV_VOCAB = 120
+
+
+def _q_oov_census(spark, sf_dir):
+    """Corpus-relative OOV census (operators/textstats.py): tokens
+    outside the deterministic top-120 vocabulary, per document."""
+    from osm_hadoop_spark.operators.textstats import oov_census
+
+    return oov_census(_t(spark, sf_dir, "documents"), _OOV_VOCAB)
+
+
+_ORACLE_OOV = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ORDER BY c DESC, tok ASC LIMIT {_OOV_VOCAB})),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM toks GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(agg.n_oov, 0) AS BIGINT) AS n_oov
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -12435,6 +12464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_confusion_docs": _q_pair_confusion,   # clustering-eval Rand numerators
         "variogram_lags8": _q_variogram,            # multi-lag geostatistics census
         "skyline_layers_4": _q_skyline_layers,      # onion frontier ranking
+        "oov_census_v120": _q_oov_census,           # corpus-relative OOV quality
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12678,6 +12708,7 @@ def oracle_sql() -> dict[str, str]:
         "pair_confusion_docs": _ORACLE_PAIR_CONFUSION,
         "variogram_lags8": _oracle_variogram(),
         "skyline_layers_4": _oracle_skyline_layers(),
+        "oov_census_v120": _ORACLE_OOV,
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,

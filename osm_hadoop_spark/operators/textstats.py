@@ -515,3 +515,50 @@ def encoding_anomalies(
             | (F.col("n_ctrl") > 0)
         ).cast("boolean"),
     )
+
+
+def oov_census(
+    documents: DataFrame, vocab_size: int, text: str = "text"
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-`vocab_size` tokens — the two-pass, corpus-RELATIVE quality
+    signal the single-pass quality_scores cannot express (a doc full of
+    tokens the rest of the corpus never uses is boilerplate, another
+    language, or damage — the cheap proxy for a perplexity filter when
+    no LM is in reach).
+
+    Vocabulary selection is total-ordered by (count DESC, token ASC),
+    so the cut is deterministic under ties.  Returns
+    (doc_id, n_tokens, n_oov); rate = n_oov / n_tokens downstream.
+
+    Plan: one token-explode census (partial-aggregatable), a
+    TakeOrdered top-N (driver-bounded by vocab_size — never a global
+    sort), vocabulary broadcast back, one LEFT join + conditional
+    count.  Empty docs report (0, 0).
+    """
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    toks = documents.select(
+        "doc_id", F.explode_outer(tokens_col(text)).alias("tok")
+    )
+    vocab = (
+        toks.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(int(vocab_size))
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("tok").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(
+                    F.col("tok").isNotNull() & F.col("in_vocab").isNull(), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+    )
