@@ -9767,6 +9767,31 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
+def _q_four_cliques(spark, sf_dir):
+    """4-clique enumeration (operators/triangles.py) over the shared
+    block graph: degree-oriented ordered triples + three closing
+    semi-joins. The DuckDB twin is the brute 6-edge join."""
+    from osm_hadoop_spark.operators.triangles import four_cliques
+
+    return four_cliques(_tri_edges(spark, sf_dir))
+
+
+_ORACLE_FOUR_CLIQUES = f"""
+WITH pk AS (SELECT p_partkey AS u, p_partkey // 32 AS blk FROM part),
+e AS (
+  SELECT a.u AS u, b.u AS v
+  FROM pk a JOIN pk b ON a.blk = b.blk AND a.u < b.u
+  WHERE {_duck_h60("'tg' || a.u || '_' || b.u")} % 7 < 2)
+SELECT e1.u AS w, e1.v AS x, e2.v AS y, e4.v AS z
+FROM e e1
+JOIN e e2 ON e2.u = e1.v
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+JOIN e e4 ON e4.u = e2.v
+JOIN e e5 ON e5.u = e1.u AND e5.v = e4.v
+JOIN e e6 ON e6.u = e1.v AND e6.v = e4.v
+"""
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -12465,6 +12490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variogram_lags8": _q_variogram,            # multi-lag geostatistics census
         "skyline_layers_4": _q_skyline_layers,      # onion frontier ranking
         "oov_census_v120": _q_oov_census,           # corpus-relative OOV quality
+        "four_clique_blocks": _q_four_cliques,      # k=4 clique listing
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12709,6 +12735,7 @@ def oracle_sql() -> dict[str, str]:
         "variogram_lags8": _oracle_variogram(),
         "skyline_layers_4": _oracle_skyline_layers(),
         "oov_census_v120": _ORACLE_OOV,
+        "four_clique_blocks": _ORACLE_FOUR_CLIQUES,
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,

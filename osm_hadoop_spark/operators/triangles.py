@@ -142,3 +142,84 @@ def clustering_coefficients(
             .alias("cc_q"),
         )
     )
+
+
+def four_cliques(
+    edges: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Enumerate every 4-clique {w, x, y, z} — the k = 4 step of
+    Chiba-Nishizeki / kClist listing, built on the SAME degree
+    orientation as triangles(): with vertices ranked by (degree, id),
+    all six edges of a 4-clique point rank-upward, so each clique is
+    emitted exactly once from its minimum-rank corner s as an ordered
+    out-neighbor triple (t1 < t2 < t3 in (deg, id) order) whose three
+    closing edges t1->t2, t1->t3, t2->t3 all exist.
+
+    Cost inherits the orientation bound: out-degrees are O(sqrt(m)), so
+    the ordered-triple relation is bounded by sum(out_deg^3 / 6) —
+    the standard arboricity-style bound that keeps hubs harmless — and
+    every closing check is one equi-semi-join on the oriented edge set.
+
+    Returns DataFrame(w, x, y, z) with w < x < y < z (node ids), one
+    row per clique.
+    """
+    canon = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("n"))
+        .unionByName(canon.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = (
+        canon.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.when(
+                F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b")),
+                F.struct(
+                    F.col("a").alias("s"),
+                    F.col("b").alias("t"),
+                    F.col("db").alias("dt"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("s"),
+                    F.col("a").alias("t"),
+                    F.col("da").alias("dt"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.s", "e.t", "e.dt")
+    )
+    e1 = ranked.select("s", F.col("t").alias("t1"), F.col("dt").alias("d1"))
+    e2 = ranked.select("s", F.col("t").alias("t2"), F.col("dt").alias("d2"))
+    e3 = ranked.select("s", F.col("t").alias("t3"), F.col("dt").alias("d3"))
+    trip = (
+        e1.join(e2, "s")
+        .filter(F.struct(F.col("d1"), F.col("t1"))
+                < F.struct(F.col("d2"), F.col("t2")))
+        .join(e3, "s")
+        .filter(F.struct(F.col("d2"), F.col("t2"))
+                < F.struct(F.col("d3"), F.col("t3")))
+    )
+    oe = lambda la, lb: ranked.select(  # noqa: E731
+        F.col("s").alias(la), F.col("t").alias(lb)
+    )
+    closed = (
+        trip.join(oe("t1", "t2"), ["t1", "t2"], "semi")
+        .join(oe("t1", "t3"), ["t1", "t3"], "semi")
+        .join(oe("t2", "t3"), ["t2", "t3"], "semi")
+    )
+    ids = F.array_sort(F.array("s", "t1", "t2", "t3"))
+    return closed.select(
+        ids[0].alias("w"), ids[1].alias("x"),
+        ids[2].alias("y"), ids[3].alias("z"),
+    )
