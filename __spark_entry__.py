@@ -9792,6 +9792,62 @@ JOIN e e6 ON e6.u = e1.v AND e6.v = e4.v
 """
 
 
+def _q_kendall_tau(spark, sf_dir):
+    """Kendall tau-b census (operators/timeseries.py) per event type:
+    daily volume vs daily distinct users — exact concordance/tie
+    counts, no float."""
+    from osm_hadoop_spark.operators.timeseries import kendall_tau_census
+
+    series = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("key"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+            .alias("t"),
+            "user_id",
+        )
+        .groupBy("key", "t")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.count_distinct(F.col("user_id")).alias("y"),
+        )
+    )
+    return kendall_tau_census(series, key="key", id_col="t", x="x", y="y")
+
+
+_ORACLE_KENDALL = """
+WITH s AS (
+  SELECT event_type AS key, epoch_us(ts) // 86400000000 AS t,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+cnt AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY key),
+agg AS (
+  SELECT a.key,
+    CAST(sum(CASE WHEN (b.x - a.x) != 0 AND (b.y - a.y) != 0
+                   AND (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS nc,
+    CAST(sum(CASE WHEN (b.x - a.x) != 0 AND (b.y - a.y) != 0
+                   AND (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS nd,
+    CAST(sum(CASE WHEN b.x = a.x AND b.y != a.y THEN 1 ELSE 0 END)
+         AS BIGINT) AS tx,
+    CAST(sum(CASE WHEN b.x != a.x AND b.y = a.y THEN 1 ELSE 0 END)
+         AS BIGINT) AS ty,
+    CAST(sum(CASE WHEN b.x = a.x AND b.y = a.y THEN 1 ELSE 0 END)
+         AS BIGINT) AS txy
+  FROM s a JOIN s b ON a.key = b.key AND a.t < b.t
+  GROUP BY a.key)
+SELECT cnt.key, cnt.n,
+       CAST(coalesce(agg.nc, 0) AS BIGINT) AS nc,
+       CAST(coalesce(agg.nd, 0) AS BIGINT) AS nd,
+       CAST(coalesce(agg.tx, 0) AS BIGINT) AS tx,
+       CAST(coalesce(agg.ty, 0) AS BIGINT) AS ty,
+       CAST(coalesce(agg.txy, 0) AS BIGINT) AS txy
+FROM cnt LEFT JOIN agg USING (key)
+"""
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -12491,6 +12547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_layers_4": _q_skyline_layers,      # onion frontier ranking
         "oov_census_v120": _q_oov_census,           # corpus-relative OOV quality
         "four_clique_blocks": _q_four_cliques,      # k=4 clique listing
+        "kendall_tau_daily": _q_kendall_tau,        # bivariate rank concordance
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12736,6 +12793,7 @@ def oracle_sql() -> dict[str, str]:
         "skyline_layers_4": _oracle_skyline_layers(),
         "oov_census_v120": _ORACLE_OOV,
         "four_clique_blocks": _ORACLE_FOUR_CLIQUES,
+        "kendall_tau_daily": _ORACLE_KENDALL,
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,

@@ -604,3 +604,66 @@ def seasonal_anomaly(series: DataFrame, period: int, key: str = "key",
         F.col("v").alias("anom_v"),
         F.col("num").cast("long").alias("anom_num"),
     )
+
+
+def kendall_tau_census(
+    points: DataFrame,
+    key: str = "key",
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Per-key Kendall rank-correlation census — the BIVARIATE member
+    of the robust family (theil_sen fits a slope, mann_kendall tests a
+    time trend; this measures x-vs-y association with no distributional
+    assumption and no float).  Over each key's unordered point pairs
+    (paired once via id order):
+
+        nc   concordant  (x and y move the same way)
+        nd   discordant  (opposite ways)
+        tx   tied in x only      ty   tied in y only
+        txy  tied in both
+
+    with nc + nd + tx + ty + txy = C(n, 2) (pinned in tests); tau-b =
+    (nc - nd) / sqrt((n0 - Tx)(n0 - Ty)) is presentation-time.
+
+    Plan: one pair equi-self-join on the key (theil_sen posture —
+    per-key n bounded by the retention window) + one
+    partial-aggregatable conditional-sum aggregate.
+    Returns (key, n, nc, nd, tx, ty, txy).
+    """
+    p = points.select(
+        F.col(key).alias("key"),
+        F.col(id_col).cast("bigint").alias("i"),
+        F.col(x).cast("bigint").alias("px"),
+        F.col(y).cast("bigint").alias("py"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dx = F.col("b.px") - F.col("a.px")
+    dy = F.col("b.py") - F.col("a.py")
+    pairs = a.join(
+        b,
+        (F.col("a.key") == F.col("b.key")) & (F.col("a.i") < F.col("b.i")),
+    )
+    cnt = p.groupBy("key").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    agg = pairs.groupBy(F.col("a.key").alias("key")).agg(
+        F.sum(F.when((dx != 0) & (dy != 0) & (dx * dy > 0), 1).otherwise(0))
+        .cast("long").alias("nc"),
+        F.sum(F.when((dx != 0) & (dy != 0) & (dx * dy < 0), 1).otherwise(0))
+        .cast("long").alias("nd"),
+        F.sum(F.when((dx == 0) & (dy != 0), 1).otherwise(0))
+        .cast("long").alias("tx"),
+        F.sum(F.when((dx != 0) & (dy == 0), 1).otherwise(0))
+        .cast("long").alias("ty"),
+        F.sum(F.when((dx == 0) & (dy == 0), 1).otherwise(0))
+        .cast("long").alias("txy"),
+    )
+    z = F.lit(0).cast("long")
+    return cnt.join(agg, "key", "left").select(
+        "key", "n",
+        F.coalesce("nc", z).alias("nc"),
+        F.coalesce("nd", z).alias("nd"),
+        F.coalesce("tx", z).alias("tx"),
+        F.coalesce("ty", z).alias("ty"),
+        F.coalesce("txy", z).alias("txy"),
+    )
