@@ -9848,6 +9848,33 @@ FROM cnt LEFT JOIN agg USING (key)
 """
 
 
+_DOM_BAND = 250
+
+
+def _q_dominance(spark, sf_dir):
+    """Exact dominance counts (operators/dominance.py) over the dbscan
+    point pattern: banded union-sentinel rank lookups + same-band pair
+    census. The DuckDB twin counts all pairs brute-force."""
+    from osm_hadoop_spark.operators.dominance import dominance_counts
+
+    return dominance_counts(_dbscan_points(spark, sf_dir), _DOM_BAND)
+
+
+_ORACLE_DOMINANCE = f"""
+WITH pts AS (
+  SELECT p_partkey AS id,
+         {_duck_dbscan_coord('nx', 'cx', 'dx')} AS x,
+         {_duck_dbscan_coord('ny', 'cy', 'dy')} AS y
+  FROM part)
+SELECT a.id, a.x, a.y,
+       CAST(count(b.id) AS BIGINT) AS dom
+FROM pts a
+LEFT JOIN pts b
+  ON b.id != a.id AND b.x <= a.x AND b.y <= a.y
+GROUP BY a.id, a.x, a.y
+"""
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -12548,6 +12575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_census_v120": _q_oov_census,           # corpus-relative OOV quality
         "four_clique_blocks": _q_four_cliques,      # k=4 clique listing
         "kendall_tau_daily": _q_kendall_tau,        # bivariate rank concordance
+        "dominance_counts_b250": _q_dominance,      # joint-CDF / k-dominance scores
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12794,6 +12822,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_census_v120": _ORACLE_OOV,
         "four_clique_blocks": _ORACLE_FOUR_CLIQUES,
         "kendall_tau_daily": _ORACLE_KENDALL,
+        "dominance_counts_b250": _ORACLE_DOMINANCE,
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,
