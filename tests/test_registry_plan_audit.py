@@ -71,6 +71,10 @@ BNLJ_ALLOWED = {
     # pair confusion: three one-row aggregates (tp, pred_pairs,
     # truth_pairs) crossed into the single output row
     "pair_confusion_docs",
+    # dominance: the distinct-band relation (the operator's B lever,
+    # ~sqrt(n) rows by the documented band_width choice) broadcast
+    # against points for the lower-band explode
+    "dominance_counts_b250",
 }
 
 
