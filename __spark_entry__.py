@@ -9875,6 +9875,46 @@ GROUP BY a.id, a.x, a.y
 """
 
 
+def _q_ecdf_drift(spark, sf_dir):
+    """Exact KS/CvM numerators (operators/profile.py) per event type:
+    even-day vs odd-day user-id distributions — the integer-exact
+    two-cohort drift gate."""
+    from osm_hadoop_spark.operators.profile import two_sample_ecdf
+
+    rows = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"),
+        (
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000") % 2
+        ).alias("grp"),
+        F.col("user_id").alias("value"),
+    )
+    return two_sample_ecdf(rows, "key", "grp", "value", 0)
+
+
+_ORACLE_ECDF = """
+WITH lvl AS (
+  SELECT event_type AS key, user_id AS v,
+         CAST(sum(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 0
+                       THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT key, ca, cb,
+         sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+         sum(ca) OVER (PARTITION BY key) AS na,
+         sum(cb) OVER (PARTITION BY key) AS nb
+  FROM lvl
+  WINDOW w AS (PARTITION BY key ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT key, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+       CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS ks_num,
+       CAST(sum((ca + cb) * (cuma * nb - cumb * na)
+                * (cuma * nb - cumb * na)) AS BIGINT) AS cvm_num
+FROM r GROUP BY key
+"""
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -12576,6 +12616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "four_clique_blocks": _q_four_cliques,      # k=4 clique listing
         "kendall_tau_daily": _q_kendall_tau,        # bivariate rank concordance
         "dominance_counts_b250": _q_dominance,      # joint-CDF / k-dominance scores
+        "ecdf_drift_ks_cvm": _q_ecdf_drift,         # exact two-sample drift gate
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12823,6 +12864,7 @@ def oracle_sql() -> dict[str, str]:
         "four_clique_blocks": _ORACLE_FOUR_CLIQUES,
         "kendall_tau_daily": _ORACLE_KENDALL,
         "dominance_counts_b250": _ORACLE_DOMINANCE,
+        "ecdf_drift_ks_cvm": _ORACLE_ECDF,
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,

@@ -258,3 +258,74 @@ def gini_exact(rows: DataFrame, key: str, value: str) -> DataFrame:
         F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("v"))
         .cast("long").alias("gini_num"),
     )
+
+
+def two_sample_ecdf(
+    rows: DataFrame,
+    key: str,
+    group: str,
+    value: str,
+    group_a,
+) -> DataFrame:
+    """Exact two-sample ECDF comparison per key — Kolmogorov-Smirnov
+    and Cramér-von Mises numerators with no float: the drift gate
+    between two cohorts (yesterday-vs-today feature distributions,
+    control-vs-treatment metrics) in the same exact-integer discipline
+    as the rest of the audit family.
+
+    Rows where `group` == group_a form sample A (sizes n_a), everything
+    else sample B.  Clearing the ECDF denominators: at each distinct
+    value v (right-continuous, ties resolved by evaluating AFTER the
+    full tie group — the standard convention),
+
+        d(v) = cumA(v) * n_b - cumB(v) * n_a     (= n_a*n_b*(F_A - F_B))
+
+        ks_num  = max |d(v)|                       (D = ks_num/(n_a*n_b))
+        cvm_num = Σ_v (c_a(v)+c_b(v)) * d(v)²      (pooled-weighted)
+
+    Returns (key, n_a, n_b, ks_num, cvm_num), all int64 (overflow
+    bound: |d| <= n_a*n_b, so cvm_num needs n*(n_a*n_b)² < 2^63 —
+    fine to ~40k rows per key per side; shard or widen to DECIMAL
+    beyond).
+
+    Plan: one (key, value) hash pre-aggregate (the ONLY full-data
+    shuffle), one cumulative window per key over DISTINCT values, one
+    final aggregate — the islands/seasonal single-sort posture.
+    """
+    is_a = (F.col(group) == F.lit(group_a)).cast("bigint")
+    lvl = (
+        rows.select(
+            F.col(key).alias("key"),
+            F.col(value).cast("bigint").alias("v"),
+            is_a.alias("a"),
+        )
+        .groupBy("key", "v")
+        .agg(
+            F.sum("a").alias("ca"),
+            F.sum(F.lit(1) - F.col("a")).alias("cb"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("key").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("key")
+    r = lvl.select(
+        "key", "ca", "cb",
+        F.sum("ca").over(w_cum).alias("cuma"),
+        F.sum("cb").over(w_cum).alias("cumb"),
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+    )
+    d = F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")
+    return (
+        r.withColumn("d", d)
+        .groupBy("key")
+        .agg(
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+            F.max(F.abs(F.col("d"))).cast("long").alias("ks_num"),
+            F.sum((F.col("ca") + F.col("cb")) * F.col("d") * F.col("d"))
+            .cast("long").alias("cvm_num"),
+        )
+    )
