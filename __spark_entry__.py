@@ -9915,6 +9915,49 @@ FROM r GROUP BY key
 """
 
 
+def _q_ordinal_patterns(spark, sf_dir):
+    """Order-3 ordinal pattern census (operators/timeseries.py) over
+    per-event-type daily counts — permutation-entropy ingredients."""
+    from osm_hadoop_spark.operators.timeseries import ordinal_pattern_census
+
+    series = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("key"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+            .alias("t"),
+        )
+        .groupBy("key", "t")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return ordinal_pattern_census(series)
+
+
+_ORACLE_ORDINAL = """
+WITH s AS (
+  SELECT event_type AS key, epoch_us(ts) // 86400000000 AS t,
+         CAST(count(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+tr AS (
+  SELECT key, v AS a,
+         lead(v, 1) OVER w AS b, lead(v, 2) OVER w AS c
+  FROM s WINDOW w AS (PARTITION BY key ORDER BY t)),
+obs AS (
+  SELECT key,
+         CAST(4 * CASE WHEN a <= b THEN 1 ELSE 0 END
+              + 2 * CASE WHEN b <= c THEN 1 ELSE 0 END
+              + CASE WHEN a <= c THEN 1 ELSE 0 END AS BIGINT) AS pattern,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tr WHERE c IS NOT NULL GROUP BY 1, 2),
+k AS (SELECT DISTINCT key FROM obs),
+p(pattern) AS (VALUES (0), (2), (3), (4), (5), (7))
+SELECT k.key, CAST(p.pattern AS BIGINT) AS pattern,
+       CAST(coalesce(obs.n, 0) AS BIGINT) AS n
+FROM k CROSS JOIN p
+LEFT JOIN obs ON obs.key = k.key AND obs.pattern = p.pattern
+"""
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -12617,6 +12660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau_daily": _q_kendall_tau,        # bivariate rank concordance
         "dominance_counts_b250": _q_dominance,      # joint-CDF / k-dominance scores
         "ecdf_drift_ks_cvm": _q_ecdf_drift,         # exact two-sample drift gate
+        "ordinal_patterns_o3": _q_ordinal_patterns,  # Bandt-Pompe motif census
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12865,6 +12909,7 @@ def oracle_sql() -> dict[str, str]:
         "kendall_tau_daily": _ORACLE_KENDALL,
         "dominance_counts_b250": _ORACLE_DOMINANCE,
         "ecdf_drift_ks_cvm": _ORACLE_ECDF,
+        "ordinal_patterns_o3": _ORACLE_ORDINAL,
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,

@@ -667,3 +667,63 @@ def kendall_tau_census(
         F.coalesce("ty", z).alias("ty"),
         F.coalesce("txy", z).alias("txy"),
     )
+
+
+# the six valid (a<=b, b<=c, a<=c) bit codes under the Bandt-Pompe
+# position tie-break; TTF and FFT violate transitivity
+ORDINAL_PATTERNS = (0, 2, 3, 4, 5, 7)
+
+
+def ordinal_pattern_census(
+    series: DataFrame,
+    key: str = "key",
+    t: str = "t",
+    v: str = "v",
+) -> DataFrame:
+    """Per-key census of order-3 ordinal patterns (Bandt-Pompe 2002) —
+    the permutation-entropy ingredient and the cheapest symbolic-
+    dynamics fingerprint (a monotone series concentrates on one
+    pattern; noise spreads over all six; regime changes move the
+    histogram).  Each consecutive triple (v_t, v_t1, v_t2) in t order
+    is coded by the bits (a<=b, b<=c, a<=c) — `<=` implements the
+    standard earlier-position-wins tie-break, and transitivity leaves
+    exactly the six codes in ORDINAL_PATTERNS.  Counts are exact;
+    callers form the entropy from the histogram at presentation time.
+
+    Returns (key, pattern, n) zero-filled over all six patterns for
+    every key with >= 3 points.  Plan: ONE window sort per key (two
+    leads), one partial-aggregatable groupBy, a 6-row literal frame
+    for the zero-fill.
+    """
+    w = Window.partitionBy("key").orderBy("t")
+    s = series.select(
+        F.col(key).alias("key"),
+        F.col(t).cast("bigint").alias("t"),
+        F.col(v).cast("bigint").alias("v"),
+    )
+    r = s.select(
+        "key",
+        F.col("v").alias("a"),
+        F.lead("v", 1).over(w).alias("b"),
+        F.lead("v", 2).over(w).alias("c"),
+    ).filter(F.col("c").isNotNull())
+    code = (
+        (F.col("a") <= F.col("b")).cast("bigint") * 4
+        + (F.col("b") <= F.col("c")).cast("bigint") * 2
+        + (F.col("a") <= F.col("c")).cast("bigint")
+    )
+    obs = r.select("key", code.alias("pattern")).groupBy(
+        "key", "pattern"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pats = obs.sparkSession.createDataFrame(
+        [(p,) for p in ORDINAL_PATTERNS], "pattern long"
+    )
+    keys = obs.select("key").distinct()
+    return (
+        keys.crossJoin(F.broadcast(pats))
+        .join(obs, ["key", "pattern"], "left")
+        .select(
+            "key", "pattern",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
