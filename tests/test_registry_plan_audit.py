@@ -75,6 +75,9 @@ BNLJ_ALLOWED = {
     # ~sqrt(n) rows by the documented band_width choice) broadcast
     # against points for the lower-band explode
     "dominance_counts_b250",
+    # ordinal patterns: the 6-row pattern frame crossed onto the
+    # distinct-key dim (the benford zero-fill shape)
+    "ordinal_patterns_o3",
 }
 
 
