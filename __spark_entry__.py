@@ -9958,6 +9958,43 @@ LEFT JOIN obs ON obs.key = k.key AND obs.pattern = p.pattern
 """
 
 
+_TWAP_W0, _TWAP_W1 = 1704844800000000, 1707523200000000  # 2024-01-10..02-10 UTC
+
+
+def _q_twap(spark, sf_dir):
+    """Exact TWAP ingredients (operators/timeseries.py) per event type
+    over a fixed one-month window: step-function holding-time weights,
+    forward-fill at entry, int64 numerator/denominator."""
+    from osm_hadoop_spark.operators.timeseries import twap_exact
+
+    rows = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        (F.col("event_id") % 100).alias("v"),
+    )
+    return twap_exact(rows, _TWAP_W0, _TWAP_W1)
+
+
+_ORACLE_TWAP = f"""
+WITH s AS (
+  SELECT event_type AS key, epoch_us(ts) AS ts, event_id % 100 AS v
+  FROM events WHERE epoch_us(ts) < {_TWAP_W1}),
+r AS (
+  SELECT key, ts, v,
+         coalesce(lead(ts) OVER (PARTITION BY key ORDER BY ts, v),
+                  {_TWAP_W1}) AS nxt
+  FROM s),
+c AS (
+  SELECT key, v,
+         greatest(least(nxt, {_TWAP_W1})
+                  - greatest(ts, {_TWAP_W0}), 0) AS cover
+  FROM r)
+SELECT key, CAST(sum(v * cover) AS BIGINT) AS num,
+       CAST(sum(cover) AS BIGINT) AS den
+FROM c WHERE cover > 0 GROUP BY key
+"""
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -12661,6 +12698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominance_counts_b250": _q_dominance,      # joint-CDF / k-dominance scores
         "ecdf_drift_ks_cvm": _q_ecdf_drift,         # exact two-sample drift gate
         "ordinal_patterns_o3": _q_ordinal_patterns,  # Bandt-Pompe motif census
+        "twap_month": _q_twap,                      # holding-time-weighted mean
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12910,6 +12948,7 @@ def oracle_sql() -> dict[str, str]:
         "dominance_counts_b250": _ORACLE_DOMINANCE,
         "ecdf_drift_ks_cvm": _ORACLE_ECDF,
         "ordinal_patterns_o3": _ORACLE_ORDINAL,
+        "twap_month": _ORACLE_TWAP,
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,

@@ -727,3 +727,59 @@ def ordinal_pattern_census(
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         )
     )
+
+
+def twap_exact(
+    events: DataFrame,
+    w0: int,
+    w1: int,
+    key: str = "key",
+    ts: str = "ts_us",
+    v: str = "v",
+) -> DataFrame:
+    """Exact time-weighted average ingredients over window [w0, w1) —
+    the metrics/finance aggregate (TWAP, time-in-state, SLA uptime)
+    where a PLAIN mean is wrong because observations are irregular:
+    each observation's value holds until the next one (step function),
+    and the window mean weights by holding time.
+
+    Per key: observations sorted by ts; observation i covers
+    [max(ts_i, w0), min(ts_{i+1}, w1)) — the last one holds to w1, and
+    the latest observation AT OR BEFORE w0 carries its value into the
+    window head (forward fill).  Keys with no observation before w1
+    are absent; uncovered head time (first observation after w0) is
+    excluded from the denominator — the honest convention, pinned.
+
+        num = Σ v_i * cover_us_i        den = Σ cover_us_i
+
+    twap = num / den at presentation time; both int64-exact.
+
+    Plan: ONE window sort per key (a lead for the next timestamp),
+    clip-to-window arithmetic, one partial-aggregatable groupBy.
+    Returns (key, num, den).
+
+    Same-timestamp duplicates: sorted by (ts, v), so all but the
+    largest-v row at an instant get zero cover and drop — the
+    deterministic "last write wins, ties by value" rule (pinned).
+    """
+    if not w0 < w1:
+        raise ValueError("need w0 < w1")
+    w = Window.partitionBy("key").orderBy("ts", "v")
+    s = events.select(
+        F.col(key).alias("key"),
+        F.col(ts).cast("bigint").alias("ts"),
+        F.col(v).cast("bigint").alias("v"),
+    ).filter(F.col("ts") < w1)
+    r = s.withColumn("nxt", F.coalesce(F.lead("ts").over(w), F.lit(w1)))
+    start = F.greatest(F.col("ts"), F.lit(w0))
+    end = F.least(F.col("nxt"), F.lit(w1))
+    cover = F.greatest(end - start, F.lit(0))
+    return (
+        r.withColumn("cover", cover)
+        .filter(F.col("cover") > 0)
+        .groupBy("key")
+        .agg(
+            F.sum(F.col("v") * F.col("cover")).cast("long").alias("num"),
+            F.sum("cover").cast("long").alias("den"),
+        )
+    )
