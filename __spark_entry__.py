@@ -9995,6 +9995,54 @@ FROM c WHERE cover > 0 GROUP BY key
 """
 
 
+_KM_CUTOFF_DAY = 19773  # 2024-02-20 UTC: earlier last-activity = churned
+
+
+def _q_km_lifetable(spark, sf_dir):
+    """Kaplan-Meier lifetable (operators/survival.py) over per-user
+    activity spans in days, three hash cohorts: exact (n_risk, d, c)
+    per exit day; churn = last activity before the fixed cutoff,
+    otherwise right-censored."""
+    from osm_hadoop_spark.operators.survival import km_lifetable
+
+    day = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+    subs = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("user_id"), day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("start"), F.max("day").alias("end"))
+        .select(
+            (F.col("user_id") % 3).alias("key"),
+            "start",
+            "end",
+            (F.col("end") < _KM_CUTOFF_DAY).alias("observed"),
+        )
+    )
+    return km_lifetable(subs)
+
+
+_ORACLE_KM = f"""
+WITH subs AS (
+  SELECT user_id % 3 AS key,
+         min(epoch_us(ts) // 86400000000) AS s,
+         max(epoch_us(ts) // 86400000000) AS e
+  FROM events GROUP BY user_id),
+o AS (SELECT key, s, e, e < {_KM_CUTOFF_DAY} AS obs FROM subs),
+t AS (SELECT DISTINCT key, e AS t FROM o)
+SELECT t.key, t.t,
+       CAST((SELECT count(*) FROM o
+             WHERE o.key = t.key AND o.s <= t.t AND o.e >= t.t)
+            AS BIGINT) AS n_risk,
+       CAST((SELECT count(*) FROM o
+             WHERE o.key = t.key AND o.e = t.t AND o.obs)
+            AS BIGINT) AS d,
+       CAST((SELECT count(*) FROM o
+             WHERE o.key = t.key AND o.e = t.t AND NOT o.obs)
+            AS BIGINT) AS c
+FROM t
+"""
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -12699,6 +12747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ecdf_drift_ks_cvm": _q_ecdf_drift,         # exact two-sample drift gate
         "ordinal_patterns_o3": _q_ordinal_patterns,  # Bandt-Pompe motif census
         "twap_month": _q_twap,                      # holding-time-weighted mean
+        "km_lifetable_cohorts": _q_km_lifetable,    # censoring-aware churn table
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12949,6 +12998,7 @@ def oracle_sql() -> dict[str, str]:
         "ecdf_drift_ks_cvm": _ORACLE_ECDF,
         "ordinal_patterns_o3": _ORACLE_ORDINAL,
         "twap_month": _ORACLE_TWAP,
+        "km_lifetable_cohorts": _ORACLE_KM,
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,
