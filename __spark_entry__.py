@@ -10043,6 +10043,43 @@ FROM t
 """
 
 
+def _q_json_key_census(spark, sf_dir):
+    """Top-level JSON key census (operators/semistruct.py) over a
+    derived payload with conditional keys — schema-inference profiling
+    for a semi-structured column. The payload is built by
+    engine-identical string concatenation; each engine then parses
+    with its native JSON machinery (json_object_keys / json_keys)."""
+    from osm_hadoop_spark.operators.semistruct import json_key_census
+
+    j = F.concat(
+        F.lit('{"u": '),
+        F.col("user_id").cast("string"),
+        F.when(F.col("event_type") == "click", F.lit(', "c": 1'))
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(F.lit(', "x": '), F.col("event_id").cast("string")),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    return json_key_census(
+        _t(spark, sf_dir, "events").select(j.alias("payload")), "payload"
+    )
+
+
+_ORACLE_JSON_KEYS = """
+WITH p AS (
+  SELECT '{"u": ' || CAST(user_id AS VARCHAR)
+         || CASE WHEN event_type = 'click' THEN ', "c": 1' ELSE '' END
+         || CASE WHEN event_id % 5 = 0
+                 THEN ', "x": ' || CAST(event_id AS VARCHAR) ELSE '' END
+         || '}' AS payload
+  FROM events),
+k AS (SELECT unnest(json_keys(payload)) AS key FROM p)
+SELECT key, CAST(count(*) AS BIGINT) AS n_docs FROM k GROUP BY key
+"""
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -12748,6 +12785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordinal_patterns_o3": _q_ordinal_patterns,  # Bandt-Pompe motif census
         "twap_month": _q_twap,                      # holding-time-weighted mean
         "km_lifetable_cohorts": _q_km_lifetable,    # censoring-aware churn table
+        "json_key_census": _q_json_key_census,      # semi-structured schema census
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -12999,6 +13037,7 @@ def oracle_sql() -> dict[str, str]:
         "ordinal_patterns_o3": _ORACLE_ORDINAL,
         "twap_month": _ORACLE_TWAP,
         "km_lifetable_cohorts": _ORACLE_KM,
+        "json_key_census": _ORACLE_JSON_KEYS,
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,
