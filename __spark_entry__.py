@@ -10080,6 +10080,67 @@ SELECT key, CAST(count(*) AS BIGINT) AS n_docs FROM k GROUP BY key
 """
 
 
+def _q_assortativity(spark, sf_dir):
+    """Exact degree-assortativity sums (operators/graphstats.py) over
+    the shared block graph."""
+    from osm_hadoop_spark.operators.graphstats import assortativity_sums
+
+    return assortativity_sums(_tri_edges(spark, sf_dir))
+
+
+_DUCK_TRI_EDGES = f"""
+pk AS (SELECT p_partkey AS u, p_partkey // 32 AS blk FROM part),
+e AS (
+  SELECT a.u AS u, b.u AS v
+  FROM pk a JOIN pk b ON a.blk = b.blk AND a.u < b.u
+  WHERE {_duck_h60("'tg' || a.u || '_' || b.u")} % 7 < 2),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+ed AS (
+  SELECT da.d AS da, db.d AS db
+  FROM e JOIN deg da ON da.n = e.u JOIN deg db ON db.n = e.v)
+"""
+
+_ORACLE_ASSORT = f"""
+WITH {_DUCK_TRI_EDGES}
+SELECT CAST(count(*) AS BIGINT) AS m,
+       CAST(sum(da * db) AS BIGINT) AS s_xy,
+       CAST(sum(da + db) AS BIGINT) AS s_x,
+       CAST(sum(da * da + db * db) AS BIGINT) AS s_x2
+FROM ed
+"""
+
+_RICH_KS = (0, 4, 8, 12, 64)
+
+
+def _q_rich_club(spark, sf_dir):
+    """Rich-club ladder (operators/graphstats.py) on the block graph:
+    nodes and within-club edges above each degree threshold."""
+    from osm_hadoop_spark.operators.graphstats import rich_club_census
+
+    return rich_club_census(_tri_edges(spark, sf_dir), _RICH_KS)
+
+
+def _oracle_rich_club() -> str:
+    vals = ", ".join(f"({k})" for k in _RICH_KS)
+    return f"""
+WITH {_DUCK_TRI_EDGES},
+ks(k) AS (VALUES {vals}),
+nodes AS (
+  SELECT ks.k, CAST(sum(CASE WHEN deg.d > ks.k THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_nodes
+  FROM ks CROSS JOIN deg GROUP BY ks.k),
+ee AS (
+  SELECT ks.k, CAST(sum(CASE WHEN ed.da > ks.k AND ed.db > ks.k
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_edges
+  FROM ks CROSS JOIN ed GROUP BY ks.k)
+SELECT CAST(nodes.k AS BIGINT) AS k, nodes.n_nodes,
+       CAST(coalesce(ee.n_edges, 0) AS BIGINT) AS n_edges
+FROM nodes LEFT JOIN ee ON ee.k = nodes.k
+"""
+
+
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
 _MRR_G = 400
 
@@ -12786,6 +12847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap_month": _q_twap,                      # holding-time-weighted mean
         "km_lifetable_cohorts": _q_km_lifetable,    # censoring-aware churn table
         "json_key_census": _q_json_key_census,      # semi-structured schema census
+        "assortativity_sums": _q_assortativity,     # degree-correlation scalar sums
+        "rich_club_ladder": _q_rich_club,           # elite-core degree census
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -13038,6 +13101,8 @@ def oracle_sql() -> dict[str, str]:
         "twap_month": _ORACLE_TWAP,
         "km_lifetable_cohorts": _ORACLE_KM,
         "json_key_census": _ORACLE_JSON_KEYS,
+        "assortativity_sums": _ORACLE_ASSORT,
+        "rich_club_ladder": _oracle_rich_club(),
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,

@@ -1,0 +1,112 @@
+"""Degree-structure censuses: assortativity ingredients and the
+rich-club ladder — exact global descriptors of a graph's wiring.
+
+The engine's graph family measures local structure (triangles, truss,
+clustering) and reachability (bfs, sssp, components); these two are
+the standard GLOBAL degree-correlation descriptors next to them:
+
+  - degree assortativity (Newman 2002): does high degree attach to
+    high degree?  Pearson r over edge-endpoint degrees — emitted here
+    as its exact integer sums (m, Σ d_u d_v, Σ (d_u + d_v),
+    Σ (d_u² + d_v²)) so r = (S_xy/m - (S_x/2m)²) / (S_x2/2m -
+    (S_x/2m)²) is a presentation-time scalar and the engine output
+    hash-matches bit-for-bit.
+  - rich-club ladder (Zhou & Mondragon 2004): for each degree
+    threshold k, how many nodes exceed it and how many edges run
+    between them — φ(k) = 2 e_k / (n_k (n_k - 1)) downstream; a
+    rising φ exposes elite cores that assortativity's single scalar
+    averages away.
+
+Plan: canonical distinct edge set, one degree aggregate, degrees
+joined back to edges (the triangles.py shape), then ONE conditional
+aggregate for assortativity and one inline threshold-ladder explode +
+aggregate for the rich club.  All int64; overflow bound m * d_max² <
+2^63 documented.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon_with_degrees(edges: DataFrame, src: str, dst: str):
+    canon = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("n"))
+        .unionByName(canon.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    withd = (
+        canon.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")),
+                   "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    )
+    return withd, deg
+
+
+def assortativity_sums(
+    edges: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """One row (m, s_xy, s_x, s_x2) of exact degree-assortativity
+    sums over the canonical undirected edge set."""
+    withd, _ = _canon_with_degrees(edges, src, dst)
+    da, db = F.col("da"), F.col("db")
+    return withd.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(da * db).cast("long").alias("s_xy"),
+        F.sum(da + db).cast("long").alias("s_x"),
+        F.sum(da * da + db * db).cast("long").alias("s_x2"),
+    )
+
+
+def rich_club_census(
+    edges: DataFrame,
+    ks: tuple[int, ...],
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """(k, n_nodes, n_edges) per threshold: nodes with degree > k and
+    edges whose BOTH endpoints exceed k.  Thresholds with an empty
+    club still emit (k, 0, 0)."""
+    ks = tuple(sorted(set(int(k) for k in ks)))
+    if not ks:
+        raise ValueError("ks must be non-empty")
+    withd, deg = _canon_with_degrees(edges, src, dst)
+    karr = F.array(*[F.lit(k) for k in ks])
+    nodes = (
+        deg.select(F.explode(karr).alias("k"), "d")
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("d") > F.col("k"), 1).otherwise(0))
+            .cast("long").alias("n_nodes")
+        )
+    )
+    eedges = (
+        withd.select(F.explode(karr).alias("k"), "da", "db")
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("da") > F.col("k")) & (F.col("db") > F.col("k")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_edges")
+        )
+    )
+    return (
+        nodes.join(eedges, "k", "left")
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "n_nodes",
+            F.coalesce(F.col("n_edges"), F.lit(0)).cast("long")
+            .alias("n_edges"),
+        )
+    )
