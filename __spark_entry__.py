@@ -9189,18 +9189,7 @@ def _q_mann_kendall(spark, sf_dir):
     under emerging-hot-spot analysis."""
     from osm_hadoop_spark.operators.spatialstats import mann_kendall
 
-    series = (
-        _t(spark, sf_dir, "events")
-        .select(
-            (F.col("user_id") % 6).alias("cx"),
-            (F.expr("user_id DIV 6") % 5).alias("cy"),
-            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
-            .alias("t"),
-        )
-        .groupBy("cx", "cy", "t")
-        .agg(F.count(F.lit(1)).alias("v"))
-    )
-    return mann_kendall(series)
+    return mann_kendall(_mk_cells(spark, sf_dir))
 
 
 _ORACLE_MANN_KENDALL = """
@@ -10138,6 +10127,89 @@ ee AS (
 SELECT CAST(nodes.k AS BIGINT) AS k, nodes.n_nodes,
        CAST(coalesce(ee.n_edges, 0) AS BIGINT) AS n_edges
 FROM nodes LEFT JOIN ee ON ee.k = nodes.k
+"""
+
+
+def _mk_cells(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            (F.col("user_id") % 6).alias("cx"),
+            (F.expr("user_id DIV 6") % 5).alias("cy"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+            .alias("t"),
+        )
+        .groupBy("cx", "cy", "t")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+
+
+def _q_emerging_hotspots(spark, sf_dir):
+    """ArcGIS-style emerging-hotspot classification as a COMPOSITION of
+    two existing exact operators on the 6x5 cell grid: Getis-Ord Gi*
+    (spatial heat over the whole period) joined to Mann-Kendall (trend
+    of the cell's daily series), classified by exact SIGNS — no
+    z-threshold floats, every label reproducible."""
+    from osm_hadoop_spark.operators.spatialstats import (
+        getis_ord_gi,
+        mann_kendall,
+    )
+
+    series = _mk_cells(spark, sf_dir)
+    totals = series.groupBy("cx", "cy").agg(F.sum("v").alias("n"))
+    gi = getis_ord_gi(totals)
+    mk = mann_kendall(series)
+    g, s = F.col("gi_num"), F.col("s_stat")
+    cls = (
+        F.when((g > 0) & (s > 0), "hot_intensifying")
+        .when((g > 0) & (s < 0), "hot_waning")
+        .when(g > 0, "hot_flat")
+        .when((g < 0) & (s > 0), "cold_warming")
+        .when(g < 0, "cold")
+        .otherwise("neutral")
+    )
+    return (
+        gi.join(mk, ["cx", "cy"])
+        .select("cx", "cy", "gi_num", "s_stat", cls.alias("class"))
+    )
+
+
+_ORACLE_EMERGING = """
+WITH s AS (
+  SELECT user_id % 6 AS cx, (user_id // 6) % 5 AS cy,
+         epoch_us(ts) // 86400000000 AS t, CAST(count(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2, 3),
+cells AS (SELECT cx, cy, CAST(sum(v) AS BIGINT) AS n FROM s GROUP BY 1, 2),
+st AS (SELECT count(*) AS nn, sum(n) AS sm FROM cells),
+win AS (
+  SELECT a.cx, a.cy,
+         CAST(sum(b.n) AS BIGINT) AS window_sum,
+         CAST(count(*) AS BIGINT) AS k
+  FROM cells a
+  CROSS JOIN (VALUES (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)) o(dx, dy)
+  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  GROUP BY a.cx, a.cy),
+gi AS (
+  SELECT cx, cy,
+         CAST(st.nn * window_sum - k * st.sm AS BIGINT) AS gi_num
+  FROM win CROSS JOIN st),
+mkp AS (
+  SELECT a.cx, a.cy,
+         CAST(sum(CASE WHEN b.v > a.v THEN 1
+                       WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS ss
+  FROM s a JOIN s b ON a.cx = b.cx AND a.cy = b.cy AND a.t < b.t
+  GROUP BY 1, 2),
+mk AS (
+  SELECT cells.cx, cells.cy, CAST(coalesce(mkp.ss, 0) AS BIGINT) AS s_stat
+  FROM cells LEFT JOIN mkp USING (cx, cy))
+SELECT gi.cx, gi.cy, gi.gi_num, mk.s_stat,
+       CASE WHEN gi_num > 0 AND s_stat > 0 THEN 'hot_intensifying'
+            WHEN gi_num > 0 AND s_stat < 0 THEN 'hot_waning'
+            WHEN gi_num > 0 THEN 'hot_flat'
+            WHEN gi_num < 0 AND s_stat > 0 THEN 'cold_warming'
+            WHEN gi_num < 0 THEN 'cold'
+            ELSE 'neutral' END AS class
+FROM gi JOIN mk USING (cx, cy)
 """
 
 
@@ -12849,6 +12921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_key_census": _q_json_key_census,      # semi-structured schema census
         "assortativity_sums": _q_assortativity,     # degree-correlation scalar sums
         "rich_club_ladder": _q_rich_club,           # elite-core degree census
+        "emerging_hotspots": _q_emerging_hotspots,  # Gi* x Mann-Kendall composition
         "geohash_points_p7": _q_geohash_points,     # E-family: geohash cell index
         "way_polygon_contain": _q_way_polygon,      # way x boundary-polygon join
         "knn_nodes": _q_knn,                        # J6
@@ -13103,6 +13176,7 @@ def oracle_sql() -> dict[str, str]:
         "json_key_census": _ORACLE_JSON_KEYS,
         "assortativity_sums": _ORACLE_ASSORT,
         "rich_club_ladder": _oracle_rich_club(),
+        "emerging_hotspots": _ORACLE_EMERGING,
         "geohash_points_p7": _oracle_geohash_points(),
         "way_polygon_contain": _ORACLE_WAY_POLYGON,
         "knn_nodes": _ORACLE_KNN,
