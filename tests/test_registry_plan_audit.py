@@ -78,6 +78,9 @@ BNLJ_ALLOWED = {
     # ordinal patterns: the 6-row pattern frame crossed onto the
     # distinct-key dim (the benford zero-fill shape)
     "ordinal_patterns_o3",
+    # emerging hotspots: inherits getis_ord_gi's one-row (n, S) lattice
+    # stats broadcast
+    "emerging_hotspots",
 }
 
 
