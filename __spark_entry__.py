@@ -12814,6 +12814,105 @@ FROM h GROUP BY doc_id
 """
 
 
+def _bridge_edges(spark, sf_dir):
+    """Per-block chain + sparse chords graph over part: every block of
+    32 ids carries its path (u, u+1) plus ~13 hash-gated chords, so
+    bridges (chain edges no chord covers) and 2-edge-connected cores
+    both occur, and BFS depth is bounded by the block size at every SF."""
+    from osm_hadoop_spark.operators.textstats import h60
+
+    pk = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("u"))
+    chain = (
+        pk.select("u", (F.col("u") + 1).alias("v"))
+        .filter(F.expr("(u + 1) div 32 = u div 32"))
+        .join(pk.select(F.col("u").alias("v")), "v", "semi")
+    )
+    blk = pk.select("u", F.expr("u div 32").alias("blk"))
+    gate = h60(
+        F.concat(
+            F.lit("br"), F.col("u").cast("string"),
+            F.lit("_"), F.col("v").cast("string"),
+        )
+    )
+    extra = (
+        blk.join(blk.select(F.col("u").alias("v"), F.col("blk")), "blk")
+        .filter(F.col("u") < F.col("v"))
+        .filter(gate % 37 == 0)
+        .select("u", "v")
+    )
+    return chain.unionByName(extra)
+
+
+def _q_bridge_census(spark, sf_dir):
+    """Exact bridge detection (operators/bridges.py): BFS spanning
+    forest + ancestor closure + Tarjan's non-tree cover rule. The twin
+    is the OPPOSITE mechanism — brute remove-each-edge reachability."""
+    from osm_hadoop_spark.operators.bridges import bridge_census
+
+    return bridge_census(_bridge_edges(spark, sf_dir))
+
+
+def _q_two_edge_components(spark, sf_dir):
+    """2-edge-connected components (operators/bridges.py): connected
+    components over the non-bridge edge set, singletons kept."""
+    from osm_hadoop_spark.operators.bridges import two_edge_components
+
+    return two_edge_components(_bridge_edges(spark, sf_dir))
+
+
+_DUCK_BRIDGE_EDGES = f"""
+pk AS (SELECT p_partkey AS u FROM part),
+chain AS (
+  SELECT u, u + 1 AS v FROM pk
+  WHERE (u + 1) // 32 = u // 32 AND u + 1 IN (SELECT u FROM pk)),
+extra AS (
+  SELECT a.u AS u, b.u AS v
+  FROM pk a JOIN pk b ON a.u // 32 = b.u // 32 AND a.u < b.u
+  WHERE {_duck_h60("'br' || a.u || '_' || b.u")} % 37 = 0),
+ce AS (
+  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+  FROM (SELECT u, v FROM chain UNION ALL SELECT u, v FROM extra)
+  WHERE u <> v),
+badj AS (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
+reach(eu, ev, n) AS (
+  SELECT u, v, u FROM ce
+  UNION
+  SELECT r.eu, r.ev, a.v
+  FROM reach r JOIN badj a ON a.u = r.n
+  WHERE NOT (least(a.u, a.v) = r.eu AND greatest(a.u, a.v) = r.ev)
+),
+br AS (
+  SELECT ce.u, ce.v FROM ce
+  WHERE NOT EXISTS (SELECT 1 FROM reach r
+                    WHERE r.eu = ce.u AND r.ev = ce.v AND r.n = ce.v))
+"""
+
+_ORACLE_BRIDGES = f"""
+WITH RECURSIVE
+{_DUCK_BRIDGE_EDGES}
+SELECT ce.u, ce.v,
+       EXISTS (SELECT 1 FROM br
+               WHERE br.u = ce.u AND br.v = ce.v) AS is_bridge
+FROM ce
+"""
+
+_ORACLE_TWO_ECC = f"""
+WITH RECURSIVE
+{_DUCK_BRIDGE_EDGES},
+nb AS (
+  SELECT ce.u, ce.v FROM ce
+  WHERE NOT EXISTS (SELECT 1 FROM br
+                    WHERE br.u = ce.u AND br.v = ce.v)),
+nbadj AS (SELECT u, v FROM nb UNION ALL SELECT v AS u, u AS v FROM nb),
+r2(n0, n) AS (
+  SELECT u, u FROM (SELECT u FROM ce UNION SELECT v FROM ce)
+  UNION
+  SELECT r2.n0, a.v FROM r2 JOIN nbadj a ON a.u = r2.n
+)
+SELECT n0 AS node, CAST(min(n) AS BIGINT) AS comp2 FROM r2 GROUP BY n0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
@@ -12984,6 +13083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median_part": _q_weighted_median, # exact no-buffer weighted median
         "basket_pair_lift": _q_basket_lift,         # association rules, integer lift
         "mis_greedy_h60": _q_luby_mis,              # deterministic Luby MIS
+        "bridge_census": _q_bridge_census,          # cut edges (Tarjan cover rule)
+        "two_edge_components": _q_two_edge_components,  # bridge-free classes
         "coloring_greedy_jp": _q_greedy_coloring,   # Jones-Plassmann greedy coloring
         "rolling_wau_7": _q_rolling_wau,            # DAU / trailing-7d WAU
         "colocation_pi_r40": _q_colocation,         # participation counts per class pair
@@ -13237,6 +13338,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_median_part": _ORACLE_WMEDIAN,
         "basket_pair_lift": _ORACLE_BASKET_LIFT,
         "mis_greedy_h60": _oracle_luby_mis(),
+        "bridge_census": _ORACLE_BRIDGES,
+        "two_edge_components": _ORACLE_TWO_ECC,
         "coloring_greedy_jp": _oracle_greedy_coloring(),
         "rolling_wau_7": _ORACLE_ROLLING_WAU,
         "colocation_pi_r40": _ORACLE_COLOCATION,

@@ -1,0 +1,149 @@
+"""bridge_census / two_edge_components vs a brute remove-one-edge oracle."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _brute_bridges(edges):
+    """Set of canonical bridge edges by literally removing each edge and
+    BFS-checking endpoint connectivity."""
+    canon = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+    adj = {}
+    for u, v in canon:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    bridges = set()
+    for u, v in canon:
+        seen = {u}
+        stack = [u]
+        while stack:
+            n = stack.pop()
+            for m in adj.get(n, ()):  # pragma: no branch
+                if (min(n, m), max(n, m)) == (u, v):
+                    continue
+                if m not in seen:
+                    seen.add(m)
+                    stack.append(m)
+        if v not in seen:
+            bridges.add((u, v))
+    return canon, bridges
+
+
+def _brute_2ecc(canon, bridges):
+    adj = {}
+    nodes = set()
+    for u, v in canon:
+        nodes.update((u, v))
+        if (u, v) in bridges:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    label = {}
+    for s in sorted(nodes):
+        if s in label:
+            continue
+        comp = {s}
+        stack = [s]
+        while stack:
+            n = stack.pop()
+            for m in adj.get(n, ()):
+                if m not in comp:
+                    comp.add(m)
+                    stack.append(m)
+        root = min(comp)
+        for n in comp:
+            label.setdefault(n, root)
+    return label
+
+
+def _run(spark, edges):
+    from osm_hadoop_spark.operators.bridges import bridge_census
+
+    df = spark.createDataFrame(edges, "u: long, v: long")
+    got = {
+        (r["u"], r["v"]): r["is_bridge"]
+        for r in bridge_census(df).collect()
+    }
+    canon, bridges = _brute_bridges(edges)
+    assert sorted(got) == canon
+    assert {e for e, b in got.items() if b} == bridges
+    return canon, bridges
+
+
+def test_path_all_bridges(spark):
+    _run(spark, [(i, i + 1) for i in range(6)])
+
+
+def test_cycle_no_bridges(spark):
+    _run(spark, [(i, (i + 1) % 6) for i in range(6)])
+
+
+def test_barbell(spark):
+    # two triangles joined by one middle edge: exactly that edge bridges
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    canon, bridges = _run(spark, edges)
+    assert bridges == {(2, 3)}
+
+
+def test_multi_component_with_isolates_and_dups(spark):
+    # components: a path, a cycle, a single edge; duplicate +
+    # reversed + self-loop inputs must not change anything
+    edges = [
+        (10, 11), (11, 12),
+        (20, 21), (21, 22), (22, 20), (20, 21), (21, 20),
+        (30, 31), (31, 31),
+    ]
+    canon, bridges = _run(spark, edges)
+    assert bridges == {(10, 11), (11, 12), (30, 31)}
+
+
+def test_random_vs_brute(spark):
+    rng = random.Random(42)
+    edges = []
+    # three random blocks: chain + random chords, plus a cross-block
+    # bridge between block 0 and block 1
+    for b in range(3):
+        base = 100 * b
+        n = 14
+        edges += [(base + i, base + i + 1) for i in range(n - 1)]
+        for _ in range(6):
+            i, j = rng.sample(range(n), 2)
+            edges.append((base + i, base + j))
+    edges.append((13, 100))
+    canon, bridges = _run(spark, edges)
+    assert (13, 100) in bridges
+    assert 0 < len(bridges) < len(canon)
+
+
+def test_two_edge_components(spark):
+    from osm_hadoop_spark.operators.bridges import two_edge_components
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(12)]
+    for _ in range(5):
+        i, j = rng.sample(range(13), 2)
+        if i != j:
+            edges.append((i, j))
+    df = spark.createDataFrame(edges, "u: long, v: long")
+    got = {r["node"]: r["comp2"] for r in two_edge_components(df).collect()}
+    canon, bridges = _brute_bridges(edges)
+    want = _brute_2ecc(canon, bridges)
+    assert got == want
+    # invariants: bridge endpoints split, non-bridge endpoints joined
+    for u, v in canon:
+        if (u, v) in bridges:
+            assert got[u] != got[v]
+        else:
+            assert got[u] == got[v]
+
+
+def test_bfs_round_guard(spark):
+    from osm_hadoop_spark.operators.bridges import bridge_census
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "u: long, v: long"
+    )
+    with pytest.raises(RuntimeError, match="max_bfs_rounds"):
+        bridge_census(df, max_bfs_rounds=3).collect()
