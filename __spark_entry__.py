@@ -12814,6 +12814,60 @@ FROM h GROUP BY doc_id
 """
 
 
+def _q_greedy_matching(spark, sf_dir):
+    """Deterministic maximal matching (operators/matching.py) on the
+    shared hypercube+ring graph, capped at 4000 vertices like the
+    coloring query (same oracle-cost reasoning) — provably equal to
+    sequential greedy in (h60 priority, u, v) edge order, which the
+    unrolled twin replays. Fixpoint in 6-7 parallel rounds at every SF
+    (measured); the twin unrolls 10."""
+    from osm_hadoop_spark.operators.matching import greedy_matching
+
+    edges = _kcore_edges(spark, sf_dir).filter(
+        (F.col("u") <= 4000) & (F.col("v") <= 4000)
+    )
+    return greedy_matching(edges)
+
+
+def _oracle_greedy_matching(rounds: int = 10) -> str:
+    gate = _duck_h60("'rg' || u || '_' || k")
+    pr = _duck_h60("'me' || a || '_' || b")
+    parts = [f"""
+WITH pk AS (SELECT p_partkey AS u FROM part),
+hyper AS (
+  SELECT u, xor(u, 1 << k) AS v
+  FROM pk, (SELECT unnest(generate_series(0, 11)) AS k)
+  WHERE {gate} % 4 <> 0),
+dir AS (
+  SELECT u, v FROM (
+    SELECT u, v FROM hyper UNION ALL SELECT u, u + 1 AS v FROM pk) e
+  WHERE v IN (SELECT u FROM pk)),
+a0 AS MATERIALIZED (
+  SELECT a, b, {pr} AS p FROM (
+    SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM dir
+    WHERE u <> v AND u <= 4000 AND v <= 4000))"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+w{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM a{i-1} e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM a{i-1} o
+    WHERE (o.a IN (e.a, e.b) OR o.b IN (e.a, e.b))
+      AND NOT (o.a = e.a AND o.b = e.b)
+      AND (o.p < e.p OR (o.p = e.p AND (o.a < e.a
+           OR (o.a = e.a AND o.b < e.b)))))),
+m{i} AS (SELECT a AS n FROM w{i} UNION SELECT b FROM w{i}),
+a{i} AS MATERIALIZED (
+  SELECT e.a, e.b, e.p FROM a{i-1} e
+  WHERE e.a NOT IN (SELECT n FROM m{i})
+    AND e.b NOT IN (SELECT n FROM m{i}))""")
+    all_w = " UNION ALL ".join(f"SELECT a, b FROM w{i}"
+                               for i in range(1, rounds + 1))
+    parts.append(f"""
+SELECT a AS u, b AS v FROM ({all_w})""")
+    return "".join(parts)
+
+
 def _bridge_edges(spark, sf_dir):
     """Per-block chain + sparse chords graph over part: every block of
     32 ids carries its path (u, u+1) plus ~13 hash-gated chords, so
@@ -13085,6 +13139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_greedy_h60": _q_luby_mis,              # deterministic Luby MIS
         "bridge_census": _q_bridge_census,          # cut edges (Tarjan cover rule)
         "two_edge_components": _q_two_edge_components,  # bridge-free classes
+        "matching_greedy": _q_greedy_matching,      # maximal matching (line-graph MIS)
         "coloring_greedy_jp": _q_greedy_coloring,   # Jones-Plassmann greedy coloring
         "rolling_wau_7": _q_rolling_wau,            # DAU / trailing-7d WAU
         "colocation_pi_r40": _q_colocation,         # participation counts per class pair
@@ -13340,6 +13395,7 @@ def oracle_sql() -> dict[str, str]:
         "mis_greedy_h60": _oracle_luby_mis(),
         "bridge_census": _ORACLE_BRIDGES,
         "two_edge_components": _ORACLE_TWO_ECC,
+        "matching_greedy": _oracle_greedy_matching(),
         "coloring_greedy_jp": _oracle_greedy_coloring(),
         "rolling_wau_7": _ORACLE_ROLLING_WAU,
         "colocation_pi_r40": _ORACLE_COLOCATION,
