@@ -9904,6 +9904,95 @@ FROM r GROUP BY key
 """
 
 
+def _q_mann_whitney(spark, sf_dir):
+    """Exact Mann-Whitney U ingredients (operators/profile.py) per
+    event type, even-day vs odd-day user-id samples — the rank-sum
+    location twin of the ecdf_drift distribution gate."""
+    from osm_hadoop_spark.operators.profile import mann_whitney_census
+
+    rows = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"),
+        (
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000") % 2
+        ).alias("grp"),
+        F.col("user_id").alias("value"),
+    )
+    return mann_whitney_census(rows, "key", "grp", "value", 0)
+
+
+_ORACLE_MANN_WHITNEY = """
+WITH lvl AS (
+  SELECT event_type AS key, user_id AS v,
+         CAST(sum(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 0
+                       THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT key, ca, cb,
+         sum(cb) OVER w - cb AS cumb_lt,
+         sum(ca) OVER w - ca AS cuma_lt,
+         sum(ca) OVER (PARTITION BY key) AS na,
+         sum(cb) OVER (PARTITION BY key) AS nb
+  FROM lvl
+  WINDOW w AS (PARTITION BY key ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT key, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+       CAST(sum(ca * (2 * cumb_lt + cb)) AS BIGINT) AS u2_a,
+       CAST(sum(cb * (2 * cuma_lt + ca)) AS BIGINT) AS u2_b,
+       CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT)
+         AS tie_cube
+FROM r GROUP BY key
+"""
+
+
+def _q_spearman(spark, sf_dir):
+    """Exact tie-aware Spearman power sums (operators/timeseries.py)
+    per event type over the kendall fixture series (daily volume vs
+    daily distinct users) — the O(n log n) member of the rank family
+    next to kendall_tau_census's pair join."""
+    from osm_hadoop_spark.operators.timeseries import spearman_census
+
+    series = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("key"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+            .alias("t"),
+            "user_id",
+        )
+        .groupBy("key", "t")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.count_distinct(F.col("user_id")).alias("y"),
+        )
+    )
+    return spearman_census(series, key="key", x="x", y="y")
+
+
+_ORACLE_SPEARMAN = """
+WITH s AS (
+  SELECT event_type AS key, epoch_us(ts) // 86400000000 AS t,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT key,
+         2 * rank() OVER (PARTITION BY key ORDER BY x)
+           + count(*) OVER (PARTITION BY key, x) - 1 AS rx2,
+         2 * rank() OVER (PARTITION BY key ORDER BY y)
+           + count(*) OVER (PARTITION BY key, y) - 1 AS ry2
+  FROM s)
+SELECT key, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(rx2) AS BIGINT) AS sx,
+       CAST(sum(ry2) AS BIGINT) AS sy,
+       CAST(sum(rx2 * ry2) AS BIGINT) AS sxy,
+       CAST(sum(rx2 * rx2) AS BIGINT) AS sx2,
+       CAST(sum(ry2 * ry2) AS BIGINT) AS sy2
+FROM ranked GROUP BY key
+"""
+
+
 def _q_ordinal_patterns(spark, sf_dir):
     """Order-3 ordinal pattern census (operators/timeseries.py) over
     per-event-type daily counts — permutation-entropy ingredients."""
@@ -13068,6 +13157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau_daily": _q_kendall_tau,        # bivariate rank concordance
         "dominance_counts_b250": _q_dominance,      # joint-CDF / k-dominance scores
         "ecdf_drift_ks_cvm": _q_ecdf_drift,         # exact two-sample drift gate
+        "mann_whitney_u": _q_mann_whitney,          # rank-sum location test
+        "spearman_rank_sums": _q_spearman,          # tie-aware rank correlation
         "ordinal_patterns_o3": _q_ordinal_patterns,  # Bandt-Pompe motif census
         "twap_month": _q_twap,                      # holding-time-weighted mean
         "km_lifetable_cohorts": _q_km_lifetable,    # censoring-aware churn table
@@ -13326,6 +13417,8 @@ def oracle_sql() -> dict[str, str]:
         "kendall_tau_daily": _ORACLE_KENDALL,
         "dominance_counts_b250": _ORACLE_DOMINANCE,
         "ecdf_drift_ks_cvm": _ORACLE_ECDF,
+        "mann_whitney_u": _ORACLE_MANN_WHITNEY,
+        "spearman_rank_sums": _ORACLE_SPEARMAN,
         "ordinal_patterns_o3": _ORACLE_ORDINAL,
         "twap_month": _ORACLE_TWAP,
         "km_lifetable_cohorts": _ORACLE_KM,

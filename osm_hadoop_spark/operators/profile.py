@@ -329,3 +329,70 @@ def two_sample_ecdf(
             .cast("long").alias("cvm_num"),
         )
     )
+
+
+def mann_whitney_census(
+    rows: DataFrame,
+    key: str,
+    group: str,
+    value: str,
+    group_a,
+) -> DataFrame:
+    """Exact Mann-Whitney U ingredients per key — the rank-sum
+    two-sample location test next to two_sample_ecdf's distribution
+    gate, in the same cleared-denominator integer discipline.
+
+    Rows where `group` == group_a form sample A, everything else B.
+    With ties, U_A = Σ_{a∈A, b∈B} ([a > b] + ½[a = b]); doubling
+    clears the half:
+
+        u2_a = Σ_v ca(v) * (2 * cumb(v-) + cb(v))
+
+    where cumb(v-) counts B strictly below v.  The partner statistic
+    u2_b follows from the identity u2_a + u2_b = 2 n_a n_b (asserted
+    in tests, emitted for the consumer).  The tie correction needed by
+    the normal approximation's variance is Σ (t³ - t) over pooled tie
+    groups — also exact int64.
+
+    Returns (key, n_a, n_b, u2_a, u2_b, tie_cube).  Overflow: u2 <=
+    2 n_a n_b < 2^63 to ~2.1e9 rows per side; tie_cube <= n³.
+
+    Plan: identical to two_sample_ecdf — one (key, value) hash
+    pre-aggregate, one cumulative window over distinct values, one
+    final aggregate; a second full-data shuffle never happens.
+    """
+    is_a = (F.col(group) == F.lit(group_a)).cast("bigint")
+    lvl = (
+        rows.select(
+            F.col(key).alias("key"),
+            F.col(value).cast("bigint").alias("v"),
+            is_a.alias("a"),
+        )
+        .groupBy("key", "v")
+        .agg(
+            F.sum("a").alias("ca"),
+            F.sum(F.lit(1) - F.col("a")).alias("cb"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("key").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("key")
+    r = lvl.select(
+        "key", "ca", "cb",
+        (F.sum("cb").over(w_cum) - F.col("cb")).alias("cumb_lt"),
+        (F.sum("ca").over(w_cum) - F.col("ca")).alias("cuma_lt"),
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+    )
+    t = F.col("ca") + F.col("cb")
+    return r.groupBy("key").agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * (2 * F.col("cumb_lt") + F.col("cb")))
+        .cast("long").alias("u2_a"),
+        F.sum(F.col("cb") * (2 * F.col("cuma_lt") + F.col("ca")))
+        .cast("long").alias("u2_b"),
+        F.sum(t * t * t - t).cast("long").alias("tie_cube"),
+    )

@@ -783,3 +783,53 @@ def twap_exact(
             F.sum("cover").cast("long").alias("den"),
         )
     )
+
+
+def spearman_census(
+    series: DataFrame,
+    key: str = "key",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Exact Spearman rank-correlation ingredients per key, tie-aware.
+
+    Spearman's rho is Pearson over AVERAGE ranks; with ties the average
+    rank is a half-integer, so the census carries DOUBLED ranks, which
+    are exact int64: a tie group whose first position (1-based) is k
+    and size is c has doubled average rank 2k + c - 1.  Emitted per
+    key: n and the five doubled-rank power sums
+
+        sx = Σ rx2, sy = Σ ry2, sxy = Σ rx2*ry2,
+        sx2 = Σ rx2², sy2 = Σ ry2²
+
+    so rho = (n*sxy - sx*sy) / sqrt((n*sx2 - sx²)(n*sy2 - sy²)) is a
+    presentation-time scalar and the engine output hash-matches
+    bit-for-bit.  (The no-ties shortcut 1 - 6Σd²/... is NOT used — the
+    power-sum form is the tie-correct one.)  Overflow: rx2 <= 2n, so
+    sxy <= 4n³ < 2^63 to ~1.3M rows per key; shard beyond.
+
+    Plan: two ranked windows over the same (key) partition (one sort
+    each by x and y — Catalyst plans two exchanges-free window passes
+    over one hash partition when the partition keys agree), then one
+    hash aggregate.  The kendall_tau_census pair join is avoided
+    entirely — Spearman is the O(n log n) member of the rank family.
+    """
+    wx = Window.partitionBy(key).orderBy(x)
+    wy = Window.partitionBy(key).orderBy(y)
+    cx = Window.partitionBy(key, x)
+    cy = Window.partitionBy(key, y)
+    ranked = series.select(
+        F.col(key).alias("key"),
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(cx) - 1)
+        .cast("long").alias("rx2"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(cy) - 1)
+        .cast("long").alias("ry2"),
+    )
+    return ranked.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sx2"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("sy2"),
+    )
