@@ -7326,7 +7326,7 @@ def _q_labelprop(spark, sf_dir):
     return label_propagation(edges.select("u", "v"), rounds=_LP_ROUNDS)
 
 
-def _oracle_labelprop() -> str:
+def _labelprop_ctes() -> list:
     ctes = [
         "pk AS (SELECT p_partkey AS u FROM part)",
         f"""hyper AS (
@@ -7355,9 +7355,57 @@ def _oracle_labelprop() -> str:
     SELECT node, lbl, count(*) AS c FROM v{k} GROUP BY node, lbl)
   QUALIFY row_number() OVER (PARTITION BY node
                              ORDER BY c DESC, lbl) = 1)""")
+    return ctes
+
+
+def _oracle_labelprop() -> str:
+    return (
+        "WITH\n" + ",\n".join(_labelprop_ctes())
+        + f"\nSELECT node, lbl AS community FROM l{_LP_ROUNDS}"
+    )
+
+
+def _q_modularity(spark, sf_dir):
+    """Modularity census (operators/graphstats.py) of the LPA partition
+    on the shared road graph — detection composed with its own exact
+    evaluation (the emerging_hotspots composition pattern): per
+    community n_nodes, within-edges, and degree mass; Q assembles
+    downstream and Σ deg_sum = 2m makes the global scalar derivable."""
+    from osm_hadoop_spark.operators.graphstats import modularity_census
+    from osm_hadoop_spark.operators.routing import label_propagation
+
+    edges, _pk = _sssp_edges(spark, sf_dir)
+    labels = label_propagation(edges.select("u", "v"), rounds=_LP_ROUNDS)
+    return modularity_census(edges.select("u", "v"), labels)
+
+
+def _oracle_modularity() -> str:
+    ctes = _labelprop_ctes() + [
+        """e0 AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM sym)""",
+        """dg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n)""",
+        f"""lp AS (SELECT node, lbl AS community FROM l{_LP_ROUNDS})""",
+        """ein AS (
+  SELECT la.community, CAST(count(*) AS BIGINT) AS e_in
+  FROM e0
+  JOIN lp la ON la.node = e0.a
+  JOIN lp lb ON lb.node = e0.b
+  WHERE la.community = lb.community
+  GROUP BY la.community)""",
+        """nodes AS (
+  SELECT lp.community, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(coalesce(dg.d, 0)) AS BIGINT) AS deg_sum
+  FROM lp LEFT JOIN dg ON dg.n = lp.node
+  GROUP BY lp.community)""",
+    ]
     return (
         "WITH\n" + ",\n".join(ctes)
-        + f"\nSELECT node, lbl AS community FROM l{_LP_ROUNDS}"
+        + """
+SELECT nodes.community, nodes.n_nodes,
+       CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in, nodes.deg_sum
+FROM nodes LEFT JOIN ein ON ein.community = nodes.community"""
     )
 
 
@@ -13257,6 +13305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stress_centrality_h4": _q_stress,          # integer shortest-path census
         "link_pred_cn": _q_linkpred,                # common-neighbor candidates
         "label_prop_r3": _q_labelprop,              # deterministic LPA communities
+        "modularity_by_lpa": _q_modularity,         # partition quality census
         "snap_points_r50": _q_snap_points,          # nearest-segment map matching
         "viterbi_match_t5": _q_viterbi,             # HMM map matching DP table
         "triangle_blocks": _q_triangles,            # degree-ordered triangle join
@@ -13507,6 +13556,7 @@ def oracle_sql() -> dict[str, str]:
         "stress_centrality_h4": _oracle_stress(),
         "link_pred_cn": _oracle_linkpred(),
         "label_prop_r3": _oracle_labelprop(),
+        "modularity_by_lpa": _oracle_modularity(),
         "snap_points_r50": _ORACLE_SNAP,
         "viterbi_match_t5": _oracle_viterbi(),
         "triangle_blocks": _ORACLE_TRIANGLES,

@@ -110,3 +110,56 @@ def rich_club_census(
             .alias("n_edges"),
         )
     )
+
+
+def modularity_census(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    node: str = "node",
+    community: str = "community",
+) -> DataFrame:
+    """Exact Newman modularity ingredients per community for a GIVEN
+    partition — the evaluation half of community detection (label
+    propagation proposes, this scores). Per community c over the
+    canonical undirected edge set:
+
+        (community, n_nodes, e_in, deg_sum)
+
+    with e_in = edges inside c, deg_sum = Σ degrees of c's nodes; the
+    scalar Q = Σ_c [e_in/m - (deg_sum/2m)²] assembles at presentation
+    time, and m itself is derivable from the output (Σ deg_sum = 2m),
+    so no one-row global cross-join is needed. The node side is driven
+    by the LABELS relation, so labeled-but-isolated nodes still count
+    (degree 0) and communities touching no edge emit (e_in = 0).
+
+    Plan: two label equi-joins on the edge list + one on the degree
+    table, two hash aggregates — all partial-aggregatable, no windows,
+    no products. Overflow: deg_sum <= 2m < 2^63.
+    """
+    withd, deg = _canon_with_degrees(edges, src, dst)
+    lab = labels.select(
+        F.col(node).alias("n"), F.col(community).alias("c")
+    )
+    e_in = (
+        withd.select("a", "b")
+        .join(lab.select(F.col("n").alias("a"), F.col("c").alias("ca")), "a")
+        .join(lab.select(F.col("n").alias("b"), F.col("c").alias("cb")), "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    nodes = (
+        lab.join(deg, "n", "left")  # labeled isolated nodes still count
+        .groupBy(F.col("c").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.coalesce("d", F.lit(0))).cast("long").alias("deg_sum"),
+        )
+    )
+    return nodes.join(e_in, "community", "left").select(
+        "community", "n_nodes",
+        F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
+        "deg_sum",
+    )
