@@ -5640,6 +5640,55 @@ SELECT doc_id,
 FROM documents
 """
 
+_GAZ_PHRASES = (
+    (1, "table scan"),
+    (2, "hash join"),
+    (3, "sort merge"),
+    (4, "row column sort"),
+    (5, "slow hash batch"),
+    (6, "window fast query"),
+    (7, "spark"),                   # single-token member
+    (8, "quantum flux capacitor"),  # zero hits — audit contract
+)
+
+
+def _q_phrase_census(spark, sf_dir):
+    """Gazetteer phrase census (operators/gazetteer.py): every literal
+    dictionary phrase counted over the corpus via the position-aligned
+    broadcast join — the Aho-Corasick workload without an automaton."""
+    from osm_hadoop_spark.operators.gazetteer import phrase_census
+
+    phrases = spark.createDataFrame(
+        list(_GAZ_PHRASES), "phrase_id: long, phrase: string"
+    )
+    return phrase_census(_t(spark, sf_dir, "documents"), phrases)
+
+
+def _oracle_phrase_census() -> str:
+    vals = ", ".join(f"({i}, '{p}')" for i, p in _GAZ_PHRASES)
+    return f"""
+WITH ph(phrase_id, phrase) AS (VALUES {vals}),
+pa AS (SELECT phrase_id, string_split(phrase, ' ') AS ptoks FROM ph),
+pt AS (SELECT phrase_id, ptoks[i] AS tok, i, len(ptoks) AS plen
+       FROM pa, UNNEST(generate_series(1, len(ptoks))) AS t(i)),
+dt AS (SELECT doc_id, toks[i] AS tok, i AS pos
+       FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents) d,
+            UNNEST(generate_series(1, len(toks))) AS t(i)),
+g AS (SELECT dt.doc_id, pt.phrase_id, dt.pos - pt.i AS s,
+             max(pt.plen) AS plen, count(*) AS c
+      FROM dt JOIN pt ON pt.tok = dt.tok
+      GROUP BY 1, 2, 3),
+m AS (SELECT doc_id, phrase_id, s FROM g WHERE c = plen),
+agg AS (SELECT phrase_id, CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM m GROUP BY 1)
+SELECT ph.phrase,
+       CAST(coalesce(agg.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(agg.n_docs, 0) AS BIGINT) AS n_docs
+FROM ph LEFT JOIN agg ON agg.phrase_id = ph.phrase_id
+"""
+
+
 def _q_bm25_topk(spark, sf_dir):
     """Top-3 terms per document by the ln-free BM25 score
     (operators/tfidf.py — rational constants keep the double math
@@ -13206,6 +13255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominance_counts_b250": _q_dominance,      # joint-CDF / k-dominance scores
         "ecdf_drift_ks_cvm": _q_ecdf_drift,         # exact two-sample drift gate
         "mann_whitney_u": _q_mann_whitney,          # rank-sum location test
+        "phrase_gazetteer": _q_phrase_census,       # multi-token dictionary tagging
         "spearman_rank_sums": _q_spearman,          # tie-aware rank correlation
         "ordinal_patterns_o3": _q_ordinal_patterns,  # Bandt-Pompe motif census
         "twap_month": _q_twap,                      # holding-time-weighted mean
@@ -13467,6 +13517,7 @@ def oracle_sql() -> dict[str, str]:
         "dominance_counts_b250": _ORACLE_DOMINANCE,
         "ecdf_drift_ks_cvm": _ORACLE_ECDF,
         "mann_whitney_u": _ORACLE_MANN_WHITNEY,
+        "phrase_gazetteer": _oracle_phrase_census(),
         "spearman_rank_sums": _ORACLE_SPEARMAN,
         "ordinal_patterns_o3": _ORACLE_ORDINAL,
         "twap_month": _ORACLE_TWAP,
