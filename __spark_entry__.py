@@ -10090,6 +10090,53 @@ FROM ranked GROUP BY key
 """
 
 
+def _q_pettitt(spark, sf_dir):
+    """Exact Pettitt change-point (operators/timeseries.py) over each
+    event type's daily-volume series — the rank-based break test next
+    to cusum_changepoint and mann_kendall_cells."""
+    from osm_hadoop_spark.operators.timeseries import pettitt_change
+
+    series = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("key"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+            .alias("t"),
+        )
+        .groupBy("key", "t")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return pettitt_change(series, key="key", t="t", x="x")
+
+
+_ORACLE_PETTITT = """
+WITH s AS (
+  SELECT event_type AS key, epoch_us(ts) // 86400000000 AS t,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT key, t AS tt,
+         2 * rank() OVER (PARTITION BY key ORDER BY x)
+           + count(*) OVER (PARTITION BY key, x) - 1 AS r2
+  FROM s),
+cum AS (
+  SELECT key, tt,
+         row_number() OVER (PARTITION BY key ORDER BY tt) AS pos,
+         sum(r2) OVER (PARTITION BY key ORDER BY tt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum2,
+         count(*) OVER (PARTITION BY key) AS n
+  FROM ranked),
+u AS (
+  SELECT key, n, -abs(cum2 - pos * (n + 1)) AS nau, pos, tt
+  FROM cum WHERE pos < n)
+SELECT key, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS t_star,
+       tt AS t_at, CAST(-nau AS BIGINT) AS k_stat
+FROM u
+QUALIFY row_number() OVER (PARTITION BY key ORDER BY nau, pos, tt) = 1
+"""
+
+
 def _q_ordinal_patterns(spark, sf_dir):
     """Order-3 ordinal pattern census (operators/timeseries.py) over
     per-event-type daily counts — permutation-entropy ingredients."""
@@ -13257,6 +13304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney_u": _q_mann_whitney,          # rank-sum location test
         "phrase_gazetteer": _q_phrase_census,       # multi-token dictionary tagging
         "spearman_rank_sums": _q_spearman,          # tie-aware rank correlation
+        "pettitt_changepoint": _q_pettitt,          # rank-based break detection
         "ordinal_patterns_o3": _q_ordinal_patterns,  # Bandt-Pompe motif census
         "twap_month": _q_twap,                      # holding-time-weighted mean
         "km_lifetable_cohorts": _q_km_lifetable,    # censoring-aware churn table
@@ -13519,6 +13567,7 @@ def oracle_sql() -> dict[str, str]:
         "mann_whitney_u": _ORACLE_MANN_WHITNEY,
         "phrase_gazetteer": _oracle_phrase_census(),
         "spearman_rank_sums": _ORACLE_SPEARMAN,
+        "pettitt_changepoint": _ORACLE_PETTITT,
         "ordinal_patterns_o3": _ORACLE_ORDINAL,
         "twap_month": _ORACLE_TWAP,
         "km_lifetable_cohorts": _ORACLE_KM,

@@ -833,3 +833,70 @@ def spearman_census(
         F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sx2"),
         F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("sy2"),
     )
+
+
+def pettitt_change(
+    series: DataFrame,
+    key: str = "key",
+    t: str = "t",
+    x: str = "x",
+) -> DataFrame:
+    """Exact Pettitt change-point census per key — the rank-based
+    single-changepoint test next to cusum (mean-shift on values) and
+    mann_kendall (monotone trend): where does the distribution BREAK?
+
+    Pettitt's U_t = Σ_{i<=t} Σ_{j>t} sgn(x_j - x_i) has the closed
+    rank form U_t = 2 Σ_{i<=t} R_i - t (n + 1) with R the tie-averaged
+    ranks of the WHOLE series; carrying doubled ranks (2R is integer
+    even under ties, the spearman_census discipline) gives
+
+        U_t = cum2_t - t (n + 1),   cum2_t = Σ_{i<=t} 2 R_i
+
+    — all int64, no float, no pair join (the O(n²) definition is the
+    pytest twin).  Emitted per key: n, the argmax split position
+    t_star (1-based prefix length, smallest on ties), its timestamp
+    t_at, and k_stat = max_{1<=t<n} |U_t|.  The significance transform
+    2 exp(-6K²/(n³+n²)) is presentation-time.
+
+    Plan: one rank window (by value), one row_number + cumulative
+    window (by time), one argmin-struct aggregate — three window
+    passes over ONE hash partition per key, no joins.  Overflow:
+    cum2 <= 2n², |U| <= n² < 2^63 to ~3e9 rows per key.
+    """
+    wv = Window.partitionBy(key).orderBy(x)
+    cv = Window.partitionBy(key, x)
+    wt = Window.partitionBy("key").orderBy("tt")
+    wn = Window.partitionBy("key")
+    ranked = series.select(
+        F.col(key).alias("key"),
+        F.col(t).alias("tt"),
+        (2 * F.rank().over(wv) + F.count(F.lit(1)).over(cv) - 1)
+        .cast("long").alias("r2"),
+    )
+    cum = ranked.select(
+        "key", "tt",
+        F.row_number().over(wt).alias("pos"),
+        F.sum("r2").over(
+            wt.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum2"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    u = cum.filter(F.col("pos") < F.col("n")).select(
+        "key", "n",
+        F.struct(
+            (-F.abs(F.col("cum2") - F.col("pos") * (F.col("n") + 1)))
+            .alias("neg_abs_u"),
+            F.col("pos").alias("pos"),
+            F.col("tt").alias("tt"),
+        ).alias("s"),
+    )
+    best = u.groupBy("key").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min("s").alias("s"),
+    )
+    return best.select(
+        "key", "n",
+        F.col("s.pos").cast("long").alias("t_star"),
+        F.col("s.tt").alias("t_at"),
+        (-F.col("s.neg_abs_u")).cast("long").alias("k_stat"),
+    )
