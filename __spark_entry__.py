@@ -13103,18 +13103,19 @@ SELECT a AS u, b AS v FROM ({all_w})""")
 
 def _bridge_edges(spark, sf_dir):
     """Per-block chain + sparse chords graph over part: every block of
-    32 ids carries its path (u, u+1) plus ~13 hash-gated chords, so
-    bridges (chain edges no chord covers) and 2-edge-connected cores
-    both occur, and BFS depth is bounded by the block size at every SF."""
+    8 ids carries its path (u, u+1) plus ~2.5 hash-gated chords, so
+    bridges (~31% of edges — chain edges no chord covers) and
+    2-edge-connected cores both occur, and graph eccentricity (hence
+    the operator's BFS round count) is <= 7 at every SF."""
     from osm_hadoop_spark.operators.textstats import h60
 
     pk = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("u"))
     chain = (
         pk.select("u", (F.col("u") + 1).alias("v"))
-        .filter(F.expr("(u + 1) div 32 = u div 32"))
+        .filter(F.expr("(u + 1) div 8 = u div 8"))
         .join(pk.select(F.col("u").alias("v")), "v", "semi")
     )
-    blk = pk.select("u", F.expr("u div 32").alias("blk"))
+    blk = pk.select("u", F.expr("u div 8").alias("blk"))
     gate = h60(
         F.concat(
             F.lit("br"), F.col("u").cast("string"),
@@ -13124,38 +13125,49 @@ def _bridge_edges(spark, sf_dir):
     extra = (
         blk.join(blk.select(F.col("u").alias("v"), F.col("blk")), "blk")
         .filter(F.col("u") < F.col("v"))
-        .filter(gate % 37 == 0)
+        .filter(gate % 11 == 0)
         .select("u", "v")
     )
     return chain.unionByName(extra)
 
 
-def _q_bridge_census(spark, sf_dir):
-    """Exact bridge detection (operators/bridges.py): BFS spanning
-    forest + ancestor closure + Tarjan's non-tree cover rule. The twin
-    is the OPPOSITE mechanism — brute remove-each-edge reachability."""
+def _bridge_flags_build(spark, sf_dir):
     from osm_hadoop_spark.operators.bridges import bridge_census
 
     return bridge_census(_bridge_edges(spark, sf_dir))
 
 
+def _q_bridge_census(spark, sf_dir):
+    """Exact bridge detection (operators/bridges.py): BFS spanning
+    forest + ancestor closure + Tarjan's non-tree cover rule. The twin
+    is the OPPOSITE mechanism — brute remove-each-edge reachability.
+    The flags frame is session-cached (_assembly_cached) so the
+    two_edge_components query reuses it instead of re-running the
+    whole fixpoint chain."""
+    return _assembly_cached(spark, sf_dir, "bridge_flags",
+                            _bridge_flags_build)
+
+
 def _q_two_edge_components(spark, sf_dir):
     """2-edge-connected components (operators/bridges.py): connected
-    components over the non-bridge edge set, singletons kept."""
+    components over the non-bridge edge set (shared cached flags),
+    singletons kept."""
     from osm_hadoop_spark.operators.bridges import two_edge_components
 
-    return two_edge_components(_bridge_edges(spark, sf_dir))
+    flags = _assembly_cached(spark, sf_dir, "bridge_flags",
+                             _bridge_flags_build)
+    return two_edge_components(_bridge_edges(spark, sf_dir), flags=flags)
 
 
 _DUCK_BRIDGE_EDGES = f"""
 pk AS (SELECT p_partkey AS u FROM part),
 chain AS (
   SELECT u, u + 1 AS v FROM pk
-  WHERE (u + 1) // 32 = u // 32 AND u + 1 IN (SELECT u FROM pk)),
+  WHERE (u + 1) // 8 = u // 8 AND u + 1 IN (SELECT u FROM pk)),
 extra AS (
   SELECT a.u AS u, b.u AS v
-  FROM pk a JOIN pk b ON a.u // 32 = b.u // 32 AND a.u < b.u
-  WHERE {_duck_h60("'br' || a.u || '_' || b.u")} % 37 = 0),
+  FROM pk a JOIN pk b ON a.u // 8 = b.u // 8 AND a.u < b.u
+  WHERE {_duck_h60("'br' || a.u || '_' || b.u")} % 11 = 0),
 ce AS (
   SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
   FROM (SELECT u, v FROM chain UNION ALL SELECT u, v FROM extra)

@@ -84,6 +84,9 @@ def _bfs_parents(e: DataFrame, max_bfs_rounds: int) -> DataFrame:
     frontier = comp.filter(F.col("node") == F.col("component")).select(
         F.col("node").alias("u")
     ).localCheckpoint(eager=True)
+    # visited stays a UNION of already-checkpointed frontiers — its
+    # lineage is one union node per level over materialized leaves, so
+    # no per-round checkpoint (or count) is spent on it.
     visited = frontier
     parent_rounds = []
     for _ in range(max_bfs_rounds):
@@ -97,11 +100,11 @@ def _bfs_parents(e: DataFrame, max_bfs_rounds: int) -> DataFrame:
             .agg(F.min("p").alias("p"))
             .localCheckpoint(eager=True)
         )
-        if nxt.limit(1).count() == 0:
+        if nxt.count() == 0:  # nxt is materialized: count is a cache scan
             break
         parent_rounds.append(nxt)
-        frontier = nxt.select("u").localCheckpoint(eager=True)
-        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        frontier = nxt.select("u")
+        visited = visited.unionByName(frontier)
     else:
         raise RuntimeError("bridge_census: max_bfs_rounds exhausted")
     if not parent_rounds:
@@ -177,16 +180,20 @@ def two_edge_components(
     dst: str = "v",
     max_bfs_rounds: int = 64,
     max_closure_rounds: int = 20,
+    flags: DataFrame | None = None,
 ) -> DataFrame:
     """(node, comp2): the 2-edge-connected component label (minimum
     node id reachable without crossing a bridge) for every node of the
     canonical edge set. Endpoints of a bridge always land in different
-    labels; endpoints of any non-bridge edge share one."""
-    flags = bridge_census(
-        edges, src, dst,
-        max_bfs_rounds=max_bfs_rounds,
-        max_closure_rounds=max_closure_rounds,
-    ).localCheckpoint(eager=True)
+    labels; endpoints of any non-bridge edge share one. Pass a
+    precomputed `flags` frame (bridge_census output) to reuse it — the
+    materialized-inter-stage discipline."""
+    if flags is None:
+        flags = bridge_census(
+            edges, src, dst,
+            max_bfs_rounds=max_bfs_rounds,
+            max_closure_rounds=max_closure_rounds,
+        ).localCheckpoint(eager=True)
     nb = flags.filter(~F.col("is_bridge")).select("u", "v")
     comp = connected_components(nb, "u", "v").select(
         F.col("node"), F.col("component").alias("comp2")
