@@ -13131,6 +13131,63 @@ def _bridge_edges(spark, sf_dir):
     return chain.unionByName(extra)
 
 
+def _q_dyad_census(spark, sf_dir):
+    """Holland-Leinhardt dyad census (operators/graphstats.py) over a
+    derived DIRECTED block graph: forward arcs u->u+1 / u->u+3 inside
+    each 32-block plus hash-gated reverse arcs, so mutual, asymmetric,
+    and null dyads all occur."""
+    from osm_hadoop_spark.operators.graphstats import dyad_census
+    from osm_hadoop_spark.operators.textstats import h60
+
+    pk = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("u"))
+    ids = pk.select(F.col("u").alias("v"))
+
+    def fwd(step):
+        return (
+            pk.select("u", (F.col("u") + step).alias("v"))
+            .filter(F.expr(f"(u + {step}) div 32 = u div 32"))
+            .join(ids, "v", "semi")
+        )
+
+    f1 = fwd(1)
+    rev = (
+        f1.filter(h60(F.concat(F.lit("dy"), F.col("u").cast("string"))) % 3
+                  == 0)
+        .select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    arcs = f1.unionByName(fwd(3)).unionByName(rev)
+    return dyad_census(arcs)
+
+
+_ORACLE_DYAD = f"""
+WITH pk AS (SELECT p_partkey AS u FROM part),
+f1 AS (SELECT u, u + 1 AS v FROM pk
+       WHERE (u + 1) // 32 = u // 32 AND u + 1 IN (SELECT u FROM pk)),
+f3 AS (SELECT u, u + 3 AS v FROM pk
+       WHERE (u + 3) // 32 = u // 32 AND u + 3 IN (SELECT u FROM pk)),
+rev AS (SELECT v AS u, u AS v FROM f1
+        WHERE {_duck_h60("'dy' || u")} % 3 = 0),
+a AS (SELECT DISTINCT u AS s, v AS d FROM (
+        SELECT * FROM f1 UNION ALL SELECT * FROM f3
+        UNION ALL SELECT * FROM rev) WHERE u <> v),
+pairs AS (SELECT least(s, d) AS a, greatest(s, d) AS b,
+                 count(*) AS dirs
+          FROM a GROUP BY 1, 2),
+nodes AS (SELECT CAST(count(DISTINCT n) AS BIGINT) AS n_nodes
+          FROM (SELECT s AS n FROM a UNION ALL SELECT d FROM a)),
+cens AS (SELECT CAST(sum(dirs) AS BIGINT) AS n_arcs,
+                CAST(sum(CASE WHEN dirs = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS mutual,
+                CAST(sum(CASE WHEN dirs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS asym
+         FROM pairs)
+SELECT n_nodes, n_arcs, mutual, asym,
+       CAST(n_nodes * (n_nodes - 1) // 2 - mutual - asym AS BIGINT)
+         AS nulls
+FROM nodes, cens
+"""
+
+
 def _bridge_flags_build(spark, sf_dir):
     from osm_hadoop_spark.operators.bridges import bridge_census
 
@@ -13389,6 +13446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridge_census": _q_bridge_census,          # cut edges (Tarjan cover rule)
         "two_edge_components": _q_two_edge_components,  # bridge-free classes
         "matching_greedy": _q_greedy_matching,      # maximal matching (line-graph MIS)
+        "dyad_census": _q_dyad_census,              # directed reciprocity M-A-N
         "coloring_greedy_jp": _q_greedy_coloring,   # Jones-Plassmann greedy coloring
         "rolling_wau_7": _q_rolling_wau,            # DAU / trailing-7d WAU
         "colocation_pi_r40": _q_colocation,         # participation counts per class pair
@@ -13650,6 +13708,7 @@ def oracle_sql() -> dict[str, str]:
         "bridge_census": _ORACLE_BRIDGES,
         "two_edge_components": _ORACLE_TWO_ECC,
         "matching_greedy": _oracle_greedy_matching(),
+        "dyad_census": _ORACLE_DYAD,
         "coloring_greedy_jp": _oracle_greedy_coloring(),
         "rolling_wau_7": _ORACLE_ROLLING_WAU,
         "colocation_pi_r40": _ORACLE_COLOCATION,

@@ -163,3 +163,58 @@ def modularity_census(
         F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
         "deg_sum",
     )
+
+
+def dyad_census(
+    arcs: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Holland-Leinhardt dyad census of a DIRECTED graph: one row
+    (n_nodes, n_arcs, mutual, asym, nulls) — the reciprocity
+    ingredients (r = 2*mutual/n_arcs is presentation-time) and the
+    base of the M-A-N triad hierarchy.
+
+    mutual = unordered pairs with BOTH directions, asym = exactly one,
+    nulls = C(n, 2) - mutual - asym (derived against the observed node
+    set, the standard convention). Self-loops dropped, parallel arcs
+    collapsed.
+
+    Plan: one distinct over arcs, one (least, greatest) pair hash
+    aggregate counting directions (1 or 2), two ONE-ROW global
+    aggregates stitched with a bounded broadcast nested-loop join (the
+    ams_f2 idiom — both build sides are single rows by construction,
+    allowlisted in the registry plan audit). Everything upstream is
+    partial-aggregatable; nothing data-sized joins anything.
+    """
+    a = (
+        arcs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    pairs = (
+        a.groupBy(
+            F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("dirs"))
+    )
+    nodes = (
+        a.select(F.col("s").alias("n"))
+        .unionByName(a.select(F.col("d").alias("n")))
+        .agg(F.count_distinct("n").cast("long").alias("n_nodes"))
+    )
+    cens = pairs.agg(
+        F.sum("dirs").cast("long").alias("n_arcs"),
+        F.sum(F.when(F.col("dirs") == 2, 1).otherwise(0))
+        .cast("long").alias("mutual"),
+        F.sum(F.when(F.col("dirs") == 1, 1).otherwise(0))
+        .cast("long").alias("asym"),
+    )
+    return (
+        nodes.crossJoin(cens)
+        .select(
+            "n_nodes", "n_arcs", "mutual", "asym",
+            (
+                F.expr("n_nodes * (n_nodes - 1) DIV 2")  # exact int64
+                - F.col("mutual") - F.col("asym")
+            ).cast("long").alias("nulls"),
+        )
+    )

@@ -52,6 +52,9 @@ BNLJ_ALLOWED = {
     "basket_pair_lift",
     # AMS F2: both sides of the final join are one-row global aggregates
     "ams_f2_users",
+    # dyad census: same shape — the final join stitches two ONE-ROW
+    # global aggregates (node count x direction census)
+    "dyad_census",
     # STR packing: the build side is the one-row (n, P, S) slice-geometry
     # scalar crossed onto the ranked rects
     "str_pack_c32",
