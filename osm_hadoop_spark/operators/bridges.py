@@ -68,28 +68,59 @@ def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
-def _bfs_parents(e: DataFrame, max_bfs_rounds: int) -> DataFrame:
+def _bfs_parents(
+    e: DataFrame,
+    max_bfs_rounds: int,
+    catalog=None,
+    table: str = "bridges",
+    resume: bool = False,
+) -> DataFrame:
     """Deterministic BFS spanning forest of the canonical edge set:
     (u, p) parent pointers for every non-root node, rooted at each
-    component's minimum node id."""
-    comp = connected_components(e, "u", "v").select(
-        F.col("node"), F.col("component")
-    )
+    component's minimum node id.
+
+    With `catalog` (sources.catalog.SnapshotCatalog) every BFS level is
+    a durable snapshot `<table>_bfs_round_<k>` and the nested component
+    labeling snapshots under `<table>_cc`; `resume=True` restarts after
+    a failure from the last completed level — the north rule's
+    per-stage resumability (cc.py discipline) applied to this fixpoint.
+    The terminal empty level is written too, so a completed run's BFS
+    resumes as a pure replay with no recompute (the nested cc re-runs
+    only its one fixpoint-confirmation round, its own resume
+    contract)."""
+    comp = connected_components(
+        e, "u", "v", catalog=catalog, table=f"{table}_cc", resume=resume
+    ).select(F.col("node"), F.col("component"))
     adj = (
         e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         .localCheckpoint(eager=True)
     )
-    frontier = comp.filter(F.col("node") == F.col("component")).select(
+    roots = comp.filter(F.col("node") == F.col("component")).select(
         F.col("node").alias("u")
     ).localCheckpoint(eager=True)
     # visited stays a UNION of already-checkpointed frontiers — its
     # lineage is one union node per level over materialized leaves, so
     # no per-round checkpoint (or count) is spent on it.
-    visited = frontier
     parent_rounds = []
-    for _ in range(max_bfs_rounds):
+    done = False
+    start_round = 0
+    if catalog is not None and resume:
+        while catalog.exists(f"{table}_bfs_round_{start_round}"):
+            lvl = catalog.read(f"{table}_bfs_round_{start_round}")
+            if lvl.limit(1).count() == 0:
+                done = True
+                break
+            parent_rounds.append(lvl)
+            start_round += 1
+    frontier = parent_rounds[-1].select("u") if parent_rounds else roots
+    visited = roots
+    for pr in parent_rounds:
+        visited = visited.unionByName(pr.select("u"))
+    for r in range(start_round, max_bfs_rounds):
+        if done:
+            break
         nxt = (
             adj.join(frontier, "u")
             .select(F.col("v").alias("u"), F.col("u").alias("p"))
@@ -98,15 +129,20 @@ def _bfs_parents(e: DataFrame, max_bfs_rounds: int) -> DataFrame:
             # previous-level neighbor — deterministic tie-break
             .groupBy("u")
             .agg(F.min("p").alias("p"))
-            .localCheckpoint(eager=True)
         )
-        if nxt.count() == 0:  # nxt is materialized: count is a cache scan
+        if catalog is None:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            catalog.write(nxt, f"{table}_bfs_round_{r}")
+            nxt = catalog.read(f"{table}_bfs_round_{r}")
+        if nxt.count() == 0:  # materialized: count is a cache/snapshot scan
             break
         parent_rounds.append(nxt)
         frontier = nxt.select("u")
         visited = visited.unionByName(frontier)
     else:
-        raise RuntimeError("bridge_census: max_bfs_rounds exhausted")
+        if not done:
+            raise RuntimeError("bridge_census: max_bfs_rounds exhausted")
     if not parent_rounds:
         return e.filter(F.lit(False)).select(
             F.col("u"), F.col("v").alias("p")
@@ -123,11 +159,21 @@ def bridge_census(
     dst: str = "v",
     max_bfs_rounds: int = 64,
     max_closure_rounds: int = 20,
+    catalog=None,
+    table: str = "bridges",
+    resume: bool = False,
 ) -> DataFrame:
     """(u, v, is_bridge) over the canonical undirected edge set:
-    is_bridge true iff removing (u, v) disconnects u from v."""
+    is_bridge true iff removing (u, v) disconnects u from v.
+
+    With `catalog`/`resume`, the component labeling and every BFS level
+    are durable snapshots (see _bfs_parents); the ancestor-closure
+    doubling (ceil(log2 depth) rounds, cheap to replay) stays in-memory
+    by design."""
     e = _canon(edges, src, dst).localCheckpoint(eager=True)
-    parents = _bfs_parents(e, max_bfs_rounds).localCheckpoint(eager=True)
+    parents = _bfs_parents(
+        e, max_bfs_rounds, catalog=catalog, table=table, resume=resume
+    ).localCheckpoint(eager=True)
 
     tree = parents.select(
         F.least("u", "p").alias("u"), F.greatest("u", "p").alias("v")
