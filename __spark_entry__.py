@@ -10842,6 +10842,34 @@ SELECT cx, cy, CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
 FROM horn"""
 
 
+def _q_hillshade(spark, sf_dir):
+    """IEEE-exact Horn hillshade (operators/terrain.py::hillshade255)
+    over the shared DEM: float +,-,*,/,sqrt,floor only — all correctly
+    rounded, so the twin's identical expression hash-matches with no
+    tolerance."""
+    from osm_hadoop_spark.operators.terrain import hillshade255, horn_terrain
+
+    return hillshade255(horn_terrain(_los_dem(spark, sf_dir)))
+
+
+def _oracle_hillshade() -> str:
+    from osm_hadoop_spark.functions.exprdsl import sql_layers
+    from osm_hadoop_spark.operators.terrain import horn_bindings
+
+    horn = sql_layers("SELECT * FROM agg", horn_bindings())
+    return f"""
+WITH {_stencil_ctes()},
+horn AS (SELECT * FROM {horn}),
+pq AS (SELECT cx, cy, CAST(gx AS DOUBLE) / 240.0 AS p,
+              CAST(gy AS DOUBLE) / 240.0 AS q
+       FROM horn)
+SELECT cx, cy,
+       CAST(floor(greatest(0.0, least(255.0,
+         254.0 * sqrt(0.5) * (1.0 - p - q) / sqrt(1.0 + p * p + q * q)
+         + 1.0))) AS BIGINT) AS shade255
+FROM pq"""
+
+
 _WATERSHED_DOUBLINGS = 5
 
 
@@ -13544,6 +13572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_of_sight_dem": _q_line_of_sight,      # DEM intervisibility
         "d8_flow_dir": _q_d8_flow_dir,              # D8 steepest-descent drainage
         "horn_terrain": _q_horn_terrain,            # Horn slope/aspect/hillshade
+        "hillshade_ieee": _q_hillshade,             # bit-exact float hillshade
         "flow_accum_r6": _q_flow_accum,             # bounded-round flow accumulation
         "watershed_basins_d5": _q_watershed,        # pointer-doubling basin labels
     }
@@ -13804,6 +13833,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["line_of_sight_dem"] = _oracle_line_of_sight()
     oracles["d8_flow_dir"] = _oracle_d8_flow_dir()
     oracles["horn_terrain"] = _oracle_horn_terrain()
+    oracles["hillshade_ieee"] = _oracle_hillshade()
     oracles["flow_accum_r6"] = _oracle_flow_accum()
     oracles["watershed_basins_d5"] = _oracle_watershed()
     oracles["s2_cell_assign_l12"] = _oracle_s2_cells()

@@ -116,3 +116,40 @@ def horn_terrain(dem: DataFrame, default_elev: int = 0) -> DataFrame:
         F.col("aspect").cast("bigint").alias("aspect"),
         F.col("shade").cast("bigint").alias("shade"),
     )
+
+
+HILL_SCALE = 240.0  # 8 * cellsize (30 m), z-factor 1 — gdaldem's default geometry
+
+
+def hillshade255(horn: DataFrame, scale: float = HILL_SCALE) -> DataFrame:
+    """(cx, cy, shade255): the classic Horn hillshade under NW light
+    (azimuth 315°, altitude 45°) as gdaldem renders it — completing
+    the slope/aspect/hillshade trio over horn_terrain's output.
+
+    With altitude 45° the zenith terms collapse to sqrt(0.5), and with
+    the NW azimuth the directional dot product is (1 - p - q) for
+    p = gx/scale, q = gy/scale (y grows south — the D8 convention, so
+    +gx/+gy face away from the light, matching the integer `shade`
+    numerator's sign). The full formula
+
+        raw  = 254 * sqrt(0.5) * (1 - p - q) / sqrt(1 + p² + q²) + 1
+        shade255 = floor(clamp(raw, 0, 255))
+
+    uses ONLY IEEE-754 +, -, *, /, sqrt, floor — every one of which is
+    correctly rounded and therefore BIT-EXACT across Spark and DuckDB
+    (the bm25 rational-constant discipline extended to sqrt); the twin
+    writes the identical expression shape, so the driver hash-matches
+    a float kernel with no tolerance.
+
+    Plan: a pure codegen projection over horn_terrain (itself one
+    scatter + one hash aggregate) — no joins, no shuffle added.
+    """
+    p = F.col("gx").cast("double") / F.lit(float(scale))
+    q = F.col("gy").cast("double") / F.lit(float(scale))
+    den = F.sqrt(F.lit(1.0) + p * p + q * q)
+    raw = (
+        F.lit(254.0) * F.sqrt(F.lit(0.5)) * (F.lit(1.0) - p - q) / den
+        + F.lit(1.0)
+    )
+    s = F.floor(F.greatest(F.lit(0.0), F.least(F.lit(255.0), raw)))
+    return horn.select("cx", "cy", s.cast("bigint").alias("shade255"))
