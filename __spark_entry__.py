@@ -2784,9 +2784,8 @@ def _q_emst_blocks(spark, sf_dir):
     return boruvka_msf(edges)
 
 
-def _oracle_emst_blocks() -> str:
-    return f"""
-WITH RECURSIVE pts AS (
+def _emst_cand_ctes() -> str:
+    return f"""pts AS (
   SELECT CAST(p_partkey AS BIGINT) AS id,
          CAST({_duck_dbscan_coord('nx', 'cx', 'dx')} AS BIGINT) AS x,
          CAST({_duck_dbscan_coord('ny', 'cy', 'dy')} AS BIGINT) AS y
@@ -2795,7 +2794,12 @@ p2 AS (SELECT id, x, y, id // 12 AS gid FROM pts),
 cand AS (
   SELECT a.gid, a.id AS u, b.id AS v,
          (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS w
-  FROM p2 a JOIN p2 b ON a.gid = b.gid AND a.id < b.id),
+  FROM p2 a JOIN p2 b ON a.gid = b.gid AND a.id < b.id)"""
+
+
+def _oracle_emst_blocks() -> str:
+    return f"""
+WITH RECURSIVE {_emst_cand_ctes()},
 e AS (SELECT row_number() OVER (ORDER BY gid, u, v) AS eid, * FROM cand),
 reach(eid, node) AS (
   SELECT eid, u FROM e
@@ -2807,6 +2811,51 @@ reach(eid, node) AS (
   WHERE (c.w, c.u, c.v) < (pe.w, pe.u, pe.v))
 SELECT u, v, w FROM e
 WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.eid = e.eid AND r.node = e.v)
+"""
+
+
+_SL_CUT_T = 4_000_000  # squared-distance cut near the MSF weight median
+
+
+def _q_single_linkage(spark, sf_dir):
+    """Flat single-linkage clustering (operators/linkage.py::
+    single_linkage_cut) of the EMST fixture at the median-weight
+    threshold — the dendrogram cut over the Borůvka forest. The twin is
+    the OPPOSITE mechanism: components of the thresholded CANDIDATE
+    graph (never building a forest), so agreement proves the cut
+    property end-to-end."""
+    from osm_hadoop_spark.operators.linkage import single_linkage_cut
+
+    pts = _dbscan_points(spark, sf_dir).select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("x").cast("bigint").alias("x"),
+        F.col("y").cast("bigint").alias("y"),
+        F.expr("id DIV 12").alias("gid"),
+    )
+    a = pts.select("gid", F.col("id").alias("u"),
+                   F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = pts.select("gid", F.col("id").alias("v"),
+                   F.col("x").alias("xb"), F.col("y").alias("yb"))
+    edges = a.join(b, "gid").filter(F.col("u") < F.col("v")).select(
+        "u", "v",
+        (
+            (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+            + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+        ).alias("w"),
+    )
+    return single_linkage_cut(edges, pts.select("id"), _SL_CUT_T)
+
+
+def _oracle_single_linkage() -> str:
+    return f"""
+WITH RECURSIVE {_emst_cand_ctes()},
+keep AS (SELECT u, v FROM cand WHERE w <= {_SL_CUT_T}),
+kadj AS (SELECT u, v FROM keep UNION ALL SELECT v AS u, u AS v FROM keep),
+r(n0, n) AS (
+  SELECT id, id FROM p2
+  UNION
+  SELECT r.n0, a.v FROM r JOIN kadj a ON a.u = r.n)
+SELECT n0 AS id, CAST(min(n) AS BIGINT) AS cluster FROM r GROUP BY n0
 """
 
 
@@ -13440,6 +13489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,        # pairs -> components (large/small-star)
         "dbscan_hotspots": _q_dbscan_clusters,      # exact grid DBSCAN (density clustering)
         "emst_blocks_b12": _q_emst_blocks,          # distributed Boruvka spanning forest
+        "single_linkage_cut": _q_single_linkage,    # dendrogram flat cut at T
         "kde_hotspots": _q_kde_hotspots,            # separable integer-kernel density grid
         "distance_pairs_r40": _q_distance_pairs,    # distance-band join (grid equi-join)
         "join_counts_grid": _q_join_counts,         # spatial autocorrelation (join counts)
@@ -13702,6 +13752,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         "dbscan_hotspots": _ORACLE_DBSCAN,
         "emst_blocks_b12": _oracle_emst_blocks(),
+        "single_linkage_cut": _oracle_single_linkage(),
         "kde_hotspots": _ORACLE_KDE,
         "distance_pairs_r40": _ORACLE_DISTANCE_PAIRS,
         "join_counts_grid": _ORACLE_JOIN_COUNTS,

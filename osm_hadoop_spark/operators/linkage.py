@@ -155,3 +155,43 @@ def pair_confusion(
             c2(n) - F.col("pred_pairs") - F.col("truth_pairs") + F.col("tp")
         ).cast("bigint").alias("tn"),
     )
+
+
+def single_linkage_cut(
+    edges: DataFrame,
+    nodes: DataFrame,
+    threshold: int,
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+    node: str = "id",
+) -> DataFrame:
+    """Flat single-linkage clustering at a distance threshold: the
+    dendrogram cut that turns the dedup pipeline's pairwise distances
+    into cluster labels — (id, cluster), cluster = minimum member id,
+    isolated nodes singletons.
+
+    Single-linkage clusters at threshold T are EXACTLY the connected
+    components of the graph restricted to edges with w <= T, and the
+    minimum spanning forest preserves them (cut property: the lightest
+    edge leaving any sub-cluster is in the MSF), so the cut runs on the
+    FOREST — n-1 edges — not the full candidate set: build the MSF once
+    (operators/mst.py Borůvka), then every threshold is a filter + a
+    components pass over forest-sized data. Sweeping a threshold ladder
+    re-reads the same forest; the candidate edges are scanned once.
+
+    Plan: boruvka_msf (log-round), one filter, cc.py components on
+    <= n-1 edges, one left join for singletons. 100 TB posture is the
+    MSF's; everything after it is forest-sized.
+    """
+    from osm_hadoop_spark.operators.cc import connected_components
+    from osm_hadoop_spark.operators.mst import boruvka_msf
+
+    msf = boruvka_msf(edges, src=src, dst=dst, weight=weight)
+    kept = msf.filter(F.col("w") <= F.lit(threshold))
+    comp = connected_components(kept, "u", "v").select(
+        F.col("node").alias(node), F.col("component").alias("cluster")
+    )
+    return nodes.select(node).join(comp, node, "left").select(
+        node, F.coalesce("cluster", F.col(node)).alias("cluster")
+    )
