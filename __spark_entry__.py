@@ -2761,27 +2761,40 @@ def _q_emst_blocks(spark, sf_dir):
     recursive oracle tractable; the operator itself is unbounded. The
     twin does NOT replay Borůvka: it verifies the cycle property (edge in
     the unique MSF iff endpoints not connected by strictly lighter
-    edges) with a recursive lighter-reach CTE — algorithm-independent."""
-    from osm_hadoop_spark.operators.mst import boruvka_msf
+    edges) with a recursive lighter-reach CTE — algorithm-independent.
+    The forest frame is session-cached (_assembly_cached) and shared
+    with single_linkage_cut's dendrogram cut."""
+    return _assembly_cached(spark, sf_dir, "emst_msf", _emst_msf_build)
 
-    pts = _dbscan_points(spark, sf_dir).select(
+
+def _emst_points(spark, sf_dir):
+    return _dbscan_points(spark, sf_dir).select(
         F.col("id").cast("bigint").alias("id"),
         F.col("x").cast("bigint").alias("x"),
         F.col("y").cast("bigint").alias("y"),
         F.expr("id DIV 12").alias("gid"),
     )
+
+
+def _emst_cand_edges(spark, sf_dir):
+    pts = _emst_points(spark, sf_dir)
     a = pts.select("gid", F.col("id").alias("u"),
                    F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = pts.select("gid", F.col("id").alias("v"),
                    F.col("x").alias("xb"), F.col("y").alias("yb"))
-    edges = a.join(b, "gid").filter(F.col("u") < F.col("v")).select(
+    return a.join(b, "gid").filter(F.col("u") < F.col("v")).select(
         "u", "v",
         (
             (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
             + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
         ).alias("w"),
     )
-    return boruvka_msf(edges)
+
+
+def _emst_msf_build(spark, sf_dir):
+    from osm_hadoop_spark.operators.mst import boruvka_msf
+
+    return boruvka_msf(_emst_cand_edges(spark, sf_dir))
 
 
 def _emst_cand_ctes() -> str:
@@ -2823,27 +2836,18 @@ def _q_single_linkage(spark, sf_dir):
     threshold — the dendrogram cut over the Borůvka forest. The twin is
     the OPPOSITE mechanism: components of the thresholded CANDIDATE
     graph (never building a forest), so agreement proves the cut
-    property end-to-end."""
+    property end-to-end. Reuses the session-cached Borůvka forest the
+    emst_blocks_b12 query builds — the dendrogram-sweep posture (one
+    forest, many thresholds) made literal."""
     from osm_hadoop_spark.operators.linkage import single_linkage_cut
 
-    pts = _dbscan_points(spark, sf_dir).select(
-        F.col("id").cast("bigint").alias("id"),
-        F.col("x").cast("bigint").alias("x"),
-        F.col("y").cast("bigint").alias("y"),
-        F.expr("id DIV 12").alias("gid"),
+    msf = _assembly_cached(spark, sf_dir, "emst_msf", _emst_msf_build)
+    return single_linkage_cut(
+        _emst_cand_edges(spark, sf_dir),
+        _emst_points(spark, sf_dir).select("id"),
+        _SL_CUT_T,
+        msf=msf,
     )
-    a = pts.select("gid", F.col("id").alias("u"),
-                   F.col("x").alias("xa"), F.col("y").alias("ya"))
-    b = pts.select("gid", F.col("id").alias("v"),
-                   F.col("x").alias("xb"), F.col("y").alias("yb"))
-    edges = a.join(b, "gid").filter(F.col("u") < F.col("v")).select(
-        "u", "v",
-        (
-            (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
-            + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
-        ).alias("w"),
-    )
-    return single_linkage_cut(edges, pts.select("id"), _SL_CUT_T)
 
 
 def _oracle_single_linkage() -> str:

@@ -165,6 +165,7 @@ def single_linkage_cut(
     dst: str = "v",
     weight: str = "w",
     node: str = "id",
+    msf: DataFrame | None = None,
 ) -> DataFrame:
     """Flat single-linkage clustering at a distance threshold: the
     dendrogram cut that turns the dedup pipeline's pairwise distances
@@ -187,7 +188,8 @@ def single_linkage_cut(
     from osm_hadoop_spark.operators.cc import connected_components
     from osm_hadoop_spark.operators.mst import boruvka_msf
 
-    msf = boruvka_msf(edges, src=src, dst=dst, weight=weight)
+    if msf is None:  # pass a prebuilt forest to sweep thresholds over it
+        msf = boruvka_msf(edges, src=src, dst=dst, weight=weight)
     kept = msf.filter(F.col("w") <= F.lit(threshold))
     comp = connected_components(kept, "u", "v").select(
         F.col("node").alias(node), F.col("component").alias("cluster")
