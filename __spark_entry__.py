@@ -716,6 +716,68 @@ FROM latest WHERE rn = 1 AND visible
 """
 
 
+def _q_derive_diff(spark, sf_dir):
+    """Changeset DERIVATION (operators/diff.py::derive_diff), the
+    osmosis derive-change inverse of osm_apply_diff: old = all orders
+    at v1; new = every 6th dropped, every surviving 3rd modified to v2,
+    every 15th duplicated as a fresh id. The round-trip contract
+    apply_diff(old, result) == new is pinned in tests."""
+    from osm_hadoop_spark.operators.diff import derive_diff
+
+    k = F.col("o_orderkey")
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.select(
+        k.alias("entity_id"), F.lit(1).alias("version"),
+        F.col("o_orderpriority").alias("tag"),
+    )
+    new = (
+        orders.filter(k % 6 != 0)
+        .select(
+            k.alias("entity_id"),
+            F.when(k % 3 == 0, 2).otherwise(1).alias("version"),
+            F.when(
+                k % 3 == 0, F.concat(F.lit("v2:"), F.col("o_orderpriority"))
+            ).otherwise(F.col("o_orderpriority")).alias("tag"),
+        )
+        .unionByName(
+            orders.filter(k % 15 == 0).select(
+                (k + 100000000).alias("entity_id"),
+                F.lit(1).alias("version"), F.lit("new").alias("tag"),
+            )
+        )
+    )
+    out = derive_diff(old, new)
+    return out.select(
+        "entity_id", F.col("version").cast("bigint").alias("version"),
+        "visible", "tag",
+    )
+
+
+_ORACLE_DERIVE_DIFF = """
+WITH old AS (
+  SELECT o_orderkey AS id, 1 AS version, o_orderpriority AS tag
+  FROM orders),
+new AS (
+  SELECT o_orderkey AS id,
+         CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS version,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'v2:' || o_orderpriority
+              ELSE o_orderpriority END AS tag
+  FROM orders WHERE o_orderkey % 6 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, 1, 'new'
+  FROM orders WHERE o_orderkey % 15 = 0)
+SELECT coalesce(n.id, o.id) AS entity_id,
+       CAST(CASE WHEN n.id IS NULL THEN o.version + 1
+                 ELSE n.version END AS BIGINT) AS version,
+       n.id IS NOT NULL AS visible,
+       CASE WHEN n.id IS NULL THEN o.tag ELSE n.tag END AS tag
+FROM old o FULL OUTER JOIN new n ON n.id = o.id
+WHERE o.id IS NULL OR n.id IS NULL
+   OR NOT (o.version IS NOT DISTINCT FROM n.version
+           AND o.tag IS NOT DISTINCT FROM n.tag)
+"""
+
+
 def _q_tile_point_jvm(spark, sf_dir):
     """J5 through the shared JVM cell math (functions/tiles_sql — the exact
     columns the STREAMING tile counts use): same oracle as tile_point_z14,
@@ -13364,6 +13426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_point_z14": _q_tile_point,            # J5/E10
         "tile_point_jvm_z14": _q_tile_point_jvm,   # J5, streaming-shared JVM cells
         "osm_apply_diff": _q_apply_diff,            # changeset application (osmosis rules)
+        "osm_derive_diff": _q_derive_diff,          # changeset derivation (inverse)
         "span_kind_rle": _q_span_kind_rle,          # interleaving RLE, zero-shuffle codegen
         "span_transition_matrix": _q_span_transitions,  # modality bigram matrix
         "span_media_density": _q_span_media_density,    # per-doc media share (int pair)
@@ -13645,6 +13708,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_point_z14": _ORACLE_TILE_POINT,
         "tile_point_jvm_z14": _ORACLE_TILE_POINT,
         "osm_apply_diff": _ORACLE_APPLY_DIFF,
+        "osm_derive_diff": _ORACLE_DERIVE_DIFF,
         "span_kind_rle": _ORACLE_SPAN_RLE,
         "span_transition_matrix": _ORACLE_SPAN_TRANSITIONS,
         "span_media_density": _ORACLE_SPAN_MEDIA_DENSITY,

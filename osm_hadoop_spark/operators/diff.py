@@ -54,3 +54,65 @@ def apply_diff(
         .drop("_rn", "_src")
     )
     return latest.filter(F.col(visible_col))
+
+
+def derive_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "entity_id",
+    version_col: str = "version",
+    payload_cols: list | None = None,
+) -> DataFrame:
+    """Two snapshots -> the MINIMAL changeset: the osmosis derive-change
+    inverse of apply_diff, pinned by the round-trip contract
+
+        apply_diff(old + visible=true, derive_diff(old, new)) == new
+
+    (asserted in tests).  Rules, per entity id:
+      - create: id only in new        -> new row, visible = true
+      - modify: id in both, any of (version, payload...) differs
+                                      -> new row, visible = true
+      - delete: id only in old        -> old payload, version + 1,
+                                         visible = false
+      - unchanged rows are NOT emitted (the diff is minimal).
+
+    Requires new.version >= old.version per shared id (snapshots move
+    forward); with that, apply_diff's highest-version/delta-wins rules
+    reproduce `new` exactly even when a modify keeps its version.
+    Comparison is null-safe on every payload column.
+
+    Plan: one full-outer hash join on the entity id (the only shuffle)
+    + a codegen CASE — the symmetric twin of apply_diff's one-window
+    merge.  100 TB posture: both sides shuffle once on the id; skewless
+    by construction (ids are unique per side).
+    """
+    if payload_cols is None:
+        payload_cols = [
+            c for c in new.columns if c not in (id_col, version_col)
+        ]
+    o = old.select(
+        F.col(id_col).alias("_oid"), F.col(version_col).alias("_over"),
+        *[F.col(c).alias(f"_o_{c}") for c in payload_cols],
+    )
+    n = new.select(
+        F.col(id_col).alias("_nid"), F.col(version_col).alias("_nver"),
+        *[F.col(c).alias(f"_n_{c}") for c in payload_cols],
+    )
+    j = o.join(n, o["_oid"] == n["_nid"], "full_outer")
+    same = F.col("_over").eqNullSafe(F.col("_nver"))
+    for c in payload_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    is_create = F.col("_oid").isNull()
+    is_delete = F.col("_nid").isNull()
+    keep = is_create | is_delete | ~same
+    return j.filter(keep).select(
+        F.coalesce("_nid", "_oid").alias(id_col),
+        F.when(is_delete, F.col("_over") + 1)
+        .otherwise(F.col("_nver")).alias(version_col),
+        (~is_delete).alias("visible"),
+        *[
+            F.when(is_delete, F.col(f"_o_{c}"))
+            .otherwise(F.col(f"_n_{c}")).alias(c)
+            for c in payload_cols
+        ],
+    )
