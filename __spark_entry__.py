@@ -7626,6 +7626,63 @@ pr{r} AS (SELECT n.node,
     return cte + f"\nSELECT node, pr FROM pr{_PR_ROUNDS}"
 
 
+def _q_ppr(spark, sf_dir):
+    """Personalized PageRank (operators/routing.py::pagerank_int with
+    seeds): teleport mass lands only on the h60-gated seed set (~5% of
+    nodes), same fixed-point integer iteration as pagerank_r3 — the
+    seeded relevance score next to the global one."""
+    from osm_hadoop_spark.operators.routing import pagerank_int
+    from osm_hadoop_spark.operators.textstats import h60
+
+    edges, pk = _sssp_edges(spark, sf_dir)
+    seeds = pk.filter(
+        h60(F.concat(F.lit("sd"), F.col("u").cast("string"))) % 20 == 0
+    ).select(F.col("u").alias("node"))
+    return pagerank_int(
+        edges.select("u", "v"),
+        rounds=_PR_ROUNDS,
+        scale=_PR_SCALE,
+        damp_num=_PR_DN,
+        damp_den=_PR_DD,
+        seeds=seeds,
+    )
+
+
+def _oracle_ppr() -> str:
+    base = (_PR_SCALE * (_PR_DD - _PR_DN)) // _PR_DD
+    seed = _duck_h60("'sd' || node") + " % 20 = 0"
+    cte = f"""
+WITH pk AS (SELECT p_partkey AS u FROM part),
+hyper AS (
+  SELECT u, xor(u, 1 << k) AS v
+  FROM pk, (SELECT unnest(generate_series(0, 11)) AS k)
+  WHERE {_duck_h60("'rg' || u || '_' || k")} % 4 <> 0),
+edges AS (
+  SELECT u, v FROM (
+    SELECT u, v FROM hyper
+    UNION ALL
+    SELECT u, u + 1 AS v FROM pk) e
+  WHERE v IN (SELECT u FROM pk)),
+sym AS (
+  SELECT u AS eu, v AS ev FROM edges WHERE u <> v
+  UNION
+  SELECT v AS eu, u AS ev FROM edges WHERE u <> v),
+deg AS (SELECT eu, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY eu),
+n AS (SELECT eu AS node, {seed.replace("node", "eu")} AS is_seed FROM deg),
+pr0 AS (SELECT node, CAST(CASE WHEN is_seed THEN {_PR_SCALE} ELSE 0 END
+                          AS BIGINT) AS pr FROM n)"""
+    for r in range(1, _PR_ROUNDS + 1):
+        cte += f""",
+c{r} AS (SELECT s.ev AS node, CAST(sum(p.pr // d.d) AS BIGINT) AS c
+       FROM sym s JOIN pr{r - 1} p ON p.node = s.eu
+       JOIN deg d ON d.eu = s.eu GROUP BY s.ev),
+pr{r} AS (SELECT n.node,
+        CAST(CASE WHEN n.is_seed THEN {base} ELSE 0 END
+             + ({_PR_DN} * coalesce(c.c, 0)) // {_PR_DD} AS BIGINT) AS pr
+        FROM n LEFT JOIN c{r} c ON c.node = n.node)"""
+    return cte + f"\nSELECT node, pr FROM pr{_PR_ROUNDS}"
+
+
 # h-bounded stress centrality between hub sets over the SAME road graph
 # (operators/centrality.py): exact integer shortest-path census — the
 # integer member of the betweenness family. H truncates the PAIR
@@ -13619,6 +13676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pred_cn": _q_linkpred,                # common-neighbor candidates
         "label_prop_r3": _q_labelprop,              # deterministic LPA communities
         "modularity_by_lpa": _q_modularity,         # partition quality census
+        "ppr_seeded_r3": _q_ppr,                    # personalized PageRank
         "snap_points_r50": _q_snap_points,          # nearest-segment map matching
         "viterbi_match_t5": _q_viterbi,             # HMM map matching DP table
         "triangle_blocks": _q_triangles,            # degree-ordered triangle join
@@ -13876,6 +13934,7 @@ def oracle_sql() -> dict[str, str]:
         "link_pred_cn": _oracle_linkpred(),
         "label_prop_r3": _oracle_labelprop(),
         "modularity_by_lpa": _oracle_modularity(),
+        "ppr_seeded_r3": _oracle_ppr(),
         "snap_points_r50": _ORACLE_SNAP,
         "viterbi_match_t5": _oracle_viterbi(),
         "triangle_blocks": _ORACLE_TRIANGLES,

@@ -256,6 +256,7 @@ def pagerank_int(
     damp_den: int = 100,
     src: str = "u",
     dst: str = "v",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Bounded-round PageRank in FIXED-POINT INTEGER arithmetic — the
     canonical whole-graph iterative workload (power iteration), made
@@ -281,6 +282,15 @@ def pagerank_int(
     (power iteration truncated at `rounds`), NOT data-dependent, so the
     plan is statically bounded.
 
+    With `seeds` (a one-column DataFrame of node ids) this becomes
+    PERSONALIZED PageRank: the teleport mass — both the initial rank
+    `scale` and the per-round (1-d) base — lands ONLY on seed nodes
+    (the unnormalized per-seed formulation: each seed receives the same
+    base a global-PR node would, so ranks are comparable to the global
+    run and stay exact integers with no |S| division). Non-seed ranks
+    are then pure d-damped proximity mass — the standard seeded
+    relevance score (recommendations, related-entity lookup).
+
     Returns DataFrame(node, pr) — bigint fixed-point ranks.
     """
     sym = (
@@ -299,7 +309,23 @@ def pagerank_int(
 
     nodes = deg.select(F.col("eu").alias("node"))
     base = (scale * (damp_den - damp_num)) // damp_den
-    pr = nodes.select("node", F.lit(scale).cast("bigint").alias("pr"))
+    if seeds is not None:
+        seed_flag = seeds.select(
+            F.col(seeds.columns[0]).alias("node"),
+            F.lit(True).alias("_is_seed"),
+        ).distinct()
+        nodes = nodes.join(seed_flag, "node", "left").select(
+            "node", F.coalesce("_is_seed", F.lit(False)).alias("_is_seed")
+        )
+        base_col = F.when(F.col("_is_seed"), F.lit(base)).otherwise(F.lit(0))
+        pr = nodes.select(
+            "node",
+            F.when(F.col("_is_seed"), F.lit(scale))
+            .otherwise(F.lit(0)).cast("bigint").alias("pr"),
+        )
+    else:
+        base_col = F.lit(base)
+        pr = nodes.select("node", F.lit(scale).cast("bigint").alias("pr"))
     for _ in range(rounds):
         contrib = (
             out_share.join(pr, out_share["eu"] == pr["node"])
@@ -315,7 +341,7 @@ def pagerank_int(
             .select(
                 "node",
                 (
-                    F.lit(base).cast("bigint")
+                    base_col.cast("bigint")
                     + F.expr(
                         f"({damp_num} * coalesce(c, cast(0 as bigint)))"
                         f" div {damp_den}"
