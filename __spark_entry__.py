@@ -7809,6 +7809,51 @@ def _q_graph_sssp(spark, sf_dir):
     return sssp(edges, sources, max_hops=_SSSP_HOPS)
 
 
+def _q_widest_path(spark, sf_dir):
+    """Bounded-hop widest path (operators/routing.py::widest_path):
+    Bellman-Ford over the (max, min) semiring — maximum bottleneck
+    capacity from the hub set over the same road graph and 'sw'
+    capacities the sssp query uses; the capacity-routing twin of
+    graph_sssp_h4."""
+    from osm_hadoop_spark.operators.routing import widest_path
+
+    edges, pk = _sssp_edges(spark, sf_dir)
+    sources = pk.filter(F.col("u") % 127 == 1).select(F.col("u").alias("node"))
+    return widest_path(edges, sources, max_hops=_SSSP_HOPS)
+
+
+_ORACLE_WIDEST_PATH = f"""
+WITH RECURSIVE
+pk AS (SELECT p_partkey AS u FROM part),
+hyper AS (
+  SELECT u, xor(u, 1 << k) AS v
+  FROM pk, (SELECT unnest(generate_series(0, 11)) AS k)
+  WHERE {_duck_h60("'rg' || u || '_' || k")} % 4 <> 0),
+edges AS (
+  SELECT u, v FROM (
+    SELECT u, v FROM hyper
+    UNION ALL
+    SELECT u, u + 1 AS v FROM pk) e
+  WHERE v IN (SELECT u FROM pk)),
+sym AS (
+  SELECT u, v FROM edges WHERE u <> v
+  UNION
+  SELECT v AS u, u AS v FROM edges WHERE u <> v),
+wsym AS (
+  SELECT u, v,
+         1 + {_duck_h60("'sw' || least(u, v) || '_' || greatest(u, v)")} % 9 AS w
+  FROM sym),
+reach(node, width, hops) AS (
+  SELECT u, CAST({1 << 62} AS BIGINT), 0 FROM pk WHERE u % 127 = 1
+  UNION
+  SELECT s.v, least(r.width, CAST(s.w AS BIGINT)), r.hops + 1
+  FROM reach r JOIN wsym s ON r.node = s.u
+  WHERE r.hops < {_SSSP_HOPS}),
+best AS (SELECT node, max(width) AS width FROM reach GROUP BY node)
+SELECT node, CAST(width AS BIGINT) AS width FROM best
+"""
+
+
 _CD_G, _CD_ROUNDS = 24, 6
 
 
@@ -13669,6 +13714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_touch": _q_attribution,        # first/last-touch credit
         "geodesic_pairs_50km": _q_geodesic_pairs,   # great-circle distance band
         "graph_sssp_h4": _q_graph_sssp,             # bounded-hop weighted SSSP
+        "widest_path_h4": _q_widest_path,           # bottleneck-capacity routing
         "temporal_ea_r4": _q_temporal_ea,           # time-respecting reachability
         "pagerank_r3": _q_pagerank,                 # fixed-point integer PageRank
         "random_walks_l4": _q_random_walks,         # DeepWalk corpus generation
@@ -13927,6 +13973,7 @@ def oracle_sql() -> dict[str, str]:
         "activity_islands": _ORACLE_ISLANDS,
         "graph_bfs_h5": _ORACLE_GRAPH_BFS,
         "graph_sssp_h4": _ORACLE_GRAPH_SSSP,
+        "widest_path_h4": _ORACLE_WIDEST_PATH,
         "temporal_ea_r4": _oracle_temporal_ea(),
         "pagerank_r3": _oracle_pagerank(),
         "random_walks_l4": _oracle_random_walks(),

@@ -436,3 +436,70 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def widest_path(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+    node: str = "node",
+    source_cap: int = 1 << 62,
+) -> DataFrame:
+    """Multi-source WIDEST path (maximum bottleneck capacity), bounded
+    at `max_hops` edges — Bellman-Ford over the (max, min) semiring:
+    the capacity-routing twin of sssp's (min, +). After round r, each
+    node holds the maximum over all <= r-edge paths from any source of
+    the path's MINIMUM edge capacity. Sources hold `source_cap` (the
+    width of the empty path; keep it above every real capacity).
+
+    Unlike sssp, NO source attribution is emitted: the width VALUE has
+    bounded-hop optimal substructure (the path realizing width_{u,h-1}
+    extended by (u,v) realizes width_{v,h}), but "minimum source among
+    max-width paths" does NOT — a narrower prefix from a smaller source
+    is discarded at u yet could tie at v — so a per-round argmin would
+    be round-order-dependent, not a path-enumeration quantity. The
+    honest output is (node, width), which the capped recursive oracle
+    reproduces exactly.
+
+    edges: (src, dst, weight) integer capacities >= 0, symmetrized,
+    self-loops dropped. Returns (node, width) over REACHED nodes only.
+
+    Plan/posture: identical to sssp — one equi-join + one partial-agg
+    max per round, localCheckpoint lineage truncation, rounds a fixed
+    hyperparameter.
+    """
+    sym = (
+        edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev"),
+                     F.col(weight).alias("ew"))
+        .filter(F.col("eu") != F.col("ev"))
+        .unionByName(
+            edges.select(F.col(dst).alias("eu"), F.col(src).alias("ev"),
+                         F.col(weight).alias("ew"))
+            .filter(F.col(src) != F.col(dst))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    best = sources.select(
+        F.col(node).alias("node"),
+        F.lit(source_cap).cast("long").alias("width"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_hops):
+        cand = (
+            best.join(sym, best["node"] == sym["eu"])
+            .select(
+                F.col("ev").alias("node"),
+                F.least(F.col("width"), F.col("ew").cast("long"))
+                .alias("width"),
+            )
+        )
+        best = (
+            best.unionByName(cand)
+            .groupBy("node")
+            .agg(F.max("width").alias("width"))
+            .localCheckpoint(eager=True)
+        )
+    return best
