@@ -13433,6 +13433,57 @@ FROM nodes, cens
 """
 
 
+def _q_bipartite(spark, sf_dir):
+    """Per-component bipartiteness census (operators/graphstats.py::
+    bipartite_census) over the bridge-fixture block graph: chains alone
+    are bipartite, chords close odd cycles in about half the blocks —
+    BFS parity from each component's minimum node, odd edges counted."""
+    from osm_hadoop_spark.operators.graphstats import bipartite_census
+
+    return bipartite_census(_bridge_edges(spark, sf_dir))
+
+
+_ORACLE_BIPARTITE = f"""
+WITH RECURSIVE
+pk AS (SELECT p_partkey AS u FROM part),
+chain AS (
+  SELECT u, u + 1 AS v FROM pk
+  WHERE (u + 1) // 8 = u // 8 AND u + 1 IN (SELECT u FROM pk)),
+extra AS (
+  SELECT a.u AS u, b.u AS v
+  FROM pk a JOIN pk b ON a.u // 8 = b.u // 8 AND a.u < b.u
+  WHERE {_duck_h60("'br' || a.u || '_' || b.u")} % 11 = 0),
+ce AS (
+  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+  FROM (SELECT u, v FROM chain UNION ALL SELECT u, v FROM extra)
+  WHERE u <> v),
+badj AS (SELECT u, v FROM ce UNION ALL SELECT v AS u, u AS v FROM ce),
+allr(n0, n, hops) AS (
+  SELECT u, u, 0 FROM (SELECT u FROM ce UNION SELECT v FROM ce)
+  UNION
+  SELECT r.n0, a.v, r.hops + 1
+  FROM allr r JOIN badj a ON a.u = r.n
+  WHERE r.hops < 16),
+mind AS (SELECT n0, n, min(hops) AS d FROM allr GROUP BY n0, n),
+comp AS (SELECT n0 AS node, min(n) AS component FROM mind GROUP BY n0),
+lv AS (
+  SELECT m.n AS node, m.n0 AS component, m.d % 2 AS par
+  FROM mind m
+  WHERE m.n0 IN (SELECT DISTINCT component FROM comp)),
+odd AS (
+  SELECT lu.component,
+         CAST(sum(CASE WHEN lu.par = lw.par THEN 1 ELSE 0 END) AS BIGINT)
+           AS odd_edges
+  FROM ce JOIN lv lu ON lu.node = ce.u JOIN lv lw ON lw.node = ce.v
+  GROUP BY lu.component),
+nn AS (SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM lv GROUP BY component)
+SELECT nn.component, nn.n_nodes,
+       CAST(coalesce(odd.odd_edges, 0) AS BIGINT) AS odd_edges
+FROM nn LEFT JOIN odd ON odd.component = nn.component
+"""
+
+
 def _bridge_flags_build(spark, sf_dir):
     from osm_hadoop_spark.operators.bridges import bridge_census
 
@@ -13694,6 +13745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_edge_components": _q_two_edge_components,  # bridge-free classes
         "matching_greedy": _q_greedy_matching,      # maximal matching (line-graph MIS)
         "dyad_census": _q_dyad_census,              # directed reciprocity M-A-N
+        "bipartite_census": _q_bipartite,           # 2-colorability / odd cycles
         "coloring_greedy_jp": _q_greedy_coloring,   # Jones-Plassmann greedy coloring
         "rolling_wau_7": _q_rolling_wau,            # DAU / trailing-7d WAU
         "colocation_pi_r40": _q_colocation,         # participation counts per class pair
@@ -13961,6 +14013,7 @@ def oracle_sql() -> dict[str, str]:
         "two_edge_components": _ORACLE_TWO_ECC,
         "matching_greedy": _oracle_greedy_matching(),
         "dyad_census": _ORACLE_DYAD,
+        "bipartite_census": _ORACLE_BIPARTITE,
         "coloring_greedy_jp": _oracle_greedy_coloring(),
         "rolling_wau_7": _ORACLE_ROLLING_WAU,
         "colocation_pi_r40": _ORACLE_COLOCATION,

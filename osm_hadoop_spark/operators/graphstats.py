@@ -218,3 +218,61 @@ def dyad_census(
             ).cast("long").alias("nulls"),
         )
     )
+
+
+def bipartite_census(
+    edges: DataFrame, src: str = "u", dst: str = "v", max_hops: int = 64
+) -> DataFrame:
+    """Per-component bipartiteness verdict: (component, n_nodes,
+    odd_edges) — the graph-QA primitive behind 2-colorability,
+    conflict-free scheduling, and signed-network balance. A component
+    is bipartite iff odd_edges = 0.
+
+    Mechanism: BFS levels from each component's minimum node (bfs_hops
+    reused; its src_id IS the component label, so no separate cc pass),
+    then one edge-vs-level equi-join pair: an edge whose endpoints sit
+    at EQUAL level parity closes an odd cycle (standard BFS parity
+    argument — tree edges always cross parities, and any same-parity
+    edge completes an odd closed walk, which contains an odd cycle).
+    The census counts them per component; the parity classes themselves
+    are the 2-coloring when the count is 0.
+
+    Plan: the bfs_hops frontier rounds (eccentricity-bound, the
+    bridges.py contract) + two equi-joins + one hash aggregate.
+    """
+    from osm_hadoop_spark.operators.cc import connected_components
+    from osm_hadoop_spark.operators.routing import bfs_hops
+
+    e = (
+        edges.select(F.least(src, dst).alias("u"),
+                     F.greatest(src, dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    comp = connected_components(e, "u", "v")
+    roots = comp.filter(F.col("node") == F.col("component")).select(
+        F.col("node")
+    )
+    lv = bfs_hops(e, roots, max_hops=max_hops).select(
+        "node", (F.col("dist") % 2).alias("par"),
+        F.col("src_id").alias("component"),
+    )
+    flagged = (
+        e.join(lv.select(F.col("node").alias("u"), F.col("par").alias("pu"),
+                         "component"), "u")
+        .join(lv.select(F.col("node").alias("v"), F.col("par").alias("pv")),
+              "v")
+        .groupBy("component")
+        .agg(
+            F.sum(F.when(F.col("pu") == F.col("pv"), 1).otherwise(0))
+            .cast("long").alias("odd_edges")
+        )
+    )
+    nodes = lv.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    return nodes.join(flagged, "component", "left").select(
+        "component", "n_nodes",
+        F.coalesce("odd_edges", F.lit(0)).cast("long").alias("odd_edges"),
+    )
