@@ -13433,6 +13433,119 @@ FROM nodes, cens
 """
 
 
+def _q_triad_census(spark, sf_dir):
+    """Full 16-type directed triad census (operators/graphstats.py::
+    triad_census, Batagelj-Mrvar subtraction) over the same directed
+    block graph as dyad_census — the MAN ladder completed."""
+    from osm_hadoop_spark.operators.graphstats import triad_census
+
+    pk = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("u"))
+    ids = pk.select(F.col("u").alias("v"))
+
+    def fwd(step):
+        return (
+            pk.select("u", (F.col("u") + step).alias("v"))
+            .filter(F.expr(f"(u + {step}) div 32 = u div 32"))
+            .join(ids, "v", "semi")
+        )
+
+    from osm_hadoop_spark.operators.textstats import h60
+
+    f1 = fwd(1)
+    rev = (
+        f1.filter(h60(F.concat(F.lit("dy"), F.col("u").cast("string"))) % 3
+                  == 0)
+        .select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    # SPARSE u+2 arcs close one third of the (u, u+1, u+2) triangles so
+    # the 030/120/210 tiers populate while open stars (021D/U) survive;
+    # rev arcs supply the mutual dyads inside them
+    f2 = fwd(2).filter(
+        h60(F.concat(F.lit("t2"), F.col("u").cast("string"))) % 3 == 0
+    )
+    return triad_census(
+        f1.unionByName(f2).unionByName(fwd(3)).unionByName(rev)
+    )
+
+
+def _oracle_triad_census() -> str:
+    from osm_hadoop_spark.operators.graphstats import _triad_map64
+
+    case = "CASE code6 " + " ".join(
+        f"WHEN {c} THEN '{nm}'" for c, nm in sorted(_triad_map64().items())
+    ) + " END"
+    all_names = ", ".join(
+        f"('{nm}')" for nm in sorted(set(_triad_map64().values()))
+    )
+    return f"""
+WITH pk AS (SELECT p_partkey AS u FROM part),
+f1 AS (SELECT u, u + 1 AS v FROM pk
+       WHERE (u + 1) // 32 = u // 32 AND u + 1 IN (SELECT u FROM pk)),
+f2 AS (SELECT u, u + 2 AS v FROM pk
+       WHERE (u + 2) // 32 = u // 32 AND u + 2 IN (SELECT u FROM pk)
+         AND {_duck_h60("'t2' || u")} % 3 = 0),
+f3 AS (SELECT u, u + 3 AS v FROM pk
+       WHERE (u + 3) // 32 = u // 32 AND u + 3 IN (SELECT u FROM pk)),
+rev AS (SELECT v AS u, u AS v FROM f1
+        WHERE {_duck_h60("'dy' || u")} % 3 = 0),
+a AS (SELECT DISTINCT u AS s, v AS d FROM (
+        SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        UNION ALL SELECT * FROM f3
+        UNION ALL SELECT * FROM rev) WHERE u <> v),
+dy AS (SELECT least(s, d) AS lo, greatest(s, d) AS hi,
+              max(CASE WHEN s < d THEN 1 ELSE 0 END)
+              + 2 * max(CASE WHEN s > d THEN 1 ELSE 0 END) AS code
+       FROM a GROUP BY 1, 2),
+inc AS (SELECT lo AS c, hi AS o FROM dy
+        UNION ALL SELECT hi AS c, lo AS o FROM dy),
+tri AS (
+  SELECT DISTINCT least(l.c, l.o, r.o) AS i,
+         l.c + l.o + r.o - least(l.c, l.o, r.o)
+           - greatest(l.c, l.o, r.o) AS j,
+         greatest(l.c, l.o, r.o) AS k
+  FROM inc l JOIN inc r ON r.c = l.c AND l.o < r.o),
+coded AS (
+  SELECT coalesce(dij.code, 0) AS dij, coalesce(dik.code, 0) AS dik,
+         coalesce(djk.code, 0) AS djk
+  FROM tri
+  LEFT JOIN dy dij ON dij.lo = tri.i AND dij.hi = tri.j
+  LEFT JOIN dy dik ON dik.lo = tri.i AND dik.hi = tri.k
+  LEFT JOIN dy djk ON djk.lo = tri.j AND djk.hi = tri.k),
+lab AS (
+  SELECT {case.replace("code6", "(dij + 4 * dik + 16 * djk)")} AS triad,
+         CAST(dij IN (1, 2) AS INT) + CAST(dik IN (1, 2) AS INT)
+           + CAST(djk IN (1, 2) AS INT) AS n_asym,
+         CAST(dij = 3 AS INT) + CAST(dik = 3 AS INT)
+           + CAST(djk = 3 AS INT) AS n_mut
+  FROM coded),
+enum AS (SELECT triad, CAST(count(*) AS BIGINT) AS n_triads
+         FROM lab GROUP BY triad),
+sums AS (SELECT CAST(count(*) AS BIGINT) AS t_enum,
+                CAST(coalesce(sum(n_asym), 0) AS BIGINT) AS a_in,
+                CAST(coalesce(sum(n_mut), 0) AS BIGINT) AS m_in
+         FROM lab),
+dyg AS (SELECT CAST(sum(CASE WHEN code <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS a_dy,
+               CAST(sum(CASE WHEN code = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS m_dy
+        FROM dy),
+nn AS (SELECT CAST(count(DISTINCT n) AS BIGINT) AS n
+       FROM (SELECT s AS n FROM a UNION ALL SELECT d FROM a)),
+sc AS (SELECT a_dy * (n - 2) - a_in AS c012,
+              m_dy * (n - 2) - m_in AS c102,
+              n * (n - 1) // 2 * (n - 2) // 3 - t_enum
+                - (a_dy * (n - 2) - a_in) - (m_dy * (n - 2) - m_in) AS c003
+       FROM nn, dyg, sums),
+frame(triad) AS (VALUES {all_names})
+SELECT f.triad,
+       CAST(CASE WHEN f.triad = '003' THEN sc.c003
+                 WHEN f.triad = '012' THEN sc.c012
+                 WHEN f.triad = '102' THEN sc.c102
+                 ELSE coalesce(e.n_triads, 0) END AS BIGINT) AS n_triads
+FROM frame f LEFT JOIN enum e ON e.triad = f.triad, sc
+"""
+
+
 def _q_bipartite(spark, sf_dir):
     """Per-component bipartiteness census (operators/graphstats.py::
     bipartite_census) over the bridge-fixture block graph: chains alone
@@ -13746,6 +13859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching_greedy": _q_greedy_matching,      # maximal matching (line-graph MIS)
         "dyad_census": _q_dyad_census,              # directed reciprocity M-A-N
         "bipartite_census": _q_bipartite,           # 2-colorability / odd cycles
+        "triad_census_man": _q_triad_census,        # 16-type directed triads
         "coloring_greedy_jp": _q_greedy_coloring,   # Jones-Plassmann greedy coloring
         "rolling_wau_7": _q_rolling_wau,            # DAU / trailing-7d WAU
         "colocation_pi_r40": _q_colocation,         # participation counts per class pair
@@ -14014,6 +14128,7 @@ def oracle_sql() -> dict[str, str]:
         "matching_greedy": _oracle_greedy_matching(),
         "dyad_census": _ORACLE_DYAD,
         "bipartite_census": _ORACLE_BIPARTITE,
+        "triad_census_man": _oracle_triad_census(),
         "coloring_greedy_jp": _oracle_greedy_coloring(),
         "rolling_wau_7": _ORACLE_ROLLING_WAU,
         "colocation_pi_r40": _ORACLE_COLOCATION,
