@@ -2925,6 +2925,62 @@ SELECT n0 AS id, CAST(min(n) AS BIGINT) AS cluster FROM r GROUP BY n0
 """
 
 
+_SL_LADDER_TS = (1_000_000, 4_000_000, 16_000_000, 64_000_000)
+
+
+def _q_linkage_ladder(spark, sf_dir):
+    """Dendrogram profile: cluster census at a 4-threshold ladder over
+    the SAME session-cached Borůvka forest (the sweep posture
+    single_linkage_cut documents, made literal — the candidate edges
+    are never rescanned). Per threshold: cluster count, singleton
+    count, and largest cluster size — the merge curve a dedup pipeline
+    reads to pick its operating point."""
+    from osm_hadoop_spark.operators.linkage import single_linkage_cut
+
+    msf = _assembly_cached(spark, sf_dir, "emst_msf", _emst_msf_build)
+    nodes = _emst_points(spark, sf_dir).select("id")
+    out = None
+    for t in _SL_LADDER_TS:
+        labels = single_linkage_cut(
+            _emst_cand_edges(spark, sf_dir), nodes, t, msf=msf
+        )
+        sizes = labels.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        row = sizes.agg(
+            F.lit(t).cast("bigint").alias("t"),
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum(F.when(F.col("sz") == 1, 1).otherwise(0))
+            .cast("long").alias("n_singletons"),
+            F.max("sz").cast("long").alias("max_cluster"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _oracle_linkage_ladder() -> str:
+    parts = []
+    for t in _SL_LADDER_TS:
+        parts.append(f"""
+SELECT * FROM (
+WITH RECURSIVE {_emst_cand_ctes()},
+keep AS (SELECT u, v FROM cand WHERE w <= {t}),
+kadj AS (SELECT u, v FROM keep UNION ALL SELECT v AS u, u AS v FROM keep),
+r(n0, n) AS (
+  SELECT id, id FROM p2
+  UNION
+  SELECT r.n0, a.v FROM r JOIN kadj a ON a.u = r.n),
+lab AS (SELECT n0 AS id, min(n) AS cluster FROM r GROUP BY n0),
+sz AS (SELECT cluster, count(*) AS sz FROM lab GROUP BY cluster)
+SELECT CAST({t} AS BIGINT) AS t,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singletons,
+       CAST(max(sz) AS BIGINT) AS max_cluster
+FROM sz)""")
+    return " UNION ALL ".join(parts)
+
+
 def _q_dbscan_clusters(spark, sf_dir):
     from osm_hadoop_spark.operators.clustering import dbscan
 
@@ -13823,6 +13879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_hotspots": _q_dbscan_clusters,      # exact grid DBSCAN (density clustering)
         "emst_blocks_b12": _q_emst_blocks,          # distributed Boruvka spanning forest
         "single_linkage_cut": _q_single_linkage,    # dendrogram flat cut at T
+        "single_linkage_ladder": _q_linkage_ladder,  # merge curve over 4 cuts
         "kde_hotspots": _q_kde_hotspots,            # separable integer-kernel density grid
         "distance_pairs_r40": _q_distance_pairs,    # distance-band join (grid equi-join)
         "join_counts_grid": _q_join_counts,         # spatial autocorrelation (join counts)
@@ -14091,6 +14148,7 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_hotspots": _ORACLE_DBSCAN,
         "emst_blocks_b12": _oracle_emst_blocks(),
         "single_linkage_cut": _oracle_single_linkage(),
+        "single_linkage_ladder": _oracle_linkage_ladder(),
         "kde_hotspots": _ORACLE_KDE,
         "distance_pairs_r40": _ORACLE_DISTANCE_PAIRS,
         "join_counts_grid": _ORACLE_JOIN_COUNTS,
