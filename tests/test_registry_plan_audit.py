@@ -55,6 +55,11 @@ BNLJ_ALLOWED = {
     # dyad census: same shape — the final join stitches two ONE-ROW
     # global aggregates (node count x direction census)
     "dyad_census",
+    # triad census: the closed-form 003/012/102 rows cross ONE-ROW
+    # scalar aggregates (n, dyad counts, enumeration sums) onto the
+    # 16-name literal frame — every build side is a single row or the
+    # 16-row frame by construction
+    "triad_census_man",
     # STR packing: the build side is the one-row (n, P, S) slice-geometry
     # scalar crossed onto the ranked rects
     "str_pack_c32",
