@@ -171,7 +171,9 @@ def entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
     from osm_hadoop_spark.operators.tile_join import assign_tiles, tile_counts
 
-    assigned = assign_tiles(_local_ways_geom(spark, sf_dir), zoom=14, tms=False)
+    assigned = assign_tiles(
+        _local_ways_geom(spark, sf_dir), zoom=14, tms=False, cover_impl="jvm"
+    )
     return tile_counts(assigned)
 
 
@@ -185,6 +187,19 @@ def _q_way_assembly(spark, sf_dir):
 
     wg = _ways_geom(spark, sf_dir)
     return with_wkt(wg).select(
+        "way_id", F.col("n_pts").cast("bigint").alias("n_pts"), "geometry_wkt"
+    )
+
+
+def _q_way_assembly_arrow(spark, sf_dir):
+    """Same assembly through the pandas-UDF WKT formatter (impl='arrow').
+    with_wkt now defaults to the whole-stage-codegen formatter
+    (functions/geometry_sql.py); this twin pins both physical strategies
+    to the same oracle string-for-string."""
+    from osm_hadoop_spark.operators.way_assembly import with_wkt
+
+    wg = _ways_geom(spark, sf_dir)
+    return with_wkt(wg, impl="arrow").select(
         "way_id", F.col("n_pts").cast("bigint").alias("n_pts"), "geometry_wkt"
     )
 
@@ -1439,6 +1454,23 @@ def _q_tile_cover_jvm(spark, sf_dir):
     )
     return assigned.groupBy("way_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tiles")
+    )
+
+
+def _q_tile_refine_jvm(spark, sf_dir):
+    """Same filter-AND-refine join as tile_refine_z10 through the
+    whole-stage-codegen path (cover_impl='jvm' now covers the exact
+    refine too: tile bounds + separating-axis segment test as `exists()`
+    over the coordinate arrays — zero Python workers). Same oracle — the
+    two queries pin both physical strategies to identical values."""
+    from osm_hadoop_spark.operators.tile_join import assign_tiles, tile_counts
+
+    assigned = assign_tiles(
+        _local_ways_geom(spark, sf_dir), zoom=10, tms=False, refine=True,
+        cover_impl="jvm",
+    )
+    return tile_counts(assigned).select(
+        "tile_id", F.col("n_ways").cast("bigint").alias("n_ways")
     )
 
 
@@ -13737,7 +13769,8 @@ SELECT n0 AS node, CAST(min(n) AS BIGINT) AS comp2 FROM r2 GROUP BY n0
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY section 2)
-        "way_assembly_wkt": _q_way_assembly,        # J1+J2+E1/E3, F5
+        "way_assembly_wkt": _q_way_assembly,        # J1+J2+E1/E3, F5 (codegen WKT)
+        "way_assembly_wkt_arrow": _q_way_assembly_arrow,  # same, pandas-UDF WKT
         "relation_assembly_wkt": _q_relation_assembly,  # J1'/J2' second level
         "multipolygon_assembly": _q_multipolygon_assembly,  # ring chain/orient/holes
         "pip_multipolygon_holes": _q_pip_multipolygon,  # E8 with hole exclusion
@@ -13804,6 +13837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_cover_count_z5": _q_tile_cover,       # E9 (J3 filter stage)
         "tile_cover_jvm_z5": _q_tile_cover_jvm,     # E9, whole-stage-codegen path
         "tile_refine_z10": _q_tile_refine,          # J3 exact refine
+        "tile_refine_jvm_z10": _q_tile_refine_jvm,  # J3 refine, zero-Python codegen
         "planet_e2e": _q_planet_e2e,                # full pipeline composition
         "buffered_cover_z13": _q_buffered_cover,    # E6+E9 buffered filter stage
         "rasterize_bresenham": _q_rasterize_bresenham,  # E4+E5+F8 raster map side
@@ -14025,6 +14059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     oracles = {
         "way_assembly_wkt": _ORACLE_WAY_ASSEMBLY,
+        "way_assembly_wkt_arrow": _ORACLE_WAY_ASSEMBLY,
         "relation_assembly_wkt": _ORACLE_RELATION_ASSEMBLY,
         "multipolygon_assembly": _ORACLE_MULTIPOLYGON_ASSEMBLY,
         "pip_multipolygon_holes": _ORACLE_PIP_MULTIPOLYGON,
@@ -14076,6 +14111,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_cover_count_z5": _ORACLE_TILE_COVER,
         "tile_cover_jvm_z5": _ORACLE_TILE_COVER,
         "tile_refine_z10": _ORACLE_TILE_REFINE,
+        "tile_refine_jvm_z10": _ORACLE_TILE_REFINE,
         "planet_e2e": _ORACLE_PLANET_E2E,
         "buffered_cover_z13": _ORACLE_BUFFERED_COVER,
         "rasterize_bresenham": _ORACLE_RASTERIZE,

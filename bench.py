@@ -125,7 +125,11 @@ def flagship_pipeline(spark, docs_path: str):
 
     docs = spark.read.parquet(docs_path)
     ways_geom = build_ways_geom(docs, tag_keys=["highway"])
-    assigned = assign_tiles(ways_geom, zoom=14, tms=False)
+    # cover_impl="jvm": filter AND exact refine in whole-stage codegen —
+    # the flagship now runs with ZERO Python worker processes (span parse
+    # is from_json, assembly is native groupBy, refine is exists() over
+    # the coordinate arrays). Arrow-path parity pinned by test_tile_join.
+    assigned = assign_tiles(ways_geom, zoom=14, tms=False, cover_impl="jvm")
     counts = tile_counts(assigned)
     return counts.agg(
         F.count(F.lit(1)).alias("n_tiles"), F.sum("n_ways").alias("n_pairs")

@@ -78,10 +78,21 @@ def _multilinestring_wkt_udf(xs, ys):
 
 
 def with_multilinestring_wkt(
-    rels_geom: DataFrame, col_name: str = "geometry_wkt"
+    rels_geom: DataFrame, col_name: str = "geometry_wkt", impl: str = "jvm"
 ) -> DataFrame:
     """Attach JTS-layout MULTILINESTRING WKT. Edge/output concern only —
-    internal kernels keep the nested columnar representation."""
+    internal kernels keep the nested columnar representation. impl='jvm'
+    (default) renders in whole-stage codegen, byte-identical to the Python
+    formatter (see way_assembly.with_wkt); impl='arrow' keeps the
+    pandas-UDF reference path."""
+    if impl == "jvm":
+        from osm_hadoop_spark.functions.geometry_sql import sql_multilinestring_wkt
+
+        return rels_geom.withColumn(
+            col_name, sql_multilinestring_wkt(F.col("xs"), F.col("ys"))
+        )
+    if impl != "arrow":
+        raise ValueError(f"unknown impl {impl!r} (use 'jvm' or 'arrow')")
     return rels_geom.withColumn(col_name, _multilinestring_wkt_udf("xs", "ys"))
 
 

@@ -38,9 +38,19 @@ from osm_hadoop_spark.config import TILE_SIZE
 # JVM tile math shared with the streaming path — one home, one proof
 from osm_hadoop_spark.functions.tiles_sql import (
     sql_pack_tile,
+    sql_polyline_box_hit,
+    sql_tile_bounds_xyz,
     sql_xtile,
     sql_ytile,
 )
+
+
+def _sql_polyline_box_hit(zoom: int):
+    """Refine predicate for the jvm cover rows (columns xs, ys, xt, yt —
+    yt in xyz orientation): tile bounds + separating-axis segment test,
+    all Catalyst expressions."""
+    bxmin, bymin, bxmax, bymax = sql_tile_bounds_xyz(zoom, F.col("xt"), F.col("yt"))
+    return sql_polyline_box_hit(F.col("xs"), F.col("ys"), bxmin, bymin, bxmax, bymax)
 
 
 def _flat_coords(pdf: pd.DataFrame):
@@ -68,14 +78,16 @@ def assign_tiles(
     WayRasterizer.scala:165-168): one corrupt world-spanning geometry would
     otherwise materialize millions of candidate pairs inside a single task.
 
-    `cover_impl="jvm"` (refine=False only) runs the whole cover in
-    whole-stage codegen — envelope via array_min/max, tile rows via
-    explode(sequence(x0, x1)) x explode(sequence(y0, y1)), packed id as bit
-    arithmetic — no Arrow transfer and no coordinate shipping at all. At
-    the filter stage the kernel does nothing Python buys: the cover is
-    closed-form range arithmetic, so staying JVM-side removes the whole
-    Python round-trip for billions of envelopes. Pair set is identical to
-    the arrow path (pinned by test_tile_join)."""
+    `cover_impl="jvm"` runs the whole cover — and, for `buffer_deg=0`,
+    the exact refine too — in whole-stage codegen: envelope via
+    array_min/max, tile rows via explode(sequence(x0, x1)) x
+    explode(sequence(y0, y1)), tile bounds + separating-axis segment test
+    via `exists()` over the coordinate arrays, packed id as bit
+    arithmetic. No Arrow transfer, no Python workers anywhere: candidate
+    explode and refine fuse into ONE codegen stage, and only surviving
+    (id, tile) pairs reach the shuffle. The buffered (distance) refine
+    stays on the Arrow kernel. Pair set is identical to the arrow path
+    (pinned by test_tile_join)."""
     zoom = int(zoom)
     tms_f = bool(tms)
     buf = float(buffer_deg)
@@ -87,10 +99,15 @@ def assign_tiles(
     if cover_impl not in ("arrow", "jvm"):
         raise ValueError(f"unknown cover_impl {cover_impl!r} (use 'arrow' or 'jvm')")
     if cover_impl == "jvm":
-        if do_refine:
-            raise ValueError("cover_impl='jvm' supports the filter stage only (refine=False)")
+        if do_refine and buf > 0:
+            raise ValueError(
+                "cover_impl='jvm' supports refine only for buffer_deg=0 "
+                "(the buffered distance refine stays on the Arrow kernel)"
+            )
+        carry = ["xs", "ys"] if do_refine else []
         env = src.select(
             "_id",
+            *carry,
             sql_xtile(F.array_min("xs") - buf, zoom).alias("tx0"),
             sql_xtile(F.array_max("xs") + buf, zoom).alias("tx1"),
             # xyz y grows southward: north edge (lat_max) has the smaller y
@@ -103,8 +120,19 @@ def assign_tiles(
                 <= F.lit(int(max_cells))
             )
         pairs = env.select(
-            "_id", F.explode(F.sequence("tx0", "tx1")).alias("xt"), "ty0", "ty1"
-        ).select("_id", "xt", F.explode(F.sequence("ty0", "ty1")).alias("yt"))
+            "_id", *carry, F.explode(F.sequence("tx0", "tx1")).alias("xt"), "ty0", "ty1"
+        ).select("_id", *carry, "xt", F.explode(F.sequence("ty0", "ty1")).alias("yt"))
+        if do_refine:
+            # Exact segment-vs-tile-box refine in whole-stage codegen: the
+            # same separating-axis kernel as functions/spatial.py
+            # segment_box_intersects, identical arithmetic order, lifted into
+            # `exists()` over the coordinate arrays. Tile bounds reproduce
+            # functions/tiles.py tile_bounds op-for-op (sinh-form inverse
+            # mercator; Math.sinh vs np.sinh agree on the pinned fixtures).
+            # The candidate explode and the refine run in ONE codegen stage
+            # — no Arrow transfer, no Python workers, nothing shuffled but
+            # surviving (id, tile) pairs.
+            pairs = pairs.filter(_sql_polyline_box_hit(zoom))
         yt = ((1 << zoom) - 1) - F.col("yt") if tms_f else F.col("yt")
         return pairs.select(
             F.col("_id").alias(id_col),

@@ -105,10 +105,26 @@ def with_wkb(ways_geom: DataFrame, col_name: str = "geometry_wkb") -> DataFrame:
     return ways_geom.withColumn(col_name, _linestring_wkb_udf("xs", "ys"))
 
 
-def with_wkt(ways_geom: DataFrame, col_name: str = "geometry_wkt") -> DataFrame:
+def with_wkt(
+    ways_geom: DataFrame, col_name: str = "geometry_wkt", impl: str = "jvm"
+) -> DataFrame:
     """Attach the reference-parity WKT serialization (WayBuilder.scala:97-101,
     JTS WKTWriter format). Edge/output concern only — internal kernels use
-    the columnar xs/ys representation."""
+    the columnar xs/ys representation.
+
+    Default impl='jvm' renders inside whole-stage codegen
+    (functions/geometry_sql.py) — byte-identical to the Python formatter on
+    every IEEE-754 band (property-pinned in test_way_assembly.py), with no
+    Python workers: at planet scale WKT emission for billions of ways is
+    pure codegen. impl='arrow' keeps the pandas-UDF reference path."""
+    if impl == "jvm":
+        from osm_hadoop_spark.functions.geometry_sql import sql_linestring_wkt
+
+        return ways_geom.withColumn(
+            col_name, sql_linestring_wkt(F.col("xs"), F.col("ys"))
+        )
+    if impl != "arrow":
+        raise ValueError(f"unknown impl {impl!r} (use 'jvm' or 'arrow')")
     return ways_geom.withColumn(col_name, _linestring_wkt_udf("xs", "ys"))
 
 

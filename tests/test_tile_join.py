@@ -322,6 +322,48 @@ def test_jvm_cover_equals_arrow(spark, ways_arrays):
         assert ra == rb and len(ra) > 0, (z, buf, tms)
 
 
+def test_jvm_refine_equals_arrow(spark, ways_arrays):
+    """cover_impl='jvm' with refine=True (the zero-Python flagship path)
+    must emit the identical surviving pair set as the Arrow separating-axis
+    kernel at every zoom/orientation in use, and must be strictly smaller
+    than its own unrefined cover (the refine actually rejects)."""
+    for z, tms in [(16, True), (14, False), (10, False)]:
+        a = assign_tiles(ways_arrays, zoom=z, tms=tms, refine=True)
+        b = assign_tiles(ways_arrays, zoom=z, tms=tms, refine=True, cover_impl="jvm")
+        ra = sorted((r["way_id"], r["tile_id"]) for r in a.collect())
+        rb = sorted((r["way_id"], r["tile_id"]) for r in b.collect())
+        assert ra == rb and len(ra) > 0, (z, tms)
+    cover = assign_tiles(ways_arrays, zoom=14, tms=False, refine=False,
+                         cover_impl="jvm").count()
+    refined = assign_tiles(ways_arrays, zoom=14, tms=False, refine=True,
+                           cover_impl="jvm").count()
+    assert refined < cover
+
+
+def test_jvm_refine_rejects_buffered(spark, ways_arrays):
+    with pytest.raises(ValueError, match="buffer_deg=0"):
+        assign_tiles(ways_arrays, zoom=13, buffer_deg=0.01, refine=True,
+                     cover_impl="jvm")
+
+
+def test_jvm_refine_single_vertex_point_in_box(spark):
+    """Single-vertex 'lines' degrade to point-in-box on both impls."""
+    df = spark.createDataFrame(
+        [(1, [10.0], [20.0]), (2, [-179.9], [-84.0])],
+        "way_id long, xs array<double>, ys array<double>",
+    )
+    for impl in ("arrow", "jvm"):
+        got = sorted(
+            (r["way_id"], r["tile_id"])
+            for r in assign_tiles(df, zoom=9, tms=False, refine=True,
+                                  cover_impl=impl).collect()
+        )
+        assert len(got) == 2, impl
+        if impl == "arrow":
+            base = got
+    assert got == base
+
+
 def test_jvm_ytile_scan_matches_numpy(spark):
     """ulp-parity methodology (module docstring of __spark_entry__): every
     latitude the driver derivations can produce must get the same y-tile

@@ -143,3 +143,40 @@ def test_with_wkb_spark(db_snapshot_docs):
     for r in rows:
         xs, ys, counts = wkb_to_linestrings([r["geometry_wkb"]])
         assert xs.tolist() == list(r["xs"]) and ys.tolist() == list(r["ys"])
+
+
+def test_sql_fmt_ord_matches_python_every_band(spark):
+    """The codegen WKT formatter (functions/geometry_sql.py) must be
+    byte-identical to geometry._fmt_ord on every IEEE-754 formatting band:
+    integral, plain-decimal (1e-3..1e7), Java-E/Python-plain (1e-4..1e-3),
+    both-E (<1e-4, incl. subnormals), and large non-integral (>=1e7)."""
+    import numpy as np
+
+    from osm_hadoop_spark.functions.geometry import _fmt_ord
+    from osm_hadoop_spark.functions.geometry_sql import sql_fmt_ord
+
+    rng = np.random.default_rng(11)
+    vals = list(rng.uniform(-180, 180, 3000))
+    vals += list(rng.uniform(-1e-3, 1e-3, 1500))
+    vals += list(rng.uniform(-1e-7, 1e-7, 500))
+    vals += list(10.0 ** rng.uniform(-320, 15, 1500) * rng.choice([-1, 1], 1500))
+    vals += [float(k) + m / 64.0 for k in range(-180, 180, 7) for m in range(16)]
+    vals += [0.0, -0.0, 1e-3, 1e-4, 5e-5, 0.0005, 123.0, -180.0,
+             85.05112877980659, 1e15 - 0.5, 12345678.5]
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    rows = df.select("v", sql_fmt_ord(F.col("v")).alias("s")).collect()
+    bad = [(r["v"], _fmt_ord(float(r["v"])), r["s"])
+           for r in rows if _fmt_ord(float(r["v"])) != r["s"]]
+    assert not bad, bad[:10]
+
+
+def test_with_wkt_jvm_equals_arrow(db_snapshot_docs):
+    """impl='jvm' (default) and impl='arrow' must emit identical WKT
+    strings for the assembled ways."""
+    from osm_hadoop_spark.operators.way_assembly import with_wkt
+
+    ways_geom = build_ways_geom(db_snapshot_docs, tag_keys=["highway"]).cache()
+    j = {r["way_id"]: r["geometry_wkt"] for r in with_wkt(ways_geom).collect()}
+    a = {r["way_id"]: r["geometry_wkt"]
+         for r in with_wkt(ways_geom, impl="arrow").collect()}
+    assert len(j) > 0 and j == a
