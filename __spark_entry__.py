@@ -683,7 +683,8 @@ def _q_apply_diff(spark, sf_dir):
     """Changeset application (osmosis snapshot rules): base snapshot = all
     orders at version 1; delta = every 3rd order bumped to version 2, with
     every 6th a delete (visible=false) and every 15th order an id beyond
-    the base (creates). Latest visible version per entity survives."""
+    the base (creates; NEGATED key — a namespaced fresh-id range that can
+    never collide with real orderkeys at any SF, unlike a fixed offset). Latest visible version per entity survives."""
     from osm_hadoop_spark.operators.diff import apply_diff
 
     k = F.col("o_orderkey")
@@ -695,7 +696,7 @@ def _q_apply_diff(spark, sf_dir):
     )
     delta_src = _t(spark, sf_dir, "orders").filter(k % 3 == 0)
     delta = delta_src.select(
-        F.when(k % 15 == 0, k + 100000000).otherwise(k).alias("entity_id"),
+        F.when(k % 15 == 0, -k).otherwise(k).alias("entity_id"),
         F.lit(2).alias("version"),
         (k % 6 != 0).alias("visible"),
         F.concat(F.lit("v2:"), F.col("o_orderpriority")).alias("tag"),
@@ -714,7 +715,7 @@ WITH base AS (
          o_orderpriority AS tag, 0 AS src FROM orders
 ),
 delta AS (
-  SELECT CASE WHEN o_orderkey % 15 = 0 THEN o_orderkey + 100000000
+  SELECT CASE WHEN o_orderkey % 15 = 0 THEN -o_orderkey
               ELSE o_orderkey END AS entity_id,
          2 AS version, o_orderkey % 6 <> 0 AS visible,
          'v2:' || o_orderpriority AS tag, 1 AS src
@@ -735,7 +736,8 @@ def _q_derive_diff(spark, sf_dir):
     """Changeset DERIVATION (operators/diff.py::derive_diff), the
     osmosis derive-change inverse of osm_apply_diff: old = all orders
     at v1; new = every 6th dropped, every surviving 3rd modified to v2,
-    every 15th duplicated as a fresh id. The round-trip contract
+    every 15th duplicated as a fresh id (negated-key namespace,
+    collision-free at every SF). The round-trip contract
     apply_diff(old, result) == new is pinned in tests."""
     from osm_hadoop_spark.operators.diff import derive_diff
 
@@ -756,7 +758,7 @@ def _q_derive_diff(spark, sf_dir):
         )
         .unionByName(
             orders.filter(k % 15 == 0).select(
-                (k + 100000000).alias("entity_id"),
+                (-k).alias("entity_id"),
                 F.lit(1).alias("version"), F.lit("new").alias("tag"),
             )
         )
@@ -779,7 +781,7 @@ new AS (
               ELSE o_orderpriority END AS tag
   FROM orders WHERE o_orderkey % 6 <> 0
   UNION ALL
-  SELECT o_orderkey + 100000000, 1, 'new'
+  SELECT -o_orderkey, 1, 'new'
   FROM orders WHERE o_orderkey % 15 = 0)
 SELECT coalesce(n.id, o.id) AS entity_id,
        CAST(CASE WHEN n.id IS NULL THEN o.version + 1

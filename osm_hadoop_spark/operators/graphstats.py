@@ -237,8 +237,11 @@ def bipartite_census(
     The census counts them per component; the parity classes themselves
     are the 2-coloring when the count is 0.
 
-    Plan: the bfs_hops frontier rounds (eccentricity-bound, the
-    bridges.py contract) + two equi-joins + one hash aggregate.
+    Plan: the bfs_hops frontier rounds (eccentricity-bound, and FAIL-FAST
+    on exhaustion — raise_on_exhaustion=True, the bridges.py contract: a
+    component whose eccentricity from its min-id node exceeds max_hops
+    raises instead of silently dropping unreached endpoints from the
+    census) + two equi-joins + one hash aggregate.
     """
     from osm_hadoop_spark.operators.cc import connected_components
     from osm_hadoop_spark.operators.routing import bfs_hops
@@ -254,7 +257,7 @@ def bipartite_census(
     roots = comp.filter(F.col("node") == F.col("component")).select(
         F.col("node")
     )
-    lv = bfs_hops(e, roots, max_hops=max_hops).select(
+    lv = bfs_hops(e, roots, max_hops=max_hops, raise_on_exhaustion=True).select(
         "node", (F.col("dist") % 2).alias("par"),
         F.col("src_id").alias("component"),
     )

@@ -87,7 +87,11 @@ def greedy_matching(
             .localCheckpoint(eager=True)
         )
     else:
-        raise RuntimeError("greedy_matching: max_rounds exhausted")
+        # the fixpoint can land exactly on the final round (the last
+        # deactivation empties `active` after its top-of-loop check ran) —
+        # only raise if edges genuinely remain active
+        if active.limit(1).count() != 0:
+            raise RuntimeError("greedy_matching: max_rounds exhausted")
     if not round_wins:
         return e.filter(F.lit(False)).select("u", "v")
     out = round_wins[0]

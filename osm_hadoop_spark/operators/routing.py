@@ -48,6 +48,7 @@ def bfs_hops(
     src: str = "u",
     dst: str = "v",
     node: str = "node",
+    raise_on_exhaustion: bool = False,
 ) -> DataFrame:
     """Multi-source BFS over an undirected graph.
 
@@ -57,6 +58,13 @@ def bfs_hops(
     Returns DataFrame(node, dist, src_id): every node reachable within
     `max_hops` hops, its hop distance to the nearest source, and the
     minimum source id among nearest sources.
+
+    raise_on_exhaustion=True makes truncation loud (the bridges.py
+    fail-fast contract): if the frontier is still non-empty after
+    `max_hops` rounds — i.e. reachable nodes exist beyond the horizon and
+    the returned levels would be PARTIAL — raise RuntimeError instead of
+    silently returning the truncated set. Callers whose correctness
+    depends on full reachability (e.g. bipartite_census) must set it.
     """
     sym = (
         edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev"))
@@ -90,6 +98,21 @@ def bfs_hops(
             break
         visited = visited.unionByName(new).localCheckpoint(eager=True)
         frontier = new
+    else:
+        if raise_on_exhaustion:
+            # loop ran out of rounds with a live frontier — one more
+            # expansion tells us whether anything reachable was missed
+            leftover = (
+                frontier.join(sym, frontier["node"] == sym["eu"])
+                .select(F.col("ev").alias("node"))
+                .join(visited.select("node"), "node", "left_anti")
+            )
+            if not leftover.isEmpty():
+                raise RuntimeError(
+                    f"bfs_hops: frontier still non-empty after max_hops="
+                    f"{max_hops} rounds; results would be truncated "
+                    f"(raise max_hops)"
+                )
     return visited
 
 

@@ -76,3 +76,20 @@ def test_random_vs_brute(spark):
     assert len(got) == 4
     # with random chords, expect a mix (not a hard invariant; seed-pinned)
     assert verdicts == {True, False} or len(verdicts) == 1
+
+
+def test_census_raises_on_bfs_truncation(spark):
+    """A component whose eccentricity from its min-id node exceeds
+    max_hops must raise (ADVICE r3), not silently undercount / report
+    bipartite on a truncated census."""
+    import pytest
+
+    from osm_hadoop_spark.operators.graphstats import bipartite_census
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(10)],
+                               "u: long, v: long")
+    with pytest.raises(RuntimeError, match="truncated"):
+        bipartite_census(df, max_hops=3).collect()
+    # and with enough hops the same graph is fine (path = bipartite)
+    rows = bipartite_census(df, max_hops=16).collect()
+    assert rows[0]["n_nodes"] == 11 and rows[0]["odd_edges"] == 0
