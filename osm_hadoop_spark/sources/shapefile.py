@@ -10,7 +10,8 @@ writing).
 The reference enumerates the full geometry-type lattice
 (shp/GeomType.scala:11-32) even though its live driver exports only
 LineStrings; this sink supports the three concrete types a consumer of the
-reference could request — Point, PolyLine, Polygon.
+reference could request — Point, PolyLine, Polygon, MultiPoint (the full
+concrete-member set of GeomType.scala:11-32).
 
 Layout per the ESRI Shapefile Technical Description (July 1998): .shp main
 file (big-endian headers, little-endian records), .shx index, dBase III
@@ -27,6 +28,7 @@ from pyspark.sql import DataFrame
 SHP_POINT = 1
 SHP_POLYLINE = 3
 SHP_POLYGON = 5
+SHP_MULTIPOINT = 8
 _WGS84_PRJ = (
     'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
     'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
@@ -102,9 +104,20 @@ def multipolygon_record(
     return body
 
 
+def _multipoint_record(xs: Sequence[float], ys: Sequence[float]) -> bytes:
+    # MultiPoint (spec 28.4.2): type, box, numPoints, points — no parts.
+    box = (min(xs), min(ys), max(xs), max(ys))
+    body = struct.pack("<i4di", SHP_MULTIPOINT, *box, len(xs))
+    for x, y in zip(xs, ys):
+        body += struct.pack("<2d", x, y)
+    return body
+
+
 def _record(xs, ys, shp_type: int) -> bytes:
     if shp_type == SHP_POINT:
         return _point_record(xs, ys)
+    if shp_type == SHP_MULTIPOINT:
+        return _multipoint_record(xs, ys)
     if shp_type in (SHP_POLYLINE, SHP_POLYGON):
         return _poly_record(xs, ys, shp_type)
     raise ValueError(f"unsupported shapefile geometry type {shp_type}")

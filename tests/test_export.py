@@ -227,3 +227,40 @@ def test_export_tile_envelopes_for_image(tmp_path):
     for _, typ, _, pts in recs:
         assert typ == 5
         assert len(pts) == 10 and pts[:2] == pts[-2:]
+
+
+def test_write_multipoint_shapefile_parse_back(tmp_path):
+    """MultiPoint (type 8, spec 28.4.2: type, box, numPoints, points —
+    no parts array): the last GeomType.scala:11-32 enum member."""
+    from osm_hadoop_spark.sources.shapefile import SHP_MULTIPOINT
+
+    base = str(tmp_path / "mpts")
+    n = write_shapefile(base, [
+        ([10.0, 11.0, 10.5], [45.0, 45.2, 44.9], "cluster_a"),
+        ([-1.5], [51.25], "cluster_b"),
+    ], shp_type=SHP_MULTIPOINT)
+    assert n == 2
+    with open(base + ".shp", "rb") as f:
+        buf = f.read()
+    assert struct.unpack_from("<i", buf, 32)[0] == 8  # file-level type
+    assert struct.unpack_from("<4d", buf, 36) == (-1.5, 44.9, 11.0, 51.25)
+    # record 1: header + type + box + numPoints + 3 points
+    typ, x0, y0, x1, y1, npts = struct.unpack_from("<i4di", buf, 108)
+    assert (typ, npts) == (8, 3)
+    assert (x0, y0, x1, y1) == (10.0, 44.9, 11.0, 45.2)
+    pts = struct.unpack_from("<6d", buf, 108 + 4 + 32 + 4)
+    assert pts == (10.0, 45.0, 11.0, 45.2, 10.5, 44.9)
+    rec1_len = 4 + 32 + 4 + 16 * 3
+    # record 2 directly after record 1's 8-byte header + body
+    typ2, _, _, _, _, npts2 = struct.unpack_from(
+        "<i4di", buf, 108 + rec1_len + 8
+    )
+    assert (typ2, npts2) == (8, 1)
+    # .shx consistency: second record offset in 16-bit words
+    with open(base + ".shx", "rb") as f:
+        shx = f.read()
+    off2, len2 = struct.unpack_from(">2i", shx, 108)
+    # offset points at record 2's 8-byte header, in 16-bit words
+    assert off2 == (100 + 8 + rec1_len) // 2 and len2 == (4 + 32 + 4 + 16) // 2
+    _, vals = _read_dbf(base)
+    assert vals == ["cluster_a", "cluster_b"]

@@ -2,6 +2,20 @@
 greedy agreement, early stop, marginal-gain monotonicity."""
 
 
+import pytest
+
+
+@pytest.fixture(scope="module")
+def doc_grams(spark):
+    import random
+
+    rng = random.Random(17)
+    rows = [(d, rng.randrange(400)) for d in range(60) for _ in range(30)]
+    return spark.createDataFrame(
+        sorted(set(rows)), "doc_id bigint, gram bigint"
+    ).cache()
+
+
 def _grams(spark, mapping):
     rows = [(d, g) for d, gs in mapping.items() for g in gs]
     return spark.createDataFrame(rows, "doc_id bigint, gram bigint")
@@ -43,3 +57,34 @@ def test_matches_brute_force_greedy(spark):
     # submodularity: marginal gains are non-increasing
     gains = [g for _, _, g in got]
     assert gains == sorted(gains, reverse=True)
+
+
+def test_stochastic_frac1_equals_exact(spark, doc_grams):
+    from osm_hadoop_spark.operators.selection import (
+        greedy_cover,
+        stochastic_greedy_cover,
+    )
+
+    exact = [tuple(r) for r in greedy_cover(doc_grams, k=5).collect()]
+    st = [tuple(r) for r in
+          stochastic_greedy_cover(doc_grams, k=5, sample_frac=1.0).collect()]
+    assert st == exact
+
+
+def test_stochastic_sampled_quality_and_validity(spark, doc_grams):
+    """Sampled run must produce a VALID ladder (strictly positive true
+    gains, no repeated docs) with total coverage within the stochastic
+    guarantee's ballpark of exact greedy on the fixture."""
+    from osm_hadoop_spark.operators.selection import (
+        greedy_cover,
+        stochastic_greedy_cover,
+    )
+
+    exact = greedy_cover(doc_grams, k=5).collect()
+    st = stochastic_greedy_cover(doc_grams, k=5, sample_frac=0.5).collect()
+    docs = [r["doc_id"] for r in st]
+    assert len(set(docs)) == len(docs)
+    assert all(r["n_new_grams"] > 0 for r in st)
+    cov_exact = sum(r["n_new_grams"] for r in exact)
+    cov_st = sum(r["n_new_grams"] for r in st)
+    assert cov_st >= 0.8 * cov_exact

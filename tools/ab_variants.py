@@ -278,3 +278,27 @@ def suffix_legacy(spark, sf_dir):
 
     return suffix_ranks(_suffix_docs(spark, sf_dir), impl="legacy")
 
+
+
+def _cover_grams(spark, sf_dir):
+    import os
+
+    from osm_hadoop_spark.operators.selection import word_gram_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return word_gram_pairs(docs, n=3)
+
+
+def cover_exact(spark, sf_dir):
+    """exact greedy cover, k full scans (shipped oracle semantics)."""
+    from osm_hadoop_spark.operators.selection import greedy_cover
+
+    return greedy_cover(_cover_grams(spark, sf_dir), k=8)
+
+
+def cover_stochastic(spark, sf_dir):
+    """stochastic-greedy (Lazier Than Lazy Greedy), 25% candidate sample."""
+    from osm_hadoop_spark.operators.selection import stochastic_greedy_cover
+
+    return stochastic_greedy_cover(_cover_grams(spark, sf_dir), k=8,
+                                   sample_frac=0.25)
