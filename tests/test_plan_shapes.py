@@ -107,3 +107,27 @@ def test_interval_join_is_equi_not_nested_loop(spark, entry):
     # (key, bucket), never as a nested-loop/cartesian theta join
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_flagship_entry_has_zero_python_stages(spark, entry):
+    """Round-4: the whole flagship (span parse -> assembly -> z14 cover+
+    refine -> counts) runs without a single Python worker — the refine is
+    exists() codegen (tiles_sql.sql_polyline_box_hit), the parse is
+    from_json, the assembly native groupBy."""
+    plan = _plan(spark, entry.entry(spark))
+    for node in NO_PYTHON:
+        assert node not in plan, (node, plan)
+
+
+def test_jvm_refine_query_has_zero_python_stages(spark, entry):
+    plan = _plan(spark, entry.queries()["tile_refine_jvm_z10"](spark, SF_DIR))
+    for node in NO_PYTHON:
+        assert node not in plan, (node, plan)
+
+
+def test_codegen_wkt_assembly_has_zero_python_stages(spark, entry):
+    """way_assembly_wkt now renders WKT via geometry_sql (default
+    impl='jvm'): the full J1+J2+E1 chain is Python-free."""
+    plan = _plan(spark, entry.queries()["way_assembly_wkt"](spark, SF_DIR))
+    for node in NO_PYTHON:
+        assert node not in plan, (node, plan)

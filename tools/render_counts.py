@@ -17,7 +17,7 @@ import re
 import sys
 
 REPO = "/root/repo"
-DOCS = [f"{REPO}/README.md", f"{REPO}/SURVEY.md"]
+DOCS = [f"{REPO}/README.md", f"{REPO}/SURVEY.md", f"{REPO}/PARITY.md"]
 
 
 def registry_counts() -> tuple[int, int]:
