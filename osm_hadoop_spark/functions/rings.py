@@ -75,10 +75,17 @@ def chain_segments(
     """Chain open segments into closed rings by exact endpoint matching.
 
     Already-closed segments (first == last vertex) become rings directly.
-    Open segments extend greedily, PREFERRING a candidate that closes the
-    current chain (forward, then reversed) before any mere extension — for
-    distinct axis-aligned fragments this makes the pairing independent of
-    input order. A chain that can no longer extend is dropped whole.
+    Open segments are first DEDUPED as undirected paths (a fragment equal
+    to another fragment reversed is the same member way twice — OSM data
+    error; keeping both lets the reversed copy satisfy the closing test
+    and fold the chain into a zero-area out-and-back 'ring', the
+    sf0.1-sweep bug of round 4). Two genuinely distinct rings cannot
+    share a multi-edge path in a valid multipolygon, so the dedupe drops
+    only duplicates. Then open segments extend greedily, PREFERRING a
+    candidate that closes the current chain (forward, then reversed)
+    before any mere extension — for distinct axis-aligned fragments this
+    makes the pairing independent of input order. A chain that can no
+    longer extend is dropped whole.
 
     -> (rings in open form, n_dropped_segments).
     """
@@ -91,6 +98,17 @@ def chain_segments(
             rings.append((xs[:-1], ys[:-1]))
         elif len(xs) >= 2:
             opens.append((xs, ys))
+    seen: set[bytes] = set()
+    deduped: list[tuple[np.ndarray, np.ndarray]] = []
+    for xs, ys in opens:
+        fwd = xs.tobytes() + ys.tobytes()
+        rev = xs[::-1].tobytes() + ys[::-1].tobytes()
+        key = min(fwd, rev)
+        if key in seen:
+            continue
+        seen.add(key)
+        deduped.append((xs, ys))
+    opens = deduped
     dropped = 0
     while opens:
         cx, cy = opens.pop(0)

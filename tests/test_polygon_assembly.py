@@ -262,3 +262,48 @@ def test_point_multipolygon_join_strategies_agree(spark, synth_docs):
     b = sorted((r["node_id"], r["zone_id"]) for r in
                point_multipolygon_join(pts, polys, strategy="broadcast").collect())
     assert a == b and len(a) > 0
+
+
+def test_reversed_duplicate_fragments_dedupe_to_one_ring():
+    """sf0.1-sweep regression (round 4): the same rectangle split into
+    two open fragments TWICE, the second copy with reversed orientation.
+    Before the undirected-fragment dedupe, the reversed copy satisfied
+    the closing test and the chain folded into two zero-area out-and-back
+    'rings' (A,B,C,B) / (A,D,C,D); now exactly one clean ring remains."""
+    import numpy as np
+
+    from osm_hadoop_spark.functions.rings import chain_segments
+
+    A, B, C, D = (0.0, 0.0), (8.0, 0.0), (8.0, 20.0), (0.0, 20.0)
+
+    def frag(*pts):
+        return (np.array([p[0] for p in pts]), np.array([p[1] for p in pts]))
+
+    segs = [frag(A, B, C), frag(C, D, A),      # copy 1: ccw split
+            frag(C, B, A), frag(A, D, C)]      # copy 2: same split reversed
+    rings, dropped = chain_segments(segs)
+    assert dropped == 0
+    assert len(rings) == 1
+    xs, ys = rings[0]
+    assert len(xs) == 4 and len(set(zip(xs.tolist(), ys.tolist()))) == 4
+
+
+def test_distinct_fragmentations_still_chain_and_dedupe():
+    """Two split copies with DIFFERENT fragmentations are not undirected
+    duplicates — both chains must close and the canonical-body dedupe
+    downstream collapses them; no degenerate pairing."""
+    import numpy as np
+
+    from osm_hadoop_spark.functions.rings import canonical_ring, chain_segments, ring_body
+
+    A, B, C, D = (0.0, 0.0), (8.0, 0.0), (8.0, 20.0), (0.0, 20.0)
+
+    def frag(*pts):
+        return (np.array([p[0] for p in pts]), np.array([p[1] for p in pts]))
+
+    segs = [frag(A, B, C), frag(C, D, A),
+            frag(B, C, D), frag(D, A, B)]
+    rings, dropped = chain_segments(segs)
+    assert dropped == 0 and len(rings) == 2
+    bodies = {ring_body(*canonical_ring(xs, ys, ccw=True)[:2]) for xs, ys in rings}
+    assert len(bodies) == 1  # same canonical rectangle
