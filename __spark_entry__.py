@@ -9442,8 +9442,13 @@ def _oracle_chaikin() -> str:
     FROM ({_WAY_PTS_SEQ_SQL}))
   WHERE _n > 1)"""
     ]
+    # AS MATERIALIZED: DuckDB inlines single-reference CTEs and then
+    # re-evaluates the inlined tree once per struct-FIELD reference, so the
+    # chained rounds exponentiate (measured at sf0.1: >20 min inlined vs
+    # 7 s materialized, identical results). Materialization is the honest
+    # twin of the engine's per-round dataframe anyway.
     for r in range(1, _CHAIKIN_R + 1):
-        ctes.append(f"c{r} AS ({chaikin_round_sql(f'c{r - 1}')})")
+        ctes.append(f"c{r} AS MATERIALIZED ({chaikin_round_sql(f'c{r - 1}')})")
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT way_id, seq, x, y FROM c{_CHAIKIN_R}"
@@ -9500,9 +9505,11 @@ def _q_vw(spark, sf_dir):
 def _oracle_vw() -> str:
     from osm_hadoop_spark.operators.vw import vw_round_sql
 
-    ctes = [f"c0 AS ({_WAY_PTS_SEQ_SQL})"]
+    # AS MATERIALIZED for the same reason as _oracle_chaikin (chained-CTE
+    # re-inlining blowup at sf0.1)
+    ctes = [f"c0 AS MATERIALIZED ({_WAY_PTS_SEQ_SQL})"]
     for r in range(1, _VW_R + 1):
-        ctes.append(f"c{r} AS ({vw_round_sql(f'c{r - 1}', _VW_T2)})")
+        ctes.append(f"c{r} AS MATERIALIZED ({vw_round_sql(f'c{r - 1}', _VW_T2)})")
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT way_id, seq, x, y FROM c{_VW_R}"
@@ -10754,7 +10761,11 @@ FROM gi JOIN mk USING (cx, cy)
 
 
 _MRR_GRID = 1 << 14  # operators/mbr.py GRID_BUDGET: int64-exact outputs
-_MRR_G = 400
+# group count sized so points-per-group stays hull-sized at the sweep SFs:
+# the oracle's hull re-derivation is deliberately brute (O(n^3) per group)
+# and 400 groups at sf0.1 put 250 points in each — raised to 1000 (round-4
+# sf0.1 sweep; ~100/group at sf0.1, ~10 at sf0.01)
+_MRR_G = 1000
 
 
 def _q_min_rect(spark, sf_dir):
@@ -10784,11 +10795,6 @@ def _q_min_rect(spark, sf_dir):
 def _oracle_min_rect() -> str:
     hx = _duck_h60("'mrx' || CAST(event_id AS VARCHAR)")
     hy = _duck_h60("'mry' || CAST(event_id AS VARCHAR)")
-    ccw = (
-        "((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) {s} 0"
-        " AND (c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x) {s} 0"
-        " AND (a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x) {s} 0)"
-    )
     return f"""
 WITH pts0 AS (SELECT event_id % {_MRR_G} AS g, {hx} % {_MRR_GRID} AS x,
                      {hy} % {_MRR_GRID} AS y FROM events),
@@ -10800,12 +10806,23 @@ seg AS (
   WHERE (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) = 0
     AND p.x BETWEEN least(a.x, b.x) AND greatest(a.x, b.x)
     AND p.y BETWEEN least(a.y, b.y) AND greatest(a.y, b.y)),
-tri AS (
-  SELECT DISTINCT p.g, p.x, p.y FROM p
-  JOIN p a ON a.g = p.g JOIN p b ON b.g = p.g JOIN p c ON c.g = p.g
-  WHERE {ccw.format(s='>')} OR {ccw.format(s='<')}),
-hull AS (SELECT g, x, y FROM p
-         EXCEPT SELECT * FROM (SELECT * FROM seg UNION SELECT * FROM tri)),
+he AS (
+  -- boundary points = sources of right-empty directed pairs: a point is
+  -- NOT strictly interior iff some direction from it has no point
+  -- strictly right. Expressed as min-cross aggregation over the g-keyed
+  -- triple hash join (O(n^3) rows through one pipeline — replaces the
+  -- earlier point-in-some-triangle CTE, whose O(n^4) was prohibitive at
+  -- sf0.1, and a correlated NOT EXISTS DuckDB planned as a nested loop);
+  -- same hull, opposite characterization, still engine-free
+  SELECT g, x, y FROM (
+    SELECT a.g, a.x AS x, a.y AS y,
+           min((b.x - a.x) * (w.y - a.y) - (b.y - a.y) * (w.x - a.x)) AS mn
+    FROM p a
+    JOIN p b ON b.g = a.g AND (a.x <> b.x OR a.y <> b.y)
+    JOIN p w ON w.g = a.g
+    GROUP BY a.g, a.x, a.y, b.x, b.y)
+  GROUP BY g, x, y HAVING max(mn) >= 0),
+hull AS (SELECT g, x, y FROM he EXCEPT SELECT * FROM seg),
 edges AS (
   SELECT a.g, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS bby
   FROM hull a JOIN hull b ON a.g = b.g AND (a.x <> b.x OR a.y <> b.y)

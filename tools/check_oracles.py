@@ -73,9 +73,11 @@ def main():
     qs = m.queries()
     oracles = m.oracle_sql()
     failures = 0
+    import time
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             spark_cols = sdf.columns
@@ -96,11 +98,12 @@ def main():
             failures += 1
             continue
         err = compare(name, spark_rows, duck_rows, spark_cols, duck_cols)
+        dt = time.time() - t0
         if err:
-            print(f"FAIL  {name}: {err}")
+            print(f"FAIL  {name}: {err}", flush=True)
             failures += 1
         else:
-            print(f"OK    {name}: {len(spark_rows)} rows")
+            print(f"OK    {name}: {len(spark_rows)} rows ({dt:.1f}s)", flush=True)
     spark.stop()
     sys.exit(1 if failures else 0)
 
