@@ -117,6 +117,38 @@ def parse_way_nodes(documents: DataFrame) -> DataFrame:
     ).select("node_id", "way_id", "ordinal")
 
 
+def parse_entities(documents: DataFrame) -> DataFrame:
+    """ONE documents scan -> both entity kinds in a slim union frame:
+    (is_node, node_id, lon, lat, way_id, tags, nds).
+
+    The reference dispatches nodes AND ways inside one mapper pass over
+    the input (NodeJoiner.scala:110-141); the two-function form
+    (parse_nodes + parse_ways_with_nds) costs two physical scans of the
+    documents table per run. At planet scale the scan IS the job — this
+    single-pass form halves raw-input reads (100 TB once, not twice),
+    and on a bandwidth-limited host it moves the flagship's mix toward
+    compute (BENCH/NOTES.md round-4). The per-kind from_json sits under
+    a When branch, so each row pays exactly one parse."""
+    s = exploded_spans(documents).filter(
+        F.col("kind").isin("osm.node", "osm.way")
+    )
+    is_node = F.col("kind") == "osm.node"
+    p = s.select(
+        is_node.alias("is_node"),
+        F.when(is_node, F.from_json("text", NODE_PAYLOAD_SCHEMA)).alias("n"),
+        F.when(~is_node, F.from_json("text", WAY_PAYLOAD_SCHEMA)).alias("w"),
+    )
+    return p.select(
+        "is_node",
+        F.col("n.id").alias("node_id"),
+        F.col("n.lon").alias("lon"),
+        F.col("n.lat").alias("lat"),
+        F.col("w.id").alias("way_id"),
+        F.col("w.tags").alias("tags"),
+        F.col("w.nds").alias("nds"),
+    ).filter(F.col("node_id").isNotNull() | F.col("way_id").isNotNull())
+
+
 def parse_relations(documents: DataFrame) -> DataFrame:
     """osm.relation spans -> relations(rel_id, tags, members).
 
