@@ -180,3 +180,49 @@ def test_with_wkt_jvm_equals_arrow(db_snapshot_docs):
     a = {r["way_id"]: r["geometry_wkt"]
          for r in with_wkt(ways_geom, impl="arrow").collect()}
     assert len(j) > 0 and j == a
+
+
+def test_parse_entities_single_pass_matches_two_pass(db_snapshot_docs):
+    """parse_entities (one documents scan) must yield exactly the rows of
+    parse_nodes + parse_ways_with_nds; relation spans pass through
+    unharmed (ignored), like the reference dispatch."""
+    ent = S.parse_entities(db_snapshot_docs).cache()
+    nodes = {(r["node_id"], r["lon"], r["lat"])
+             for r in ent.filter("is_node").select("node_id", "lon", "lat").collect()}
+    want_nodes = {(r["node_id"], r["lon"], r["lat"])
+                  for r in S.parse_nodes(db_snapshot_docs).collect()}
+    assert nodes == want_nodes
+    ways = {(r["way_id"], tuple(r["nds"]))
+            for r in ent.filter("NOT is_node").select("way_id", "nds").collect()}
+    want_ways = {(r["way_id"], tuple(r["nds"]))
+                 for r in S.parse_ways_with_nds(db_snapshot_docs).collect()}
+    assert ways == want_ways
+
+
+def test_parse_entities_drops_malformed_and_foreign_kinds(spark):
+    docs = spark.createDataFrame(
+        [(1, [
+            {"kind": "osm.node", "text": '{"id": 7, "lon": 1.0, "lat": 2.0}',
+             "media_ref": None, "offset": 0},
+            {"kind": "osm.node", "text": "NOT JSON", "media_ref": None, "offset": 1},
+            {"kind": "osm.way", "text": '{"id": 9, "tags": {"highway": "x"}, "nds": [7]}',
+             "media_ref": None, "offset": 2},
+            {"kind": "osm.relation", "text": '{"id": 3}', "media_ref": None, "offset": 3},
+            {"kind": "prose", "text": "hello", "media_ref": None, "offset": 4},
+        ])],
+        "doc_id long, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    rows = S.parse_entities(docs).collect()
+    assert len(rows) == 2
+    got = {(r["is_node"], r["node_id"], r["way_id"]) for r in rows}
+    assert got == {(True, 7, None), (False, None, 9)}
+
+
+def test_build_ways_geom_single_scan_equals_dual(db_snapshot_docs):
+    a = {(r["way_id"], tuple(r["xs"]), tuple(r["ys"]))
+         for r in build_ways_geom(db_snapshot_docs, tag_keys=["highway"],
+                                  single_scan=True).collect()}
+    b = {(r["way_id"], tuple(r["xs"]), tuple(r["ys"]))
+         for r in build_ways_geom(db_snapshot_docs, tag_keys=["highway"],
+                                  single_scan=False).collect()}
+    assert a == b and len(a) > 0
