@@ -89,29 +89,63 @@ def sql_segment_box_hit(
     return bbox & (inside1 | inside2 | ~(all_pos | all_neg))
 
 
-def sql_polyline_box_hit(
-    xs: Column, ys: Column, bxmin: Column, bymin: Column, bxmax: Column, bymax: Column
+def sql_point_segment_dist_sq(
+    px: Column, py: Column, x1: Column, y1: Column, x2: Column, y2: Column
 ) -> Column:
-    """JVM twin of spatial.polyline_box_intersects: ANY segment of the
-    (xs, ys) polyline hits the box — `exists()` over 1-based segment
-    indices, short-circuiting per row inside codegen. Single-vertex
-    'lines' degrade to point-in-box, same as the Arrow kernel."""
-    npts = F.size(xs)
-    point_hit = (
-        (F.element_at(xs, 1) >= bxmin)
-        & (F.element_at(xs, 1) <= bxmax)
-        & (F.element_at(ys, 1) >= bymin)
-        & (F.element_at(ys, 1) <= bymax)
-    )
-    seg_hit = F.exists(
-        F.sequence(F.lit(1), npts - 1),
-        lambda i: sql_segment_box_hit(
-            F.element_at(xs, i), F.element_at(ys, i),
-            F.element_at(xs, i + 1), F.element_at(ys, i + 1),
-            bxmin, bymin, bxmax, bymax,
-        ),
-    )
-    return F.when(npts == 1, point_hit).otherwise(seg_hit)
+    """JVM twin of spatial.point_segment_dist_sq — same arithmetic order
+    (project parameter t, clip to [0,1], squared residual), so float
+    results agree bit-for-bit with the numpy kernel."""
+    dx = x2 - x1
+    dy = y2 - y1
+    len_sq = dx * dx + dy * dy
+    zero = F.lit(0.0)
+    t_raw = ((px - x1) * dx + (py - y1) * dy) / F.when(len_sq == zero, F.lit(1.0)).otherwise(len_sq)
+    t = F.least(F.greatest(F.when(len_sq > zero, t_raw).otherwise(zero), zero), F.lit(1.0))
+    cx = x1 + t * dx
+    cy = y1 + t * dy
+    ex = px - cx
+    ey = py - cy
+    return ex * ex + ey * ey
+
+
+def _sql_seg_seg_dist_sq(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> Column:
+    """min over the 4 endpoint-vs-other-segment distances — the exact
+    structure of spatial.segment_box_dist_sq's inner helper."""
+    d1 = sql_point_segment_dist_sq(ax1, ay1, bx1, by1, bx2, by2)
+    d2 = sql_point_segment_dist_sq(ax2, ay2, bx1, by1, bx2, by2)
+    d3 = sql_point_segment_dist_sq(bx1, by1, ax1, ay1, ax2, ay2)
+    d4 = sql_point_segment_dist_sq(bx2, by2, ax1, ay1, ax2, ay2)
+    return F.least(F.least(d1, d2), F.least(d3, d4))
+
+
+def sql_segment_box_dist_sq(
+    x1: Column, y1: Column, x2: Column, y2: Column,
+    bxmin: Column, bymin: Column, bxmax: Column, bymax: Column,
+) -> Column:
+    """JVM twin of spatial.segment_box_dist_sq: 0 when the segment
+    intersects the box, else min distance over the 4 box edges — identical
+    min-combination order to the numpy kernel so ties and last-ulp values
+    agree (both IEEE-754 double, same op sequence)."""
+    inter = sql_segment_box_hit(x1, y1, x2, y2, bxmin, bymin, bxmax, bymax)
+    d = _sql_seg_seg_dist_sq(x1, y1, x2, y2, bxmin, bymin, bxmax, bymin)
+    d = F.least(d, _sql_seg_seg_dist_sq(x1, y1, x2, y2, bxmax, bymin, bxmax, bymax))
+    d = F.least(d, _sql_seg_seg_dist_sq(x1, y1, x2, y2, bxmax, bymax, bxmin, bymax))
+    d = F.least(d, _sql_seg_seg_dist_sq(x1, y1, x2, y2, bxmin, bymax, bxmin, bymin))
+    return F.when(inter, F.lit(0.0)).otherwise(d)
+
+
+def sql_point_box_clamp_dist_sq(
+    px: Column, py: Column,
+    bxmin: Column, bymin: Column, bxmax: Column, bymax: Column,
+) -> Column:
+    """JVM twin of the vertex-clamp distance in spatial.polyline_box_dist_sq
+    (np.clip(v, bmin, bmax) - v, squared sum) — needed for exact parity on
+    buffered refines: the Arrow kernel takes the min of segment-edge
+    distances AND vertex-clamp distances, whose last-ulp values can differ
+    for points straddling an edge projection."""
+    cx = F.least(F.greatest(px, bxmin), bxmax) - px
+    cy = F.least(F.greatest(py, bymin), bymax) - py
+    return cx * cx + cy * cy
 
 
 def sql_pack_tile(z: int, xt: Column, yt: Column) -> Column:

@@ -38,19 +38,44 @@ from osm_hadoop_spark.config import TILE_SIZE
 # JVM tile math shared with the streaming path — one home, one proof
 from osm_hadoop_spark.functions.tiles_sql import (
     sql_pack_tile,
-    sql_polyline_box_hit,
+    sql_point_box_clamp_dist_sq,
+    sql_segment_box_dist_sq,
+    sql_segment_box_hit,
     sql_tile_bounds_xyz,
     sql_xtile,
     sql_ytile,
 )
 
 
-def _sql_polyline_box_hit(zoom: int):
-    """Refine predicate for the jvm cover rows (columns xs, ys, xt, yt —
-    yt in xyz orientation): tile bounds + separating-axis segment test,
-    all Catalyst expressions."""
-    bxmin, bymin, bxmax, bymax = sql_tile_bounds_xyz(zoom, F.col("xt"), F.col("yt"))
-    return sql_polyline_box_hit(F.col("xs"), F.col("ys"), bxmin, bymin, bxmax, bymax)
+def _sql_segment_rows(
+    env: DataFrame, id_col: str = "_id", carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """env(_id, xs, ys, ...) -> one row per polyline segment
+    (_id, *carry, ax, ay, bx, by). Single-vertex 'lines' become one
+    degenerate a==b segment — the separating-axis test and the distance
+    kernels both reduce to the point forms on it (bbox check ==
+    point-in-box; seg-seg distance == point-edge distance), so one
+    predicate serves every vertex count."""
+    n = F.size("xs")
+    segs = F.when(
+        n == 1,
+        F.array(
+            F.struct(
+                F.element_at("xs", 1).alias("ax"), F.element_at("ys", 1).alias("ay"),
+                F.element_at("xs", 1).alias("bx"), F.element_at("ys", 1).alias("by"),
+            )
+        ),
+    ).otherwise(
+        F.arrays_zip(
+            F.slice("xs", 1, n - 1).alias("ax"), F.slice("ys", 1, n - 1).alias("ay"),
+            F.slice("xs", 2, n - 1).alias("bx"), F.slice("ys", 2, n - 1).alias("by"),
+        )
+    )
+    return env.select(id_col, *carry, F.explode(segs).alias("_s")).select(
+        id_col, *carry,
+        F.col("_s.ax").alias("ax"), F.col("_s.ay").alias("ay"),
+        F.col("_s.bx").alias("bx"), F.col("_s.by").alias("by"),
+    )
 
 
 def _flat_coords(pdf: pd.DataFrame):
@@ -78,15 +103,21 @@ def assign_tiles(
     WayRasterizer.scala:165-168): one corrupt world-spanning geometry would
     otherwise materialize millions of candidate pairs inside a single task.
 
-    `cover_impl="jvm"` runs the whole cover — and, for `buffer_deg=0`,
-    the exact refine too — in whole-stage codegen: envelope via
-    array_min/max, tile rows via explode(sequence(x0, x1)) x
-    explode(sequence(y0, y1)), tile bounds + separating-axis segment test
-    via `exists()` over the coordinate arrays, packed id as bit
-    arithmetic. No Arrow transfer, no Python workers anywhere: candidate
-    explode and refine fuse into ONE codegen stage, and only surviving
-    (id, tile) pairs reach the shuffle. The buffered (distance) refine
-    stays on the Arrow kernel. Pair set is identical to the arrow path
+    `cover_impl="jvm"` runs the whole cover AND the exact refine (buffered
+    or not) in whole-stage codegen — no Arrow transfer, no Python workers
+    anywhere. Round 5 reshaped the refine from an `exists()` HOF over the
+    envelope cover into a segment-explode pipeline, for two reasons:
+    (a) HOF lambdas are CodegenFallback — evaluated interpreted per
+    element, ~2x slower than the Arrow kernel in the round-4 A/B — while
+    every expression below is plain codegen; (b) enumerating candidates
+    per SEGMENT bbox instead of per way envelope shrinks the candidate set
+    from O(envelope area) to O(tiles actually near the line) — the
+    asymptotically right cover for long diagonal ways at high zoom. Shape:
+    envelope guard -> explode segments (arrays_zip of slices) -> explode
+    each segment's own tile cover -> exact separating-axis test (buffered:
+    exact distance kernels) -> groupBy-dedupe on (id, tile). The dedupe
+    aggregation partial-combines map-side, so the shuffle carries exactly
+    the surviving distinct pairs. Pair set is identical to the arrow path
     (pinned by test_tile_join)."""
     zoom = int(zoom)
     tms_f = bool(tms)
@@ -99,15 +130,10 @@ def assign_tiles(
     if cover_impl not in ("arrow", "jvm"):
         raise ValueError(f"unknown cover_impl {cover_impl!r} (use 'arrow' or 'jvm')")
     if cover_impl == "jvm":
-        if do_refine and buf > 0:
-            raise ValueError(
-                "cover_impl='jvm' supports refine only for buffer_deg=0 "
-                "(the buffered distance refine stays on the Arrow kernel)"
-            )
-        carry = ["xs", "ys"] if do_refine else []
         env = src.select(
             "_id",
-            *carry,
+            "xs",
+            "ys",
             sql_xtile(F.array_min("xs") - buf, zoom).alias("tx0"),
             sql_xtile(F.array_max("xs") + buf, zoom).alias("tx1"),
             # xyz y grows southward: north edge (lat_max) has the smaller y
@@ -115,28 +141,108 @@ def assign_tiles(
             sql_ytile(F.array_min("ys") - buf, zoom).alias("ty1"),
         )
         if max_cells is not None:
+            # guard stays on the WAY envelope (identical semantics to the
+            # Arrow kernel) even though the refine covers per segment below
             env = env.filter(
                 (F.col("tx1") - F.col("tx0") + 1) * (F.col("ty1") - F.col("ty0") + 1)
                 <= F.lit(int(max_cells))
             )
-        pairs = env.select(
-            "_id", *carry, F.explode(F.sequence("tx0", "tx1")).alias("xt"), "ty0", "ty1"
-        ).select("_id", *carry, "xt", F.explode(F.sequence("ty0", "ty1")).alias("yt"))
-        if do_refine:
-            # Exact segment-vs-tile-box refine in whole-stage codegen: the
-            # same separating-axis kernel as functions/spatial.py
-            # segment_box_intersects, identical arithmetic order, lifted into
-            # `exists()` over the coordinate arrays. Tile bounds reproduce
-            # functions/tiles.py tile_bounds op-for-op (sinh-form inverse
-            # mercator; Math.sinh vs np.sinh agree on the pinned fixtures).
-            # The candidate explode and the refine run in ONE codegen stage
-            # — no Arrow transfer, no Python workers, nothing shuffled but
-            # surviving (id, tile) pairs.
-            pairs = pairs.filter(_sql_polyline_box_hit(zoom))
+        if not do_refine:
+            pairs = env.select(
+                "_id", F.explode(F.sequence("tx0", "tx1")).alias("xt"), "ty0", "ty1"
+            ).select("_id", "xt", F.explode(F.sequence("ty0", "ty1")).alias("yt"))
+            yt = ((1 << zoom) - 1) - F.col("yt") if tms_f else F.col("yt")
+            return pairs.select(
+                F.col("_id").alias(id_col),
+                sql_pack_tile(zoom, F.col("xt"), yt).alias("tile_id"),
+            )
+        segs = _sql_segment_rows(env, carry=("tx0", "tx1", "ty0", "ty1"))
+        # Per-SEGMENT candidate cover, made EXACTLY equivalent to the
+        # oracle/Arrow candidate semantics (way-envelope forward cover,
+        # then refine) by two corrections:
+        #  (1) CLIP to the way-envelope cover [tx0..tx1]x[ty0..ty1] — the
+        #      forward floor mapping sends an exactly-on-boundary
+        #      coordinate UP into the next tile, so the inclusive refine
+        #      can accept a merely-touched tile one step below/left of a
+        #      segment's forward cover; such a tile is a candidate in the
+        #      envelope semantics only if it lies inside the ENVELOPE
+        #      forward cover, so the clip restores the reference set.
+        #  (2) EXTEND each segment cover by one tile per side exactly when
+        #      that neighbor tile could pass the refine's (inclusive)
+        #      bbox-overlap — tested with the SAME inverse tile-bound
+        #      expressions the refine evaluates, so the decision is
+        #      bit-identical to the refine's own. A two-tile extension
+        #      would need a forward/inverse boundary disagreement of a
+        #      full tile (boundaries differ by >> 1 ulp), so one suffices.
+        # For buffered covers the accept test is distance-based, so the
+        # one-tile extension is applied unconditionally (a float-rounded
+        # distance can only admit tiles within an ulp of the expanded
+        # bbox, never a full tile away); the envelope clip still applies.
+        sxmin = F.least("ax", "bx") - buf
+        sxmax = F.greatest("ax", "bx") + buf
+        symin = F.least("ay", "by") - buf
+        symax = F.greatest("ay", "by") + buf
+        sx0 = sql_xtile(sxmin, zoom)
+        sx1 = sql_xtile(sxmax, zoom)
+        sy0 = sql_ytile(symax, zoom)
+        sy1 = sql_ytile(symin, zoom)
+        if buf > 0:
+            ext_l = ext_r = ext_t = ext_b = F.lit(1).cast("bigint")
+        else:
+            one = F.lit(1).cast("bigint")
+            zero = F.lit(0).cast("bigint")
+            ext_l = F.when(
+                sql_tile_bounds_xyz(zoom, sx0 - 1, sy0)[2] >= sxmin, one
+            ).otherwise(zero)
+            ext_r = F.when(
+                sql_tile_bounds_xyz(zoom, sx1 + 1, sy0)[0] <= sxmax, one
+            ).otherwise(zero)
+            ext_t = F.when(
+                sql_tile_bounds_xyz(zoom, sx0, sy0 - 1)[1] <= symax, one
+            ).otherwise(zero)
+            ext_b = F.when(
+                sql_tile_bounds_xyz(zoom, sx0, sy1 + 1)[3] >= symin, one
+            ).otherwise(zero)
+        segc = segs.select(
+            "_id", "ax", "ay", "bx", "by",
+            F.greatest(sx0 - ext_l, F.col("tx0")).alias("sx0"),
+            F.least(sx1 + ext_r, F.col("tx1")).alias("sx1"),
+            F.greatest(sy0 - ext_t, F.col("ty0")).alias("sy0"),
+            F.least(sy1 + ext_b, F.col("ty1")).alias("sy1"),
+        )
+        cand = segc.select(
+            "_id", "ax", "ay", "bx", "by",
+            F.explode(F.sequence("sx0", "sx1")).alias("xt"), "sy0", "sy1",
+        ).select(
+            "_id", "ax", "ay", "bx", "by", "xt",
+            F.explode(F.sequence("sy0", "sy1")).alias("yt"),
+        )
+        bxmin, bymin, bxmax, bymax = sql_tile_bounds_xyz(
+            zoom, F.col("xt"), F.col("yt")
+        )
+        a = (F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"))
+        if buf > 0:
+            # exact buffered refine: same accept set as the Arrow kernel's
+            # min(segment-edge distances, vertex-clamp distances) <= buf^2 —
+            # the per-segment OR over both distance families distributes the
+            # Arrow kernel's per-way min over the segment rows exactly
+            b2 = F.lit(buf * buf)
+            hit = (
+                (sql_segment_box_dist_sq(*a, bxmin, bymin, bxmax, bymax) <= b2)
+                | (sql_point_box_clamp_dist_sq(a[0], a[1], bxmin, bymin, bxmax, bymax) <= b2)
+                | (sql_point_box_clamp_dist_sq(a[2], a[3], bxmin, bymin, bxmax, bymax) <= b2)
+            )
+        else:
+            hit = sql_segment_box_hit(*a, bxmin, bymin, bxmax, bymax)
         yt = ((1 << zoom) - 1) - F.col("yt") if tms_f else F.col("yt")
-        return pairs.select(
-            F.col("_id").alias(id_col),
-            sql_pack_tile(zoom, F.col("xt"), yt).alias("tile_id"),
+        return (
+            cand.filter(hit)
+            .groupBy(
+                F.col("_id").alias(id_col),
+                sql_pack_tile(zoom, F.col("xt"), yt).alias("tile_id"),
+            )
+            .agg(F.lit(1).alias("_one"))
+            .drop("_one")
         )
 
     def emit(batches):

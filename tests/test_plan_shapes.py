@@ -112,7 +112,7 @@ def test_interval_join_is_equi_not_nested_loop(spark, entry):
 def test_flagship_entry_has_zero_python_stages(spark, entry):
     """Round-4: the whole flagship (span parse -> assembly -> z14 cover+
     refine -> counts) runs without a single Python worker — the refine is
-    exists() codegen (tiles_sql.sql_polyline_box_hit), the parse is
+    segment-explode codegen (tiles_sql.sql_segment_box_hit), the parse is
     from_json, the assembly native groupBy."""
     plan = _plan(spark, entry.entry(spark))
     for node in NO_PYTHON:

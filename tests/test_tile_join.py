@@ -340,10 +340,39 @@ def test_jvm_refine_equals_arrow(spark, ways_arrays):
     assert refined < cover
 
 
-def test_jvm_refine_rejects_buffered(spark, ways_arrays):
-    with pytest.raises(ValueError, match="buffer_deg=0"):
-        assign_tiles(ways_arrays, zoom=13, buffer_deg=0.01, refine=True,
-                     cover_impl="jvm")
+def test_jvm_refine_boundary_touch_equals_arrow(spark):
+    """Regression (round 5, found by the sf0.01 oracle sweep): a segment
+    whose min-x vertex lies EXACTLY on a tile boundary forward-maps into
+    the right-hand tile, yet the inclusive refine also accepts the
+    left-hand tile it merely touches — which is a candidate only via the
+    way-ENVELOPE cover. The segment-explode cover must clip to the
+    envelope cover and conditionally extend one tile to reproduce the
+    oracle/Arrow accept set exactly (11.25 = 544/1024*360-180, a z10
+    column boundary)."""
+    df = spark.createDataFrame(
+        [(1, [11.25, 11.6, 11.0], [10.1, 10.3, 10.9])],
+        "way_id long, xs array<double>, ys array<double>",
+    )
+    for z in (10, 12, 14):
+        a = sorted(r["tile_id"] for r in
+                   assign_tiles(df, zoom=z, tms=False, refine=True).collect())
+        b = sorted(r["tile_id"] for r in
+                   assign_tiles(df, zoom=z, tms=False, refine=True,
+                                cover_impl="jvm").collect())
+        assert a == b and len(a) > 0, z
+
+
+def test_jvm_buffered_refine_equals_arrow(spark, ways_arrays):
+    """Round 5: cover_impl='jvm' now covers the buffered (distance) refine
+    too — exact segment-box distance + vertex-clamp kernels in codegen,
+    mirroring the Arrow polyline_box_dist_sq accept set op-for-op."""
+    for z, buf in [(13, 0.008333), (11, 0.05), (9, 0.25)]:
+        a = assign_tiles(ways_arrays, zoom=z, tms=True, buffer_deg=buf, refine=True)
+        b = assign_tiles(ways_arrays, zoom=z, tms=True, buffer_deg=buf, refine=True,
+                         cover_impl="jvm")
+        ra = sorted((r["way_id"], r["tile_id"]) for r in a.collect())
+        rb = sorted((r["way_id"], r["tile_id"]) for r in b.collect())
+        assert ra == rb and len(ra) > 0, (z, buf)
 
 
 def test_jvm_refine_single_vertex_point_in_box(spark):
