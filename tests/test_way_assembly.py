@@ -163,6 +163,18 @@ def test_sql_fmt_ord_matches_python_every_band(spark):
     vals += [float(k) + m / 64.0 for k in range(-180, 180, 7) for m in range(16)]
     vals += [0.0, -0.0, 1e-3, 1e-4, 5e-5, 0.0005, 123.0, -180.0,
              85.05112877980659, 1e15 - 0.5, 12345678.5]
+    # integral values at/above the 1e15 is_int cutoff (round-5 ADVICE fix:
+    # Java E-notation, Python plain up to 1e16 then positive e-notation).
+    # Digit-level parity is CLAIMED only for |v| <= 2^53 on this JDK-17
+    # host: above 2^53 the pre-Ryu Double.toString (JDK < 19) sometimes
+    # emits non-shortest digits (e.g. 2^60 -> '1.15292150460684698E18'
+    # where repr gives '1.152921504606847e+18') — the geometry_sql module
+    # docstring documents the JDK >= 19 requirement for the full range.
+    # The short-mantissa >2^53 values below have coinciding layouts on
+    # every JDK and pin the e+ band's formatting logic itself.
+    vals += [1e15, 2e15, -2e15, 2.5e15, 9007199254740992.0, 9.9e15,
+             1e16, -1e16, 1.5e16, 1e17, 2e18, 1e300, -1e300, float(2**63)]
+    vals += list((10.0 ** rng.uniform(15, 15.95, 300)).round())
     df = spark.createDataFrame([(float(v),) for v in vals], "v double")
     rows = df.select("v", sql_fmt_ord(F.col("v")).alias("s")).collect()
     bad = [(r["v"], _fmt_ord(float(r["v"])), r["s"])
