@@ -8958,10 +8958,12 @@ def _q_hex_smooth(spark, sf_dir):
 
 # --- Pareto skyline (operators/skyline.py) ----------------------------------
 # Multi-criteria addition: the dominance frontier (minimize both axes)
-# of a hashed cost/distance tradeoff cloud. Engine = ONE global sort +
-# two RANGE-frame window minima on the same order (exactly one
-# Exchange, plan-asserted); oracle = the NOT EXISTS dominance
-# definition — a quadratic scan, a different algorithm entirely.
+# of a hashed cost/distance tradeoff cloud. Engine = the coarse-bucket
+# two-level running-minimum (round-5 rewrite: per-bucket partitioned
+# RANGE windows + one tiny bucket-rollup window — no full-relation
+# single-partition window, plan-asserted); oracle = the NOT EXISTS
+# dominance definition — a quadratic scan, a different algorithm
+# entirely. coarse_bits=8 -> 40 buckets over the 0..10000 axis.
 def _q_pareto_skyline(spark, sf_dir):
     from osm_hadoop_spark.operators.skyline import pareto_skyline
     from osm_hadoop_spark.operators.textstats import h60
@@ -8973,7 +8975,7 @@ def _q_pareto_skyline(spark, sf_dir):
         (h60(F.concat(F.lit("sx"), s)) % 10000).alias("x"),
         (h60(F.concat(F.lit("sy"), s)) % 10000).alias("y"),
     )
-    return pareto_skyline(pts)
+    return pareto_skyline(pts, coarse_bits=8)
 
 
 _ORACLE_SKYLINE = f"""
@@ -10109,12 +10111,13 @@ _SKY_LAYERS = 4
 
 def _q_skyline_layers(spark, sf_dir):
     """Skyline layer peeling (operators/skyline.py) over the dbscan
-    point pattern, 4 tiers: single-sort frontier window per round +
-    anti-join peel. The DuckDB twin nests the module's frontier
+    point pattern, 4 tiers: two-level bucketed frontier windows per
+    round + anti-join peel. The DuckDB twin nests the module's frontier
     fragment."""
     from osm_hadoop_spark.operators.skyline import skyline_layers
 
-    return skyline_layers(_dbscan_points(spark, sf_dir), _SKY_LAYERS)
+    return skyline_layers(_dbscan_points(spark, sf_dir), _SKY_LAYERS,
+                          coarse_bits=8)
 
 
 def _oracle_skyline_layers() -> str:

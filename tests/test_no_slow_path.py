@@ -68,6 +68,47 @@ def test_no_row_wise_python_or_rdd():
     assert not bad, f"forbidden slow-path constructs: {bad}"
 
 
+# Unpartitioned windows (`Window.orderBy` with no partitionBy) execute as
+# ONE task over their whole input relation — a scale-killer when that
+# relation is the data (round-4 verdict #2: the old skyline). They are
+# allowed ONLY over bounded relations, pinned here per file WITH exact
+# occurrence counts so a new one (anywhere, or an extra in an allowlisted
+# file) fails CI. Documented bounds:
+#   suffix.py (2): coarse-bucket subtotal windows over ~#distinct-keys /
+#     2^coarse_bits rows (dense_rank_scalable / rank_by_count contract);
+#   ranges.py (1), strpack.py (1): the same coarse-bucket subtotal shape;
+#   textstats.py (1): vocab-growth curve over per-bucket firsts (#buckets
+#     rows, a config constant);
+#   quantile_sketch.py (1): the compacted MRL sketch rows (O(k log n));
+#   skyline.py (1): the bucket-rollup offset window over the bucket
+#     AGGREGATE relation (x-range / 2^coarse_bits rows) — the full-point
+#     windows are bucket-partitioned (plan-asserted in test_skyline).
+UNPARTITIONED_WINDOW_ALLOWED = {
+    "suffix.py": 2,
+    "ranges.py": 1,
+    "strpack.py": 1,
+    "textstats.py": 1,
+    "quantile_sketch.py": 1,
+    "skyline.py": 1,
+}
+UNPARTITIONED_WINDOW_RE = re.compile(r"\bWindow\s*\.\s*orderBy\s*\(")
+
+
+def test_unpartitioned_windows_only_on_bounded_relations():
+    bad = []
+    for path in _py_files():
+        base = os.path.basename(path)
+        with open(path) as f:
+            src = f.read()
+        n = len(UNPARTITIONED_WINDOW_RE.findall(src))
+        if n != UNPARTITIONED_WINDOW_ALLOWED.get(base, 0):
+            bad.append((base, n, UNPARTITIONED_WINDOW_ALLOWED.get(base, 0)))
+    assert not bad, (
+        "Window.orderBy without partitionBy outside the documented "
+        f"bounded-relation allowlist (file, found, allowed): {bad}"
+    )
+
+
 def test_collect_only_in_bounded_modules():
     bad = []
     for path in _py_files():

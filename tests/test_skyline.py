@@ -40,8 +40,36 @@ def test_skyline_duplicates_and_ties(spark):
     assert (0, 9) not in got and (3, 5) not in got
 
 
-def test_skyline_single_exchange_no_python(spark):
+def _window_nodes(df):
+    """All WindowExec nodes of the pre-AQE physical plan, via the JVM tree."""
+    out = []
+
+    def rec(node):
+        if node.nodeName() == "Window":
+            out.append(node)
+        for i in range(node.children().size()):
+            rec(node.children().apply(i))
+
+    rec(df._jdf.queryExecution().sparkPlan())
+    return out
+
+
+def test_skyline_no_unpartitioned_full_relation_window(spark):
+    """Round-5 rewrite pin (round-4 verdict #2): no WindowExec over the
+    full point relation may run unpartitioned (single task). The only
+    unpartitioned window allowed is the bucket-rollup one, whose input is
+    the bucket AGGREGATE relation (a HashAggregate is its descendant)."""
     df = spark.createDataFrame([(1, 2, 3)], "id: long, x: long, y: long")
-    plan = pareto_skyline(df)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1  # one rangepartitioning, nothing else
-    assert "Python" not in plan and "Join" not in plan
+    sky = pareto_skyline(df)
+    wins = _window_nodes(sky)
+    assert wins, "expected Window operators in the skyline plan"
+    part_count = 0
+    for w in wins:
+        if w.partitionSpec().size() == 0:
+            # bounded-relation exception: must consume the bucket rollup
+            assert "HashAggregate" in w.toString(), w.toString()
+        else:
+            part_count += 1
+    assert part_count >= 1  # the full-relation windows are bucket-partitioned
+    plan = sky._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
