@@ -10829,7 +10829,14 @@ he AS (
     JOIN p b ON b.g = a.g AND (a.x <> b.x OR a.y <> b.y)
     JOIN p w ON w.g = a.g
     GROUP BY a.g, a.x, a.y, b.x, b.y)
-  GROUP BY g, x, y HAVING max(mn) >= 0),
+  GROUP BY g, x, y HAVING max(mn) >= 0
+  UNION
+  -- a group with exactly ONE distinct point has no directed pair b, so
+  -- the min-cross characterization is vacuous; its lone point is its
+  -- whole hull (round-5 ADVICE fix — the engine returns n_hull=1,
+  -- mbr 0/1, bbox 0 for such groups)
+  SELECT g, MIN(x) AS x, MIN(y) AS y FROM p
+  GROUP BY g HAVING COUNT(*) = 1),
 hull AS (SELECT g, x, y FROM he EXCEPT SELECT * FROM seg),
 edges AS (
   SELECT a.g, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS bby

@@ -40,9 +40,16 @@ def sql_ytile(lat: Column, z: int) -> Column:
 def sql_tile_bounds_xyz(z: int, xt: Column, yt: Column):
     """JVM twin of tiles.tile_bounds for xyz-oriented (xt, yt) columns:
     -> (bxmin, bymin, bxmax, bymax). Identical arithmetic order to the
-    numpy kernel (tiles.py:80-83); the inverse mercator uses Math.sinh vs
-    np.sinh — both correctly rounded on this data (pinned by
-    test_tile_join.py jvm-refine parity)."""
+    numpy kernel (tiles.py:80-83). Equivalence scope (round-5 ADVICE):
+    the x bounds are exact (dyadic arithmetic); the y bounds go through
+    Math.sinh vs np.sinh, which agree on every input exercised by the
+    fixtures and sweeps (pinned by test_tile_join.py jvm-refine parity)
+    but are not GUARANTEED identical to the last ulp on arbitrary data —
+    a last-ulp difference can flip a boundary-GRAZING segment between the
+    jvm and arrow refine paths. The 'pair set identical' claim in
+    assign_tiles is therefore data-dependent (empirically pinned), not
+    structural; both paths remain individually exact refines of their own
+    bounds."""
     n = float(1 << z)
     xtd = xt.cast("double")
     ytd = yt.cast("double")

@@ -118,7 +118,9 @@ def assign_tiles(
     exact distance kernels) -> groupBy-dedupe on (id, tile). The dedupe
     aggregation partial-combines map-side, so the shuffle carries exactly
     the surviving distinct pairs. Pair set is identical to the arrow path
-    (pinned by test_tile_join)."""
+    on every pinned fixture and sweep input (test_tile_join; the claim's
+    ulp scope on arbitrary data is documented at
+    tiles_sql.sql_tile_bounds_xyz)."""
     zoom = int(zoom)
     tms_f = bool(tms)
     buf = float(buffer_deg)
