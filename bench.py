@@ -454,8 +454,11 @@ process sweeps and per-process /proc accounting — a hypervisor artifact,
 not an engine property; its onset moves with worker count, not data size).
 2 vs 8 keeps both levels below that wall, so the ratio measures the
 engine. Plan-level evidence of scale-readiness: balanced partitions at
-every stage (PARITY.md, .explain), exactly two data shuffles end-to-end,
-and kernel throughput that grows monotonically with process count.
+every stage (PARITY.md, .explain), exactly three data shuffles
+end-to-end (way assembly; the segment-refine's map-side-combining pair
+dedupe, added in round 5 with the segment-explode refine; per-tile
+counts — the node join arrives by broadcast), zero Python stages, and
+kernel throughput that grows monotonically with process count.
 
 See BENCH/NOTES.md for the host-noise characterization and the
 mitigations shipped in session.py.
