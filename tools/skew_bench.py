@@ -81,6 +81,14 @@ def gen_inputs(spark):
             .otherwise(F.pmod(F.hash((F.col("id") * 7).cast("string")), N_NODES))
             .cast("bigint")
             .alias("node_id"),
+            # high-entropy payload that survives to the join output (summed
+            # in the probe agg): real waynode rows carry varied bytes, and
+            # WITHOUT this the hot partition's constant node_id compresses
+            # to ~nothing — AQE's bytes-based skew detection then never
+            # fires (measured; noted in SKEW.md), while structural salting
+            # is immune to the compression mirage
+            (F.pmod(F.hash((F.col("id") + 13).cast("string")), 1 << 30))
+            .cast("double").alias("w"),
         )
     )
     nodes = spark.range(0, N_NODES, 1, P).select(
@@ -127,11 +135,12 @@ def balance(df: DataFrame, *keys) -> dict:
 
 
 def j1_variants(spark, refs, nodes):
-    from osm_hadoop_spark.operators.way_assembly import join_node_coords
-
     def agg(df):
+        # sum both a node-side and a ref-side payload so neither gets
+        # pruned before the join (the shuffled bytes are the real ones)
         return df.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("lon").alias("sx")
+            F.count(F.lit(1)).alias("n"), F.sum("lon").alias("sx"),
+            F.sum("w").alias("sw"),
         )
 
     def set_skew(on: bool):
@@ -144,13 +153,18 @@ def j1_variants(spark, refs, nodes):
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
         )
 
+    def smj(df_nodes):
+        return refs.join(df_nodes.hint("merge"), "node_id", "inner").select(
+            "way_id", "ordinal", "lon", "lat", "w"
+        )
+
     def plain():
         set_skew(False)
-        return agg(join_node_coords(nodes.hint("merge"), refs))
+        return agg(smj(nodes))
 
     def aqe():
         set_skew(True)
-        return agg(join_node_coords(nodes.hint("merge"), refs))
+        return agg(smj(nodes))
 
     def salt():
         # hot key known by construction (node 0); production detects hot
@@ -164,19 +178,19 @@ def j1_variants(spark, refs, nodes):
             "_salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_R - 1)))
         )
         j_hot = r_hot.join(n_hot, ["node_id", "_salt"], "inner").select(
-            "way_id", "ordinal", "lon", "lat"
+            "way_id", "ordinal", "lon", "lat", "w"
         )
         j_rest = (
             refs.filter(~hot)
             .join(nodes.hint("merge"), "node_id", "inner")
-            .select("way_id", "ordinal", "lon", "lat")
+            .select("way_id", "ordinal", "lon", "lat", "w")
         )
         return agg(j_hot.unionByName(j_rest))
 
     def bcast():
         set_skew(False)
         return agg(refs.join(F.broadcast(nodes), "node_id", "inner")
-                   .select("way_id", "ordinal", "lon", "lat"))
+                   .select("way_id", "ordinal", "lon", "lat", "w"))
 
     return {"plain": plain, "aqe": aqe, "salt": salt, "broadcast": bcast}
 
