@@ -362,6 +362,44 @@ def test_jvm_refine_boundary_touch_equals_arrow(spark):
         assert a == b and len(a) > 0, z
 
 
+def test_jvm_refine_randomized_boundary_biased_parity(spark):
+    """Randomized jvm==arrow pair-set parity with coordinates biased onto
+    exact tile boundaries and dyadic grids (the populations where the
+    round-5 boundary-touch bug lived), across zooms and buffers."""
+    rng = np.random.default_rng(7)
+    zooms = [3, 7, 12]
+
+    def coord(lo, hi, z):
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            return float(rng.uniform(lo, hi))
+        if kind == 1:  # dyadic 1/64 grid
+            return float(np.floor(rng.uniform(lo, hi) * 64) / 64.0)
+        n = 1 << z  # exact tile x-boundary
+        c = int(rng.integers(0, n + 1))
+        return float(c / n * 360.0 - 180.0) if hi > 90 else float(
+            max(lo, min(hi, c / n * 170.0 - 85.0)))
+
+    rows = []
+    for i in range(120):
+        z = zooms[i % 3]
+        npts = int(rng.integers(1, 6))
+        cx, cy = rng.uniform(-170, 170), rng.uniform(-75, 75)
+        xs = [min(179.9, max(-179.9, cx + coord(-1, 1, z))) for _ in range(npts)]
+        ys = [min(84.0, max(-84.0, cy + coord(-1, 1, z))) for _ in range(npts)]
+        rows.append((i, xs, ys))
+    df = spark.createDataFrame(rows, "way_id long, xs array<double>, ys array<double>")
+    for z in zooms:
+        for buf in (0.0, 0.05):
+            a = sorted((r["way_id"], r["tile_id"]) for r in
+                       assign_tiles(df, zoom=z, tms=False, buffer_deg=buf,
+                                    refine=True).collect())
+            b = sorted((r["way_id"], r["tile_id"]) for r in
+                       assign_tiles(df, zoom=z, tms=False, buffer_deg=buf,
+                                    refine=True, cover_impl="jvm").collect())
+            assert a == b and len(a) > 0, (z, buf)
+
+
 def test_jvm_buffered_refine_equals_arrow(spark, ways_arrays):
     """Round 5: cover_impl='jvm' now covers the buffered (distance) refine
     too — exact segment-box distance + vertex-clamp kernels in codegen,
