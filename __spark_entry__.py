@@ -7326,6 +7326,24 @@ def _q_buffered_cover(spark, sf_dir):
     )
 
 
+def _q_buffered_cover_jvm(spark, sf_dir):
+    """Round-5 pinned twin: the same z13 buffered cover through
+    cover_impl='jvm' (zero Python workers; buffered refine parity is
+    pinned separately in test_tile_join). Same oracle as
+    buffered_cover_z13 — the two queries pin both physical strategies
+    to identical values."""
+    from osm_hadoop_spark.config import BUFFER_DEG_Z13
+    from osm_hadoop_spark.operators.tile_join import assign_tiles
+
+    assigned = assign_tiles(
+        _local_ways_geom(spark, sf_dir), zoom=13, tms=False,
+        buffer_deg=BUFFER_DEG_Z13, refine=False, cover_impl="jvm",
+    )
+    return assigned.groupBy("way_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tiles")
+    )
+
+
 _ORACLE_BUFFERED_COVER = f"""
 WITH p AS ({_LOCAL_WAY_PTS_SQL}),
 env AS (SELECT way_id, min(lon) - 0.008333 AS x0, max(lon) + 0.008333 AS x1,
@@ -13874,6 +13892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_refine_jvm_z10": _q_tile_refine_jvm,  # J3 refine, zero-Python codegen
         "planet_e2e": _q_planet_e2e,                # full pipeline composition
         "buffered_cover_z13": _q_buffered_cover,    # E6+E9 buffered filter stage
+        "buffered_cover_jvm_z13": _q_buffered_cover_jvm,  # round-5 zero-Python twin
         "rasterize_bresenham": _q_rasterize_bresenham,  # E4+E5+F8 raster map side
         "min_class_pixels": _q_min_class,           # A2 (SparkRasterizer variant)
         "tile_bitset_or": _q_bitset_or,             # A6 bitset OR composite
@@ -14148,6 +14167,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_refine_jvm_z10": _ORACLE_TILE_REFINE,
         "planet_e2e": _ORACLE_PLANET_E2E,
         "buffered_cover_z13": _ORACLE_BUFFERED_COVER,
+        "buffered_cover_jvm_z13": _ORACLE_BUFFERED_COVER,
         "rasterize_bresenham": _ORACLE_RASTERIZE,
         "min_class_pixels": _ORACLE_MIN_CLASS,
         "tile_bitset_or": _ORACLE_BITSET_OR,

@@ -125,6 +125,14 @@ def test_jvm_refine_query_has_zero_python_stages(spark, entry):
         assert node not in plan, (node, plan)
 
 
+def test_jvm_buffered_cover_has_zero_python_stages(spark, entry):
+    """Round 5: the z13 buffered path runs zero-Python through
+    cover_impl='jvm' (verdict item 4)."""
+    plan = _plan(spark, entry.queries()["buffered_cover_jvm_z13"](spark, SF_DIR))
+    for node in NO_PYTHON:
+        assert node not in plan, (node, plan)
+
+
 def test_codegen_wkt_assembly_has_zero_python_stages(spark, entry):
     """way_assembly_wkt now renders WKT via geometry_sql (default
     impl='jvm'): the full J1+J2+E1 chain is Python-free."""
