@@ -194,6 +194,38 @@ def test_with_wkt_jvm_equals_arrow(db_snapshot_docs):
     assert len(j) > 0 and j == a
 
 
+def test_with_wkt_jvm_fast_path_and_fallback_mix(spark):
+    """Round-5 ring-body fast path: rows whose ordinates are all plain
+    take the whole-string cast path; any E-notation or '-0.0' ordinate
+    falls back per-element. Craft rings that hit both paths (and mixes)
+    and require byte-identical output to the Python formatter."""
+    from osm_hadoop_spark.functions.geometry import format_linestring_wkt
+    from osm_hadoop_spark.operators.way_assembly import with_wkt
+
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    rows = []
+    pools = [
+        lambda: float(rng.uniform(-180, 180)),          # plain band
+        lambda: float(rng.integers(-180, 181)),          # integral
+        lambda: float(rng.uniform(-1e-5, 1e-5)),         # E-notation
+        lambda: -0.0,                                    # sign-zero fallback
+        lambda: float(rng.uniform(-0.1, 0.0)),           # '-0.0...' prefix lookalike
+        lambda: float(np.floor(rng.uniform(-180, 180) * 64) / 64),  # dyadic
+    ]
+    for i in range(200):
+        n = int(rng.integers(2, 6))
+        xs = [pools[int(rng.integers(0, len(pools)))]() for _ in range(n)]
+        ys = [pools[int(rng.integers(0, len(pools)))]() for _ in range(n)]
+        rows.append((i, xs, ys))
+    df = spark.createDataFrame(rows, "way_id long, xs array<double>, ys array<double>")
+    got = {r["way_id"]: r["geometry_wkt"] for r in with_wkt(df).collect()}
+    for i, xs, ys in rows:
+        exp = format_linestring_wkt(np.array(xs), np.array(ys))
+        assert got[i] == exp, (i, got[i], exp)
+
+
 def test_parse_entities_single_pass_matches_two_pass(db_snapshot_docs):
     """parse_entities (one documents scan) must yield exactly the rows of
     parse_nodes + parse_ways_with_nds; relation spans pass through
